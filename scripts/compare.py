@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local oracle-parity check: mirrors the driver's DuckDB compare.
+
+Usage: python3 scripts/compare.py <sfDir> <verifyOutDir>
+
+Reads each <name>/ parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over views of the sfDir
+tables, and diffs (sorted rows, columns sorted by name).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp-ish columns to ns for cross-engine compare
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = canon(pd.concat([pd.read_parquet(fp) for fp in sorted(files)]))
+        try:
+            exp = canon(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")
+            diff_cols = [c for c in got.columns
+                         if not got[c].equals(exp[c])]
+            print(f"  differing columns: {diff_cols}")
+            for c in diff_cols[:3]:
+                neq = got[c] != exp[c]
+                idx = neq[neq].index[:5]
+                print(f"  {c}: spark={got.loc[idx, c].tolist()} oracle={exp.loc[idx, c].tolist()}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

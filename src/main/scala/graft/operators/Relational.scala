@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / ETL operator library — the reference's query surface
+  * (raulstechtips/stock-data-etl-pipeline) re-expressed as pure
+  * DataFrame transforms.
+  *
+  * Every operator is `(DataFrame...) => DataFrame` so Catalyst sees a
+  * single logical plan end-to-end: filters land in the parquet scan as
+  * PushedFilters, projections prune the ReadSchema, aggregates get
+  * map-side partial aggregation, and small dimension sides are
+  * broadcast explicitly. No RDDs, no driver-side collection.
+  */
+object Relational {
+
+  /** Multi-aggregate pricing summary (TPC-H Q1 shape).
+    *
+    * Mirrors the reference's aggregation rollups
+    * (services/api/serializers.py:341-360). Doubles are rounded at the
+    * end for cross-engine (DuckDB oracle) stability; the group-by runs
+    * with map-side combine so at 100 TB the shuffle carries only
+    * #groups x #partitions rows.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Date-range + equality filter with full pushdown (reference
+    * created_after/created_before filters, services/api/filters.py:136-137).
+    * The plan must show both predicates in PushedFilters.
+    */
+  def dateRangeFilter(orders: DataFrame, lo: String, hi: String, status: String): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+              col("o_orderdate") <= to_timestamp(lit(hi)) &&
+              col("o_orderstatus") === status)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+              col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** Star join fact->dims with explicit broadcast of every dimension
+    * (reference stock x sector x exchange joins via select_related,
+    * services/api/views/list_views.py). At 100 TB the fact side
+    * streams map-side against broadcast hash tables — zero shuffle for
+    * the joins; the only wide op is the final aggregate.
+    */
+  def starJoinRevenue(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Latest row per key (reference get_latest_for_stock,
+    * services/api/models.py:247-262): window row_number with a
+    * deterministic tiebreak. Single shuffle on the key; at scale this
+    * is the standard top-1-per-group pattern AQE handles well.
+    */
+  def latestPerKey(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"),
+              col("o_orderkey").as("latest_orderkey"),
+              col("o_orderdate").as("latest_orderdate"),
+              round(col("o_totalprice"), 2).as("latest_totalprice"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Count-by-state rollup (reference state_counts annotate,
+    * services/api/serializers.py:347-359). */
+  def stateCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Exclude terminal states (reference get_active_runs,
+    * services/api/models.py:281-289). NOT IN over a small literal set
+    * is codegen'd and pushed to the scan.
+    */
+  def activeRuns(events: DataFrame, terminal: Seq[String]): DataFrame =
+    events
+      .filter(!col("event_type").isin(terminal: _*))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+              round(col("value"), 4).as("value"))
+      .orderBy(col("event_id"))
+
+  /** Case-insensitive exact + contains filters (reference iexact /
+    * icontains, services/api/filters.py). upper()/instr are
+    * whole-stage-codegen'd; the scan still prunes columns.
+    */
+  def ciSearch(part: DataFrame, brandIexact: String, nameIcontains: String): DataFrame =
+    part
+      .filter(upper(col("p_brand")) === brandIexact.toUpperCase &&
+              lower(col("p_name")).contains(nameIcontains.toLowerCase))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  /** MERGE/upsert on a composite key, latest-wins (the reference's
+    * Delta merge on (ticker, record_type, period_end_date),
+    * services/workers/tasks/queue_for_delta.py:741-757).
+    *
+    * Spark-first shape: tag source/target with a priority, union, and
+    * take row_number()=1 per key ordered by priority — exactly one
+    * shuffle on the merge key, the same shape Delta's own merge
+    * produces, and it scales linearly because the union never
+    * materializes more than the combined inputs.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val t = target.withColumn("_prio", lit(0))
+    val s = source.withColumn("_prio", lit(1))
+    // tieBreak columns make the winner deterministic when the inputs
+    // themselves carry duplicate keys (the synthetic corpus does).
+    val ord = col("_prio").desc +: tieBreak.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    t.unionByName(s)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_prio", "_rn")
+  }
+
+  /** The bound merge demo used by the verify gate: updates = R-flagged
+    * lines with bumped quantity; result summarized per returnflag.
+    */
+  def mergeUpsertSummary(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val target = lineitem.select(cols.map(col): _*)
+    val source = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+              (col("l_quantity") + 100.0).as("l_quantity"))
+    mergeUpsert(target, source, Seq("l_orderkey", "l_linenumber"),
+                tieBreak = Seq("l_returnflag", "l_quantity"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Trailing-4-quarter (TTM) rolling metrics per supplier (reference
+    * TTM rollups, services/workers/tasks/queue_for_delta.py:550-597).
+    * Aggregate to (key, quarter) first — so the window runs over the
+    * small pre-aggregated frame, not the raw fact table.
+    */
+  def ttmRolling(lineitem: DataFrame): DataFrame = {
+    val q = lineitem
+      .groupBy(col("l_suppkey"), date_trunc("quarter", col("l_shipdate")).as("qtr"))
+      .agg(sum(col("l_quantity")).as("qty_raw"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("qtr"))
+      .rowsBetween(-3, Window.currentRow)
+    q.withColumn("ttm_raw", sum(col("qty_raw")).over(w))
+      .select(col("l_suppkey"), col("qtr"),
+              round(col("qty_raw"), 2).as("qty"),
+              round(col("ttm_raw"), 2).as("ttm_qty"))
+      .orderBy(col("l_suppkey"), col("qtr"))
+  }
+
+  /** Null-string normalization + numeric coercion (reference
+    * NULL_STRINGS + Float64 cast, queue_for_delta.py:459-641): the
+    * sentinel set {"N/A","NA","NULL","NONE","-"} becomes real nulls in
+    * one projection, ints widen to double.
+    */
+  val NullStrings: Seq[String] = Seq("N/A", "NA", "NULL", "NONE", "-")
+
+  def normalizeNullStrings(c: Column): Column =
+    when(upper(trim(c)).isin(NullStrings: _*), lit(null)).otherwise(c)
+
+  def nullNormalizeSummary(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("src_norm", coalesce(normalizeNullStrings(col("source")), lit("(null)")))
+      .withColumn("n_chars_d", col("n_chars").cast("double"))
+      .groupBy(col("src_norm"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars_d")), 4).as("avg_chars"))
+      .orderBy(col("src_norm"))
+
+  /** order_by + limit/offset pagination (reference DRF paginator +
+    * ordering). Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * no full sort materialization.
+    */
+  def topNPage(orders: DataFrame, offset: Int, pageSize: Int): DataFrame =
+    orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .offset(offset)
+      .limit(pageSize)
+
+  /** Conditional-count statistics (reference BulkQueueRun
+    * queued/skipped/error counts, services/api/models.py:190-241):
+    * sum(when) conditional aggregation, one pass, map-side combined.
+    */
+  def bulkStats(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_done"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+      .withColumn("pct_open", round(col("n_open").cast("double") / col("total"), 4))
+      .orderBy(col("o_orderpriority"))
+
+  /** Skip-already-active anti-join (reference queue_all skip logic,
+    * services/workers/tasks/queue_all_stocks_for_fetch.py): customers
+    * with no open order. left_anti against the filtered (small) side,
+    * broadcast so the big side never shuffles.
+    */
+  def queueSkipAntiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(broadcast(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** As-of lookup: latest order at-or-before each event's timestamp for
+    * the event's user (reference get_latest_done_run "latest DONE run
+    * before now", services/api/models.py:291-298).
+    *
+    * Composition: equi-join on the key (so it shuffles/broadcasts on
+    * user, never a nested-loop), inequality as a post-join filter,
+    * max() per event. Skewed users would be salted at 100 TB; AQE skew
+    * join covers moderate skew.
+    */
+  def asOfLatest(events: DataFrame, orders: DataFrame): DataFrame =
+    events
+      .join(orders, col("user_id") === col("o_custkey") &&
+                    col("o_orderdate") <= col("ts"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(col("o_orderdate")).as("asof_orderdate"))
+      .orderBy(col("event_id"))
+
+  /** Daily state pivot (reference dashboard cards): conditional counts
+    * per day x state. Explicit value list keeps the plan static (no
+    * driver-side distinct pass) — required for both scale and oracle
+    * column-name parity.
+    */
+  def dailyPivot(events: DataFrame, states: Seq[String]): DataFrame = {
+    val aggs = states.map(st =>
+      count(when(col("event_type") === st, 1)).as(st))
+    // day as midnight-UTC timestamp, not DATE: both engines agree on
+    // timestamp parquet/pandas round-trips, DATE round-trips shakily.
+    events
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("day"))
+  }
+
+  /** Key normalization dedup (reference Exchange/Stock save()
+    * upper+trim normalization, services/api/models.py:61-70,172-181).
+    */
+  def keyNormalizeDedup(customer: DataFrame): DataFrame =
+    customer
+      .groupBy(upper(trim(col("c_mktsegment"))).as("segment"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_id"))
+      .orderBy(col("segment"))
+
+  /** Raw JSON -> typed rows (reference _transform_data_to_polars,
+    * queue_for_delta.py:431-528): schema-on-read with from_json, then
+    * relational ops over the extracted fields. The JSON parse is
+    * codegen'd; no UDFs.
+    */
+  def jsonFlatten(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("kmod", col("k") % 10)
+      .groupBy(col("kmod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("kmod"))
+}
