@@ -55,6 +55,10 @@ object SparkEntry {
       Relational.keyNormalizeDedup(Tables.customer(s, d))),
     "q17_json_flatten" -> ((s, d) =>
       Relational.jsonFlatten(Tables.events(s, d))),
+    "t01_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "t02_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "t03_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
+    "t04_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -174,5 +178,9 @@ object SparkEntry {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS kmod,
          count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY kmod""",
+    "t01_langid" -> TextOps.langIdOracle,
+    "t02_quality_score" -> TextOps.qualityOracle,
+    "t03_token_count" -> TextOps.tokenCountOracle,
+    "t04_fingerprint" -> TextOps.fingerprintOracle,
   )
 }

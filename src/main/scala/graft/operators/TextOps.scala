@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Every metric is pure integer/deterministic-double arithmetic so the
+  * DuckDB oracle can reproduce values bit-for-bit. The shingle hash is
+  * an explicit 31-base polynomial mod 2^31-1 over codepoints — NOT an
+  * engine-native hash — precisely so both engines agree. Oracle SQL is
+  * generated next to each operator from the same fragments, so the two
+  * sides cannot drift.
+  *
+  * Scale note: all of these are single-pass narrow projections
+  * (no shuffle at all until the final orderBy, which exists only for
+  * oracle determinism); at 100 TB they run map-side at scan speed.
+  * The transform(sequence(...)) shingle loop is codegen'd by Catalyst.
+  */
+object TextOps {
+  val P = 2147483647L // 2^31 - 1
+  private val pow31 = Array(923521L, 29791L, 961L, 31L, 1L) // 31^4..31^0
+
+  /** Engine-neutral k=5 char-shingle polynomial hash at position i. */
+  def shingleHashFragment(txt: String): String = {
+    val terms = (0 until 5).map { k =>
+      val idx = if (k == 0) "i" else s"i+$k"
+      s"CAST(ascii(substring($txt, $idx, 1)) AS BIGINT) * ${pow31(k)}"
+    }
+    s"(${terms.mkString(" + ")}) % $P"
+  }
+
+  /** Distinct shingle-hash set of a text column (engine-dialected). */
+  def shinglesSpark(txt: String): String =
+    s"array_distinct(transform(sequence(1, greatest(length($txt)-4, 1)), i -> ${shingleHashFragment(txt)}))"
+  def shinglesDuck(txt: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(length($txt)-4, 1)), i -> ${shingleHashFragment(txt)}))"
+
+  // ---- language ID (t01) ----------------------------------------------
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"))
+
+  private def hitFragment(words: Seq[String], filterFn: String, splitFn: String): String = {
+    val cond = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"$filterFn($splitFn(lower(text), ' '), t -> $cond)"
+  }
+  private def hitsSpark(lang: String) = s"size(${hitFragment(stopwords(lang), "filter", "split")})"
+  private def hitsDuck(lang: String)  = s"len(${hitFragment(stopwords(lang), "list_filter", "string_split")})"
+
+  val cjkPattern = "[\\x{4e00}-\\x{9fff}]"
+  private val predictedFragment =
+    """CASE WHEN zh_chars > 0 THEN 'zh'
+       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+       WHEN fr_hits > 0 THEN 'fr'
+       ELSE 'und' END"""
+
+  /** n-gram/stopword-heuristic language ID: per-language stopword hit
+    * counts + CJK codepoint presence, deterministic argmax. */
+  def langId(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("en_hits", expr(hitsSpark("en")).cast("long"))
+      .withColumn("de_hits", expr(hitsSpark("de")).cast("long"))
+      .withColumn("es_hits", expr(hitsSpark("es")).cast("long"))
+      .withColumn("fr_hits", expr(hitsSpark("fr")).cast("long"))
+      .withColumn("zh_chars", size(regexp_extract_all(col("text"), lit(cjkPattern), lit(0))).cast("long"))
+      .withColumn("predicted", expr(predictedFragment))
+      .select("doc_id", "lang", "en_hits", "de_hits", "es_hits", "fr_hits", "zh_chars", "predicted")
+      .orderBy("doc_id")
+
+  val langIdOracle: String =
+    s"""WITH h AS (SELECT doc_id, lang,
+       CAST(${hitsDuck("en")} AS BIGINT) AS en_hits,
+       CAST(${hitsDuck("de")} AS BIGINT) AS de_hits,
+       CAST(${hitsDuck("es")} AS BIGINT) AS es_hits,
+       CAST(${hitsDuck("fr")} AS BIGINT) AS fr_hits,
+       CAST(len(regexp_extract_all(text, '$cjkPattern')) AS BIGINT) AS zh_chars
+       FROM documents)
+       SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits, zh_chars,
+       $predictedFragment AS predicted
+       FROM h ORDER BY doc_id"""
+
+  // ---- quality scoring (t02) ------------------------------------------
+
+  /** Quality metrics: stopword ratio, punctuation ratio, length signal,
+    * composite score. Mirrors the heuristic doc-quality filters used in
+    * LLM corpus pipelines; all-double arithmetic rounded at 4dp. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens", expr("size(split(lower(text), ' '))").cast("long"))
+      .withColumn("stop_hits", expr(hitsSpark("en")).cast("long"))
+      .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long"))
+      .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars"), 4))
+      .withColumn("len_signal", round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 4))
+      .withColumn("quality", round(
+        col("stop_hits").cast("double") / col("n_tokens") * 0.5 +
+        (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2, 4))
+      .select("doc_id", "n_tokens", "stop_hits", "n_punct", "stop_ratio",
+              "punct_ratio", "len_signal", "quality")
+      .orderBy("doc_id")
+
+  val qualityOracle: String =
+    s"""WITH m AS (SELECT doc_id, n_chars,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(${hitsDuck("en")} AS BIGINT) AS stop_hits,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+       FROM documents)
+       SELECT doc_id, n_tokens, stop_hits, n_punct,
+       round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 4) AS len_signal,
+       round(CAST(stop_hits AS DOUBLE) / n_tokens * 0.5
+           + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3
+           + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2, 4) AS quality
+       FROM m ORDER BY doc_id"""
+
+  // ---- token counting (t03) -------------------------------------------
+
+  /** Whitespace + BPE-ish regex token counts (word-ish runs, digit
+    * runs, single punctuation marks — the pre-tokenization split most
+    * BPE vocabularies use). */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ws_tokens", expr("size(split(trim(text), '\\\\s+'))").cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+      .select("doc_id", "n_chars_m", "ws_tokens", "bpe_tokens")
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  // ---- fingerprinting (t04) -------------------------------------------
+
+  /** Rolling-hash document fingerprint: min-sampled 5-gram polynomial
+    * hash (the MinHash-1 fingerprint) + full polynomial checksum. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("shingles", expr(shinglesSpark("text")))
+      .withColumn("n_shingles", size(col("shingles")).cast("long"))
+      .withColumn("fp_min", expr("array_min(shingles)").cast("long"))
+      .withColumn("fp_poly", expr(s"aggregate(shingles, CAST(0 AS BIGINT), (acc, x) -> acc + x) % $P").cast("long"))
+      .select("doc_id", "n_shingles", "fp_min", "fp_poly")
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String =
+    s"""WITH s AS (SELECT doc_id, ${shinglesDuck("text")} AS shingles FROM documents)
+       SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+       CAST(list_min(shingles) AS BIGINT) AS fp_min,
+       CAST(CAST(list_sum(shingles) AS BIGINT) % $P AS BIGINT) AS fp_poly
+       FROM s ORDER BY doc_id"""
+}
