@@ -59,6 +59,13 @@ object SparkEntry {
     "t02_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "t04_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "d01_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "d02_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "d03_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "d04_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    "s01_ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "s02_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -182,5 +189,12 @@ object SparkEntry {
     "t02_quality_score" -> TextOps.qualityOracle,
     "t03_token_count" -> TextOps.tokenCountOracle,
     "t04_fingerprint" -> TextOps.fingerprintOracle,
+    "d01_dedup_exact" -> Dedup.exactOracle,
+    "d02_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
+    "d03_dedup_simhash" -> Dedup.simhashOracle(),
+    "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
+    "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),
+    "s01_ann_bruteforce_topk" -> Similarity.bruteForceTopKOracle(),
+    "s02_ann_lsh_topk" -> Similarity.lshTopKOracle(),
   )
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the documents table: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale shapes (the part that must survive 100 TB):
+  *  - signatures/shingles are computed map-side in one projection —
+  *    no shuffle until candidate generation;
+  *  - candidate generation is a shuffle on a *bucket key* (LSH band,
+  *    simhash chunk, hyperplane bucket), never an all-pairs join;
+  *  - verification joins back to the (doc_id -> set) frame on doc_id.
+  *
+  * All hashes are explicit 31-base polynomial arithmetic mod 2^31-1
+  * (see TextOps.shingleHashFragment) so the DuckDB oracle reproduces
+  * them exactly; both sides are generated from Dialect.
+  */
+object Dedup {
+  val P = 2147483647L
+
+  // deterministic MinHash permutation constants (j = 0..15)
+  val NumPerms = 16
+  val minhashA: IndexedSeq[Long] =
+    (0 until NumPerms).map(j => ((1103515245L * (j + 7) + 12345L) % P).max(1L))
+  val minhashB: IndexedSeq[Long] =
+    (0 until NumPerms).map(j => (69069L * (j + 3) + 98765L) % P)
+  val NumBands = 8 // 8 bands x 2 rows
+
+  /** d01: exact dedup on normalized text — hash-groupBy keep-min-id.
+    * One shuffle on the normalized key; at 100 TB you group on a
+    * digest of the text instead of the text itself (same plan shape).
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(lower(trim(col("text"))).as("norm_text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  val exactOracle: String =
+    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY lower(trim(text)) ORDER BY canonical_id"""
+
+  // ---- shared shingle-set frame --------------------------------------
+
+  private def shinglesExpr(d: Dialect): String = {
+    val hash = TextOps.shingleHashFragment("text")
+    d.distinct(d.transform(d.range("1", "length(text)-4"), s"i -> $hash"))
+  }
+
+  private def jaccardExpr(d: Dialect, a: String, b: String): String =
+    s"CAST(${Dialect.intersectSize(d, a, b)} AS DOUBLE) / ${d.unionSize(a, b)}"
+
+  /** d02: MinHash + LSH banding near-duplicate pairs.
+    * sig = 16 permutation minima over the shingle set; 8 bands of 2
+    * rows; candidates = docs sharing any band key; verified with true
+    * shingle Jaccard >= minJaccard.
+    */
+  def minhashLsh(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    val d = Dialect.spark
+    val sh = documents.select(col("doc_id"), expr(shinglesExpr(d)).as("hs"))
+    val sigCols = (0 until NumPerms).map { j =>
+      expr(d.amin(d.transform("hs", s"h -> (${minhashA(j)} * h + ${minhashB(j)}) % $P")))
+        .as(s"m$j")
+    }
+    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+             concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jac", expr(jaccardExpr(d, "hs_a", "hs_b")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashLshOracle(minJaccard: Double = 0.3): String = {
+    val d = Dialect.duck
+    val sigExprs = (0 until NumPerms).map { j =>
+      d.amin(d.transform("hs", s"h -> (${minhashA(j)} * h + ${minhashB(j)}) % $P")) + s" AS m$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bkey FROM sig"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, ${shinglesExpr(d)} AS hs FROM documents),
+       sig AS (SELECT doc_id, $sigExprs FROM sh),
+       bands AS ($bandSelects),
+       pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       verified AS (SELECT doc_a, doc_b,
+           ${jaccardExpr(d, "a.hs", "b.hs")} AS jac
+         FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id)
+       SELECT doc_a, doc_b, round(jac, 4) AS jac FROM verified
+       WHERE jac >= $minJaccard ORDER BY doc_a, doc_b"""
+  }
+
+  // ---- d03: SimHash ---------------------------------------------------
+
+  /** 32-bit SimHash over the shingle-hash set: per-bit +1/-1 votes.
+    * Candidates via the 4x8-bit chunk pigeonhole (guarantees recall
+    * for hamming <= 3), verified with bit_count(xor).
+    */
+  private def simhashExpr(d: Dialect): String = {
+    val bits = (0 until 32).map { i =>
+      val vote = d.sumLong(d.transform("hs", s"h -> 2 * (${d.shiftR("h", i.toString)} & 1) - 1"))
+      s"(CASE WHEN $vote > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bits.mkString(" + ")
+  }
+
+  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val d = Dialect.spark
+    val sh = documents.select(col("doc_id"), expr(shinglesExpr(d)).as("hs"))
+    val sim = sh.select(col("doc_id"), expr(simhashExpr(d)).as("sim32"))
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+             expr(s"${d.shiftR("sim32", (8 * c).toString)} & 255").as("ckey"))
+    }
+    val chunks = sim
+      .select(col("doc_id"), col("sim32"), explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("sim32"), col("ch.chunk").as("chunk"), col("ch.ckey").as("ckey"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+            col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.sim32").as("sim_a"), col("y.sim32").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr(s"CAST(bit_count(${d.xor("sim_a", "sim_b")}) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashOracle(maxHamming: Int = 3): String = {
+    val d = Dialect.duck
+    val chunkSelects = (0 until 4).map { c =>
+      s"SELECT doc_id, sim32, $c AS chunk, ${d.shiftR("sim32", (8 * c).toString)} & 255 AS ckey FROM sim"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, ${shinglesExpr(d)} AS hs FROM documents),
+       sim AS (SELECT doc_id, ${simhashExpr(d)} AS sim32 FROM sh),
+       chunks AS ($chunkSelects),
+       pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.sim32 AS sim_a, y.sim32 AS sim_b
+         FROM chunks x JOIN chunks y
+           ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+         CAST(bit_count(${d.xor("sim_a", "sim_b")}) AS BIGINT) AS hamming
+       FROM pairs WHERE bit_count(${d.xor("sim_a", "sim_b")}) <= $maxHamming
+       ORDER BY doc_a, doc_b"""
+  }
+
+  // ---- d04: word-bigram Jaccard ---------------------------------------
+
+  /** n-gram (word-bigram) Jaccard within (lang, source) blocks —
+    * blocking keys bound the pair count, the standard trick before
+    * pairwise verification at scale.
+    */
+  private def bigramsExpr(d: Dialect): String = {
+    val toks = s"${d.splitFn}(lower(text), ' ')"
+    d.distinct(d.transform(
+      d.range("1", s"${d.size(toks)} - 1"),
+      s"i -> concat(${d.elem(toks, "i")}, '_', ${d.elem(toks, "i+1")})"))
+  }
+
+  def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+    val d = Dialect.spark
+    val bg = documents.select(col("doc_id"), col("lang"), col("source"),
+      expr(bigramsExpr(d)).as("bg"))
+    bg.as("x").join(bg.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              expr(jaccardExpr(d, "x.bg", "y.bg")).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def ngramJaccardOracle(minJaccard: Double = 0.05): String = {
+    val d = Dialect.duck
+    s"""WITH bg AS (SELECT doc_id, lang, source, ${bigramsExpr(d)} AS bg FROM documents)
+       SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           ${jaccardExpr(d, "x.bg", "y.bg")} AS jac
+         FROM bg x JOIN bg y
+           ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id) t
+       WHERE jac >= $minJaccard ORDER BY doc_a, doc_b"""
+  }
+}

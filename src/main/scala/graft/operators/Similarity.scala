@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search + embedding dedup over the embeddings table
+  * (64-dim float vectors).
+  *
+  * Cosine arithmetic is an explicit left-to-right double fold on both
+  * engines (Spark aggregate() with 0.0 init == DuckDB list_reduce:
+  * 0+x1 is exactly x1, so the fold orders agree bit-for-bit).
+  * Hyperplane signs are derived *arithmetically* from the index —
+  * w(j,i) = 2*(((1103515245*(j*64+i)+12345) >> 16) & 1) - 1 — so the
+  * oracle needs no literal plane arrays.
+  *
+  * Scale shapes: brute-force (s01) exists as the correctness baseline
+  * and only ever broadcasts the small query set — O(Q*N) map-side, no
+  * shuffle of the corpus. The LSH paths (s02/d05) shuffle on the
+  * bucket id only; more planes => smaller buckets at 100 TB.
+  */
+object Similarity {
+  val Dims = 64
+  val NumPlanes = 4
+
+  private def dot(d: Dialect, a: String, b: String): String =
+    if (d eq Dialect.spark)
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    else
+      s"list_reduce(list_transform(generate_series(1, $Dims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def planeSign(d: Dialect, j: Int): String =
+    s"(2 * (${d.shiftR(s"(CAST(1103515245 AS BIGINT) * ($j * $Dims + i) + 12345)", "16")} & 1) - 1)"
+
+  private def planeDot(d: Dialect, e: String, j: Int): String =
+    d.sumDouble(d.transform(d.range("1", Dims.toString),
+      s"i -> CAST(${d.elem(e, "i")} AS DOUBLE) * ${planeSign(d, j)}"))
+
+  /** Sign-bucket id from NumPlanes random hyperplanes. */
+  private def bucketExpr(d: Dialect, e: String): String =
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN ${planeDot(d, e, j)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def normExpr(d: Dialect, e: String): String = s"sqrt(${dot(d, e, e)})"
+
+  /** s01: exact cosine top-k per query vector, brute force.
+    * The query set is broadcast; the corpus never shuffles.
+    */
+  def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5): DataFrame = {
+    val d = Dialect.spark
+    val corpus = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .withColumn("cn", expr(normExpr(d, "ce")))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", expr(normExpr(d, "qe")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(s"${dot(d, "qe", "ce")} / (qn * cn)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def bruteForceTopKOracle(maxQueryId: Long = 8, k: Int = 5): String = {
+    val d = Dialect.duck
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce,
+           ${normExpr(d, "embedding")} AS cn FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn FROM embeddings WHERE vec_id < $maxQueryId),
+       scored AS (SELECT q_id, c_id, ${dot(d, "qe", "ce")} / (qn * cn) AS cos
+         FROM c JOIN q ON q_id <> c_id),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  /** s02: LSH-bucketed approximate top-k — candidates share the
+    * query's hyperplane sign bucket; equi-join on bucket id.
+    */
+  def lshTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
+    val d = Dialect.spark
+    val f = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr(normExpr(d, "embedding")))
+      .withColumn("bucket", expr(bucketExpr(d, "embedding")))
+    val corpus = f.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+                          col("nrm").as("cn"), col("bucket"))
+    val queries = f.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              col("nrm").as("qn"), col("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(s"${dot(d, "qe", "ce")} / (qn * cn)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def lshTopKOracle(maxQueryId: Long = 8, k: Int = 3): String = {
+    val d = Dialect.duck
+    s"""WITH f AS (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
+           ${bucketExpr(d, "embedding")} AS bucket FROM embeddings),
+       scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ${dot(d, "q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         FROM f c JOIN f q ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < $maxQueryId),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  /** d05: embedding-cosine near-duplicate pairs, LSH-blocked. */
+  def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
+    val d = Dialect.spark
+    val f = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr(normExpr(d, "embedding")))
+      .withColumn("bucket", expr(bucketExpr(d, "embedding")))
+    val a = f.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+                     col("nrm").as("na"), col("bucket"))
+    val b = f.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+                     col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr(s"${dot(d, "ea", "eb")} / (na * nb)"))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embeddingNearDupOracle(minCos: Double = 0.3): String = {
+    val d = Dialect.duck
+    s"""WITH f AS (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
+           ${bucketExpr(d, "embedding")} AS bucket FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(${dot(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+       FROM f a JOIN f b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE ${dot(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $minCos
+       ORDER BY id_a, id_b"""
+  }
+}
