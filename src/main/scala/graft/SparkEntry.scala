@@ -66,6 +66,11 @@ object SparkEntry {
     "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "s01_ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "m01_multimodal_meta" -> ((s, d) => Multimodal.pipeline(Tables.documents(s, d))),
+    "st01_stream_windowed" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
+    "st02_stream_sessionize" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -196,5 +201,9 @@ object SparkEntry {
     "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),
     "s01_ann_bruteforce_topk" -> Similarity.bruteForceTopKOracle(),
     "s02_ann_lsh_topk" -> Similarity.lshTopKOracle(),
+    // m01_multimodal_meta: no oracle — binary/mapPartitions pipeline is
+    // not SQL-expressible; driver records the rows-only check.
+    "st01_stream_windowed" -> graft.streaming.StreamOps.windowedCountsOracle,
+    "st02_stream_sessionize" -> graft.streaming.StreamOps.sessionizeOracle(),
   )
 }

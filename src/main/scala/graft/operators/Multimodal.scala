@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline plumbing: media as opaque binary columns
+  * with typed metadata, batched feature extraction over partitions.
+  *
+  * The actual codec step (image/audio decode) is STUBBED — the
+  * container ships no codec libraries — behind [[decodeMedia]]; the
+  * Spark-side plumbing is real: binary payload column, metadata
+  * struct, `mapPartitions` with an explicit micro-batch shape (the
+  * Scala analogue of mapInPandas' batch iterator), and a deterministic
+  * fake feature extractor so the pipeline is testable end-to-end.
+  *
+  * Scale notes: payloads stay opaque binary all the way through the
+  * scan (parquet reads them lazily per column chunk); feature
+  * extraction is a narrow mapPartitions — no shuffle; batch size 64
+  * bounds per-task peak memory at ~64 x payload size.
+  */
+object Multimodal {
+  val P = 2147483647L
+
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                           checksum: Long, width: Long, height: Long)
+
+  /** REAL DECODE NOT AVAILABLE IN THIS ENVIRONMENT.
+    * Swap in an actual codec (e.g. javax.imageio / ffmpeg bindings) on
+    * a cluster that ships one; everything downstream only sees the
+    * MediaFeatures schema, so the swap is local to this function.
+    */
+  def decodeMedia(payload: Array[Byte], mime: String): Nothing =
+    throw new UnsupportedOperationException(
+      "media codecs not available in this container; use deterministic fake features")
+
+  /** Deterministic fake "decode": polynomial checksum over bytes plus
+    * stub dimensions derived from the byte length. */
+  def fakeFeatures(r: MediaRow): MediaFeatures = {
+    val checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % P)
+    MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, checksum,
+      r.payload.length.toLong % 640, (r.payload.length.toLong * 31) % 480)
+  }
+
+  /** Attach a binary payload + metadata to each document (stands in
+    * for reading real media files alongside their manifest). */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /** Batched feature extraction: partitions stream through in
+    * micro-batches of 64 rows (the mapInPandas batch shape). */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => batch.map(fakeFeatures))
+    }
+  }
+
+  /** m01 pipeline: documents -> binary payload -> batched features. */
+  def pipeline(documents: DataFrame): DataFrame = {
+    val feats = extractFeatures(attachPayload(documents))
+    feats.toDF().orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators: windowed aggregation and stateful
+  * sessionization (mirrors the reference's run-lifecycle event stream —
+  * the IngestionState transitions of
+  * services/api/models.py — as a streaming workload).
+  *
+  * The batch twins (windowedCountsBatch / sessionizeBatch) produce the
+  * identical result relationally, which is what the DuckDB oracle
+  * checks; the streaming paths run the same logical ops through
+  * readStream/memory-sink and flatMapGroupsWithState and are
+  * spec-tested with processAllAvailable().
+  */
+object StreamOps {
+
+  /** Raw events schema with ts as long (parquet TIMESTAMP_NANOS read
+    * via nanosAsLong; see graft.Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** st01 streaming path: file-source stream -> 5-minute tumbling
+    * window counts -> memory sink, drained synchronously. Returns the
+    * final (static) result table. At scale the same plan runs
+    * continuously with a watermark + append sink; complete+memory here
+    * makes the batch-vs-stream equivalence assertable.
+    */
+  def windowedCountsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources want a directory; filter to the events table
+    val src = spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_st01").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table("graft_st01")
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** st01 batch twin — identical 5-minute tumbling windows. */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val windowedCountsOracle: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type, count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  /** st02 batch twin: gap-based sessionization (30-min idle gap) via
+    * lag + running sum — one shuffle on user_id, then two window
+    * passes over sorted partitions. This is the scalable batch shape
+    * (no per-key state object, pure windows).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  def sessionizeOracle(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH g AS (SELECT user_id, event_id, ts,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         FROM events),
+       s AS (SELECT user_id, event_id, ts,
+           CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > $gapUs
+                THEN 1 ELSE 0 END AS new_s
+         FROM g),
+       c AS (SELECT user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+         FROM s)
+       SELECT user_id, session_id, min(ts) AS session_start,
+         max(ts) AS session_end, count(*) AS n_events
+       FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+  }
+
+  // ---- st02 streaming path (flatMapGroupsWithState) -------------------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Stateful sessionizer: closes a session (emits it) when an event
+    * arrives more than gap after the last one; the still-open session
+    * stays in state. Used with a MemoryStream in specs; at scale this
+    * runs with event-time timeout + watermark so idle keys also close.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (st == null) st = SessionState(us, us, 1L)
+            else if (us - st.last > gapUs) {
+              out += Session(user, new java.sql.Timestamp(st.start / 1000L),
+                new java.sql.Timestamp(st.last / 1000L), st.n)
+              st = SessionState(us, us, 1L)
+            } else st = SessionState(st.start, us, st.n + 1L)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+class GraftSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("graft-test", cores = 4)
+
+  // every declared query must run and return rows at sf0.001
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name returns rows") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query key has an oracle or documented exemption") {
+    val exempt = Set("m01_multimodal_meta")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 aggregates match a hand check") {
+    val row = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .filter("l_returnflag = 'A'").collect()
+    assert(row.nonEmpty)
+    assert(row.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q04 latest_per_key is unique per customer") {
+    val df = SparkEntry.queries("q04_latest_per_key")(spark, sf)
+    assert(df.count() == df.select("custkey").distinct().count())
+  }
+
+  test("d02 minhash pairs are ordered and above threshold") {
+    val rows = SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall(r => r.getAs[Double]("jac") >= 0.3))
+  }
+
+  test("s01 brute-force ranks are 1..k and cos within [-1,1]") {
+    val rows = SparkEntry.queries("s01_ann_bruteforce_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 5))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+  }
+
+  test("st01 streaming windowed counts == batch twin") {
+    val streamed = StreamOps.windowedCountsStream(spark, sf).collect().toSeq
+    val batch = StreamOps.windowedCountsBatch(Tables.events(spark, sf)).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("st02 flatMapGroupsWithState sessionizer closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minutes: Long, user: Long) =
+      StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+    val input = MemoryStream[StreamOps.Ev]
+    val sessions = StreamOps.sessionizeStream(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_st02_test").start()
+    try {
+      // user 1: two events 10 min apart (one session), then an event
+      // 2h later -> first session must be emitted closed with 2 events
+      input.addData(ev(1, 0, 1), ev(2, 10, 1))
+      q.processAllAvailable()
+      input.addData(ev(3, 130, 1))
+      q.processAllAvailable()
+      val out = spark.table("graft_st02_test").as[StreamOps.Session].collect()
+      assert(out.length == 1)
+      assert(out.head.user_id == 1 && out.head.n_events == 2)
+      assert(out.head.session_start.getTime == 0L)
+      assert(out.head.session_end.getTime == 10 * 60000L)
+    } finally q.stop()
+  }
+
+  test("st02 batch sessionizer session counts sum to event count") {
+    val events = Tables.events(spark, sf)
+    val sessions = StreamOps.sessionizeBatch(events)
+    val total = sessions.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+    assert(total == events.count())
+  }
+
+  test("m01 multimodal pipeline: batch shape, checksum determinism") {
+    val out = SparkEntry.queries("m01_multimodal_meta")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_bytes") > 0))
+    val again = SparkEntry.queries("m01_multimodal_meta")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("checksum")).toSeq ==
+           again.map(_.getAs[Long]("checksum")).toSeq)
+  }
+
+  test("m01 decode stub is explicit about missing codecs") {
+    intercept[UnsupportedOperationException] {
+      graft.operators.Multimodal.decodeMedia(Array[Byte](1, 2), "image/png")
+    }
+  }
+}
