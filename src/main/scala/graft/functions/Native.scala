@@ -1,0 +1,292 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash/vector-heavy operators.
+  *
+  * The SQL-composed versions (transform/sequence/aggregate higher-order
+  * functions) are interpreted per-lambda-call by Spark and re-scan the
+  * string for every substring(text, i, 1) — O(n^2) per document. These
+  * kernels do one pass per row in tight JVM loops with semantics
+  * IDENTICAL to the DuckDB oracle fragments (31-base polynomial over
+  * codepoints mod 2^31-1, left-to-right double folds), so swapping
+  * them in changes nothing the correctness gate can see — verified by
+  * the unchanged oracle SQL still hash-matching.
+  *
+  * CodegenFallback is fine here: the per-row virtual call is noise
+  * next to the per-row work, and the loop bodies are already JIT'd
+  * scalar code.
+  */
+object TextKernels {
+  val P = 2147483647L
+  private val POW = Array(923521L, 29791L, 961L, 31L, 1L) // 31^4..31^0
+
+  def codepoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0; var i = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      out(i) = cp; i += 1; ci += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** All k=5 window hashes, positions 1..max(len-4, 1) — mirrors
+    * transform(sequence(1, greatest(length-4, 1)), i -> poly(i)),
+    * including the out-of-range ascii('')=0 behavior of the guard
+    * window on very short strings.
+    */
+  def windowHashes(cps: Array[Int]): Array[Long] = {
+    val n = math.max(cps.length - 4, 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < 5) {
+        val cp = if (i + j < cps.length) cps(i + j).toLong else 0L
+        h += cp * POW(j)
+        j += 1
+      }
+      out(i) = h % P
+      i += 1
+    }
+    out
+  }
+
+  /** Sorted distinct window hashes (array_distinct of the above; order
+    * is irrelevant to every consumer — min/sum/set ops). */
+  def distinctHashes(hs: Array[Long]): Array[Long] = {
+    val sorted = hs.clone()
+    java.util.Arrays.sort(sorted)
+    var n = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (n == 0 || sorted(n - 1) != sorted(i)) { sorted(n) = sorted(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sorted, n)
+  }
+
+  def minhashSig(hs: Array[Long], as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def simhash32(distinct: Array[Long]): Long = {
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < distinct.length) {
+      val h = distinct(i)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (2 * (((h >> b) & 1L).toInt) - 1)
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  /** Distinct word bigrams of lower(text) split on single spaces —
+    * mirrors the split/element_at/concat SQL fragment (empty tokens
+    * from runs of spaces included, just as both engines' split does).
+    */
+  def wordBigrams(s: UTF8String): Array[UTF8String] = {
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < 2) return Array.empty
+    val set = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length - 1) {
+      set.add(toks(i) + "_" + toks(i + 1))
+      i += 1
+    }
+    val out = new Array[UTF8String](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    out
+  }
+
+  /** Left-to-right double fold of elementwise float products — equals
+    * aggregate(zip_with(...), 0.0, +) bit-for-bit. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Hyperplane sign bucket: bit j set iff
+    * sum_i e[i] * (2*(((1103515245*(j*D+i)+12345) >> 16) & 1) - 1) > 0
+    * with i 1-based as in the SQL fragment. */
+  def planeBucket(e: ArrayData, planes: Int): Long = {
+    val n = e.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = 0.0
+      var i = 1
+      while (i <= n) {
+        val sign = 2L * ((1103515245L * (j * n + i) + 12345L) >> 16 & 1L) - 1L
+        acc += e.getFloat(i - 1).toDouble * sign
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+case class ShingleSet(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.distinctHashes(
+      TextKernels.windowHashes(TextKernels.codepoints(v.asInstanceOf[UTF8String]))))
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(c)
+}
+
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.minhashSig(
+      TextKernels.windowHashes(TextKernels.codepoints(v.asInstanceOf[UTF8String])),
+      aArr, bArr))
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.simhash32(TextKernels.distinctHashes(
+      TextKernels.windowHashes(TextKernels.codepoints(v.asInstanceOf[UTF8String]))))
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
+}
+
+case class WordBigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextKernels.wordBigrams(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): WordBigrams = copy(c)
+}
+
+/** Jaccard similarity of two DISTINCT-element arrays in one hash-set
+  * pass: |A∩B| / (|A|+|B|-|A∩B|). Equals
+  * size(array_intersect)/size(array_union) (and the DuckDB
+  * list_intersect/list_distinct-concat fragment) whenever both inputs
+  * are already duplicate-free — which every producer in this library
+  * guarantees (ShingleSet/WordBigrams emit distinct sets).
+  */
+case class ArrJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+    val na = x.numElements(); val nb = y.numElements()
+    var inter = 0
+    elemType match {
+      case LongType =>
+        val set = new java.util.HashSet[Long](na * 2)
+        var i = 0
+        while (i < na) { set.add(x.getLong(i)); i += 1 }
+        i = 0
+        while (i < nb) { if (set.contains(y.getLong(i))) inter += 1; i += 1 }
+      case _ =>
+        val set = new java.util.HashSet[Any](na * 2)
+        var i = 0
+        while (i < na) { set.add(x.get(i, elemType)); i += 1 }
+        i = 0
+        while (i < nb) { if (set.contains(y.get(i, elemType))) inter += 1; i += 1 }
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrJaccard =
+    copy(left = l, right = r)
+}
+
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+case class PlaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.planeBucket(v.asInstanceOf[ArrayData], planes)
+  override protected def withNewChildInternal(c: Expression): PlaneBucket = copy(child = c)
+}
+
+/** Column-level API + SQL registration for the native expressions. */
+object GraftFunctions {
+  private def c(e: Expression): Column = ColumnShim.column(e)
+  private def x(col: Column): Expression = ColumnShim.expression(col)
+
+  def shingle_set(col: Column): Column = c(ShingleSet(x(col)))
+  def minhash_sig(col: Column, as: Seq[Long], bs: Seq[Long]): Column =
+    c(MinHashSig(x(col), as, bs))
+  def simhash32(col: Column): Column = c(SimHash32(x(col)))
+  def word_bigrams(col: Column): Column = c(WordBigrams(x(col)))
+  def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
+  def arr_jaccard(a: Column, b: Column): Column = c(ArrJaccard(x(a), x(b)))
+  def vec_norm(a: Column): Column = {
+    val e = x(a)
+    c(org.apache.spark.sql.catalyst.expressions.Sqrt(VecDot(e, e)))
+  }
+  def plane_bucket(a: Column, planes: Int): Column = c(PlaneBucket(x(a), planes))
+
+  /** Register SQL names (graft_shingle_set etc.) on a session so pure
+    * SQL users get the same kernels. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession,
+                  minhashA: Seq[Long], minhashB: Seq[Long]): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_shingle_set", es => ShingleSet(es.head), "built-in")
+    r.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSig(es.head, minhashA, minhashB), "built-in")
+    r.createOrReplaceTempFunction("graft_simhash32", es => SimHash32(es.head), "built-in")
+    r.createOrReplaceTempFunction("graft_word_bigrams", es => WordBigrams(es.head), "built-in")
+    r.createOrReplaceTempFunction("graft_vec_dot", es => VecDot(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("graft_plane_bucket", es => PlaneBucket(es.head, 4), "built-in")
+  }
+}

@@ -26,7 +26,8 @@ object Dedup {
     (0 until NumPerms).map(j => ((1103515245L * (j + 7) + 12345L) % P).max(1L))
   val minhashB: IndexedSeq[Long] =
     (0 until NumPerms).map(j => (69069L * (j + 3) + 98765L) % P)
-  val NumBands = 8 // 8 bands x 2 rows
+  val NumBands = 4 // 4 bands x 4 rows
+  val RowsPerBand: Int = NumPerms / NumBands
 
   /** d01: exact dedup on normalized text — hash-groupBy keep-min-id.
     * One shuffle on the normalized key; at 100 TB you group on a
@@ -60,15 +61,17 @@ object Dedup {
     */
   def minhashLsh(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
     val d = Dialect.spark
-    val sh = documents.select(col("doc_id"), expr(shinglesExpr(d)).as("hs"))
-    val sigCols = (0 until NumPerms).map { j =>
-      expr(d.amin(d.transform("hs", s"h -> (${minhashA(j)} * h + ${minhashB(j)}) % $P")))
-        .as(s"m$j")
-    }
-    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    import graft.functions.GraftFunctions._
+    val sh = documents.select(col("doc_id"), shingle_set(col("text")).as("hs"))
+    // native single-pass signature (min over the window-hash multiset
+    // == min over the distinct set, so this matches the oracle)
+    val sigArr = documents.select(col("doc_id"),
+      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
+    val sigCols = (0 until NumPerms).map(j => element_at(col("sig"), j + 1).as(s"m$j"))
+    val sig = sigArr.select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-             concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+      val rows = (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * b + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bkey"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
@@ -82,7 +85,7 @@ object Dedup {
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jac", expr(jaccardExpr(d, "hs_a", "hs_b")))
+      .withColumn("jac", graft.functions.GraftFunctions.arr_jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -94,7 +97,8 @@ object Dedup {
       d.amin(d.transform("hs", s"h -> (${minhashA(j)} * h + ${minhashB(j)}) % $P")) + s" AS m$j"
     }.mkString(",\n         ")
     val bandSelects = (0 until NumBands).map { b =>
-      s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS bkey FROM sig"
+      val rows = (0 until RowsPerBand).map(r => s"m${RowsPerBand * b + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $rows) AS bkey FROM sig"
     }.mkString("\n         UNION ALL ")
     s"""WITH sh AS (SELECT doc_id, ${shinglesExpr(d)} AS hs FROM documents),
        sig AS (SELECT doc_id, $sigExprs FROM sh),
@@ -125,8 +129,8 @@ object Dedup {
 
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val d = Dialect.spark
-    val sh = documents.select(col("doc_id"), expr(shinglesExpr(d)).as("hs"))
-    val sim = sh.select(col("doc_id"), expr(simhashExpr(d)).as("sim32"))
+    import graft.functions.GraftFunctions.{simhash32 => simhash32c}
+    val sim = documents.select(col("doc_id"), simhash32c(col("text")).as("sim32"))
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
              expr(s"${d.shiftR("sim32", (8 * c).toString)} & 255").as("ckey"))
@@ -181,12 +185,12 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
     val d = Dialect.spark
     val bg = documents.select(col("doc_id"), col("lang"), col("source"),
-      expr(bigramsExpr(d)).as("bg"))
+      graft.functions.GraftFunctions.word_bigrams(col("text")).as("bg"))
     bg.as("x").join(bg.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              expr(jaccardExpr(d, "x.bg", "y.bg")).as("jac"))
+              graft.functions.GraftFunctions.arr_jaccard(col("x.bg"), col("y.bg")).as("jac"))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))

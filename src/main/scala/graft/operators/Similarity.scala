@@ -47,16 +47,16 @@ object Similarity {
     * The query set is broadcast; the corpus never shuffles.
     */
   def bruteForceTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5): DataFrame = {
-    val d = Dialect.spark
+    import graft.functions.GraftFunctions._
     val corpus = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      .withColumn("cn", expr(normExpr(d, "ce")))
+      .withColumn("cn", vec_norm(col("ce")))
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .withColumn("qn", expr(normExpr(d, "qe")))
+      .withColumn("qn", vec_norm(col("qe")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("cos", expr(s"${dot(d, "qe", "ce")} / (qn * cn)"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"),
@@ -84,10 +84,10 @@ object Similarity {
     * query's hyperplane sign bucket; equi-join on bucket id.
     */
   def lshTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
-    val d = Dialect.spark
+    import graft.functions.GraftFunctions._
     val f = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr(normExpr(d, "embedding")))
-      .withColumn("bucket", expr(bucketExpr(d, "embedding")))
+      .withColumn("nrm", vec_norm(col("embedding")))
+      .withColumn("bucket", plane_bucket(col("embedding"), NumPlanes))
     val corpus = f.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
                           col("nrm").as("cn"), col("bucket"))
     val queries = f.filter(col("vec_id") < maxQueryId)
@@ -97,7 +97,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", expr(s"${dot(d, "qe", "ce")} / (qn * cn)"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"),
@@ -123,17 +123,17 @@ object Similarity {
 
   /** d05: embedding-cosine near-duplicate pairs, LSH-blocked. */
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
-    val d = Dialect.spark
+    import graft.functions.GraftFunctions._
     val f = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr(normExpr(d, "embedding")))
-      .withColumn("bucket", expr(bucketExpr(d, "embedding")))
+      .withColumn("nrm", vec_norm(col("embedding")))
+      .withColumn("bucket", plane_bucket(col("embedding"), NumPlanes))
     val a = f.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
                      col("nrm").as("na"), col("bucket"))
     val b = f.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
                      col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", expr(s"${dot(d, "ea", "eb")} / (na * nb)"))
+      .withColumn("cos", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))

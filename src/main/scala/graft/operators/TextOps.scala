@@ -148,7 +148,7 @@ object TextOps {
     * hash (the MinHash-1 fingerprint) + full polynomial checksum. */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
-      .withColumn("shingles", expr(shinglesSpark("text")))
+      .withColumn("shingles", graft.functions.GraftFunctions.shingle_set(col("text")))
       .withColumn("n_shingles", size(col("shingles")).cast("long"))
       .withColumn("fp_min", expr("array_min(shingles)").cast("long"))
       .withColumn("fp_poly", expr(s"aggregate(shingles, CAST(0 AS BIGINT), (acc, x) -> acc + x) % $P").cast("long"))
