@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+import graft.operators.Dedup
+
+/** Config-based registration of the native graft functions:
+  * `spark.sql.extensions=graft.GraftExtensions` exposes them to pure
+  * SQL sessions (spark-sql, Thrift server, notebooks) without any
+  * code dependency. Programmatic sessions can equivalently call
+  * GraftFunctions.registerAll.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      info("graft_shingle_set", "distinct 5-gram polynomial shingle hashes of a string"),
+      (es: Seq[Expression]) => ShingleSet(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "16-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es.head, Dedup.minhashA, Dedup.minhashB)))
+    e.injectFunction((FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", "32-bit SimHash of a string"),
+      (es: Seq[Expression]) => SimHash32(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_word_bigrams"),
+      info("graft_word_bigrams", "distinct word bigrams of lower(text)"),
+      (es: Seq[Expression]) => WordBigrams(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", "double dot product of two float vectors"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_arr_jaccard"),
+      info("graft_arr_jaccard", "Jaccard similarity of two distinct-element arrays"),
+      (es: Seq[Expression]) => ArrJaccard(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_plane_bucket"),
+      info("graft_plane_bucket", "random-hyperplane LSH sign bucket of a float vector"),
+      (es: Seq[Expression]) => PlaneBucket(es.head, 4)))
+  }
+}

@@ -287,6 +287,7 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("graft_simhash32", es => SimHash32(es.head), "built-in")
     r.createOrReplaceTempFunction("graft_word_bigrams", es => WordBigrams(es.head), "built-in")
     r.createOrReplaceTempFunction("graft_vec_dot", es => VecDot(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("graft_arr_jaccard", es => ArrJaccard(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("graft_plane_bucket", es => PlaneBucket(es.head, 4), "built-in")
   }
 }

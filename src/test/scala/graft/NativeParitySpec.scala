@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, Dialect, TextOps}
+
+/** The native kernels must be bit-identical to the SQL-composed
+  * (higher-order-function) fragments they replaced — that equivalence
+  * is what lets the DuckDB oracle stay unchanged. These specs pit the
+  * two implementations against each other inside Spark on real data,
+  * including the multilingual documents (CJK codepoints).
+  */
+class NativeParitySpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("graft-parity-test", cores = 4)
+
+  private def docs = Tables.documents(spark, sf)
+  private def emb = Tables.embeddings(spark, sf)
+  private val d = Dialect.spark
+  private def shinglesSql: String = {
+    val hash = TextOps.shingleHashFragment("text")
+    d.distinct(d.transform(d.range("1", "length(text)-4"), s"i -> $hash"))
+  }
+
+  test("ShingleSet == SQL-composed shingle fragment (as sorted sets)") {
+    val n = docs
+      .withColumn("a", sort_array(shingle_set(col("text"))))
+      .withColumn("b", sort_array(expr(shinglesSql)))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("MinHashSig == per-permutation array_min fragments") {
+    val checks = (0 until Dedup.NumPerms).map { j =>
+      val sql = d.amin(d.transform("hs",
+        s"h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P}"))
+      (element_at(col("sig"), j + 1) === expr(sql))
+    }.reduce(_ && _)
+    val n = docs
+      .withColumn("hs", shingle_set(col("text")))
+      .withColumn("sig", minhash_sig(col("text"), Dedup.minhashA, Dedup.minhashB))
+      .filter(!checks).count()
+    assert(n == 0)
+  }
+
+  test("WordBigrams == split/element_at/concat fragment (as sorted sets)") {
+    val toks = s"split(lower(text), ' ')"
+    val sql = d.distinct(d.transform(
+      d.range("1", s"size($toks) - 1"),
+      s"i -> concat(element_at($toks, i), '_', element_at($toks, i+1))"))
+    val n = docs
+      .withColumn("a", sort_array(word_bigrams(col("text"))))
+      .withColumn("b", sort_array(expr(sql)))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("VecDot == zip_with/aggregate double fold, bit-for-bit") {
+    val sql = "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val n = emb
+      .withColumn("a", vec_dot(col("embedding"), col("embedding")))
+      .withColumn("b", expr(sql))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("ArrJaccard == array_intersect/array_union on distinct arrays") {
+    val pairs = docs.limit(40).select(col("doc_id").as("ida"), shingle_set(col("text")).as("sa"))
+      .crossJoin(docs.limit(40).select(col("doc_id").as("idb"), shingle_set(col("text")).as("sb")))
+      .filter(col("ida") < col("idb"))
+    val n = pairs
+      .withColumn("a", arr_jaccard(col("sa"), col("sb")))
+      .withColumn("b", expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("native functions register for SQL use (registerAll + extensions)") {
+    // runtime registration on the live session
+    graft.functions.GraftFunctions.registerAll(spark, Dedup.minhashA, Dedup.minhashB)
+    val r = spark.sql("SELECT graft_simhash32('hello world graft') AS h").head.getLong(0)
+    val r2 = spark.sql("SELECT graft_arr_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j").head.getDouble(0)
+    assert(r != 0L)
+    assert(math.abs(r2 - 0.5) < 1e-12)
+    // config-based path: the extensions object must inject without error
+    // (a fresh session with withExtensions can't be built here because
+    // the suite session is already running in this JVM)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
