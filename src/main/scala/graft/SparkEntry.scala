@@ -55,6 +55,12 @@ object SparkEntry {
       Relational.keyNormalizeDedup(Tables.customer(s, d))),
     "q17_json_flatten" -> ((s, d) =>
       Relational.jsonFlatten(Tables.events(s, d))),
+    "q18_metadata_upsert" -> ((s, d) =>
+      Relational.metadataUpsert(Tables.customer(s, d), Tables.orders(s, d))),
+    "q19_ttm_record" -> ((s, d) =>
+      Relational.ttmRecord(Tables.lineitem(s, d))),
+    "q20_unified_records" -> ((s, d) =>
+      Relational.unifiedRecords(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "t01_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
@@ -190,6 +196,51 @@ object SparkEntry {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS kmod,
          count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY kmod""",
+    "q18_metadata_upsert" ->
+      """WITH latest AS (
+           SELECT custkey, latest_orderkey, latest_orderdate, latest_totalprice FROM (
+             SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+                    o_orderdate AS latest_orderdate,
+                    round(o_totalprice, 2) AS latest_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders) t WHERE rn = 1)
+         SELECT c_custkey, c_name, c_mktsegment, latest_orderdate, latest_totalprice,
+                latest_orderkey IS NOT NULL AS has_orders
+         FROM customer LEFT JOIN latest ON c_custkey = custkey
+         ORDER BY c_custkey""",
+    "q19_ttm_record" ->
+      """WITH q AS (SELECT l_suppkey, date_trunc('quarter', l_shipdate) AS qtr,
+             sum(l_quantity) AS qty_raw
+           FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_suppkey, qtr,
+             round(sum(qty_raw) OVER (PARTITION BY l_suppkey ORDER BY qtr
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS ttm_qty,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY qtr DESC) AS rn
+           FROM q)
+         SELECT l_suppkey, 'ttm' AS record_type, qtr AS period_end_date, ttm_qty
+         FROM r WHERE rn = 1 ORDER BY l_suppkey""",
+    "q20_unified_records" ->
+      """WITH q AS (SELECT l_suppkey, date_trunc('quarter', l_shipdate) AS qtr,
+             sum(l_quantity) AS qty_raw
+           FROM lineitem GROUP BY 1, 2),
+         fin AS (SELECT l_suppkey AS suppkey, 'financials' AS record_type,
+             qtr AS period_end_date, round(qty_raw, 2) AS qty,
+             CAST(NULL AS VARCHAR) AS name FROM q),
+         r AS (SELECT l_suppkey, qtr,
+             round(sum(qty_raw) OVER (PARTITION BY l_suppkey ORDER BY qtr
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS ttm_qty,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY qtr DESC) AS rn
+           FROM q),
+         ttm AS (SELECT l_suppkey AS suppkey, 'ttm' AS record_type,
+             qtr AS period_end_date, ttm_qty AS qty,
+             CAST(NULL AS VARCHAR) AS name FROM r WHERE rn = 1),
+         meta AS (SELECT s_suppkey AS suppkey, 'metadata' AS record_type,
+             CAST(NULL AS TIMESTAMP) AS period_end_date,
+             CAST(NULL AS DOUBLE) AS qty, s_name AS name FROM supplier)
+         SELECT suppkey, record_type, period_end_date, qty, name FROM (
+           SELECT * FROM fin UNION ALL SELECT * FROM ttm UNION ALL SELECT * FROM meta) u
+         ORDER BY suppkey, record_type, period_end_date NULLS FIRST""",
     "t01_langid" -> TextOps.langIdOracle,
     "t02_quality_score" -> TextOps.qualityOracle,
     "t03_token_count" -> TextOps.tokenCountOracle,

@@ -272,6 +272,82 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_id"))
       .orderBy(col("segment"))
 
+  /** Dim enrichment from the latest fact row per key (reference
+    * update_stock_metadata: the Stock row is refreshed from the
+    * lakehouse's latest metadata record,
+    * services/workers/tasks/update_stock_metadata.py:292-345).
+    * The latest-per-key frame is small relative to the dim — broadcast
+    * it; the dim table never shuffles.
+    */
+  def metadataUpsert(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val latest = latestPerKey(orders) // custkey, latest_orderkey, latest_orderdate, latest_totalprice
+    customer
+      .join(broadcast(latest), col("c_custkey") === col("custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("latest_orderdate"), col("latest_totalprice"),
+              col("latest_orderkey").isNotNull.as("has_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** TTM record synthesis: one trailing-twelve-month row per key,
+    * stamped with the latest quarterly period date (the reference
+    * replaces the "TTM" placeholder date with the newest quarterly
+    * period_end_date, queue_for_delta.py:550-597).
+    */
+  def ttmRecord(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("qtr").desc)
+    ttmRolling(lineitem)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey"), lit("ttm").as("record_type"),
+              col("qtr").as("period_end_date"), col("ttm_qty"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Unified-table union: financials + ttm + metadata records in one
+    * frame keyed by (key, record_type, period_end_date) — the
+    * reference's single Delta stocks table layout
+    * (queue_for_delta.py:680-714). Schema-aligned unionByName with
+    * explicit nulls where a record type lacks a column.
+    */
+  def unifiedRecords(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val fin = lineitem
+      .groupBy(col("l_suppkey").as("suppkey"),
+               date_trunc("quarter", col("l_shipdate")).as("period_end_date"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .withColumn("record_type", lit("financials"))
+      .withColumn("name", lit(null).cast("string"))
+    val ttm = ttmRecord(lineitem)
+      .select(col("l_suppkey").as("suppkey"), col("record_type"),
+              col("period_end_date"), col("ttm_qty").as("qty"))
+      .withColumn("name", lit(null).cast("string"))
+    val meta = supplier
+      .select(col("s_suppkey").as("suppkey"), lit("metadata").as("record_type"),
+              lit(null).cast("timestamp").as("period_end_date"),
+              lit(null).cast("double").as("qty"), col("s_name").as("name"))
+    fin.unionByName(ttm).unionByName(meta)
+      .select(col("suppkey"), col("record_type"), col("period_end_date"),
+              col("qty"), col("name"))
+      .orderBy(col("suppkey"), col("record_type"), col("period_end_date").asc_nulls_first)
+  }
+
+  /** Skew-safe equi-join: the big side gets a random-free deterministic
+    * salt (key-hash modulo), the small side is exploded across all
+    * salts — the standard remedy when one hot key would swamp a single
+    * reducer at 100 TB. AQE's skew handling covers moderate cases;
+    * this is the explicit big-hammer variant. Result is identical to
+    * the unsalted join (asserted in GraftSpec).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int = 8): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(col(bigKey), lit(salts)))
+    val exploded = small
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(exploded,
+      salted(bigKey) === exploded(smallKey) && salted("_salt") === exploded("_salt"))
+      .drop("_salt")
+  }
+
   /** Raw JSON -> typed rows (reference _transform_data_to_polars,
     * queue_for_delta.py:431-528): schema-on-read with from_json, then
     * relational ops over the extracted fields. The JSON parse is

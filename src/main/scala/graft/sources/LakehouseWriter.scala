@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet writer — the lakehouse layout for the unified
+  * records table (the reference writes one Delta table keyed on
+  * (ticker, record_type, period_end_date); queue_for_delta.py:680-714).
+  *
+  * Layout choices that matter at 100 TB:
+  *  - partition directories by record_type + period month: queries
+  *    that filter either (the dominant access paths: "metadata for
+  *    ticker X", "financials since date D") prune whole directories;
+  *  - repartition on the partition columns before the write so each
+  *    output directory is written by few tasks (no
+  *    thousands-of-small-files problem);
+  *  - sortWithinPartitions on the key so parquet row-group min/max
+  *    stats make point lookups cheap.
+  */
+object LakehouseWriter {
+
+  /** Write `records` (schema: key, record_type, period_end_date, ...)
+    * partitioned by record_type and period month. */
+  def writeUnified(records: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    records
+      .withColumn("period_month",
+        coalesce(date_format(col("period_end_date"), "yyyy-MM"), lit("none")))
+      .repartition(col("record_type"), col("period_month"))
+      .sortWithinPartitions(col("suppkey"))
+      .write.mode(mode)
+      .partitionBy("record_type", "period_month")
+      .parquet(path)
+  }
+
+  /** Merge-and-rewrite: upsert source into the stored table (the
+    * batch-parquet equivalent of the reference's Delta MERGE) and
+    * write back partitioned. One shuffle on the merge key.
+    */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+                source: DataFrame, keys: Seq[String], tieBreak: Seq[String]): Unit = {
+    val target = spark.read.parquet(path).drop("period_month")
+    val merged = graft.operators.Relational.mergeUpsert(target, source, keys, tieBreak)
+    val tmp = path + "_staging"
+    writeUnified(merged, tmp)
+    // atomic-ish swap (a real lakehouse uses a transaction log; the
+    // directory swap keeps the batch demo self-contained)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+}
