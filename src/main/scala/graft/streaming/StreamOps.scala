@@ -101,6 +101,22 @@ object StreamOps {
        FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id"""
   }
 
+  /** Production shape of st01: watermarked append-mode windowed agg.
+    * Windows emit once the event-time watermark passes their end —
+    * the form that runs unbounded at scale with bounded state (late
+    * data beyond the watermark is dropped, state is purged).
+    * Spec-driven with a MemoryStream across micro-batches.
+    */
+  def windowedCountsWatermarked(events: Dataset[Ev],
+                                watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n"))
+  }
+
   // ---- st02 streaming path (flatMapGroupsWithState) -------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -83,6 +83,30 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st01 watermarked append-mode windows emit after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minutes: Long, user: Long) =
+      StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+    val input = MemoryStream[StreamOps.Ev]
+    val agg = StreamOps.windowedCountsWatermarked(input.toDS(), "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_st01_wm").start()
+    try {
+      // two events land in window [0,5); nothing can emit yet
+      input.addData(ev(1, 1, 7), ev(2, 3, 7))
+      q.processAllAvailable()
+      assert(spark.table("graft_st01_wm").count() == 0)
+      // an event at t=60min pushes the watermark to 50min -> [0,5) closes
+      input.addData(ev(3, 60, 7))
+      q.processAllAvailable()
+      val out = spark.table("graft_st01_wm").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("n") == 2)
+      assert(out.head.getAs[java.sql.Timestamp]("window_start").getTime == 0L)
+    } finally q.stop()
+  }
+
   test("st02 batch sessionizer session counts sum to event count") {
     val events = Tables.events(spark, sf)
     val sessions = StreamOps.sessionizeBatch(events)
