@@ -65,7 +65,10 @@ object SparkEntry {
     "t02_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "t04_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "q21_value_outliers" -> ((s, d) =>
+      Relational.valueOutliers(Tables.events(s, d))),
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "d06_dedup_digest" -> ((s, d) => Dedup.digest(Tables.documents(s, d))),
     "d02_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "d03_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d04_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -245,7 +248,20 @@ object SparkEntry {
     "t02_quality_score" -> TextOps.qualityOracle,
     "t03_token_count" -> TextOps.tokenCountOracle,
     "t04_fingerprint" -> TextOps.fingerprintOracle,
+    "q21_value_outliers" ->
+      """WITH stats AS (
+           SELECT event_type AS et, count(*) AS n, sum("value") AS s1,
+                  sum("value" * "value") AS s2
+           FROM events GROUP BY event_type),
+         m AS (SELECT et, n, s1 / n AS mean,
+                  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM stats)
+         SELECT event_id, event_type, round("value", 4) AS "value",
+                round(("value" - mean) / sd, 3) AS z
+         FROM events JOIN m ON event_type = et
+         WHERE abs(round(("value" - mean) / sd, 3)) >= 2.5
+         ORDER BY event_id""",
     "d01_dedup_exact" -> Dedup.exactOracle,
+    "d06_dedup_digest" -> Dedup.digestOracle,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
     "d03_dedup_simhash" -> Dedup.simhashOracle(),
     "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),

@@ -44,6 +44,24 @@ object Dedup {
     """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
        FROM documents GROUP BY lower(trim(text)) ORDER BY canonical_id"""
 
+  /** d06: content-digest dedup — the at-scale form of d01: group on a
+    * 32-byte sha-256 of the normalized text so the shuffle carries
+    * digests, not documents. This is how exact dedup actually runs on
+    * a 100 TB corpus (the reference's composite-key idempotency plays
+    * the same role, queue_for_delta.py:741-757).
+    */
+  def digest(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("digest"), col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  val digestOracle: String =
+    """SELECT sha256(lower(trim(text))) AS digest,
+       min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY canonical_id"""
+
   // ---- shared shingle-set frame --------------------------------------
 
   private def shinglesExpr(d: Dialect): String = {

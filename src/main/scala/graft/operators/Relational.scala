@@ -348,6 +348,30 @@ object Relational {
       .drop("_salt")
   }
 
+  /** Per-group z-score outliers (monitoring analytics over the event
+    * stream — the reference surfaces failure/error statistics per
+    * state, serializers.py:341-360; this is the metric-anomaly form).
+    * Moments come from sum/sum-of-squares conditional aggregates (one
+    * map-side-combined pass), broadcast back onto the stream; z-scores
+    * are rounded so cross-engine accumulation-order noise (~1e-12)
+    * can't flip a hash compare.
+    */
+  def valueOutliers(events: DataFrame, minAbsZ: Double = 2.5): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("s1"),
+           sum(col("value") * col("value")).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+    events
+      .join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 3))
+      .filter(abs(col("z")) >= minAbsZ)
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"),
+              col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Raw JSON -> typed rows (reference _transform_data_to_polars,
     * queue_for_delta.py:431-528): schema-on-read with from_json, then
     * relational ops over the extracted fields. The JSON parse is
