@@ -67,6 +67,8 @@ object SparkEntry {
     "t04_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q21_value_outliers" -> ((s, d) =>
       Relational.valueOutliers(Tables.events(s, d))),
+    "q22_transition_audit" -> ((s, d) =>
+      Relational.transitionAudit(Tables.events(s, d))),
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d06_dedup_digest" -> ((s, d) => Dedup.digest(Tables.documents(s, d))),
     "d02_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -260,6 +262,24 @@ object SparkEntry {
          FROM events JOIN m ON event_type = et
          WHERE abs(round(("value" - mean) / sd, 3)) >= 2.5
          ORDER BY event_id""",
+    "q22_transition_audit" -> {
+      val branches = Relational.allowedTransitions.map { case (from, tos) =>
+        val set = tos.map(t => s"'$t'").mkString(", ")
+        s"WHEN prev_type = '$from' THEN event_type IN ($set)"
+      }.mkString("\n                ")
+      s"""WITH g AS (SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         v AS (SELECT prev_type, event_type,
+             CASE WHEN prev_type IS NULL THEN TRUE
+                $branches
+                ELSE TRUE END AS is_valid
+           FROM g)
+         SELECT coalesce(prev_type, '(start)') AS prev_type, event_type, is_valid,
+           count(*) AS n
+         FROM v GROUP BY v.prev_type, event_type, is_valid
+         ORDER BY coalesce(v.prev_type, '(start)'), event_type"""
+    },
     "d01_dedup_exact" -> Dedup.exactOracle,
     "d06_dedup_digest" -> Dedup.digestOracle,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),

@@ -348,6 +348,37 @@ object Relational {
       .drop("_salt")
   }
 
+  /** State-transition audit over the per-user event sequence
+    * (reference VALID_TRANSITIONS state machine,
+    * services/api/services/stock_ingestion_service.py:61-70: each state
+    * has an allowed successor set; anything else is invalid). Windows
+    * give the predecessor per key; the allowed-set test is a literal
+    * CASE — one shuffle on the key, audit runs at scan speed.
+    * The event stream's types play the states: a "session flow" graph
+    * signup -> view -> click -> purchase, error reachable from any.
+    */
+  val allowedTransitions: Map[String, Seq[String]] = Map(
+    "signup" -> Seq("view", "error"),
+    "view" -> Seq("view", "click", "error"),
+    "click" -> Seq("view", "click", "purchase", "error"),
+    "purchase" -> Seq("view", "error"),
+    "error" -> Seq("signup", "view"))
+
+  def transitionAudit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val allowed = allowedTransitions.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (from, tos)) =>
+        acc.when(col("prev_type") === from, col("event_type").isin(tos: _*))
+    }.otherwise(lit(true)) // first event of a key has no predecessor
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("is_valid", when(col("prev_type").isNull, lit(true)).otherwise(allowed))
+      .groupBy(col("prev_type"), col("event_type"), col("is_valid"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_type", coalesce(col("prev_type"), lit("(start)")))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Per-group z-score outliers (monitoring analytics over the event
     * stream — the reference surfaces failure/error statistics per
     * state, serializers.py:341-360; this is the metric-anomaly form).
