@@ -77,6 +77,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "s01_ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "s03_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "m01_multimodal_meta" -> ((s, d) => Multimodal.pipeline(Tables.documents(s, d))),
     "st01_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
@@ -288,6 +289,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),
     "s01_ann_bruteforce_topk" -> Similarity.bruteForceTopKOracle(),
     "s02_ann_lsh_topk" -> Similarity.lshTopKOracle(),
+    "s03_ann_ivf_topk" -> Similarity.ivfTopKOracle(),
     // m01_multimodal_meta: no oracle — binary/mapPartitions pipeline is
     // not SQL-expressible; driver records the rows-only check.
     "st01_stream_windowed" -> graft.streaming.StreamOps.windowedCountsOracle,

@@ -121,6 +121,71 @@ object Similarity {
        FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  /** s03: IVF-style ANN — corpus assigned to inverted-list cells by
+    * nearest centroid (deterministic centroid choice: fixed vec_ids,
+    * standing in for a k-means "training" step); a query probes only
+    * its own cell. The cell assignment is a broadcast join against K
+    * centroids + top-1 window; the search is an equi-join on cell id.
+    * At 100 TB: K grows to ~sqrt(N), multi-probe = union of nearest
+    * cells, centroids come from a sampled k-means — same plan shape.
+    */
+  val centroidIds: Seq[Long] = (100L until 108L)
+
+  def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val cents = embeddings.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = embeddings
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
+              vec_norm(col("embedding")).as("nrm"))
+    val corpus = assigned.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+                                 col("nrm").as("cn"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              col("nrm").as("qn"), col("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfTopKOracle(maxQueryId: Long = 8, k: Int = 3): String = {
+    val d = Dialect.duck
+    val ids = centroidIds.mkString(", ")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cemb
+           FROM embeddings WHERE vec_id IN ($ids)),
+       scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           ${dot(d, "e.embedding", "c.cemb")} AS csim
+         FROM embeddings e CROSS JOIN cents c),
+       assigned AS (SELECT vec_id, embedding, cent_id AS cell,
+           ${normExpr(d, "embedding")} AS nrm
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn FROM scoredc) t
+         WHERE crn = 1),
+       scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ${dot(d, "q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         FROM assigned c JOIN assigned q ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < $maxQueryId),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
   /** d05: embedding-cosine near-duplicate pairs, LSH-blocked. */
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
     import graft.functions.GraftFunctions._

@@ -159,6 +159,32 @@ class GraftSpec extends AnyFunSuite {
     assert(after.filter(col("qty") === 99999.0).count() == 1)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(spark, sf).write
+        .bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/b_orders").mode("overwrite").saveAsTable("b_orders")
+      Tables.customer(spark, sf).write
+        .bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/b_customer").mode("overwrite").saveAsTable("b_customer")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      // co-located bucketed join: SortMergeJoin with NO shuffle exchange
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("m01 decode stub is explicit about missing codecs") {
     intercept[UnsupportedOperationException] {
       graft.operators.Multimodal.decodeMedia(Array[Byte](1, 2), "image/png")
