@@ -65,6 +65,9 @@ object SparkEntry {
     "t02_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "t04_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "t05_corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "q23_daily_distinct" -> ((s, d) =>
+      Relational.dailyDistinct(Tables.events(s, d))),
     "q21_value_outliers" -> ((s, d) =>
       Relational.valueOutliers(Tables.events(s, d))),
     "q22_transition_audit" -> ((s, d) =>
@@ -251,6 +254,12 @@ object SparkEntry {
     "t02_quality_score" -> TextOps.qualityOracle,
     "t03_token_count" -> TextOps.tokenCountOracle,
     "t04_fingerprint" -> TextOps.fingerprintOracle,
+    "t05_corpus_stats" -> TextOps.corpusStatsOracle,
+    "q23_daily_distinct" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n_events,
+         count(DISTINCT user_id) AS distinct_users,
+         count(DISTINCT event_type) AS distinct_types
+         FROM events GROUP BY 1 ORDER BY day""",
     "q21_value_outliers" ->
       """WITH stats AS (
            SELECT event_type AS et, count(*) AS n, sum("value") AS s1,

@@ -403,6 +403,21 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Exact distinct-count rollup (dashboard "active stocks/users per
+    * day"). Exact distinct is the scale-sensitive aggregate: Catalyst
+    * plans it as a two-phase partial-distinct aggregation (Expand +
+    * partial + final) so the shuffle carries distinct (day, user)
+    * pairs, not events. At extreme cardinality swap in
+    * approx_count_distinct (HLL) — kept exact here for the oracle.
+    */
+  def dailyDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("distinct_users"),
+           countDistinct(col("event_type")).as("distinct_types"))
+      .orderBy(col("day"))
+
   /** Raw JSON -> typed rows (reference _transform_data_to_polars,
     * queue_for_delta.py:431-528): schema-on-read with from_json, then
     * relational ops over the extracted fields. The JSON parse is

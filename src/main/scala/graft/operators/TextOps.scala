@@ -142,6 +142,34 @@ object TextOps {
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
        FROM documents ORDER BY doc_id"""
 
+  // ---- corpus distribution stats (t05) --------------------------------
+
+  /** Per-language corpus statistics with exact interpolated
+    * percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    * linear interpolation over the sorted values — exact, unlike the
+    * sketch-based approx_percentile which could never oracle-match).
+    * Exact percentile requires a sort per group; at 100 TB switch to
+    * approx_percentile and drop the oracle to a tolerance check.
+    */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+           round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val corpusStatsOracle: String =
+    """SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   // ---- fingerprinting (t04) -------------------------------------------
 
   /** Rolling-hash document fingerprint: min-sampled 5-gram polynomial
