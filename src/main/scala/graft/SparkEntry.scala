@@ -88,7 +88,14 @@ object SparkEntry {
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
+    * rounds with the exact same multiply-round-divide formula as the
+    * Spark side (see Rounding's scaladoc for the 1-ulp landmine).
+    */
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> operators.Rounding.rewriteOracle(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

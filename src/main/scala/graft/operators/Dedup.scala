@@ -30,12 +30,14 @@ object Dedup {
   val RowsPerBand: Int = NumPerms / NumBands
 
   /** d01: exact dedup on normalized text — hash-groupBy keep-min-id.
-    * One shuffle on the normalized key; at 100 TB you group on a
-    * digest of the text instead of the text itself (same plan shape).
+    * Grouping key is a sha-256 of the normalized text, so the shuffle
+    * carries 32-byte digests instead of documents (collision odds at
+    * 2^-128 scale are below hardware error rates); the oracle groups
+    * by the text itself and the outputs are identical.
     */
   def exact(documents: DataFrame): DataFrame =
     documents
-      .groupBy(lower(trim(col("text"))).as("norm_text"))
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("norm_digest"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
       .orderBy(col("canonical_id"))
@@ -105,7 +107,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("jac", graft.functions.GraftFunctions.arr_jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .select(col("doc_a"), col("doc_b"), Rounding.roundN(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -210,7 +212,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
               graft.functions.GraftFunctions.arr_jaccard(col("x.bg"), col("y.bg")).as("jac"))
       .filter(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .select(col("doc_a"), col("doc_b"), Rounding.roundN(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -29,13 +29,13 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Rounding.roundN(sum(col("l_quantity")), 2).as("sum_qty"),
+        Rounding.roundN(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Rounding.roundN(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        Rounding.roundN(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        Rounding.roundN(avg(col("l_quantity")), 4).as("avg_qty"),
+        Rounding.roundN(avg(col("l_extendedprice")), 4).as("avg_price"),
+        Rounding.roundN(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -48,7 +48,7 @@ object Relational {
       .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
               col("o_orderdate") <= to_timestamp(lit(hi)) &&
               col("o_orderstatus") === status)
-      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+      .select(col("o_orderkey"), col("o_custkey"), Rounding.roundN(col("o_totalprice"), 2).as("o_totalprice"),
               col("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
 
@@ -66,7 +66,7 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("total_price"))
+           Rounding.roundN(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy(col("r_name"), col("n_name"))
 
   /** Latest row per key (reference get_latest_for_stock,
@@ -83,7 +83,7 @@ object Relational {
       .select(col("o_custkey").as("custkey"),
               col("o_orderkey").as("latest_orderkey"),
               col("o_orderdate").as("latest_orderdate"),
-              round(col("o_totalprice"), 2).as("latest_totalprice"))
+              Rounding.roundN(col("o_totalprice"), 2).as("latest_totalprice"))
       .orderBy(col("custkey"))
   }
 
@@ -102,7 +102,7 @@ object Relational {
     events
       .filter(!col("event_type").isin(terminal: _*))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-              round(col("value"), 4).as("value"))
+              Rounding.roundN(col("value"), 4).as("value"))
       .orderBy(col("event_id"))
 
   /** Case-insensitive exact + contains filters (reference iexact /
@@ -152,7 +152,7 @@ object Relational {
     mergeUpsert(target, source, Seq("l_orderkey", "l_linenumber"),
                 tieBreak = Seq("l_returnflag", "l_quantity"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .agg(count(lit(1)).as("n"), Rounding.roundN(sum(col("l_quantity")), 2).as("qty"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -169,8 +169,8 @@ object Relational {
       .rowsBetween(-3, Window.currentRow)
     q.withColumn("ttm_raw", sum(col("qty_raw")).over(w))
       .select(col("l_suppkey"), col("qtr"),
-              round(col("qty_raw"), 2).as("qty"),
-              round(col("ttm_raw"), 2).as("ttm_qty"))
+              Rounding.roundN(col("qty_raw"), 2).as("qty"),
+              Rounding.roundN(col("ttm_raw"), 2).as("ttm_qty"))
       .orderBy(col("l_suppkey"), col("qtr"))
   }
 
@@ -189,7 +189,7 @@ object Relational {
       .withColumn("src_norm", coalesce(normalizeNullStrings(col("source")), lit("(null)")))
       .withColumn("n_chars_d", col("n_chars").cast("double"))
       .groupBy(col("src_norm"))
-      .agg(count(lit(1)).as("n"), round(avg(col("n_chars_d")), 4).as("avg_chars"))
+      .agg(count(lit(1)).as("n"), Rounding.roundN(avg(col("n_chars_d")), 4).as("avg_chars"))
       .orderBy(col("src_norm"))
 
   /** order_by + limit/offset pagination (reference DRF paginator +
@@ -200,7 +200,7 @@ object Relational {
     orders
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .select(col("o_orderkey"), col("o_custkey"),
-              round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+              Rounding.roundN(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
       .offset(offset)
       .limit(pageSize)
 
@@ -215,7 +215,7 @@ object Relational {
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_done"),
         sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
-      .withColumn("pct_open", round(col("n_open").cast("double") / col("total"), 4))
+      .withColumn("pct_open", Rounding.roundN(col("n_open").cast("double") / col("total"), 4))
       .orderBy(col("o_orderpriority"))
 
   /** Skip-already-active anti-join (reference queue_all skip logic,
@@ -314,7 +314,7 @@ object Relational {
     val fin = lineitem
       .groupBy(col("l_suppkey").as("suppkey"),
                date_trunc("quarter", col("l_shipdate")).as("period_end_date"))
-      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .agg(Rounding.roundN(sum(col("l_quantity")), 2).as("qty"))
       .withColumn("record_type", lit("financials"))
       .withColumn("name", lit(null).cast("string"))
     val ttm = ttmRecord(lineitem)
@@ -396,9 +396,9 @@ object Relational {
       .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
     events
       .join(broadcast(stats), col("event_type") === col("et"))
-      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 3))
+      .withColumn("z", Rounding.roundN((col("value") - col("mean")) / col("sd"), 3))
       .filter(abs(col("z")) >= minAbsZ)
-      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"),
+      .select(col("event_id"), col("event_type"), Rounding.roundN(col("value"), 4).as("value"),
               col("z"))
       .orderBy(col("event_id"))
   }

@@ -60,7 +60,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"),
-              col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos"))
+              col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -101,7 +101,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"),
-              col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos"))
+              col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -157,7 +157,7 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"),
-              col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos"))
+              col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -200,7 +200,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), Rounding.roundN(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -96,10 +96,10 @@ object TextOps {
       .withColumn("n_tokens", expr("size(split(lower(text), ' '))").cast("long"))
       .withColumn("stop_hits", expr(hitsSpark("en")).cast("long"))
       .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long"))
-      .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_tokens"), 4))
-      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars"), 4))
-      .withColumn("len_signal", round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 4))
-      .withColumn("quality", round(
+      .withColumn("stop_ratio", Rounding.roundN(col("stop_hits").cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio", Rounding.roundN(col("n_punct").cast("double") / col("n_chars"), 4))
+      .withColumn("len_signal", Rounding.roundN(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 4))
+      .withColumn("quality", Rounding.roundN(
         col("stop_hits").cast("double") / col("n_tokens") * 0.5 +
         (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2, 4))
@@ -156,8 +156,8 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).as("total_chars"),
-           round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
-           round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+           Rounding.roundN(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+           Rounding.roundN(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
            min(col("n_chars")).as("min_chars"),
            max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"))
