@@ -77,6 +77,17 @@ class NativeParitySpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("ShingleSet tiny-string edge matches the guarded SQL window (ascii('')=0)") {
+    import org.apache.spark.sql.Row
+    // 'ab' -> one guarded window: (97*31^4 + 98*31^3) % p — DuckDB's
+    // ascii('') is 0 for the out-of-range positions, as is the kernel's
+    val expected = (97L * 923521L + 98L * 29791L) % 2147483647L
+    val got = spark.range(1).selectExpr("'ab' AS text")
+      .select(shingle_set(org.apache.spark.sql.functions.col("text")))
+      .head.getSeq[Long](0)
+    assert(got == Seq(expected))
+  }
+
   test("native functions register for SQL use (registerAll + extensions)") {
     // runtime registration on the live session
     graft.functions.GraftFunctions.registerAll(spark, Dedup.minhashA, Dedup.minhashB)
