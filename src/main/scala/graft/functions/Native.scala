@@ -120,17 +120,21 @@ object TextKernels {
   def wordBigrams(s: UTF8String): Array[UTF8String] = {
     val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (toks.length < 2) return Array.empty
-    val set = new java.util.LinkedHashSet[String](toks.length * 2)
+    val all = new Array[UTF8String](toks.length - 1)
     var i = 0
     while (i < toks.length - 1) {
-      set.add(toks(i) + "_" + toks(i + 1))
+      all(i) = UTF8String.fromString(toks(i) + "_" + toks(i + 1))
       i += 1
     }
-    val out = new Array[UTF8String](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
-    out
+    // sorted distinct (binary order) — the ArrJaccard merge contract
+    java.util.Arrays.sort(all, null)
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || !all(n - 1).equals(all(i))) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(all, n)
   }
 
   /** Left-to-right double fold of elementwise float products — equals
@@ -207,12 +211,13 @@ case class WordBigrams(child: Expression)
   override protected def withNewChildInternal(c: Expression): WordBigrams = copy(c)
 }
 
-/** Jaccard similarity of two DISTINCT-element arrays in one hash-set
-  * pass: |A∩B| / (|A|+|B|-|A∩B|). Equals
-  * size(array_intersect)/size(array_union) (and the DuckDB
-  * list_intersect/list_distinct-concat fragment) whenever both inputs
-  * are already duplicate-free — which every producer in this library
-  * guarantees (ShingleSet/WordBigrams emit distinct sets).
+/** Jaccard similarity of two SORTED DISTINCT-element arrays:
+  * |A∩B| / (|A|+|B|-|A∩B|) via a linear two-pointer merge (no
+  * hashing, no boxing). Equals size(array_intersect)/size(array_union)
+  * (and the DuckDB list_intersect/list_distinct-concat fragment) for
+  * set inputs. CONTRACT: both inputs must be duplicate-free and sorted
+  * ascending — every producer in this library guarantees it
+  * (ShingleSet and WordBigrams emit sorted distinct arrays).
   */
 case class ArrJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -222,19 +227,28 @@ case class ArrJaccard(left: Expression, right: Expression)
     val elemType = left.dataType.asInstanceOf[ArrayType].elementType
     val na = x.numElements(); val nb = y.numElements()
     var inter = 0
+    var i = 0; var j = 0
     elemType match {
       case LongType =>
-        val set = new java.util.HashSet[Long](na * 2)
-        var i = 0
-        while (i < na) { set.add(x.getLong(i)); i += 1 }
-        i = 0
-        while (i < nb) { if (set.contains(y.getLong(i))) inter += 1; i += 1 }
+        while (i < na && j < nb) {
+          val xi = x.getLong(i); val yj = y.getLong(j)
+          if (xi == yj) { inter += 1; i += 1; j += 1 }
+          else if (xi < yj) i += 1
+          else j += 1
+        }
+      case StringType =>
+        while (i < na && j < nb) {
+          val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
       case _ =>
         val set = new java.util.HashSet[Any](na * 2)
-        var i = 0
-        while (i < na) { set.add(x.get(i, elemType)); i += 1 }
-        i = 0
-        while (i < nb) { if (set.contains(y.get(i, elemType))) inter += 1; i += 1 }
+        var k = 0
+        while (k < na) { set.add(x.get(k, elemType)); k += 1 }
+        k = 0
+        while (k < nb) { if (set.contains(y.get(k, elemType))) inter += 1; k += 1 }
     }
     inter.toDouble / (na + nb - inter)
   }
