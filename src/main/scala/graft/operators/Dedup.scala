@@ -158,16 +158,19 @@ object Dedup {
     val chunks = sim
       .select(col("doc_id"), col("sim32"), explode(array(chunkStructs: _*)).as("ch"))
       .select(col("doc_id"), col("sim32"), col("ch.chunk").as("chunk"), col("ch.ckey").as("ckey"))
+    // hamming test INSIDE the join predicate: the corpus's clustered
+    // simhashes make ~7.3M chunk-collision pairs at sf0.1 — filtering
+    // before the distinct means the dedup runs on the few survivors,
+    // not the millions of candidates (row-wise filter commutes with
+    // DISTINCT, so the result is unchanged).
     chunks.as("x")
       .join(chunks.as("y"),
             col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-            col("x.doc_id") < col("y.doc_id"))
+            col("x.doc_id") < col("y.doc_id") &&
+            expr(s"bit_count(${d.xor("x.sim32", "y.sim32")})") <= maxHamming)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.sim32").as("sim_a"), col("y.sim32").as("sim_b"))
+              expr(s"CAST(bit_count(${d.xor("x.sim32", "y.sim32")}) AS BIGINT)").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr(s"CAST(bit_count(${d.xor("sim_a", "sim_b")}) AS BIGINT)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -180,13 +183,12 @@ object Dedup {
        sim AS (SELECT doc_id, ${simhashExpr(d)} AS sim32 FROM sh),
        chunks AS ($chunkSelects),
        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           x.sim32 AS sim_a, y.sim32 AS sim_b
+           CAST(bit_count(${d.xor("x.sim32", "y.sim32")}) AS BIGINT) AS hamming
          FROM chunks x JOIN chunks y
-           ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
-       SELECT doc_a, doc_b,
-         CAST(bit_count(${d.xor("sim_a", "sim_b")}) AS BIGINT) AS hamming
-       FROM pairs WHERE bit_count(${d.xor("sim_a", "sim_b")}) <= $maxHamming
-       ORDER BY doc_a, doc_b"""
+           ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+           AND bit_count(${d.xor("x.sim32", "y.sim32")}) <= $maxHamming)
+       SELECT doc_a, doc_b, hamming
+       FROM pairs ORDER BY doc_a, doc_b"""
   }
 
   // ---- d04: word-bigram Jaccard ---------------------------------------
