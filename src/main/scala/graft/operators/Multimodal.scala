@@ -64,4 +64,38 @@ object Multimodal {
     val feats = extractFeatures(attachPayload(documents))
     feats.toDF().orderBy(col("doc_id"))
   }
+
+  // ---- resize / frame-sample plumbing ---------------------------------
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** "Resize": deterministic stub standing in for an image resize —
+    * truncate/pad the payload to targetBytes (a real codec swaps in
+    * here; the schema and batch shape are what downstream consumes).
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val out = java.util.Arrays.copyOf(r.payload, targetBytes)
+        MediaRow(r.doc_id, r.mime, out)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling: split a binary payload into fixed-size frames and
+    * keep every `stride`-th one — the video-frame-extraction shape
+    * (one row per sampled frame, narrow flatMap, no shuffle).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, stride: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val n = math.max(r.payload.length / frameBytes, 1)
+      (0 until n by stride).map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        Frame(r.doc_id, i.toLong, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
 }

@@ -185,6 +185,17 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("m01 resize + frame-sample plumbing preserves schema and counts") {
+    import org.apache.spark.sql.functions._
+    val media = graft.operators.Multimodal.attachPayload(Tables.documents(spark, sf))
+    val resized = graft.operators.Multimodal.resizeStub(media, targetBytes = 128)
+    assert(resized.count() == media.count())
+    assert(resized.select(max(length(col("payload")))).head.getInt(0) == 128)
+    val frames = graft.operators.Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+    assert(frames.count() >= media.count()) // at least one frame per doc
+    assert(frames.filter(f => f.frame_idx % 2 != 0).count() == 0) // stride respected
+  }
+
   test("m01 decode stub is explicit about missing codecs") {
     intercept[UnsupportedOperationException] {
       graft.operators.Multimodal.decodeMedia(Array[Byte](1, 2), "image/png")
