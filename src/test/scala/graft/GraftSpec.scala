@@ -196,6 +196,43 @@ class GraftSpec extends AnyFunSuite {
     assert(frames.filter(f => f.frame_idx % 2 != 0).count() == 0) // stride respected
   }
 
+  test("format round-trips: JSON, CSV, ORC preserve rows and values") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_formats").toString
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val checksum = orders.agg(sum(col("o_orderkey")), round(sum(col("o_totalprice")), 2)).head
+    val schema = orders.schema
+    graft.sources.Formats.writeJson(orders, s"$dir/j")
+    graft.sources.Formats.writeCsv(orders, s"$dir/c")
+    graft.sources.Formats.writeOrc(orders, s"$dir/o")
+    for (back <- Seq(
+        graft.sources.Formats.readJson(spark, s"$dir/j", schema),
+        graft.sources.Formats.readCsv(spark, s"$dir/c", schema),
+        graft.sources.Formats.readOrc(spark, s"$dir/o"))) {
+      assert(back.count() == orders.count())
+      assert(back.agg(sum(col("o_orderkey")), round(sum(col("o_totalprice")), 2)).head == checksum)
+    }
+  }
+
+  test("streaming file sink: windowed counts land as parquet") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val events = Tables.events(spark, sf)
+    // drive a real file-source -> file-sink stream over the events table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(StreamOps.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = src.select(col("event_id"), col("event_type"), col("ts"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == events.count())
+  }
+
   test("m01 decode stub is explicit about missing codecs") {
     intercept[UnsupportedOperationException] {
       graft.operators.Multimodal.decodeMedia(Array[Byte](1, 2), "image/png")
