@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.operators._
+import graft.sources.{Formats, LakehouseWriter}
+
+/** End-to-end pipeline walkthrough — the reference's full ETL story
+  * (land raw JSON -> normalize -> unified records -> lakehouse merge ->
+  * dim refresh -> serve queries) composed from the graft operators, the
+  * way a user migrating off raulstechtips/stock-data-etl-pipeline
+  * would run it.
+  *
+  * Usage: runMain graft.tools.Demo [sfDir] [workDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val work = if (args.length > 1) args(1)
+               else java.nio.file.Files.createTempDirectory("graft_demo").toString
+    val spark = GraftSession.local("graft-demo", 8)
+    import spark.implicits._
+
+    println(s"== graft demo: $sf -> $work")
+
+    // 1. LAND: raw facts arrive as JSON in the landing zone
+    //    (reference: fetch task writes raw JSON to MinIO)
+    val rawOrders = Tables.orders(spark, sf)
+    Formats.writeJson(rawOrders, s"$work/landing/orders")
+    val landed = Formats.readJson(spark, s"$work/landing/orders", rawOrders.schema)
+    println(s"1. landed ${landed.count()} raw order records as JSON")
+
+    // 2. TRANSFORM: normalize + build the unified records table
+    //    (reference: _transform_data_to_polars -> unified stocks frame)
+    val unified = Relational.unifiedRecords(Tables.lineitem(spark, sf), Tables.supplier(spark, sf))
+    println(s"2. unified records: ${unified.count()} rows " +
+      s"(${unified.select("record_type").distinct().as[String].collect().sorted.mkString("/")})")
+
+    // 3. MERGE: write the lakehouse table, then upsert a delta batch
+    //    (reference: Delta MERGE on (ticker, record_type, period_end_date))
+    val lake = s"$work/lake/records"
+    LakehouseWriter.writeUnified(unified, lake)
+    val delta = unified.filter(col("record_type") === "ttm")
+      .withColumn("qty", col("qty") + 1.0)
+    LakehouseWriter.mergeInto(spark, lake, delta,
+      keys = Seq("suppkey", "record_type", "period_end_date"), tieBreak = Seq("qty"))
+    println(s"3. lakehouse merged: ${spark.read.parquet(lake).count()} rows across " +
+      s"${new java.io.File(lake).listFiles().count(_.getName.startsWith("record_type="))} partitions")
+
+    // 4. REFRESH DIMS: latest-fact metadata back onto the dim table
+    //    (reference: update_stock_metadata)
+    val dims = Relational.metadataUpsert(Tables.customer(spark, sf), Tables.orders(spark, sf))
+    println(s"4. dim refresh: ${dims.filter(col("has_orders")).count()} customers enriched")
+
+    // 5. SERVE: the API query surface
+    val latest = Relational.latestPerKey(Tables.orders(spark, sf))
+    val stats = Relational.bulkStats(Tables.orders(spark, sf))
+    val page = Relational.topNPage(Tables.orders(spark, sf), 0, 5)
+    println(s"5. serve: latest-per-key=${latest.count()} rows, " +
+      s"bulk-stats=${stats.count()} groups, page-1=${page.count()} rows")
+
+    // 6. CORPUS OPS: dedup + quality over the document store
+    val dups = Dedup.minhashLsh(Tables.documents(spark, sf))
+    val quality = TextOps.qualityScore(Tables.documents(spark, sf))
+    val avgQ = quality.agg(avg(col("quality"))).head.getDouble(0)
+    println(f"6. corpus: ${dups.count()} near-dup pairs, avg quality=$avgQ%.3f")
+
+    println("== demo complete")
+    spark.stop()
+  }
+}
