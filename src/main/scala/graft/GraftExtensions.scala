@@ -37,6 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ArrJaccard(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("graft_plane_bucket"),
       info("graft_plane_bucket", "random-hyperplane LSH sign bucket of a float vector"),
-      (es: Seq[Expression]) => PlaneBucket(es.head, 4)))
+      (es: Seq[Expression]) => PlaneBucket(es.head, graft.operators.Similarity.NumPlanes)))
   }
 }

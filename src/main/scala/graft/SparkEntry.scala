@@ -273,7 +273,8 @@ object SparkEntry {
                   sum("value" * "value") AS s2
            FROM events GROUP BY event_type),
          m AS (SELECT et, n, s1 / n AS mean,
-                  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM stats)
+                  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM stats
+               WHERE n > 1 AND sqrt((s2 - s1 * s1 / n) / (n - 1)) > 0.0)
          SELECT event_id, event_type, round("value", 4) AS "value",
                 round(("value" - mean) / sd, 3) AS z
          FROM events JOIN m ON event_type = et

@@ -250,7 +250,11 @@ case class ArrJaccard(left: Expression, right: Expression)
         k = 0
         while (k < nb) { if (set.contains(y.get(k, elemType))) inter += 1; k += 1 }
     }
-    inter.toDouble / (na + nb - inter)
+    // two empty sets: 0/0 would be NaN, and Spark sorts/filters NaN as
+    // larger-than-everything; define it as 0.0 (the DuckDB fragment
+    // yields NULL there — both sides then drop the pair at any >= tau)
+    val denom = na + nb - inter
+    if (denom == 0) 0.0 else inter.toDouble / denom
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrJaccard =
     copy(left = l, right = r)
@@ -302,6 +306,7 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("graft_word_bigrams", es => WordBigrams(es.head), "built-in")
     r.createOrReplaceTempFunction("graft_vec_dot", es => VecDot(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("graft_arr_jaccard", es => ArrJaccard(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("graft_plane_bucket", es => PlaneBucket(es.head, 4), "built-in")
+    r.createOrReplaceTempFunction("graft_plane_bucket",
+      es => PlaneBucket(es.head, graft.operators.Similarity.NumPlanes), "built-in")
   }
 }

@@ -75,12 +75,13 @@ object Dedup {
     s"CAST(${Dialect.intersectSize(d, a, b)} AS DOUBLE) / ${d.unionSize(a, b)}"
 
   /** d02: MinHash + LSH banding near-duplicate pairs.
-    * sig = 16 permutation minima over the shingle set; 8 bands of 2
-    * rows; candidates = docs sharing any band key; verified with true
-    * shingle Jaccard >= minJaccard.
+    * sig = 16 permutation minima over the shingle set; NumBands bands
+    * of RowsPerBand rows (4x4 — retuned from 8x2 after the same-vocab
+    * corpus collapsed 2-row bands into a 1841-doc bucket); candidates
+    * = docs sharing any band key; verified with true shingle
+    * Jaccard >= minJaccard.
     */
   def minhashLsh(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
-    val d = Dialect.spark
     import graft.functions.GraftFunctions._
     val sh = documents.select(col("doc_id"), shingle_set(col("text")).as("hs"))
     // native single-pass signature (min over the window-hash multiset
@@ -199,9 +200,14 @@ object Dedup {
     */
   private def bigramsExpr(d: Dialect): String = {
     val toks = s"${d.splitFn}(lower(text), ' ')"
-    d.distinct(d.transform(
+    val grams = d.distinct(d.transform(
       d.range("1", s"${d.size(toks)} - 1"),
       s"i -> concat(${d.elem(toks, "i")}, '_', ${d.elem(toks, "i+1")})"))
+    // <2 tokens: the guarded range would index out of bounds (DuckDB
+    // concats past-the-end NULL into 'tok_', Spark ANSI throws) — an
+    // explicit empty set matches the native WordBigrams kernel instead
+    val empty = if (d eq Dialect.spark) "CAST(array() AS ARRAY<STRING>)" else "[]"
+    s"(CASE WHEN ${d.size(toks)} < 2 THEN $empty ELSE $grams END)"
   }
 
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {

@@ -90,7 +90,8 @@ object Multimodal {
   def frameSample(media: DataFrame, frameBytes: Int = 64, stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.as[MediaRow].flatMap { r =>
-      val n = math.max(r.payload.length / frameBytes, 1)
+      // ceil division: the partial tail frame is sampled too
+      val n = math.max((r.payload.length + frameBytes - 1) / frameBytes, 1)
       (0 until n by stride).map { i =>
         val from = i * frameBytes
         val until = math.min(from + frameBytes, r.payload.length)

@@ -340,7 +340,9 @@ object Relational {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int = 8): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(col(bigKey), lit(salts)))
+    // the salt must vary PER ROW of the big side — deriving it from the
+    // join key would map a hot key to a single salt and change nothing
+    val salted = big.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val exploded = small
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(exploded,
@@ -394,6 +396,10 @@ object Relational {
            sum(col("value") * col("value")).as("s2"))
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      // degenerate groups (n=1 or all-equal values): Spark's double
+      // division yields Inf/NaN where DuckDB yields NULL — exclude
+      // them identically on both sides instead
+      .filter(col("n") > 1 && col("sd") > 0.0)
     events
       .join(broadcast(stats), col("event_type") === col("et"))
       .withColumn("z", Rounding.roundN((col("value") - col("mean")) / col("sd"), 3))

@@ -93,6 +93,9 @@ object TextOps {
     * LLM corpus pipelines; all-double arithmetic rounded at 4dp. */
   def qualityScore(documents: DataFrame): DataFrame =
     documents
+      // empty text would divide by n_chars=0: Spark doubles give
+      // NaN/Inf, DuckDB gives NULL — drop such rows identically
+      .filter(col("n_chars") > 0)
       .withColumn("n_tokens", expr("size(split(lower(text), ' '))").cast("long"))
       .withColumn("stop_hits", expr(hitsSpark("en")).cast("long"))
       .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long"))
@@ -112,7 +115,7 @@ object TextOps {
        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
        CAST(${hitsDuck("en")} AS BIGINT) AS stop_hits,
        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
-       FROM documents)
+       FROM documents WHERE n_chars > 0)
        SELECT doc_id, n_tokens, stop_hits, n_punct,
        round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
        round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,

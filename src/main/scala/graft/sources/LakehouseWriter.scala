@@ -43,11 +43,21 @@ object LakehouseWriter {
     val merged = graft.operators.Relational.mergeUpsert(target, source, keys, tieBreak)
     val tmp = path + "_staging"
     writeUnified(merged, tmp)
-    // atomic-ish swap (a real lakehouse uses a transaction log; the
-    // directory swap keeps the batch demo self-contained)
+    // swap with the old table kept aside until the new one is in place
+    // (a real lakehouse uses a transaction log; this ordering at least
+    // never leaves the serving path empty on a crash: the data is
+    // always at `path`, `path_old`, or `tmp`)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = path + "_old"
+    fs.delete(p(old), true)
+    if (!fs.rename(p(path), p(old)))
+      throw new java.io.IOException(s"could not move $path aside to $old")
+    if (!fs.rename(p(tmp), p(path))) {
+      fs.rename(p(old), p(path)) // restore
+      throw new java.io.IOException(s"could not move $tmp into place at $path")
+    }
+    fs.delete(p(old), true)
   }
 }
