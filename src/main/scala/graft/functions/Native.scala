@@ -202,6 +202,46 @@ case class SimHash32(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
 }
 
+object BigramHash {
+  /** Poly hash of one bigram string, identical to the DuckDB fold
+    * list_reduce(codepoints, (acc, c) -> (acc*31 + c) % P) — note the
+    * reduce-no-init semantics: the first codepoint IS the seed. */
+  def hash(s: String): Long = {
+    var acc = -1L
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      acc = if (acc < 0) cp.toLong else (acc * 31L + cp) % TextKernels.P
+      ci += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Sorted distinct poly-hashes of the word bigrams of lower(text) —
+  * the compact (8-byte) form of WordBigrams for large-scale pairwise
+  * Jaccard. Dedup happens AFTER hashing (collisions merge) exactly as
+  * the oracle's list_distinct(list_transform(bigrams, hash)) does, so
+  * both engines agree even on colliding inputs.
+  */
+case class WordBigramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < 2) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      hs(i) = BigramHash.hash(toks(i) + "_" + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(TextKernels.distinctHashes(hs))
+  }
+  override protected def withNewChildInternal(c: Expression): WordBigramHashes = copy(c)
+}
+
 case class WordBigrams(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -287,6 +327,7 @@ object GraftFunctions {
     c(MinHashSig(x(col), as, bs))
   def simhash32(col: Column): Column = c(SimHash32(x(col)))
   def word_bigrams(col: Column): Column = c(WordBigrams(x(col)))
+  def word_bigram_hashes(col: Column): Column = c(WordBigramHashes(x(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
   def arr_jaccard(a: Column, b: Column): Column = c(ArrJaccard(x(a), x(b)))
   def vec_norm(a: Column): Column = {

@@ -212,8 +212,12 @@ object Dedup {
 
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
     val d = Dialect.spark
+    // hashed-bigram sets: 8-byte elements instead of strings, so the
+    // pairwise merge-Jaccard and the join shuffle both shrink ~3x.
+    // Hash collisions merge identically on both engines (dedup is
+    // applied AFTER hashing on both sides) so parity is unaffected.
     val bg = documents.select(col("doc_id"), col("lang"), col("source"),
-      graft.functions.GraftFunctions.word_bigrams(col("text")).as("bg"))
+      graft.functions.GraftFunctions.word_bigram_hashes(col("text")).as("bg"))
     bg.as("x").join(bg.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -224,9 +228,19 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Raw (pre-distinct) bigram list + per-string poly hash, then
+    * distinct — must mirror WordBigramHashes exactly. */
+  private def bigramHashesDuck: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val raw = s"list_transform(generate_series(1, greatest(len($toks) - 1, 1)), i -> concat($toks[i], '_', $toks[i+1]))"
+    val hash = "list_reduce(list_transform(generate_series(1, length(s)), k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % " + P + ")"
+    s"""(CASE WHEN len($toks) < 2 THEN CAST([] AS BIGINT[])
+        ELSE list_distinct(list_transform($raw, s -> $hash)) END)"""
+  }
+
   def ngramJaccardOracle(minJaccard: Double = 0.05): String = {
     val d = Dialect.duck
-    s"""WITH bg AS (SELECT doc_id, lang, source, ${bigramsExpr(d)} AS bg FROM documents)
+    s"""WITH bg AS (SELECT doc_id, lang, source, $bigramHashesDuck AS bg FROM documents)
        SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
            ${jaccardExpr(d, "x.bg", "y.bg")} AS jac
