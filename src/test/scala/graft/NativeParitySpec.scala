@@ -77,6 +77,32 @@ class NativeParitySpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("WordBigramHashes == nested-lambda SQL fold (as sorted sets)") {
+    val toks = "split(lower(text), ' ')"
+    val raw = s"transform(sequence(1, greatest(size($toks) - 1, 1)), i -> concat(element_at($toks, i), '_', element_at($toks, i+1)))"
+    val hash = s"aggregate(transform(sequence(2, length(s)), k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), CAST(ascii(substring(s, 1, 1)) AS BIGINT), (acc, c) -> (acc * 31 + c) % ${Dedup.P})"
+    val sql = s"array_sort(array_distinct(transform($raw, s -> $hash)))"
+    val n = docs
+      .withColumn("a", sort_array(word_bigram_hashes(col("text"))))
+      .withColumn("b", expr(sql))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("PlaneBucket == arithmetic hyperplane-sign SQL fragment") {
+    val planes = graft.operators.Similarity.NumPlanes
+    val dims = graft.operators.Similarity.Dims
+    val bucketSql = (0 until planes).map { j =>
+      val dot = s"aggregate(transform(sequence(1, $dims), i -> CAST(element_at(embedding, i) AS DOUBLE) * (2 * (shiftright((CAST(1103515245 AS BIGINT) * ($j * $dims + i) + 12345), 16) & 1) - 1)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val n = emb
+      .withColumn("a", plane_bucket(col("embedding"), planes))
+      .withColumn("b", expr(s"CAST($bucketSql AS BIGINT)"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
   test("ShingleSet tiny-string edge matches the guarded SQL window (ascii('')=0)") {
     import org.apache.spark.sql.Row
     // 'ab' -> one guarded window: (97*31^4 + 98*31^3) % p — DuckDB's
