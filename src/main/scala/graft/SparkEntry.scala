@@ -70,6 +70,8 @@ object SparkEntry {
       Relational.dailyDistinct(Tables.events(s, d))),
     "q21_value_outliers" -> ((s, d) =>
       Relational.valueOutliers(Tables.events(s, d))),
+    "q24_cursor_page" -> ((s, d) =>
+      Relational.cursorPage(Tables.orders(s, d), "1996-06-01", 100000L, 50)),
     "q22_transition_audit" -> ((s, d) =>
       Relational.transitionAudit(Tables.events(s, d))),
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -267,6 +269,13 @@ object SparkEntry {
          count(DISTINCT user_id) AS distinct_users,
          count(DISTINCT event_type) AS distinct_types
          FROM events GROUP BY 1 ORDER BY day""",
+    "q24_cursor_page" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-06-01'
+            OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey < 100000)
+         ORDER BY o_orderdate DESC, o_orderkey DESC
+         LIMIT 50""",
     "q21_value_outliers" ->
       """WITH stats AS (
            SELECT event_type AS et, count(*) AS n, sum("value") AS s1,

@@ -204,6 +204,23 @@ object Relational {
       .offset(offset)
       .limit(pageSize)
 
+  /** Cursor (keyset) pagination (reference StandardCursorPagination,
+    * services/api/views/paginator.py:24-29: cursor over -created_at).
+    * Unlike offset pagination, the cursor predicate pushes into the
+    * scan — page N costs the same as page 1 at 100 TB, which is why
+    * the reference uses cursors for its list endpoints.
+    */
+  def cursorPage(orders: DataFrame, cursorDate: String, cursorId: Long,
+                 pageSize: Int): DataFrame =
+    orders
+      .filter(col("o_orderdate") < to_timestamp(lit(cursorDate)) ||
+              (col("o_orderdate") === to_timestamp(lit(cursorDate)) &&
+               col("o_orderkey") < cursorId))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              Rounding.roundN(col("o_totalprice"), 2).as("o_totalprice"))
+      .limit(pageSize)
+
   /** Conditional-count statistics (reference BulkQueueRun
     * queued/skipped/error counts, services/api/models.py:190-241):
     * sum(when) conditional aggregation, one pass, map-side combined.
