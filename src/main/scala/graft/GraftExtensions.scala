@@ -33,7 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_vec_dot", "double dot product of two float vectors"),
       (es: Seq[Expression]) => VecDot(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("graft_arr_jaccard"),
-      info("graft_arr_jaccard", "Jaccard similarity of two distinct-element arrays"),
+      info("graft_arr_jaccard",
+        "set-Jaccard of two arrays; sorted distinct inputs take a merge fast path, any other input is deduped via a set"),
       (es: Seq[Expression]) => ArrJaccard(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("graft_plane_bucket"),
       info("graft_plane_bucket", "random-hyperplane LSH sign bucket of a float vector"),

@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+      // only accepts as raw longs under this flag; set at construction
+      // so no table loader has to mutate session config as a side
+      // effect (Tables.events documents the micros conversion).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {

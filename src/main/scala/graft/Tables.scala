@@ -26,12 +26,15 @@ object Tables {
     * division (floor) to micros — the same truncation DuckDB applies,
     * so oracle timestamps agree. Division must be integral (`div`):
     * a double roundtrip would lose precision at 1.7e18 ns.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session — GraftSession/Bench/Verify all set it at construction
+    * (deliberately NOT mutated here: a table loader silently flipping
+    * session config would change unrelated parquet reads).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

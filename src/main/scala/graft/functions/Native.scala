@@ -251,17 +251,54 @@ case class WordBigrams(child: Expression)
   override protected def withNewChildInternal(c: Expression): WordBigrams = copy(c)
 }
 
-/** Jaccard similarity of two SORTED DISTINCT-element arrays:
-  * |A∩B| / (|A|+|B|-|A∩B|) via a linear two-pointer merge (no
-  * hashing, no boxing). Equals size(array_intersect)/size(array_union)
-  * (and the DuckDB list_intersect/list_distinct-concat fragment) for
-  * set inputs. CONTRACT: both inputs must be duplicate-free and sorted
-  * ascending — every producer in this library guarantees it
-  * (ShingleSet and WordBigrams emit sorted distinct arrays).
+/** Jaccard set-similarity |A∩B| / |A∪B| of two arrays.
+  *
+  * Fast path: when both inputs are STRICTLY ascending (sorted,
+  * duplicate-free — what ShingleSet / WordBigrams / WordBigramHashes
+  * emit) a linear two-pointer merge counts the intersection with no
+  * hashing and no boxing. The sortedness is VERIFIED with a cheap O(n)
+  * scan, not assumed: this function is public SQL surface
+  * (graft_arr_jaccard) and an unsorted or duplicate-bearing input
+  * silently undercounts under the merge. Inputs that fail the scan
+  * take a HashSet path that first dedups both sides, so the result is
+  * true set-Jaccard for ANY input. Equals
+  * size(array_intersect)/size(array_union) (and the DuckDB
+  * list_intersect/list_distinct-concat fragment).
   */
 case class ArrJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+
+  private def strictlyAscLong(x: ArrayData, n: Int): Boolean = {
+    var i = 1
+    while (i < n) { if (x.getLong(i - 1) >= x.getLong(i)) return false; i += 1 }
+    true
+  }
+  private def strictlyAscString(x: ArrayData, n: Int): Boolean = {
+    var i = 1
+    while (i < n) {
+      if (x.getUTF8String(i - 1).compareTo(x.getUTF8String(i)) >= 0) return false
+      i += 1
+    }
+    true
+  }
+  /** General path: set-Jaccard over the DISTINCT elements of each side. */
+  private def setJaccard(x: ArrayData, y: ArrayData, elemType: DataType): Double = {
+    val sa = new java.util.HashSet[Any](x.numElements() * 2)
+    val sb = new java.util.HashSet[Any](y.numElements() * 2)
+    var k = 0
+    while (k < x.numElements()) { sa.add(x.get(k, elemType)); k += 1 }
+    k = 0
+    var inter = 0
+    while (k < y.numElements()) {
+      val e = y.get(k, elemType)
+      if (sb.add(e) && sa.contains(e)) inter += 1
+      k += 1
+    }
+    val denom = sa.size + sb.size - inter
+    if (denom == 0) 0.0 else inter.toDouble / denom
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val elemType = left.dataType.asInstanceOf[ArrayType].elementType
@@ -269,14 +306,14 @@ case class ArrJaccard(left: Expression, right: Expression)
     var inter = 0
     var i = 0; var j = 0
     elemType match {
-      case LongType =>
+      case LongType if strictlyAscLong(x, na) && strictlyAscLong(y, nb) =>
         while (i < na && j < nb) {
           val xi = x.getLong(i); val yj = y.getLong(j)
           if (xi == yj) { inter += 1; i += 1; j += 1 }
           else if (xi < yj) i += 1
           else j += 1
         }
-      case StringType =>
+      case StringType if strictlyAscString(x, na) && strictlyAscString(y, nb) =>
         while (i < na && j < nb) {
           val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
           if (c == 0) { inter += 1; i += 1; j += 1 }
@@ -284,11 +321,7 @@ case class ArrJaccard(left: Expression, right: Expression)
           else j += 1
         }
       case _ =>
-        val set = new java.util.HashSet[Any](na * 2)
-        var k = 0
-        while (k < na) { set.add(x.get(k, elemType)); k += 1 }
-        k = 0
-        while (k < nb) { if (set.contains(y.get(k, elemType))) inter += 1; k += 1 }
+        return setJaccard(x, y, elemType)
     }
     // two empty sets: 0/0 would be NaN, and Spark sorts/filters NaN as
     // larger-than-everything; define it as 0.0 (the DuckDB fragment

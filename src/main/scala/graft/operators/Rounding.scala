@@ -29,23 +29,31 @@ object Rounding {
 
   /** Rewrite every `round(expr, n)` in a DuckDB oracle SQL string to
     * the explicit multiply form `(round((expr) * 1eN) / 1eN)`.
-    * Balanced-paren parse; handles nesting and multi-line SQL.
+    * Balanced-paren parse; handles nesting and multi-line SQL. String
+    * literals are copied verbatim at EVERY nesting level (a 'round('
+    * inside quotes is never treated as a call), and a second argument
+    * that is not a plain integer literal fails fast with the offending
+    * SQL — a silently unrewritten round() would reintroduce the
+    * cross-engine .5-boundary mismatch this rewriter exists to kill.
     */
   def rewriteOracle(sql: String): String = {
     val marker = "round("
     val sb = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      val at = sql.indexOf(marker, i)
-      // only rewrite standalone round( — not e.g. a hypothetical xround(
-      val standalone = at >= 0 && (at == 0 || !Character.isLetterOrDigit(sql.charAt(at - 1)) && sql.charAt(at - 1) != '_')
-      if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
-      else if (!standalone) { sb.append(sql.substring(i, at + marker.length)); i = at + marker.length }
-      else {
-        sb.append(sql.substring(i, at))
+      val ch = sql.charAt(i)
+      if (ch == '\'') {
+        // copy a string literal verbatim, including its quotes
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '\'') j += 1
+        val end = math.min(j + 1, sql.length)
+        sb.append(sql.substring(i, end)); i = end
+      } else if (sql.startsWith(marker, i) &&
+                 (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+                             sql.charAt(i - 1) != '_'))) {
         // find matching close paren and the top-level comma
         var depth = 1
-        var j = at + marker.length
+        var j = i + marker.length
         var topComma = -1
         while (depth > 0 && j < sql.length) {
           sql.charAt(j) match {
@@ -59,18 +67,22 @@ object Rounding {
           }
           j += 1
         }
-        val close = j - 1
         if (topComma < 0) {
           // 1-arg round: leave as-is (already 0-dp)
-          sb.append(sql.substring(at, j))
+          sb.append(sql.substring(i, j))
         } else {
-          val arg = rewriteOracle(sql.substring(at + marker.length, topComma).trim)
-          val n = sql.substring(topComma + 1, close).trim.toInt
+          val close = j - 1
+          val arg = rewriteOracle(sql.substring(i + marker.length, topComma).trim)
+          val scaleStr = sql.substring(topComma + 1, close).trim
+          val n = try scaleStr.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"rewriteOracle: round() scale must be an integer literal, got '$scaleStr' in: $sql")
+          }
           val p = s"1e$n"
           sb.append(s"(round(($arg) * $p) / $p)")
         }
         i = j
-      }
+      } else { sb.append(ch); i += 1 }
     }
     sb.toString
   }

@@ -36,28 +36,41 @@ object LakehouseWriter {
   /** Merge-and-rewrite: upsert source into the stored table (the
     * batch-parquet equivalent of the reference's Delta MERGE) and
     * write back partitioned. One shuffle on the merge key.
+    *
+    * Crash semantics (a real lakehouse uses a transaction log; this is
+    * the batch-parquet stand-in): the swap is two renames, so there is
+    * a window where `path` does not exist. A marker file
+    * `<path>_MERGE_INPROGRESS` brackets that window — if a process
+    * dies mid-swap, the marker plus whichever of `<path>`,
+    * `<path>_old`, `<path>_staging` survive tell the operator (or a
+    * repair script) exactly which rename to replay: data is ALWAYS
+    * present at one of the three. A failed staging write cleans up
+    * after itself and leaves the serving path untouched.
     */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
                 source: DataFrame, keys: Seq[String], tieBreak: Seq[String]): Unit = {
     val target = spark.read.parquet(path).drop("period_month")
     val merged = graft.operators.Relational.mergeUpsert(target, source, keys, tieBreak)
-    val tmp = path + "_staging"
-    writeUnified(merged, tmp)
-    // swap with the old table kept aside until the new one is in place
-    // (a real lakehouse uses a transaction log; this ordering at least
-    // never leaves the serving path empty on a crash: the data is
-    // always at `path`, `path_old`, or `tmp`)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = path + "_staging"
+    try writeUnified(merged, tmp)
+    catch { case e: Throwable => fs.delete(p(tmp), true); throw e }
     val old = path + "_old"
+    val marker = p(path + "_MERGE_INPROGRESS")
     fs.delete(p(old), true)
-    if (!fs.rename(p(path), p(old)))
+    fs.create(marker, true).close()
+    if (!fs.rename(p(path), p(old))) {
+      fs.delete(marker, false)
       throw new java.io.IOException(s"could not move $path aside to $old")
+    }
     if (!fs.rename(p(tmp), p(path))) {
       fs.rename(p(old), p(path)) // restore
+      fs.delete(marker, false)
       throw new java.io.IOException(s"could not move $tmp into place at $path")
     }
     fs.delete(p(old), true)
+    fs.delete(marker, false)
   }
 }

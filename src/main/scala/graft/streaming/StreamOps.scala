@@ -33,7 +33,6 @@ object StreamOps {
     * makes the batch-vs-stream equivalence assertable.
     */
   def windowedCountsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream sources want a directory; filter to the events table
     val src = spark.readStream.schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -125,31 +124,56 @@ object StreamOps {
                      session_end: java.sql.Timestamp, n_events: Long)
 
   /** Stateful sessionizer: closes a session (emits it) when an event
-    * arrives more than gap after the last one; the still-open session
-    * stays in state. Used with a MemoryStream in specs; at scale this
-    * runs with event-time timeout + watermark so idle keys also close.
+    * arrives more than gap after the last one, AND — via event-time
+    * timeout against the watermark — when a key goes idle: once the
+    * watermark passes last_event + gap the open session is emitted and
+    * its state purged. This is what makes the streaming output
+    * converge to sessionizeBatch (which emits every session including
+    * the final open one) and keeps state bounded on idle keys at
+    * scale. Events later than `watermark` behind the max seen event
+    * time are dropped by the watermark, as in any append-mode op.
     */
-  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30,
+                       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            if (st == null) st = SessionState(us, us, 1L)
-            else if (us - st.last > gapUs) {
-              out += Session(user, new java.sql.Timestamp(st.start / 1000L),
-                new java.sql.Timestamp(st.last / 1000L), st.n)
-              st = SessionState(us, us, 1L)
-            } else st = SessionState(st.start, us, st.n + 1L)
+          def close(st: SessionState) =
+            Session(user, new java.sql.Timestamp(st.start / 1000L),
+              new java.sql.Timestamp(st.last / 1000L), st.n)
+          if (state.hasTimedOut) {
+            // idle key: watermark passed last+gap — emit the open session
+            val st = state.get
+            state.remove()
+            Iterator.single(close(st))
+          } else {
+            // per-batch group materialization: a micro-batch holds at
+            // most one trigger's worth of events per key, not the stream
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st == null) st = SessionState(us, us, 1L)
+              else if (us - st.last > gapUs) {
+                out += close(st)
+                st = SessionState(us, us, 1L)
+              } else st = SessionState(st.start, us, st.n + 1L)
+            }
+            if (st != null) {
+              state.update(st)
+              // fire once the watermark passes session end + gap (must
+              // be strictly ahead of the current watermark to be legal)
+              state.setTimeoutTimestamp(math.max(
+                st.last / 1000L + gapMinutes * 60000L,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
         })
   }
 }

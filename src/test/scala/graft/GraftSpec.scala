@@ -70,16 +70,31 @@ class GraftSpec extends AnyFunSuite {
       .format("memory").queryName("graft_st02_test").start()
     try {
       // user 1: two events 10 min apart (one session), then an event
-      // 2h later -> first session must be emitted closed with 2 events
-      input.addData(ev(1, 0, 1), ev(2, 10, 1))
+      // 2h later -> first session must be emitted closed with 2 events.
+      // Times start at t=60min, not 0: an event whose time equals the
+      // current watermark (initial watermark = epoch 0) is dropped as
+      // late by the stateful-op filter.
+      input.addData(ev(1, 60, 1), ev(2, 70, 1))
       q.processAllAvailable()
-      input.addData(ev(3, 130, 1))
+      input.addData(ev(3, 190, 1))
       q.processAllAvailable()
       val out = spark.table("graft_st02_test").as[StreamOps.Session].collect()
       assert(out.length == 1)
       assert(out.head.user_id == 1 && out.head.n_events == 2)
-      assert(out.head.session_start.getTime == 0L)
-      assert(out.head.session_end.getTime == 10 * 60000L)
+      assert(out.head.session_start.getTime == 60 * 60000L)
+      assert(out.head.session_end.getTime == 70 * 60000L)
+      // idle-key timeout: a far-future event from ANOTHER user advances
+      // the watermark past user 1's last+gap; the next batch fires the
+      // event-time timeout and emits user 1's still-open session —
+      // without this, streaming would diverge from sessionizeBatch
+      input.addData(ev(4, 1060, 2))
+      q.processAllAvailable()
+      input.addData(ev(5, 1061, 2))
+      q.processAllAvailable()
+      val all = spark.table("graft_st02_test").as[StreamOps.Session].collect()
+      val u1 = all.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(u1.length == 2)
+      assert(u1(1).session_start.getTime == 190 * 60000L && u1(1).n_events == 1)
     } finally q.stop()
   }
 
@@ -220,7 +235,7 @@ class GraftSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val events = Tables.events(spark, sf)
     // drive a real file-source -> file-sink stream over the events table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (nanosAsLong comes from GraftSession's builder)
     val src = spark.readStream.schema(StreamOps.eventsRawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -77,6 +77,36 @@ class NativeParitySpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("ArrJaccard on unsorted / duplicate-bearing input falls back to true set-Jaccard") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sa", ArrayType(LongType, false)),
+      StructField("sb", ArrayType(LongType, false))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(3L, 1L, 2L), Seq(2L, 3L, 4L)),             // unsorted left
+      Row(Seq(1L, 1L, 2L, 3L), Seq(3L, 4L, 4L)),         // dups both sides
+      Row(Seq(5L, 5L, 5L), Seq(5L)),                     // dup-only overlap
+      Row(Seq.empty[Long], Seq(9L, 9L)))                 // empty vs dup
+    val got = spark.createDataFrame(rows, schema)
+      .select(arr_jaccard(col("sa"), col("sb")).as("j")).collect().map(_.getDouble(0))
+    // set-Jaccard ground truth: {1,2,3}v{2,3,4}=2/4, {1,2,3}v{3,4}=1/4,
+    // {5}v{5}=1, {}v{9}=0
+    assert(got.toSeq == Seq(0.5, 0.25, 1.0, 0.0))
+  }
+
+  test("rewriteOracle skips string literals and rejects non-integer scales") {
+    import graft.operators.Rounding.rewriteOracle
+    // 'round(' inside a literal is untouched; the real call is rewritten
+    val in = "SELECT 'use round(x, 2) here' AS note, round(v, 2) AS r FROM t"
+    val out = rewriteOracle(in)
+    assert(out == "SELECT 'use round(x, 2) here' AS note, (round((v) * 1e2) / 1e2) AS r FROM t")
+    // no-op inputs come back byte-identical
+    assert(rewriteOracle("SELECT a, b FROM t ORDER BY 1, 2") == "SELECT a, b FROM t ORDER BY 1, 2")
+    // unparseable scale fails fast instead of silently mangling
+    intercept[IllegalArgumentException] { rewriteOracle("SELECT round(x, 1+1) FROM t") }
+  }
+
   test("WordBigramHashes == nested-lambda SQL fold (as sorted sets)") {
     val toks = "split(lower(text), ' ')"
     val raw = s"transform(sequence(1, greatest(size($toks) - 1, 1)), i -> concat(element_at($toks, i), '_', element_at($toks, i+1)))"
