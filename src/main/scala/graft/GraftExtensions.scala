@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash32"),
       info("graft_simhash32", "32-bit SimHash of a string"),
       (es: Seq[Expression]) => SimHash32(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit (62 used) SimHash of a string"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier("graft_word_bigrams"),
       info("graft_word_bigrams", "distinct word bigrams of lower(text)"),
       (es: Seq[Expression]) => WordBigrams(es.head)))

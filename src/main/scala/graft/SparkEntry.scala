@@ -88,6 +88,18 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
     "st02_stream_sessionize" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
+    "q25_price_band_join" -> ((s, d) =>
+      Relational.priceBandJoin(Tables.lineitem(s, d))),
+    "q26_rolling_hourly" -> ((s, d) =>
+      Relational.rollingHourly(Tables.events(s, d))),
+    "t06_term_topk" -> ((s, d) => TextOps.termTopK(Tables.documents(s, d))),
+    "m02_binary_digest" -> ((s, d) =>
+      Multimodal.binaryDigest(Tables.documents(s, d))),
+    "st03_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamOps.dedupBatch(Tables.events(s, d))),
+    "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
+    "t08_sequence_pack" -> ((s, d) => TextOps.sequencePack(Tables.documents(s, d))),
+    "t09_quality_filter" -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -320,5 +332,13 @@ object SparkEntry {
     // not SQL-expressible; driver records the rows-only check.
     "st01_stream_windowed" -> graft.streaming.StreamOps.windowedCountsOracle,
     "st02_stream_sessionize" -> graft.streaming.StreamOps.sessionizeOracle(),
+    "q25_price_band_join" -> Relational.priceBandJoinOracle,
+    "q26_rolling_hourly" -> Relational.rollingHourlyOracle,
+    "t06_term_topk" -> TextOps.termTopKOracle(),
+    "m02_binary_digest" -> Multimodal.binaryDigestOracle,
+    "st03_stream_dedup" -> graft.streaming.StreamOps.dedupOracle,
+    "t07_split_sample" -> TextOps.splitSampleOracle,
+    "t08_sequence_pack" -> TextOps.sequencePackOracle(),
+    "t09_quality_filter" -> TextOps.qualityFilterOracle,
   )
 }

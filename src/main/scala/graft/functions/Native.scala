@@ -92,6 +92,41 @@ object TextKernels {
     sig
   }
 
+  // 62-bit mix constants: two independent affine hashes mod P widen the
+  // 31-bit shingle hash to 62 usable bits (bits 62/63 stay 0)
+  val MixA1 = 1103515245L; val MixB1 = 12345L
+  val MixA2 = 69069L; val MixB2 = 98765L
+
+  /** 64-bit (62 usable bits) SimHash over the distinct shingle hashes.
+    * Each 31-bit shingle hash is widened to 62 bits via two affine
+    * mixes mod P (lo | hi<<31), then the classic per-bit +1/-1 vote.
+    * Wider hashes matter for the LSH chunking: 16-bit chunk keys give
+    * 65536-way buckets per chunk vs the 256-way buckets a 32-bit hash
+    * allows — at 100 TB the 8-bit buckets WOULD collapse into
+    * mega-buckets and the candidate join would blow up quadratically.
+    */
+  def simhash64(distinct: Array[Long]): Long = {
+    val votes = new Array[Int](62)
+    var i = 0
+    while (i < distinct.length) {
+      val h = distinct(i)
+      val m = ((MixA1 * h + MixB1) % P) + (((MixA2 * h + MixB2) % P) << 31)
+      var b = 0
+      while (b < 62) {
+        votes(b) += (2 * (((m >>> b) & 1L).toInt) - 1)
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 62) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   def simhash32(distinct: Array[Long]): Long = {
     val votes = new Array[Int](32)
     var i = 0
@@ -200,6 +235,15 @@ case class SimHash32(child: Expression)
     TextKernels.simhash32(TextKernels.distinctHashes(
       TextKernels.windowHashes(TextKernels.codepoints(v.asInstanceOf[UTF8String]))))
   override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.simhash64(TextKernels.distinctHashes(
+      TextKernels.windowHashes(TextKernels.codepoints(v.asInstanceOf[UTF8String]))))
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
 object BigramHash {
@@ -359,6 +403,7 @@ object GraftFunctions {
   def minhash_sig(col: Column, as: Seq[Long], bs: Seq[Long]): Column =
     c(MinHashSig(x(col), as, bs))
   def simhash32(col: Column): Column = c(SimHash32(x(col)))
+  def simhash64(col: Column): Column = c(SimHash64(x(col)))
   def word_bigrams(col: Column): Column = c(WordBigrams(x(col)))
   def word_bigram_hashes(col: Column): Column = c(WordBigramHashes(x(col)))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
@@ -377,6 +422,7 @@ object GraftFunctions {
     r.createOrReplaceTempFunction("graft_shingle_set", es => ShingleSet(es.head), "built-in")
     r.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSig(es.head, minhashA, minhashB), "built-in")
     r.createOrReplaceTempFunction("graft_simhash32", es => SimHash32(es.head), "built-in")
+    r.createOrReplaceTempFunction("graft_simhash64", es => SimHash64(es.head), "built-in")
     r.createOrReplaceTempFunction("graft_word_bigrams", es => WordBigrams(es.head), "built-in")
     r.createOrReplaceTempFunction("graft_vec_dot", es => VecDot(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("graft_arr_jaccard", es => ArrJaccard(es(0), es(1)), "built-in")

@@ -83,7 +83,6 @@ object Dedup {
     */
   def minhashLsh(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
     import graft.functions.GraftFunctions._
-    val sh = documents.select(col("doc_id"), shingle_set(col("text")).as("hs"))
     // native single-pass signature (min over the window-hash multiset
     // == min over the distinct set, so this matches the oracle)
     val sigArr = documents.select(col("doc_id"),
@@ -103,6 +102,14 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // verification: per-doc shingle frame joined to the pairs by id.
+    // Computed for the WHOLE corpus here: every reference to `pairs`
+    // re-executes the candidate pipeline in an un-materialized plan,
+    // so semi-joining sh down to candidate docs triples the LSH stage
+    // and loses (measured). In a persisted pipeline at cluster scale,
+    // materialize `pairs` (it's tiny) and semi-join sh to its doc ids
+    // so the shingle kernel runs only on candidates.
+    val sh = documents.select(col("doc_id"), shingle_set(col("text")).as("hs"))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -136,58 +143,73 @@ object Dedup {
 
   // ---- d03: SimHash ---------------------------------------------------
 
-  /** 32-bit SimHash over the shingle-hash set: per-bit +1/-1 votes.
-    * Candidates via the 4x8-bit chunk pigeonhole (guarantees recall
-    * for hamming <= 3), verified with bit_count(xor).
+  /** 64-bit (62 usable) SimHash over the shingle-hash set: each 31-bit
+    * shingle hash is widened to 62 bits via two affine mixes mod P
+    * (lo | hi<<31), then the classic per-bit +1/-1 vote. 62 bits
+    * instead of 32 exists for the LSH chunking below: 16-bit chunk
+    * keys (65536-way buckets) instead of 8-bit ones (256-way). On a
+    * clustered corpus the 8-bit buckets collapse — at sf0.1 they
+    * enumerated 7.3M candidate pairs; at 100 TB they'd be quadratic
+    * death. Same arithmetic as TextKernels.simhash64.
     */
-  private def simhashExpr(d: Dialect): String = {
-    val bits = (0 until 32).map { i =>
-      val vote = d.sumLong(d.transform("hs", s"h -> 2 * (${d.shiftR("h", i.toString)} & 1) - 1"))
-      s"(CASE WHEN $vote > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }
-    bits.mkString(" + ")
+  /** Widen each 31-bit shingle hash in `hs` to 62 bits (column `m`). */
+  def simhashMixExpr(d: Dialect): String = {
+    import graft.functions.TextKernels.{MixA1, MixA2, MixB1, MixB2}
+    d.transform("hs", s"h -> (($MixA1 * h + $MixB1) % $P) + " +
+      s"((($MixA2 * h + $MixB2) % $P) * CAST(2147483648 AS BIGINT))")
   }
+
+  /** Per-bit +1/-1 vote sum over the widened hashes in column `m`. */
+  def simhashVoteExpr(d: Dialect): String =
+    (0 until 62).map { i =>
+      val vote = d.sumLong(d.transform("m", s"v -> 2 * (${d.shiftR("v", i.toString)} & 1) - 1"))
+      s"(CASE WHEN $vote > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Number of 16-bit chunks; pigeonhole guarantees full recall for
+    * hamming <= NumChunks - 1 = 3. */
+  val NumChunks = 4
 
   def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val d = Dialect.spark
-    import graft.functions.GraftFunctions.{simhash32 => simhash32c}
-    val sim = documents.select(col("doc_id"), simhash32c(col("text")).as("sim32"))
-    val chunkStructs = (0 until 4).map { c =>
+    import graft.functions.GraftFunctions.{simhash64 => simhash64c}
+    val sim = documents.select(col("doc_id"), simhash64c(col("text")).as("sim64"))
+    val chunkStructs = (0 until NumChunks).map { c =>
       struct(lit(c).as("chunk"),
-             expr(s"${d.shiftR("sim32", (8 * c).toString)} & 255").as("ckey"))
+             expr(s"${d.shiftR("sim64", (16 * c).toString)} & 65535").as("ckey"))
     }
     val chunks = sim
-      .select(col("doc_id"), col("sim32"), explode(array(chunkStructs: _*)).as("ch"))
-      .select(col("doc_id"), col("sim32"), col("ch.chunk").as("chunk"), col("ch.ckey").as("ckey"))
-    // hamming test INSIDE the join predicate: the corpus's clustered
-    // simhashes make ~7.3M chunk-collision pairs at sf0.1 — filtering
-    // before the distinct means the dedup runs on the few survivors,
-    // not the millions of candidates (row-wise filter commutes with
+      .select(col("doc_id"), col("sim64"), explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("sim64"), col("ch.chunk").as("chunk"), col("ch.ckey").as("ckey"))
+    // hamming test INSIDE the join predicate: filtering before the
+    // distinct means the dedup runs on the few survivors, not the
+    // chunk-collision candidates (row-wise filter commutes with
     // DISTINCT, so the result is unchanged).
     chunks.as("x")
       .join(chunks.as("y"),
             col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id") &&
-            expr(s"bit_count(${d.xor("x.sim32", "y.sim32")})") <= maxHamming)
+            expr(s"bit_count(${d.xor("x.sim64", "y.sim64")})") <= maxHamming)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              expr(s"CAST(bit_count(${d.xor("x.sim32", "y.sim32")}) AS BIGINT)").as("hamming"))
+              expr(s"CAST(bit_count(${d.xor("x.sim64", "y.sim64")}) AS BIGINT)").as("hamming"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def simhashOracle(maxHamming: Int = 3): String = {
     val d = Dialect.duck
-    val chunkSelects = (0 until 4).map { c =>
-      s"SELECT doc_id, sim32, $c AS chunk, ${d.shiftR("sim32", (8 * c).toString)} & 255 AS ckey FROM sim"
+    val chunkSelects = (0 until NumChunks).map { c =>
+      s"SELECT doc_id, sim64, $c AS chunk, ${d.shiftR("sim64", (16 * c).toString)} & 65535 AS ckey FROM sim"
     }.mkString("\n         UNION ALL ")
     s"""WITH sh AS (SELECT doc_id, ${shinglesExpr(d)} AS hs FROM documents),
-       sim AS (SELECT doc_id, ${simhashExpr(d)} AS sim32 FROM sh),
+       mixed AS (SELECT doc_id, ${simhashMixExpr(d)} AS m FROM sh),
+       sim AS (SELECT doc_id, ${simhashVoteExpr(d)} AS sim64 FROM mixed),
        chunks AS ($chunkSelects),
        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           CAST(bit_count(${d.xor("x.sim32", "y.sim32")}) AS BIGINT) AS hamming
+           CAST(bit_count(${d.xor("x.sim64", "y.sim64")}) AS BIGINT) AS hamming
          FROM chunks x JOIN chunks y
            ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id
-           AND bit_count(${d.xor("x.sim32", "y.sim32")}) <= $maxHamming)
+           AND bit_count(${d.xor("x.sim64", "y.sim64")}) <= $maxHamming)
        SELECT doc_a, doc_b, hamming
        FROM pairs ORDER BY doc_a, doc_b"""
   }

@@ -65,6 +65,29 @@ object Multimodal {
     feats.toDF().orderBy(col("doc_id"))
   }
 
+  /** m02: binary-column digest + byte stats — the part of the
+    * multimodal pipeline that IS SQL-expressible, so unlike m01 it
+    * gets a full DuckDB oracle: media manifests at scale are exactly
+    * this (content digest for dedup/idempotency + size for placement)
+    * computed in the scan projection, no decode needed. The digest is
+    * over the raw payload bytes, proving the binary column round-trips
+    * bit-identically through the pipeline.
+    */
+  def binaryDigest(documents: DataFrame): DataFrame =
+    attachPayload(documents)
+      .select(col("doc_id"), col("mime"),
+              length(col("payload")).cast("long").as("n_bytes"),
+              sha2(col("payload"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+
+  // DuckDB 1.0's sha256 takes VARCHAR (hashed as its UTF-8 bytes) —
+  // identical bytes to Spark's sha2 over the cast-to-binary payload
+  val binaryDigestOracle: String =
+    """SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+       FROM documents ORDER BY doc_id"""
+
   // ---- resize / frame-sample plumbing ---------------------------------
 
   case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])

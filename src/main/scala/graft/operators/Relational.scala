@@ -453,4 +453,78 @@ object Relational {
       .groupBy(col("kmod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("kmod"))
+
+  /** Non-uniform price bands for the range join below — deliberately
+    * NOT equal-width, so no floor()-trick equi-join can express it. */
+  val priceBands: Seq[(String, Double, Double)] = Seq(
+    ("p0_budget", 0.0, 20000.0), ("p1_value", 20000.0, 45000.0),
+    ("p2_mid", 45000.0, 70000.0), ("p3_premium", 70000.0, 90000.0),
+    ("p4_luxury", 90000.0, 1e9))
+
+  /** q25: range (band) join — classify every lineitem into a price
+    * band by interval containment, then roll up per band.
+    *
+    * Scale shape: a range join between a huge fact and a TINY interval
+    * dim is a broadcast nested-loop join — each fact row scans 5
+    * broadcast intervals, a constant, so the plan is a single narrow
+    * pass with no shuffle before the aggregate. (For range joins
+    * between two LARGE tables the right shape is interval bucketing +
+    * equi-join on bucket, which q14's as-of join demonstrates; never
+    * let a large-large range join plan as a cartesian.)
+    */
+  def priceBandJoin(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val bands = priceBands.toDF("band", "lo", "hi")
+    lineitem
+      .join(broadcast(bands),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+           Rounding.roundN(sum(col("l_extendedprice")), 2).as("total_price"),
+           Rounding.roundN(avg(col("l_discount")), 4).as("avg_disc"))
+      .orderBy(col("band"))
+  }
+
+  def priceBandJoinOracle: String = {
+    val values = priceBands
+      .map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    s"""SELECT band, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total_price,
+       round(avg(l_discount), 4) AS avg_disc
+       FROM lineitem
+       JOIN (VALUES $values) b(band, lo, hi)
+         ON l_extendedprice >= lo AND l_extendedprice < hi
+       GROUP BY band ORDER BY band"""
+  }
+
+  /** q26: event-time RANGE-frame rolling aggregate — for each event,
+    * the count/sum of the same user's events in the preceding hour.
+    * A RANGE frame (all peers within the time interval) is not
+    * expressible as a ROWS frame when event spacing is irregular;
+    * this is the standard "activity in the last N minutes" feature
+    * shape. One shuffle on user_id, then a sorted single pass with a
+    * sliding frame — linear at any scale, no self-join.
+    */
+  def rollingHourly(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, Window.currentRow)
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("n_1h"), Rounding.roundN(col("sum_1h"), 2).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val rollingHourlyOracle: String =
+    """SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_1h,
+       round(sum("value") OVER w, 2) AS sum_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
 }

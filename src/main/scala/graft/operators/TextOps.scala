@@ -192,4 +192,135 @@ object TextOps {
        CAST(list_min(shingles) AS BIGINT) AS fp_min,
        CAST(CAST(list_sum(shingles) AS BIGINT) % $P AS BIGINT) AS fp_poly
        FROM s ORDER BY doc_id"""
+
+  // ---- per-language heavy hitters (t06) -------------------------------
+
+  /** t06: top-k terms per language — the vocabulary/heavy-hitter scan
+    * every corpus build runs. Classic two-phase shape: explode tokens
+    * map-side, partial-count before the shuffle (the exchange carries
+    * (lang, term) partial counts, not tokens), then a rank-limited
+    * window (Spark's WindowGroupLimit keeps only k rows per partition
+    * map-side). Tie-break on the term itself so both engines pick the
+    * same winners at equal counts.
+    */
+  def termTopK(documents: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("term").asc)
+    documents
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("term"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def termTopKOracle(k: Int = 5): String =
+    s"""WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+       c AS (SELECT lang, term, count(*) AS n FROM toks
+           WHERE length(term) > 0 GROUP BY lang, term),
+       r AS (SELECT lang, term, n, row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, term ASC) AS rank FROM c)
+       SELECT lang, CAST(rank AS BIGINT) AS rank, term, n
+       FROM r WHERE rank <= $k ORDER BY lang, rank"""
+
+  // ---- deterministic train/val/test split (t07) -----------------------
+
+  /** t07: deterministic hash split — assign every document to
+    * train/val/test by an affine hash of its id, 80/10/10. The split
+    * is a pure stateless projection: no shuffle, no sampling state,
+    * reproducible across runs/engines/cluster sizes, and any subset of
+    * the corpus lands in the same split it would in the full corpus —
+    * the property that makes incremental corpus builds possible.
+    * (Spark's `randomSplit` has none of these properties.)
+    */
+  def splitSample(documents: DataFrame): DataFrame = {
+    val bucket = (col("doc_id") * lit(1103515245L) + lit(12345L)) % P % 1000
+    documents
+      .withColumn("split",
+        when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           Rounding.roundN(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("split"))
+  }
+
+  val splitSampleOracle: String =
+    s"""WITH b AS (SELECT n_chars,
+         (doc_id * 1103515245 + 12345) % $P % 1000 AS bucket FROM documents)
+       SELECT CASE WHEN bucket < 800 THEN 'train'
+                   WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+       FROM b GROUP BY 1 ORDER BY split"""
+
+  // ---- sequence packing (t08) ----------------------------------------
+
+  /** t08: contiguous sequence packing — group documents into training
+    * batches of ~`budget` tokens each (per language, in doc_id order):
+    * batch_id = floor(prefix_token_sum / budget). Pure window
+    * arithmetic: one shuffle on lang, then a sorted linear pass — the
+    * scalable form of "pack the corpus into fixed-token batches"
+    * (greedy bin-packing is sequential; prefix-sum packing is the
+    * order-preserving parallel equivalent).
+    */
+  def sequencePack(documents: DataFrame, budget: Long = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("batch_id", floor(col("prefix") / budget))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
+  def sequencePackOracle(budget: Long = 512): String =
+    s"""WITH t AS (SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       p AS (SELECT lang, n_tokens,
+         coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+         FROM t)
+       SELECT lang, CAST(floor(prefix / $budget) AS BIGINT) AS batch_id,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+       FROM p GROUP BY lang, batch_id ORDER BY lang, batch_id"""
+
+  // ---- quality filter with per-reason accounting (t09) ----------------
+
+  /** t09: the corpus admission filter — every document gets a keep /
+    * drop verdict with the FIRST failing reason, and the output is the
+    * per-(lang, reason) census. First-reason semantics (a CASE chain,
+    * not independent flags) match how production filters report drops;
+    * the census is what you watch to catch a filter eating a language.
+    * Single projection + tiny agg: no shuffle before the partial agg.
+    */
+  def qualityFilter(documents: DataFrame): DataFrame = {
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    documents
+      .withColumn("reason",
+        when(col("n_chars") < 100, "too_short")
+        .when(col("n_chars") > 500, "too_long")
+        .when(nTokens < 15, "too_few_tokens")
+        .otherwise("keep"))
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("reason"))
+  }
+
+  val qualityFilterOracle: String =
+    """SELECT lang,
+       CASE WHEN n_chars < 100 THEN 'too_short'
+            WHEN n_chars > 500 THEN 'too_long'
+            WHEN len(string_split(text, ' ')) < 15 THEN 'too_few_tokens'
+            ELSE 'keep' END AS reason,
+       count(*) AS n
+       FROM documents GROUP BY 1, 2 ORDER BY lang, reason"""
 }

@@ -116,6 +116,42 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("user_id"), col("n"))
   }
 
+  // ---- st03: streaming dedup ------------------------------------------
+
+  /** st03 batch twin: first event per (user_id, event_type) — the
+    * relational form of streaming dedup-by-key. Full tie-break on
+    * (ts, event_id): the corpus has same-microsecond events.
+    */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+              col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupOracle: String =
+    """SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+       FROM (SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS rn
+             FROM events) t
+       WHERE rn = 1 ORDER BY user_id, event_type"""
+
+  /** st03 streaming path: keep the first-seen event per key.
+    * dropDuplicates + watermark is Spark's bounded-state streaming
+    * dedup: state for a key is purged once the watermark passes its
+    * event time, so the state store stays finite on an unbounded
+    * stream — the exact shape a 100 TB/day ingest dedup runs with.
+    */
+  def dedupStream(events: Dataset[Ev], watermark: String = "10 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id")
+
   // ---- st02 streaming path (flatMapGroupsWithState) -------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -122,6 +122,29 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st03 streaming dedup keeps one row per key with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minutes: Long, user: Long) =
+      StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+    val input = MemoryStream[StreamOps.Ev]
+    val deduped = StreamOps.dedupStream(input.toDS(), "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_st03_test").start()
+    try {
+      // three users, duplicates for user 1 and 2 across micro-batches
+      input.addData(ev(1, 60, 1), ev(2, 61, 2), ev(3, 62, 1))
+      q.processAllAvailable()
+      input.addData(ev(4, 63, 2), ev(5, 64, 3))
+      q.processAllAvailable()
+      val out = spark.table("graft_st03_test").as[StreamOps.Ev].collect()
+      assert(out.map(_.user_id).sorted.toSeq == Seq(1L, 2L, 3L))
+      // first arrival wins: user 1 keeps event 1, user 2 keeps event 2
+      assert(out.filter(_.user_id == 1).head.event_id == 1L)
+      assert(out.filter(_.user_id == 2).head.event_id == 2L)
+    } finally q.stop()
+  }
+
   test("st02 batch sessionizer session counts sum to event count") {
     val events = Tables.events(spark, sf)
     val sessions = StreamOps.sessionizeBatch(events)

@@ -77,6 +77,16 @@ class NativeParitySpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("SimHash64 == Dialect-composed mix + 62-bit vote fragment") {
+    val n = docs
+      .withColumn("hs", shingle_set(col("text")))
+      .withColumn("m", expr(Dedup.simhashMixExpr(d)))
+      .withColumn("a", simhash64(col("text")))
+      .withColumn("b", expr(Dedup.simhashVoteExpr(d)))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
   test("ArrJaccard on unsorted / duplicate-bearing input falls back to true set-Jaccard") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
