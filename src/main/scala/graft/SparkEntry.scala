@@ -77,6 +77,7 @@ object SparkEntry {
     "d01_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "d06_dedup_digest" -> ((s, d) => Dedup.digest(Tables.documents(s, d))),
     "d02_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "d03_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d04_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
@@ -97,6 +98,8 @@ object SparkEntry {
       Multimodal.binaryDigest(Tables.documents(s, d))),
     "st03_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamOps.dedupBatch(Tables.events(s, d))),
+    "st04_stream_join" -> ((s, d) =>
+      graft.streaming.StreamOps.intervalJoinBatch(Tables.events(s, d))),
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
     "t08_sequence_pack" -> ((s, d) => TextOps.sequencePack(Tables.documents(s, d))),
     "t09_quality_filter" -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
@@ -322,6 +325,7 @@ object SparkEntry {
     "d01_dedup_exact" -> Dedup.exactOracle,
     "d06_dedup_digest" -> Dedup.digestOracle,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
+    "d07_dedup_clusters" -> Dedup.dedupClustersOracle(),
     "d03_dedup_simhash" -> Dedup.simhashOracle(),
     "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
     "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),
@@ -337,6 +341,7 @@ object SparkEntry {
     "t06_term_topk" -> TextOps.termTopKOracle(),
     "m02_binary_digest" -> Multimodal.binaryDigestOracle,
     "st03_stream_dedup" -> graft.streaming.StreamOps.dedupOracle,
+    "st04_stream_join" -> graft.streaming.StreamOps.intervalJoinOracle(),
     "t07_split_sample" -> TextOps.splitSampleOracle,
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),
     "t09_quality_filter" -> TextOps.qualityFilterOracle,

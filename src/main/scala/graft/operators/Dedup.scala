@@ -119,7 +119,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def minhashLshOracle(minJaccard: Double = 0.3): String = {
+  /** The shared CTE chain producing `verified(doc_a, doc_b, jac)` —
+    * reused by the d02 oracle and the d07 cluster oracle so the edge
+    * definition cannot drift between them. */
+  private def minhashLshCtes: String = {
     val d = Dialect.duck
     val sigExprs = (0 until NumPerms).map { j =>
       d.amin(d.transform("hs", s"h -> (${minhashA(j)} * h + ${minhashB(j)}) % $P")) + s" AS m$j"
@@ -128,18 +131,83 @@ object Dedup {
       val rows = (0 until RowsPerBand).map(r => s"m${RowsPerBand * b + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $rows) AS bkey FROM sig"
     }.mkString("\n         UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id, ${shinglesExpr(d)} AS hs FROM documents),
+    s"""sh AS (SELECT doc_id, ${shinglesExpr(d)} AS hs FROM documents),
        sig AS (SELECT doc_id, $sigExprs FROM sh),
        bands AS ($bandSelects),
        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        verified AS (SELECT doc_a, doc_b,
-           ${jaccardExpr(d, "a.hs", "b.hs")} AS jac
-         FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id)
+           ${jaccardExpr(Dialect.duck, "a.hs", "b.hs")} AS jac
+         FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id)"""
+  }
+
+  def minhashLshOracle(minJaccard: Double = 0.3): String =
+    s"""WITH $minhashLshCtes
        SELECT doc_a, doc_b, round(jac, 4) AS jac FROM verified
        WHERE jac >= $minJaccard ORDER BY doc_a, doc_b"""
+
+  // ---- d07: dedup cluster resolution (connected components) -----------
+
+  /** d07: resolve the near-dup PAIRS into canonical CLUSTERS — the
+    * step every real dedup pipeline runs after pair generation (you
+    * keep one doc per component, not one per pair). Connected
+    * components via distributed min-label propagation: each vertex
+    * repeatedly adopts the minimum label among itself and its
+    * neighbors; fixpoint in O(component diameter) rounds. Every
+    * iteration materializes its frame (localCheckpoint) — an
+    * ITERATIVE algorithm on an un-materialized lineage would re-execute
+    * all previous rounds each round (see PLANS.md on plan re-execution)
+    * and the LSH edge set is checkpointed once up front for the same
+    * reason. Near-dup components are shallow (dozens of docs), so the
+    * round count is small and each round is one tiny shuffle.
+    */
+  def dedupClusters(documents: DataFrame, minJaccard: Double = 0.3,
+                    maxIters: Int = 50): DataFrame = {
+    val pairs = minhashLsh(documents, minJaccard)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("a", "b")
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neigh = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(neigh.as("n"), col("l.id") === col("n.a"), "left")
+        .select(col("l.id").as("id"),
+                least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"),
+                (col("l.label") > coalesce(col("n.nlabel"), col("l.label")))
+                  .cast("long").as("chg"))
+        .localCheckpoint()
+      changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      labels = updated.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
+
+  /** Oracle: transitive closure by recursive CTE (UNION dedups, so the
+    * recursion terminates on cycles); cluster id = min reachable id.
+    * Tractable because near-dup components are small — the closure is
+    * |C|^2 per component, which is exactly why the SPARK side uses
+    * label propagation instead.
+    */
+  def dedupClustersOracle(minJaccard: Double = 0.3): String =
+    s"""WITH RECURSIVE $minhashLshCtes,
+       dup AS (SELECT doc_a, doc_b FROM verified WHERE jac >= $minJaccard),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+                 UNION ALL SELECT doc_b, doc_a FROM dup),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY a ORDER BY doc_id"""
 
   // ---- d03: SimHash ---------------------------------------------------
 

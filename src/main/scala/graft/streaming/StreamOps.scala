@@ -152,6 +152,59 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id")
 
+  // ---- st04: stream-stream interval join ------------------------------
+
+  /** st04 batch twin: each click joined to the same user's views in
+    * the preceding `minutes` — equi-join on user_id with the time
+    * bound as a post-join filter (the q14 as-of shape: a hash join,
+    * never a nested loop).
+    */
+  def intervalJoinBatch(events: DataFrame, minutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ts").as("view_ts"))
+    clicks
+      .join(views, col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $minutes MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+              col("view_id"), col("view_ts"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  def intervalJoinOracle(minutes: Int = 30): String =
+    s"""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         v.event_id AS view_id, v.ts AS view_ts
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON c.user_id = v.user_id
+         AND v.ts BETWEEN c.ts - INTERVAL $minutes MINUTE AND c.ts
+       ORDER BY click_id, view_id"""
+
+  /** st04 streaming path: watermarked stream-stream inner join. The
+    * watermark + the time-range predicate are what make unbounded
+    * stream-stream join feasible: Spark derives how long each side's
+    * state must be retained (view state can be dropped once the
+    * watermark passes view_ts + interval) and purges beyond it, so
+    * state stays bounded on an unbounded stream.
+    */
+  def intervalJoinStream(clicks: Dataset[Ev], views: Dataset[Ev],
+                         minutes: Int = 30,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = clicks.toDF().withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val r = views.toDF().withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ts").as("view_ts"))
+    l.join(r, col("user_id") === col("v_user") &&
+      col("view_ts") >= col("click_ts") - expr(s"INTERVAL $minutes MINUTES") &&
+      col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+              col("view_id"), col("view_ts"))
+  }
+
   // ---- st02 streaming path (flatMapGroupsWithState) -------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

@@ -145,6 +145,29 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st04 stream-stream interval join matches the interval predicate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minutes: Long, user: Long) =
+      StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+    val clicks = MemoryStream[StreamOps.Ev]
+    val views = MemoryStream[StreamOps.Ev]
+    val joined = StreamOps.intervalJoinStream(clicks.toDS(), views.toDS(), 30)
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_st04_test").start()
+    try {
+      // views at t=60,70 and a stale one at t=10; click at t=75 joins
+      // only the two within [45, 75]
+      views.addData(ev(101, 10, 1), ev(102, 60, 1), ev(103, 70, 1))
+      q.processAllAvailable()
+      clicks.addData(ev(201, 75, 1))
+      q.processAllAvailable()
+      val out = spark.table("graft_st04_test").collect()
+      assert(out.map(_.getAs[Long]("view_id")).sorted.toSeq == Seq(102L, 103L))
+      assert(out.forall(_.getAs[Long]("click_id") == 201L))
+    } finally q.stop()
+  }
+
   test("st02 batch sessionizer session counts sum to event count") {
     val events = Tables.events(spark, sf)
     val sessions = StreamOps.sessionizeBatch(events)
