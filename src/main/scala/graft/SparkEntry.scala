@@ -98,6 +98,8 @@ object SparkEntry {
       Multimodal.binaryDigest(Tables.documents(s, d))),
     "st03_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamOps.dedupBatch(Tables.events(s, d))),
+    "q27_rollup_counts" -> ((s, d) =>
+      Relational.rollupCounts(Tables.events(s, d))),
     "st04_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.intervalJoinBatch(Tables.events(s, d))),
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
@@ -341,6 +343,7 @@ object SparkEntry {
     "t06_term_topk" -> TextOps.termTopKOracle(),
     "m02_binary_digest" -> Multimodal.binaryDigestOracle,
     "st03_stream_dedup" -> graft.streaming.StreamOps.dedupOracle,
+    "q27_rollup_counts" -> Relational.rollupCountsOracle,
     "st04_stream_join" -> graft.streaming.StreamOps.intervalJoinOracle(),
     "t07_split_sample" -> TextOps.splitSampleOracle,
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),

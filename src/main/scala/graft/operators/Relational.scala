@@ -142,6 +142,10 @@ object Relational {
 
   /** The bound merge demo used by the verify gate: updates = R-flagged
     * lines with bumped quantity; result summarized per returnflag.
+    * (A min_by-over-ordering-struct merge was measured as an
+    * alternative and plans as SortAggregate — struct-valued aggregates
+    * don't hash-aggregate — landing at the same cost as this window
+    * form, which already gets a map-side WindowGroupLimit.)
     */
   def mergeUpsertSummary(lineitem: DataFrame): DataFrame = {
     val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
@@ -527,4 +531,26 @@ object Relational {
        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
+
+  /** q27: ROLLUP hierarchy totals — per (event_type, day), per
+    * event_type, and grand total in ONE pass (the dashboard "cards +
+    * drill-down" query). Spark plans rollup as a single Expand +
+    * two-phase aggregate: each input row fans out to its grouping
+    * sets map-side and partial-aggregates before the shuffle, so the
+    * exchange carries #groups x #sets rows — one scan regardless of
+    * how many subtotal levels, vs one scan per level if computed
+    * naively.
+    */
+  def rollupCounts(events: DataFrame): DataFrame =
+    events
+      .rollup(col("event_type"), to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n"), Rounding.roundN(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  val rollupCountsOracle: String =
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       count(*) AS n, round(sum("value"), 2) AS sum_value
+       FROM events
+       GROUP BY ROLLUP(event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
+       ORDER BY event_type NULLS FIRST, day NULLS FIRST"""
 }

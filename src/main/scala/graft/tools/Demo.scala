@@ -65,6 +65,19 @@ object Demo {
     val avgQ = quality.agg(avg(col("quality"))).head.getDouble(0)
     println(f"6. corpus: ${dups.count()} near-dup pairs, avg quality=$avgQ%.3f")
 
+    // 7. CORPUS BUILD: pairs -> clusters -> admission filter ->
+    //    deterministic split -> token-budget packing (the training-set
+    //    assembly line downstream of dedup)
+    val clusters = Dedup.dedupClusters(Tables.documents(spark, sf))
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val kept = TextOps.qualityFilter(Tables.documents(spark, sf))
+      .filter(col("reason") === "keep").agg(sum(col("n"))).head.getLong(0)
+    val splits = TextOps.splitSample(Tables.documents(spark, sf)).count()
+    val batches = TextOps.sequencePack(Tables.documents(spark, sf))
+      .select("lang", "batch_id").distinct().count()
+    println(s"7. corpus build: ${clusters.count()} near-dup docs in $nClusters clusters, " +
+      s"$kept docs pass admission, $splits splits, $batches training batches")
+
     println("== demo complete")
     spark.stop()
   }

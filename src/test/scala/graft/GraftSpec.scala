@@ -145,6 +145,22 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergeUpsert is null-safe on key columns (reference's null-safe date equality)") {
+    import spark.implicits._
+    // reference MERGE matches on (ticker, record_type, period_end_date)
+    // with null-safe equality on the date: a null-dated source row must
+    // UPDATE the null-dated target row, not insert a second one
+    val target = Seq[(String, Option[String], Double)](
+      ("A", Some("2020-01-01"), 1.0), ("A", None, 2.0)).toDF("key", "pd", "v")
+    val source = Seq[(String, Option[String], Double)](
+      ("A", None, 99.0)).toDF("key", "pd", "v")
+    val merged = graft.operators.Relational
+      .mergeUpsert(target, source, Seq("key", "pd")).collect()
+    assert(merged.length == 2)
+    val nullRow = merged.filter(_.isNullAt(1))
+    assert(nullRow.length == 1 && nullRow.head.getDouble(2) == 99.0)
+  }
+
   test("st04 stream-stream interval join matches the interval predicate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties this library
+  * is designed around (pushdown into the scan, broadcast of small
+  * sides, map-side partial aggregation, rank-limit pushdown,
+  * partitioning reuse) are asserted on the PLAN, not just observed in
+  * PLANS.md — a refactor that silently turns a broadcast join into a
+  * shuffle join or drops a pushed filter fails here long before it
+  * shows up as a 100 TB regression.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local("graft-plan-test", cores = 4)
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02: range + equality predicates are pushed into the parquet scan") {
+    // plan toString truncates long filter lists, so assert on the
+    // earliest pushed entries (the EqualTo lands beyond the cutoff)
+    val p = plan("q02_date_range_filter")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("IsNotNull(o_orderstatus)"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q03: all three dimension joins broadcast — the fact never shuffles for a join") {
+    assert(count(plan("q03_star_join"), "BroadcastHashJoin") == 3)
+  }
+
+  test("q13: anti-join plans as a broadcast hash join") {
+    val p = plan("q13_queue_skip_antijoin")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q08: merge window gets the map-side rank-limit (WindowGroupLimit)") {
+    assert(plan("q08_merge_upsert").contains("WindowGroupLimit"))
+  }
+
+  test("t06: heavy hitters get map-side partial counts AND a map-side rank limit") {
+    val p = plan("t06_term_topk")
+    assert(p.contains("partial_count") || p.contains("partial_"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q25: tiny interval dim plans as a broadcast nested-loop join, not a cartesian shuffle") {
+    val p = plan("q25_price_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q26: RANGE-frame window costs exactly one data shuffle plus the output sort") {
+    assert(count(plan("q26_rolling_hourly"), "Exchange") == 2)
+  }
+
+  test("t08: aggregate on a refinement of the window partitioning adds NO exchange") {
+    // Exchange(lang) for the window + rangepartitioning for the output
+    // order — if a third appears, partitioning reuse broke
+    assert(count(plan("t08_sequence_pack"), "Exchange") == 2)
+  }
+
+  test("q24: cursor-page seek predicate reaches the scan (deep page == page 1 cost)") {
+    val p = plan("q24_cursor_page")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(o_orderdate"))
+  }
+}
