@@ -84,6 +84,7 @@ object SparkEntry {
     "s01_ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "s03_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "s04_centroid_update" -> ((s, d) => Similarity.centroidUpdate(Tables.embeddings(s, d))),
     "m01_multimodal_meta" -> ((s, d) => Multimodal.pipeline(Tables.documents(s, d))),
     "st01_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
@@ -334,6 +335,7 @@ object SparkEntry {
     "s01_ann_bruteforce_topk" -> Similarity.bruteForceTopKOracle(),
     "s02_ann_lsh_topk" -> Similarity.lshTopKOracle(),
     "s03_ann_ivf_topk" -> Similarity.ivfTopKOracle(),
+    "s04_centroid_update" -> Similarity.centroidUpdateOracle,
     // m01_multimodal_meta: no oracle — binary/mapPartitions pipeline is
     // not SQL-expressible; driver records the rows-only check.
     "st01_stream_windowed" -> graft.streaming.StreamOps.windowedCountsOracle,

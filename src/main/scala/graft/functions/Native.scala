@@ -377,11 +377,37 @@ case class ArrJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product of two float vectors, accumulated in double.
+  *
+  * Unlike the other kernels this one implements doGenCode rather than
+  * CodegenFallback: it sits inside the ANN hot paths (s01/s02/s03,
+  * d05) where it composes with filters/windows in the same stage, so
+  * keeping it codegen-able preserves the WholeStageCodegen span
+  * around it (a CodegenFallback child forces the whole stage to
+  * interpreted mode in Spark). The generated loop is the same
+  * left-to-right double fold as [[TextKernels.dotF]] and the DuckDB
+  * list_reduce fragment — bit-identical results.
+  */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }

@@ -131,20 +131,29 @@ object Similarity {
     */
   val centroidIds: Seq[Long] = (100L until 108L)
 
-  def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
+  /** IVF cell assignment: every vector to its nearest centroid
+    * (broadcast K centroids + top-1 window) — shared by s03 search and
+    * s04 centroid refinement. */
+  private def assignedCells(embeddings: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
     val cents = embeddings.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val assigned = embeddings
+    embeddings
       .crossJoin(broadcast(cents))
       .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
               vec_norm(col("embedding")).as("nrm"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignedCells(embeddings)
     val corpus = assigned.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
                                  col("nrm").as("cn"), col("cell"))
     val queries = assigned.filter(col("vec_id") < maxQueryId)
@@ -161,10 +170,13 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def ivfTopKOracle(maxQueryId: Long = 8, k: Int = 3): String = {
+  /** The IVF cell-assignment CTE chain producing
+    * `assigned(vec_id, embedding, cell, nrm)` — shared by the s03
+    * oracle and the s04 centroid-update oracle. */
+  private def assignedCtes: String = {
     val d = Dialect.duck
     val ids = centroidIds.mkString(", ")
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cemb
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cemb
            FROM embeddings WHERE vec_id IN ($ids)),
        scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
            ${dot(d, "e.embedding", "c.cemb")} AS csim
@@ -173,7 +185,12 @@ object Similarity {
            ${normExpr(d, "embedding")} AS nrm
          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                  ORDER BY csim DESC, cent_id) AS crn FROM scoredc) t
-         WHERE crn = 1),
+         WHERE crn = 1)"""
+  }
+
+  def ivfTopKOracle(maxQueryId: Long = 8, k: Int = 3): String = {
+    val d = Dialect.duck
+    s"""WITH $assignedCtes,
        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
            ${dot(d, "q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          FROM assigned c JOIN assigned q ON q.cell = c.cell AND q.vec_id <> c.vec_id
@@ -185,6 +202,31 @@ object Similarity {
          round(cos, 4) AS cos
        FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
   }
+
+  /** s04: the Lloyd refinement step — recompute each IVF cell's
+    * centroid as the element-wise mean of its member vectors. This is
+    * how the s03 index is MAINTAINED at scale (periodic re-training on
+    * the live corpus): posexplode fans each vector into (cell, dim,
+    * value) rows map-side, and the mean is a plain two-phase aggregate
+    * — the shuffle carries (cell, dim) partial sums (K x D rows per
+    * map partition), never vectors. One such pass per Lloyd iteration,
+    * embarrassingly parallel at any corpus size.
+    */
+  def centroidUpdate(embeddings: DataFrame): DataFrame =
+    assignedCells(embeddings)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+           Rounding.roundN(avg(col("v").cast("double")), 4).as("mean_v"))
+      .orderBy(col("cell"), col("dim"))
+
+  def centroidUpdateOracle: String =
+    s"""WITH $assignedCtes,
+       ex AS (SELECT cell, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+         FROM assigned CROSS JOIN generate_series(1, $Dims) t(i))
+       SELECT cell, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         round(avg(v), 4) AS mean_v
+       FROM ex GROUP BY cell, dim ORDER BY cell, dim"""
 
   /** d05: embedding-cosine near-duplicate pairs, LSH-blocked. */
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {

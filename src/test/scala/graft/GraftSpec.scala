@@ -214,6 +214,60 @@ class GraftSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("schema evolution: mergeSchema reads old and new batches as one table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // batch 1 written before the schema grew; batch 2 adds a column —
+    // the reference's financial API does exactly this between quarters
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/b1")
+    Seq((2L, "y", 3.5)).toDF("id", "a", "score").write.parquet(s"$dir/b2")
+    val all = spark.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+    assert(all.columns.sorted.toSeq == Seq("a", "id", "score"))
+    assert(all.count() == 2)
+    // old rows surface the new column as null, not an error
+    assert(all.filter(col("id") === 1L).head.isNullAt(all.columns.indexOf("score")))
+  }
+
+  test("streaming ingest lands in the lakehouse via foreachBatch merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString + "/records"
+    // seed the serving table with one stale row per key
+    val seed = Seq[(Long, String, Option[String], Double, Option[String])](
+      (1L, "financials", Some("2020-03-31"), 10.0, None),
+      (2L, "financials", Some("2020-03-31"), 20.0, None))
+      .toDF("suppkey", "record_type", "period_end_date", "qty", "name")
+      .withColumn("period_end_date", col("period_end_date").cast("timestamp"))
+    graft.sources.LakehouseWriter.writeUnified(seed, lake)
+    // stream micro-batches of updates; each batch MERGEs into the lake
+    // (the reference's continuous ingest -> Delta MERGE loop)
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDS().toDF("suppkey", "qty")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val records = batch
+          .withColumn("record_type", lit("financials"))
+          .withColumn("period_end_date", lit("2020-03-31").cast("timestamp"))
+          .withColumn("name", lit(null).cast("string"))
+          .select("suppkey", "record_type", "period_end_date", "qty", "name")
+        graft.sources.LakehouseWriter.mergeInto(spark, lake, records,
+          keys = Seq("suppkey", "record_type", "period_end_date"), tieBreak = Seq("qty"))
+      }
+      .start()
+    try {
+      input.addData((1L, 11.0))
+      q.processAllAvailable()
+      input.addData((2L, 22.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = spark.read.parquet(lake)
+    assert(after.count() == 2) // merged, not appended
+    assert(after.filter(col("suppkey") === 1L).head.getAs[Double]("qty") == 11.0)
+    assert(after.filter(col("suppkey") === 2L).head.getAs[Double]("qty") == 22.0)
+  }
+
   test("LakehouseWriter round-trips partitioned unified records") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/stocks"
