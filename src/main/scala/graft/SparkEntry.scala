@@ -78,6 +78,7 @@ object SparkEntry {
     "d06_dedup_digest" -> ((s, d) => Dedup.digest(Tables.documents(s, d))),
     "d02_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    "d08_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     "d03_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d04_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
@@ -85,6 +86,7 @@ object SparkEntry {
     "s02_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "s03_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "s04_centroid_update" -> ((s, d) => Similarity.centroidUpdate(Tables.embeddings(s, d))),
+    "s05_ann_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbe(Tables.embeddings(s, d))),
     "m01_multimodal_meta" -> ((s, d) => Multimodal.pipeline(Tables.documents(s, d))),
     "st01_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
@@ -329,6 +331,7 @@ object SparkEntry {
     "d06_dedup_digest" -> Dedup.digestOracle,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
     "d07_dedup_clusters" -> Dedup.dedupClustersOracle(),
+    "d08_decontaminate" -> Dedup.decontaminateOracle(),
     "d03_dedup_simhash" -> Dedup.simhashOracle(),
     "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
     "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),
@@ -336,6 +339,7 @@ object SparkEntry {
     "s02_ann_lsh_topk" -> Similarity.lshTopKOracle(),
     "s03_ann_ivf_topk" -> Similarity.ivfTopKOracle(),
     "s04_centroid_update" -> Similarity.centroidUpdateOracle,
+    "s05_ann_ivf_multiprobe" -> Similarity.ivfMultiProbeOracle(),
     // m01_multimodal_meta: no oracle — binary/mapPartitions pipeline is
     // not SQL-expressible; driver records the rows-only check.
     "st01_stream_windowed" -> graft.streaming.StreamOps.windowedCountsOracle,

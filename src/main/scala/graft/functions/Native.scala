@@ -295,6 +295,40 @@ case class WordBigrams(child: Expression)
   override protected def withNewChildInternal(c: Expression): WordBigrams = copy(c)
 }
 
+/** Sorted distinct rolling word n-gram hashes: tokens of lower(text)
+  * split on single spaces, each token poly-hashed (BigramHash's
+  * reduce-no-init 31-base fold over codepoints), then a Rabin-Karp
+  * style fold over each n-token window: acc = (acc*131 + th) % P with
+  * th(i) as the seed. Versus hashing the joined gram STRING, this
+  * does O(tokens) char work + O(tokens*n) long arithmetic per doc —
+  * no per-gram string construction at all. The oracle computes the
+  * identical arithmetic (list_reduce over the token-hash slice), so
+  * hash collisions merge the same grams on both engines.
+  */
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = BigramHash.hash(toks(i)); i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    i = 0
+    while (i < out.length) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 131 + th(i + j)) % TextKernels.P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(TextKernels.distinctHashes(out))
+  }
+  override protected def withNewChildInternal(c: Expression): WordGramHashes = copy(child = c)
+}
+
 /** Jaccard set-similarity |A∩B| / |A∪B| of two arrays.
   *
   * Fast path: when both inputs are STRICTLY ascending (sorted,
@@ -432,6 +466,7 @@ object GraftFunctions {
   def simhash64(col: Column): Column = c(SimHash64(x(col)))
   def word_bigrams(col: Column): Column = c(WordBigrams(x(col)))
   def word_bigram_hashes(col: Column): Column = c(WordBigramHashes(x(col)))
+  def word_gram_hashes(col: Column, n: Int): Column = c(WordGramHashes(x(col), n))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
   def arr_jaccard(a: Column, b: Column): Column = c(ArrJaccard(x(a), x(b)))
   def vec_norm(a: Column): Column = {

@@ -209,6 +209,52 @@ object Dedup {
        SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
        FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ---- d08: benchmark decontamination ---------------------------------
+
+  /** d08: decontamination — flag corpus documents that share any
+    * long (n-token) exact word sequence with a benchmark set, the
+    * standard "remove eval-set overlap from training data" pass. The
+    * benchmark here is the docs with id < benchMaxId (standing in for
+    * an external eval suite). Long n-grams make overlap meaningful on
+    * a same-vocab corpus: 10-token exact runs only occur in true
+    * copies, not by chance.
+    *
+    * Scale shape: benchmark n-grams are TINY next to the corpus —
+    * they distinct down and BROADCAST, so the corpus side explodes
+    * its grams map-side and probes locally; the only shuffle is the
+    * per-doc hit count. Grams are 8-byte Rabin-Karp hashes over the
+    * per-token poly hashes (the WordGramHashes kernel — no per-gram
+    * string construction), and the oracle runs the identical
+    * arithmetic so collisions merge the same grams on both engines.
+    */
+  def decontaminate(documents: DataFrame, benchMaxId: Long = 50, n: Int = 10): DataFrame = {
+    import graft.functions.GraftFunctions.word_gram_hashes
+    val g = documents.select(col("doc_id"),
+      explode(word_gram_hashes(col("text"), n)).as("gram"))
+    val bench = g.filter(col("doc_id") < benchMaxId).select(col("gram")).distinct()
+    g.filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateOracle(benchMaxId: Long = 50, n: Int = 10): String = {
+    val charHash = "list_reduce(list_transform(generate_series(1, length(s)), " +
+      s"k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       th AS (SELECT doc_id, len(toks) AS nt,
+           list_transform(toks, s -> $charHash) AS th FROM t),
+       g AS (SELECT doc_id, unnest(CASE WHEN nt < $n THEN CAST([] AS BIGINT[])
+           ELSE list_distinct(list_transform(generate_series(1, nt - $n + 1),
+                i -> list_reduce(th[i:i+$n-1], (a, b) -> (a * 131 + b) % $P))) END) AS gram
+         FROM th),
+       bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $benchMaxId)
+       SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+       FROM g JOIN bench USING (gram) WHERE g.doc_id >= $benchMaxId
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
+  }
+
   // ---- d03: SimHash ---------------------------------------------------
 
   /** 64-bit (62 usable) SimHash over the shingle-hash set: each 31-bit

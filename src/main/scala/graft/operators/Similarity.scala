@@ -203,6 +203,65 @@ object Similarity {
        FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  /** s05: multi-probe IVF — the standard recall lever: a query probes
+    * its `nProbe` nearest cells instead of only the nearest one, so a
+    * true neighbor sitting just across a Voronoi boundary is still
+    * found. Corpus-side cost is unchanged (each vector still lives in
+    * exactly one cell); the query side fans out nProbe-fold, which is
+    * the knob that trades search cost for recall at constant index
+    * size. Candidate pairs stay unique (a corpus vector has one cell),
+    * so no dedup stage is needed before the rank.
+    */
+  def ivfMultiProbe(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                    nProbe: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val cents = embeddings.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val corpus = assignedCells(embeddings)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val qprobe = embeddings.filter(col("vec_id") < maxQueryId)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              vec_norm(col("embedding")).as("qn"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    corpus.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfMultiProbeOracle(maxQueryId: Long = 8, k: Int = 3, nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    s"""WITH $assignedCtes,
+       qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn, cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc WHERE vec_id < $maxQueryId) t
+         WHERE crn <= $nProbe),
+       scored AS (SELECT q.q_id, c.vec_id AS c_id,
+           ${dot(d, "q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         FROM assigned c JOIN qprobe q ON q.cell = c.cell
+         WHERE q.q_id <> c.vec_id),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
   /** s04: the Lloyd refinement step — recompute each IVF cell's
     * centroid as the element-wise mean of its member vectors. This is
     * how the s03 index is MAINTAINED at scale (periodic re-training on

@@ -53,6 +53,15 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
   }
 
+  test("s05 multi-probe never finds a worse best-match than single-probe s03") {
+    val best3 = SparkEntry.queries("s03_ann_ivf_topk")(spark, sf)
+      .filter("rank = 1").collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val best5 = SparkEntry.queries("s05_ann_ivf_multiprobe")(spark, sf)
+      .filter("rank = 1").collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    assert(best3.keySet.subsetOf(best5.keySet))
+    best3.foreach { case (q, c) => assert(best5(q) >= c - 1e-9) }
+  }
+
   test("st01 streaming windowed counts == batch twin") {
     val streamed = StreamOps.windowedCountsStream(spark, sf).collect().toSeq
     val batch = StreamOps.windowedCountsBatch(Tables.events(spark, sf)).collect().toSeq

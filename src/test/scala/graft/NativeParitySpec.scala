@@ -129,6 +129,25 @@ class NativeParitySpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("WordGramHashes == token-hash Rabin-Karp SQL fold (as sorted sets)") {
+    val n = 10
+    val toks = "split(lower(text), ' ')"
+    // per-token char hash; single-char guard (sequence(2,1) would DESCEND)
+    val charHash = "(CASE WHEN length(s) < 2 THEN CAST(ascii(s) AS BIGINT) " +
+      s"ELSE aggregate(transform(sequence(2, length(s)), k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), " +
+      s"CAST(ascii(substring(s, 1, 1)) AS BIGINT), (acc, c) -> (acc * 31 + c) % ${Dedup.P}) END)"
+    val th = s"transform($toks, s -> $charHash)"
+    val grams = s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<BIGINT>) " +
+      s"ELSE array_sort(array_distinct(transform(sequence(1, size($toks) - ${n - 1}), " +
+      s"i -> aggregate(slice($th, i + 1, ${n - 1}), element_at($th, i), " +
+      s"(a, b) -> (a * 131 + b) % ${Dedup.P})))) END"
+    val cnt = docs
+      .withColumn("a", sort_array(word_gram_hashes(col("text"), n)))
+      .withColumn("b", expr(grams))
+      .filter(col("a") =!= col("b")).count()
+    assert(cnt == 0)
+  }
+
   test("PlaneBucket == arithmetic hyperplane-sign SQL fragment") {
     val planes = graft.operators.Similarity.NumPlanes
     val dims = graft.operators.Similarity.Dims

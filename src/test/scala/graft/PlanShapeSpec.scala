@@ -75,4 +75,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q24_cursor_page")
     assert(p.contains("PushedFilters") && p.contains("LessThan(o_orderdate"))
   }
+
+  test("d08: benchmark grams broadcast — corpus grams never shuffle for the probe") {
+    assert(plan("d08_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("s05: centroid set and probe set broadcast; corpus joins on cell without shuffling") {
+    // two broadcasts: K centroids (assignment) and the probed queries
+    assert(count(plan("s05_ann_ivf_multiprobe"), "BroadcastExchange") >= 2)
+  }
 }
