@@ -169,8 +169,13 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("a", "b")
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // round 0 fused into initialization: label = min(self, neighbors).
+    // For the dominant shallow components (pairs, triangles, stars on
+    // the min vertex) this IS the fixpoint, so the loop usually runs
+    // once to confirm and once more only for chains.
+    var labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("a").as("id"), col("label")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
