@@ -103,6 +103,10 @@ object SparkEntry {
       graft.streaming.StreamOps.dedupBatch(Tables.events(s, d))),
     "q27_rollup_counts" -> ((s, d) =>
       Relational.rollupCounts(Tables.events(s, d))),
+    "q28_incremental_agg" -> ((s, d) =>
+      Relational.incrementalAgg(Tables.lineitem(s, d))),
+    "q29_scd2_history" -> ((s, d) =>
+      Relational.scd2History(Tables.events(s, d))),
     "st04_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.intervalJoinBatch(Tables.events(s, d))),
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
@@ -350,6 +354,8 @@ object SparkEntry {
     "m02_binary_digest" -> Multimodal.binaryDigestOracle,
     "st03_stream_dedup" -> graft.streaming.StreamOps.dedupOracle,
     "q27_rollup_counts" -> Relational.rollupCountsOracle,
+    "q28_incremental_agg" -> Relational.incrementalAggOracle,
+    "q29_scd2_history" -> Relational.scd2HistoryOracle,
     "st04_stream_join" -> graft.streaming.StreamOps.intervalJoinOracle(),
     "t07_split_sample" -> TextOps.splitSampleOracle,
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),

@@ -532,6 +532,58 @@ object Relational {
          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
 
+  /** q28: incremental aggregate maintenance — the 100 TB aggregation
+    * pattern: history is aggregated ONCE and kept as a compact
+    * per-key state table; each new batch aggregates alone and merges
+    * into it by summing mergeable state (count/sum here; any
+    * commutative monoid works). Demonstrated by splitting the fact
+    * table at a cutoff date and proving history-agg + delta-agg ==
+    * the full recompute (the oracle aggregates the whole table). The
+    * merge input is two tiny keyed frames — the raw history is never
+    * rescanned.
+    */
+  def incrementalAgg(lineitem: DataFrame, cutoff: String = "1997-01-01"): DataFrame = {
+    def aggOf(df: DataFrame) =
+      df.groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    val history = aggOf(lineitem.filter(col("l_shipdate") < lit(cutoff)))
+    val delta = aggOf(lineitem.filter(col("l_shipdate") >= lit(cutoff)))
+    history.unionByName(delta)
+      .groupBy(col("flag"))
+      .agg(sum(col("n")).as("n"), Rounding.roundN(sum(col("qty")), 2).as("qty"))
+      .orderBy(col("flag"))
+  }
+
+  val incrementalAggOracle: String =
+    """SELECT l_returnflag AS flag, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+       FROM lineitem GROUP BY 1 ORDER BY flag"""
+
+  /** q29: SCD type-2 history — turn the event log into validity
+    * ranges: each (user, state) row is valid from its own timestamp
+    * until the user's next event (open-ended for the current state).
+    * One shuffle on the key, then `lead` over the sorted partition —
+    * the standard dimension-history build, linear at any scale.
+    * Deterministic tie-break on event_id (the corpus carries
+    * same-microsecond events).
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts").as("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val scd2HistoryOracle: String =
+    """SELECT user_id, event_type, event_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       FROM events
+       ORDER BY user_id, valid_from, event_id"""
+
   /** q27: ROLLUP hierarchy totals — per (event_type, day), per
     * event_type, and grand total in ONE pass (the dashboard "cards +
     * drill-down" query). Spark plans rollup as a single Expand +
