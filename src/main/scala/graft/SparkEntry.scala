@@ -79,6 +79,9 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "d08_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
+    "d09_fuzzy_keys" -> ((s, d) => Dedup.fuzzyKeys(Tables.customer(s, d))),
+    "q30_share_of_total" -> ((s, d) => Relational.shareOfTotal(Tables.events(s, d))),
+    "t10_tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d))),
     "d03_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d04_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
@@ -336,6 +339,9 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
     "d07_dedup_clusters" -> Dedup.dedupClustersOracle(),
     "d08_decontaminate" -> Dedup.decontaminateOracle(),
+    "d09_fuzzy_keys" -> Dedup.fuzzyKeysOracle(),
+    "q30_share_of_total" -> Relational.shareOfTotalOracle,
+    "t10_tfidf_topk" -> TextOps.tfidfTopKOracle(),
     "d03_dedup_simhash" -> Dedup.simhashOracle(),
     "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
     "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),

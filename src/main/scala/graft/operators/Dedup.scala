@@ -260,6 +260,39 @@ object Dedup {
        GROUP BY g.doc_id ORDER BY g.doc_id"""
   }
 
+  // ---- d09: fuzzy key matching (entity resolution) --------------------
+
+  /** d09: blocked fuzzy key matching — surface keys within edit
+    * distance 1 of each other (the entity-resolution pass the
+    * reference's ticker normalization hints at: catching near-miss
+    * identifiers, not just case/whitespace variants). Standard
+    * blocking: candidates must share everything but the last
+    * character, which bounds each block to a handful of keys, then
+    * the exact levenshtein test runs inside the join predicate —
+    * never all-pairs. Output is the per-key fuzzy-neighbor census
+    * (count + smallest matching key), the compact resolution table.
+    */
+  def fuzzyKeys(customer: DataFrame, maxDist: Int = 1): DataFrame = {
+    val k = customer
+      .select(col("c_custkey"), upper(trim(col("c_name"))).as("k"))
+      .withColumn("blk", expr("substring(k, 1, length(k) - 1)"))
+    k.as("x").join(k.as("y"),
+        col("x.blk") === col("y.blk") && col("x.c_custkey") < col("y.c_custkey") &&
+        levenshtein(col("x.k"), col("y.k")) <= maxDist)
+      .groupBy(col("x.c_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_fuzzy"), min(col("y.c_custkey")).as("first_match"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def fuzzyKeysOracle(maxDist: Int = 1): String =
+    s"""WITH b AS (SELECT c_custkey, upper(trim(c_name)) AS k,
+         substring(upper(trim(c_name)), 1, length(trim(c_name)) - 1) AS blk
+       FROM customer)
+       SELECT x.c_custkey, count(*) AS n_fuzzy, min(y.c_custkey) AS first_match
+       FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+         AND levenshtein(x.k, y.k) <= $maxDist
+       GROUP BY x.c_custkey ORDER BY x.c_custkey"""
+
   // ---- d03: SimHash ---------------------------------------------------
 
   /** 64-bit (62 usable) SimHash over the shingle-hash set: each 31-bit

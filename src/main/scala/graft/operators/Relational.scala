@@ -584,6 +584,30 @@ object Relational {
        FROM events
        ORDER BY user_id, valid_from, event_id"""
 
+  /** q30: ratio-to-report — each state's share of its day's total,
+    * the dashboard "percent of traffic" column. The denominator is a
+    * window sum over the ALREADY-AGGREGATED frame (days x types), so
+    * no second scan and no join: one partial agg over the facts, then
+    * a window over a tiny frame partitioned by day.
+    */
+  def shareOfTotal(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("day"))
+    events
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_total", sum(col("n")).over(w))
+      .select(col("day"), col("event_type"), col("n"),
+              Rounding.roundN(col("n") / col("day_total"), 4).as("share"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val shareOfTotalOracle: String =
+    """WITH c AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         event_type, count(*) AS n FROM events GROUP BY 1, 2)
+       SELECT day, event_type, n,
+         round(n / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE), 4) AS share
+       FROM c ORDER BY day, event_type"""
+
   /** q27: ROLLUP hierarchy totals — per (event_type, day), per
     * event_type, and grand total in ONE pass (the dashboard "cards +
     * drill-down" query). Spark plans rollup as a single Expand +

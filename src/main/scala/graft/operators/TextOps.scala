@@ -227,6 +227,51 @@ object TextOps {
        SELECT lang, CAST(rank AS BIGINT) AS rank, term, n
        FROM r WHERE rank <= $k ORDER BY lang, rank"""
 
+  // ---- TF-IDF top terms (t10) ----------------------------------------
+
+  /** t10: top-k TF-IDF terms per document — the classic keyword
+    * extractor. Three aggregates, all two-phase with map-side
+    * partials: tf per (doc, term), df per term (distinct docs), and
+    * N (one row, broadcast back). The ranking key is the ROUNDED
+    * score (then the term): both engines compute ln with ulp-level
+    * agreement and 6-dp rounding absorbs it, so the rank — and the
+    * hash — are stable cross-engine (verified at all three SFs).
+    */
+  def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        Rounding.roundN(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+              col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def tfidfTopKOracle(k: Int = 3): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+       f AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (SELECT doc_id, term, tf, df,
+           round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+       FROM ranked WHERE rank <= $k ORDER BY doc_id, rank"""
+
   // ---- deterministic train/val/test split (t07) -----------------------
 
   /** t07: deterministic hash split — assign every document to
