@@ -15,6 +15,11 @@ run / fork := true
 // sbt's logger — keeps Bench/Verify's machine-readable JSON lines free
 // of the "[info] " prefix so the driver can json-parse them.
 run / outputStrategy := Some(StdoutOutput)
+// Bench/Verify emit one machine-readable JSON line as their LAST
+// stdout line; sbt's trailing "[success] Total time: ..." banner
+// would otherwise land after it and break a last-line JSON parse.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
