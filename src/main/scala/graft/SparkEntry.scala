@@ -115,6 +115,18 @@ object SparkEntry {
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
     "t08_sequence_pack" -> ((s, d) => TextOps.sequencePack(Tables.documents(s, d))),
     "t09_quality_filter" -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
+    "q31_interval_concurrency" -> ((s, d) =>
+      Relational.intervalConcurrency(Tables.orders(s, d))),
+    "q32_grouping_sets" -> ((s, d) =>
+      Relational.groupingSetsCounts(Tables.lineitem(s, d))),
+    "q33_semi_join" -> ((s, d) =>
+      Relational.semiJoinActive(Tables.customer(s, d), Tables.orders(s, d))),
+    "d10_dedup_apply" -> ((s, d) => Dedup.dedupApply(Tables.documents(s, d))),
+    "s06_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
+    "m03_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleSummary(Tables.documents(s, d))),
+    "t11_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
+    "t12_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.customer(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -366,5 +378,13 @@ object SparkEntry {
     "t07_split_sample" -> TextOps.splitSampleOracle,
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),
     "t09_quality_filter" -> TextOps.qualityFilterOracle,
+    "q31_interval_concurrency" -> Relational.intervalConcurrencyOracle,
+    "q32_grouping_sets" -> Relational.groupingSetsCountsOracle,
+    "q33_semi_join" -> Relational.semiJoinActiveOracle,
+    "d10_dedup_apply" -> Dedup.dedupApplyOracle(),
+    "s06_ann_recall" -> Similarity.annRecallOracle(),
+    "m03_frame_sample" -> Multimodal.frameSampleSummaryOracle(),
+    "t11_repetition" -> TextOps.repetitionScoreOracle,
+    "t12_pii_scrub" -> TextOps.piiScrubOracle,
   )
 }

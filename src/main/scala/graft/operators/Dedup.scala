@@ -202,17 +202,63 @@ object Dedup {
     * |C|^2 per component, which is exactly why the SPARK side uses
     * label propagation instead.
     */
-  def dedupClustersOracle(minJaccard: Double = 0.3): String =
-    s"""WITH RECURSIVE $minhashLshCtes,
+  /** Shared recursive-closure CTE chain ending in
+    * `cl(doc_id, cluster_id)` — reused by the d07 oracle and the d10
+    * dedup-apply oracle so the cluster definition cannot drift. */
+  private def clusterCtes(minJaccard: Double): String =
+    s"""$minhashLshCtes,
        dup AS (SELECT doc_a, doc_b FROM verified WHERE jac >= $minJaccard),
        edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
                  UNION ALL SELECT doc_b, doc_a FROM dup),
        reach(a, b) AS (
          SELECT a, b FROM edges
          UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
-       FROM reach GROUP BY a ORDER BY doc_id"""
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       cl AS (SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY a)"""
+
+  def dedupClustersOracle(minJaccard: Double = 0.3): String =
+    s"""WITH RECURSIVE ${clusterCtes(minJaccard)}
+       SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"""
+
+  // ---- d10: dedup APPLY (the cleaned corpus) --------------------------
+
+  /** d10: apply the cluster resolution to the corpus — the step that
+    * actually SHRINKS the data: keep the canonical (minimum-id) member
+    * of every near-dup cluster plus every unclustered document, and
+    * report the per-language admission census. This is the output a
+    * training pipeline consumes; d02/d07 are its intermediate stages.
+    *
+    * Scale shape: the cluster map is VANISHINGLY small next to the
+    * corpus (one row per clustered doc, and near-dup clusters are a
+    * few percent of docs), so it broadcasts and the census is one
+    * map-side-partial aggregate over the corpus scan — the corpus
+    * itself never shuffles.
+    */
+  def dedupApply(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    val clusters = dedupClusters(documents, minJaccard)
+      .select(col("doc_id").as("m_doc_id"), col("cluster_id"))
+    documents
+      .join(broadcast(clusters), col("doc_id") === col("m_doc_id"), "left")
+      .withColumn("keep",
+        col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
+  def dedupApplyOracle(minJaccard: Double = 0.3): String =
+    s"""WITH RECURSIVE ${clusterCtes(minJaccard)}
+       SELECT lang,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       FROM (SELECT d.lang, d.n_chars,
+               (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id) AS keep
+             FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id) t
+       GROUP BY lang ORDER BY lang"""
 
   // ---- d08: benchmark decontamination ---------------------------------
 

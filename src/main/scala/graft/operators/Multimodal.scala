@@ -122,4 +122,40 @@ object Multimodal {
       }
     }
   }
+
+  /** m03: frame-sample manifest WITH a full oracle — every sampled
+    * frame's byte length + content digest. The payloads here are the
+    * documents' ASCII text bytes, so byte offsets equal character
+    * offsets and DuckDB can replay the exact slicing with substring —
+    * turning the video-frame-extraction plumbing (m01's weaker
+    * rows-only check) into a hash-verified path: frame boundaries,
+    * tail-frame handling, stride, and bit-identical frame bytes are
+    * all pinned by the digest. Narrow flatMap over the scan; one row
+    * per sampled frame; no shuffle before the output sort.
+    */
+  def frameSampleSummary(documents: DataFrame, frameBytes: Int = 64,
+                         stride: Int = 2): DataFrame =
+    frameSample(attachPayload(documents), frameBytes, stride).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+              length(col("frame")).cast("long").as("frame_len"),
+              sha2(col("frame"), 256).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** DuckDB twin of [[frameSampleSummary]]: scalar generate_series
+    * (the table-function form rejects lateral args) + substring over
+    * the same 1-based offsets. sha256 hashes the VARCHAR's UTF-8
+    * bytes == the frame's payload bytes (ASCII corpus). */
+  def frameSampleSummaryOracle(frameBytes: Int = 64, stride: Int = 2): String =
+    s"""WITH n AS (SELECT doc_id, text,
+           CAST(ceil(greatest(length(text), 1) / $frameBytes.0) AS BIGINT) AS nf
+         FROM documents),
+       ix AS (SELECT doc_id, text,
+           unnest(generate_series(0, nf - 1, $stride)) AS frame_idx FROM n),
+       f AS (SELECT doc_id, frame_idx,
+           substring(text, CAST(frame_idx * $frameBytes + 1 AS BIGINT), $frameBytes) AS frame
+         FROM ix)
+       SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(length(frame) AS BIGINT) AS frame_len,
+         sha256(frame) AS frame_digest
+       FROM f ORDER BY doc_id, frame_idx"""
 }

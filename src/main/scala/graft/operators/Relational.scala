@@ -629,4 +629,115 @@ object Relational {
        FROM events
        GROUP BY ROLLUP(event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
        ORDER BY event_type NULLS FIRST, day NULLS FIRST"""
+
+  // ---- q31: interval concurrency (runs in flight per day) -------------
+
+  /** q31: how many ingestion runs are IN FLIGHT each day — the
+    * interval-overlap / max-concurrency question every run dashboard
+    * asks (reference: active-run monitoring, models.py:281). Each run
+    * spans [o_orderdate, o_orderdate + duration); durations are a
+    * deterministic synthetic (orderkey % 28 + 1 days) standing in for
+    * the reference's started_at..finished_at.
+    *
+    * Scale shape: the classic sweep-line turned distributive — each
+    * interval becomes a +1 (start) and a -1 (end) event, events
+    * aggregate per day (map-side partials; the shuffle carries one row
+    * per distinct day), and the running sum over the DAILY frame gives
+    * the open-run count. The unpartitioned cumulative window runs on
+    * the post-agg frame, whose size is bounded by the calendar (~10^3
+    * rows) no matter how many billions of intervals feed it — this is
+    * the only safe place for a global window at 100 TB.
+    */
+  def intervalConcurrency(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = orders.select(
+      to_date(col("o_orderdate")).as("day"),
+      lit(1L).as("delta"), lit(1L).as("s"), lit(0L).as("e"))
+    val ends = orders.select(
+      date_add(to_date(col("o_orderdate")),
+        (col("o_orderkey") % 28 + 1).cast("int")).as("day"),
+      lit(-1L).as("delta"), lit(0L).as("s"), lit(1L).as("e"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.union(ends)
+      .groupBy(col("day"))
+      .agg(sum(col("s")).as("n_starts"), sum(col("e")).as("n_ends"),
+           sum(col("delta")).as("net"))
+      .withColumn("open_runs", sum(col("net")).over(w))
+      .select(col("day").cast("timestamp").as("day"),
+              col("n_starts"), col("n_ends"), col("open_runs"))
+      .orderBy(col("day"))
+  }
+
+  val intervalConcurrencyOracle: String =
+    """WITH se AS (
+         SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta, 1 AS s, 0 AS e
+         FROM orders
+         UNION ALL
+         SELECT CAST(o_orderdate AS DATE) + CAST(o_orderkey % 28 + 1 AS INTEGER),
+                -1, 0, 1
+         FROM orders),
+       d AS (SELECT day, CAST(sum(s) AS BIGINT) AS n_starts,
+                    CAST(sum(e) AS BIGINT) AS n_ends, sum(delta) AS net
+             FROM se GROUP BY day)
+       SELECT CAST(day AS TIMESTAMP) AS day, n_starts, n_ends,
+         CAST(sum(net) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_runs
+       FROM d ORDER BY day"""
+
+  // ---- q32: grouping sets (non-hierarchical subtotal panel) -----------
+
+  /** q32: GROUPING SETS — the dashboard subtotal panel where the sets
+    * are NOT a rollup hierarchy: (flag,status) detail, (flag)
+    * subtotals, and the grand total in ONE pass. Catalyst plans a
+    * single Expand over the scan (each input row fans out once per
+    * set) feeding one partial agg — one scan and one shuffle for all
+    * three levels, vs. three scans for three separate GROUP BYs.
+    * Null group markers are label-coalesced so the output is
+    * engine-neutral.
+    */
+  def groupingSetsCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           Rounding.roundN(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+              coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+              col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val groupingSetsCountsOracle: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+       coalesce(l_linestatus, '(all)') AS ls,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY rf, ls"""
+
+  // ---- q33: semi join (dims with matching facts) ----------------------
+
+  /** q33: LEFT SEMI join — "customers with at least one open order",
+    * the existence-filter dual of q13's anti join (reference:
+    * stocks-with-active-runs filters). Semi join never duplicates the
+    * left side and never materializes right-side columns: the
+    * build side carries only the join key, and with AQE the orders
+    * side's distinct keys broadcast when small. At 100 TB the status
+    * filter reaches the parquet scan (PushedFilters) so only open
+    * orders' key column is read at all.
+    */
+  def semiJoinActive(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val semiJoinActiveOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+         WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+       ORDER BY c_custkey"""
 }

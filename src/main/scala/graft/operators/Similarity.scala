@@ -315,4 +315,40 @@ object Similarity {
        WHERE ${dot(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $minCos
        ORDER BY id_a, id_b"""
   }
+
+  // ---- s06: ANN recall evaluation -------------------------------------
+
+  /** s06: recall@k of the LSH-bucketed ANN against the exact
+    * brute-force ground truth — the evaluation loop every ANN
+    * deployment runs before trading recall for throughput. Ground
+    * truth and approximate top-k are both per-query top-k frames
+    * (tiny: queries x k rows); the left join + per-query aggregate is
+    * driver-free and broadcastable. At 100 TB the ground truth comes
+    * from brute-forcing a SAMPLED query set (exact search over the
+    * full corpus is the one O(N*Q) stage — you bound Q, never N).
+    */
+  def annRecall(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(embeddings, maxQueryId, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lshTopK(embeddings, maxQueryId, k)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_eval"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        Rounding.roundN(col("n_hits").cast("double") / col("k_eval"), 4))
+      .select(col("q_id"), col("k_eval"), col("n_hits"), col("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  def annRecallOracle(maxQueryId: Long = 8, k: Int = 3): String =
+    s"""SELECT e.q_id, count(*) AS k_eval,
+         CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+         round(CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / count(*), 4) AS recall
+       FROM (${bruteForceTopKOracle(maxQueryId, k)}) e
+       LEFT JOIN (${lshTopKOracle(maxQueryId, k)}) a
+         ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.q_id ORDER BY e.q_id"""
 }

@@ -368,4 +368,130 @@ object TextOps {
             ELSE 'keep' END AS reason,
        count(*) AS n
        FROM documents GROUP BY 1, 2 ORDER BY lang, reason"""
+
+  // ---- repetition signals (t11) ---------------------------------------
+
+  /** t11: within-document repetition signals — the Gopher-style
+    * quality family (duplicate-token fraction, most-frequent-token
+    * share, duplicate-bigram fraction) that catches boilerplate and
+    * degenerate generations. Everything is a single narrow projection
+    * over per-row arrays (no explode, no shuffle): per-doc cost is
+    * bounded by document length, so at 100 TB this runs map-side at
+    * scan speed exactly like t02. The token histogram is computed
+    * in-row via transform-over-distinct rather than an
+    * explode+groupBy, trading O(distinct x tokens) in-row work for
+    * zero exchange — the right trade while docs are bounded-length.
+    */
+  def repetitionScore(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", expr("size(array_distinct(toks))").cast("long"))
+      .withColumn("top_count",
+        expr("array_max(transform(array_distinct(toks), x -> size(filter(toks, y -> y = x))))")
+          .cast("long"))
+      .withColumn("bigs",
+        when(col("n_tokens") >= 2,
+          expr("transform(sequence(1, size(toks)-1), i -> concat(element_at(toks, i), '_', element_at(toks, i+1)))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .withColumn("n_bigrams", size(col("bigs")).cast("long"))
+      .withColumn("n_dist_bigrams", expr("size(array_distinct(bigs))").cast("long"))
+      .withColumn("dup_token_frac",
+        Rounding.roundN(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4))
+      .withColumn("top_token_frac",
+        Rounding.roundN(col("top_count").cast("double") / col("n_tokens"), 4))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          Rounding.roundN(lit(1.0) - col("n_dist_bigrams").cast("double") / col("n_bigrams"), 4))
+        .otherwise(lit(0.0)))
+      .select("doc_id", "n_tokens", "n_distinct", "top_count",
+              "dup_token_frac", "top_token_frac", "dup_bigram_frac")
+      .orderBy("doc_id")
+
+  /** Oracle: same numbers via unnest+groupBy (the relational spelling
+    * of the same histogram — results, not implementation, must match). */
+  val repetitionScoreOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+       c AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+       u AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(n) AS BIGINT) AS top_count
+             FROM c GROUP BY doc_id),
+       l AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       bg AS (SELECT doc_id,
+               CASE WHEN len(tk) >= 2
+                 THEN list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || '_' || tk[i + 1])
+                 ELSE CAST([] AS VARCHAR[]) END AS bigs
+             FROM l),
+       b AS (SELECT doc_id, CAST(len(bigs) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(bigs)) AS BIGINT) AS n_dist_bigrams
+             FROM bg)
+       SELECT u.doc_id, n_tokens, n_distinct, top_count,
+         round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_token_frac,
+         round(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+         CASE WHEN n_bigrams > 0
+           THEN round(1.0 - CAST(n_dist_bigrams AS DOUBLE) / n_bigrams, 4)
+           ELSE 0.0 END AS dup_bigram_frac
+       FROM u JOIN b ON u.doc_id = b.doc_id ORDER BY u.doc_id"""
+
+  // ---- PII scrubbing (t12) --------------------------------------------
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val phonePattern = "555-[0-9]{4}"
+  val numPattern = "[0-9]+"
+
+  /** t12: PII scrubbing — regex-mask emails, phone numbers, and
+    * residual digit runs, with per-category redaction counts. The
+    * input is a contact string synthesized from the customer dim
+    * (name + derived email + derived phone + account integer), so
+    * every mask fires deterministically and the oracle replays the
+    * identical patterns (RE2/Java-regex common subset: plain character
+    * classes and bounded repeats only — no \\d, \\b, or backrefs).
+    * Masking order is a chain (email, then phone, then bare numbers)
+    * so counts are unambiguous; the whole thing is one narrow
+    * projection, codegen'd, no shuffle — at 100 TB it runs at scan
+    * speed like every other per-row text op.
+    */
+  def piiScrub(customer: DataFrame): DataFrame =
+    customer
+      .withColumn("contact", concat(
+        col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+        lit("@example.com> phone 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" acct "), floor(col("c_acctbal")).cast("long").cast("string")))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("contact"), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("s1", regexp_replace(col("contact"), emailPattern, "[EMAIL]"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("s1"), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("s2", regexp_replace(col("s1"), phonePattern, "[PHONE]"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(col("s2"), lit(numPattern), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), numPattern, "[NUM]"))
+      .select("c_custkey", "scrubbed", "n_emails", "n_phones", "n_nums")
+      .orderBy("c_custkey")
+
+  val piiScrubOracle: String =
+    s"""WITH c0 AS (SELECT c_custkey,
+           c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+             || '@example.com> phone 555-'
+             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' acct ' || CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR)
+             AS contact
+         FROM customer),
+       c1 AS (SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '$emailPattern')) AS BIGINT) AS n_emails,
+           regexp_replace(contact, '$emailPattern', '[EMAIL]', 'g') AS s1
+         FROM c0),
+       c2 AS (SELECT c_custkey, n_emails,
+           CAST(len(regexp_extract_all(s1, '$phonePattern')) AS BIGINT) AS n_phones,
+           regexp_replace(s1, '$phonePattern', '[PHONE]', 'g') AS s2
+         FROM c1)
+       SELECT c_custkey,
+         regexp_replace(s2, '$numPattern', '[NUM]', 'g') AS scrubbed,
+         n_emails, n_phones,
+         CAST(len(regexp_extract_all(s2, '$numPattern')) AS BIGINT) AS n_nums
+       FROM c2 ORDER BY c_custkey"""
 }

@@ -378,4 +378,102 @@ class GraftSpec extends AnyFunSuite {
       graft.operators.Multimodal.decodeMedia(Array[Byte](1, 2), "image/png")
     }
   }
+
+  test("q31 interval concurrency: open_runs is a consistent running sum, never negative") {
+    val rows = SparkEntry.queries("q31_interval_concurrency")(spark, sf)
+      .collect() // already ordered by day
+    var running = 0L
+    rows.foreach { r =>
+      running += r.getAs[Long]("n_starts") - r.getAs[Long]("n_ends")
+      assert(r.getAs[Long]("open_runs") == running)
+      assert(running >= 0L)
+    }
+    // every started run eventually ends
+    assert(running == 0L)
+  }
+
+  test("q32 grouping sets: subtotal levels are consistent") {
+    val rows = SparkEntry.queries("q32_grouping_sets")(spark, sf).collect()
+    val detail = rows.filter(r => r.getAs[String]("rf") != "(all)" && r.getAs[String]("ls") != "(all)")
+    val byFlag = rows.filter(r => r.getAs[String]("rf") != "(all)" && r.getAs[String]("ls") == "(all)")
+    val total = rows.filter(r => r.getAs[String]("rf") == "(all)" && r.getAs[String]("ls") == "(all)")
+    assert(total.length == 1)
+    assert(detail.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    assert(byFlag.map(_.getAs[Long]("n")).sum == total.head.getAs[Long]("n"))
+    detail.groupBy(_.getAs[String]("rf")).foreach { case (rf, rs) =>
+      val sub = byFlag.find(_.getAs[String]("rf") == rf).get
+      assert(rs.map(_.getAs[Long]("n")).sum == sub.getAs[Long]("n"))
+    }
+  }
+
+  test("q33 semi join: every kept customer has an open order; no duplicates") {
+    val kept = SparkEntry.queries("q33_semi_join")(spark, sf)
+    assert(kept.count() == kept.select("c_custkey").distinct().count())
+    val open = Tables.orders(spark, sf).filter("o_orderstatus = 'O'")
+      .select("o_custkey").distinct()
+    val orphans = kept.join(open, kept("c_custkey") === open("o_custkey"), "left_anti")
+    assert(orphans.count() == 0)
+  }
+
+  test("d10 dedup apply: kept+removed == corpus, removed docs are non-canonical cluster members") {
+    val census = SparkEntry.queries("d10_dedup_apply")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(census.map(r => r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")).sum == nDocs)
+    val clusters = graft.operators.Dedup.dedupClusters(Tables.documents(spark, sf)).collect()
+    val expectedRemoved = clusters.count(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_id"))
+    assert(census.map(_.getAs[Long]("n_removed")).sum == expectedRemoved)
+  }
+
+  test("s06 ann recall: recall in [0,1] and hits never exceed k") {
+    val rows = SparkEntry.queries("s06_ann_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("k_eval"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("m03 frame sample: stride-2 indices, full frames except the tail, digest parity with bytes") {
+    val rows = SparkEntry.queries("m03_frame_sample")(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("frame_idx") % 2 == 0))
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, frames) =>
+      val sorted = frames.sortBy(_.getAs[Long]("frame_idx"))
+      // all but the last sampled frame must be exactly frameBytes long
+      sorted.init.foreach(f => assert(f.getAs[Long]("frame_len") == 64L))
+      assert(sorted.last.getAs[Long]("frame_len") <= 64L)
+    }
+    // digest of doc 0 frame 0 == sha256 of the first 64 text bytes
+    val txt = Tables.documents(spark, sf).filter("doc_id = 0")
+      .collect().head.getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(txt.getBytes("UTF-8").take(64))
+      .map("%02x".format(_)).mkString
+    val got = rows.find(r => r.getAs[Long]("doc_id") == 0L && r.getAs[Long]("frame_idx") == 0L)
+    assert(got.exists(_.getAs[String]("frame_digest") == expect))
+  }
+
+  test("t11 repetition: fractions in [0,1], distinct <= tokens, top_count sane") {
+    val rows = SparkEntry.queries("t11_repetition")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val d = r.getAs[Long]("n_distinct")
+      assert(d >= 1 && d <= n)
+      assert(r.getAs[Long]("top_count") >= 1 && r.getAs[Long]("top_count") <= n)
+      Seq("dup_token_frac", "top_token_frac", "dup_bigram_frac").foreach { c =>
+        val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+  }
+
+  test("t12 pii scrub: all masks fire and no residual digits survive") {
+    val rows = SparkEntry.queries("t12_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_phones") == 1L)
+      val s = r.getAs[String]("scrubbed")
+      assert(!s.exists(_.isDigit), s"digits survived scrub: $s")
+      assert(s.contains("[EMAIL]") && s.contains("[PHONE]") && s.contains("[NUM]"))
+    }
+  }
 }
