@@ -127,6 +127,12 @@ object SparkEntry {
       Multimodal.frameSampleSummary(Tables.documents(s, d))),
     "t11_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "t12_pii_scrub" -> ((s, d) => TextOps.piiScrub(Tables.customer(s, d))),
+    "q34_rank_panel" -> ((s, d) => Relational.rankPanel(Tables.orders(s, d))),
+    "q35_approx_distinct" -> ((s, d) =>
+      Relational.approxDistinct(Tables.events(s, d))),
+    "st05_stream_static_join" -> ((s, d) =>
+      graft.streaming.StreamOps.streamStaticJoinBatch(
+        Tables.events(s, d), Tables.customer(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -386,5 +392,10 @@ object SparkEntry {
     "m03_frame_sample" -> Multimodal.frameSampleSummaryOracle(),
     "t11_repetition" -> TextOps.repetitionScoreOracle,
     "t12_pii_scrub" -> TextOps.piiScrubOracle,
+    "q34_rank_panel" -> Relational.rankPanelOracle,
+    // q35_approx_distinct: no oracle — HLL sketch values are
+    // engine-specific by construction; accuracy (relative error vs the
+    // exact count) is asserted in GraftSpec; driver records rows-only.
+    "st05_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoinOracle,
   )
 }

@@ -192,9 +192,14 @@ object Dedup {
       labels = updated.select(col("id"), col("label"))
       iter += 1
     }
+    lastIters = iter
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Observability: rounds the last dedupClusters call took to converge
+    * (the quantity to watch if component diameters grow at scale). */
+  @volatile var lastIters: Int = 0
 
   /** Oracle: transitive closure by recursive CTE (UNION dedups, so the
     * recursion terminates on cycles); cluster id = min reachable id.

@@ -740,4 +740,66 @@ object Relational {
        WHERE EXISTS (SELECT 1 FROM orders
          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
        ORDER BY c_custkey"""
+
+  // ---- q34: ranking-function panel ------------------------------------
+
+  /** q34: the full SQL ranking-function surface in one pass — rank,
+    * dense_rank, percent_rank, cume_dist over price within priority
+    * (tie-STABLE: rows with equal prices get equal values, so the
+    * output is deterministic without a physical-order tiebreak), plus
+    * ntile quartiles over a fully tie-broken window (ntile depends on
+    * row order, so it gets the deterministic key). One shuffle on the
+    * partition key, one sort, all five functions evaluated in the
+    * same Window operators — the API-listing comparison every
+    * reference user runs (ordering + pagination + percentile-of-peer
+    * views, list_views.py).
+    */
+  def rankPanel(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTie = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    val wFull = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_orderpriority"),
+      Rounding.roundN(col("o_totalprice"), 2).as("price"),
+      rank().over(wTie).cast("long").as("rnk"),
+      dense_rank().over(wTie).cast("long").as("drnk"),
+      Rounding.roundN(percent_rank().over(wTie), 6).as("prnk"),
+      Rounding.roundN(cume_dist().over(wTie), 6).as("cdist"),
+      ntile(4).over(wFull).cast("long").as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val rankPanelOracle: String =
+    """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+       ORDER BY o_orderkey"""
+
+  // ---- q35: sketch-based distinct counting (the 100 TB path) ----------
+
+  /** q35: per-day users via HyperLogLog++ `approx_count_distinct`
+    * next to the exact count — the sketch IS the 100 TB design
+    * (exact distinct shuffles every distinct key; the sketch shuffles
+    * a fixed few-KB buffer per group and merges associatively, and is
+    * what q23's exact rollup becomes when the key cardinality
+    * explodes). A sketch can't hash-match a DuckDB oracle, so this
+    * query has NO oracleSql (rows-only driver check, like m01) and
+    * its accuracy contract — relative error within the configured rsd
+    * against the exact count — is asserted in GraftSpec instead.
+    */
+  def approxDistinct(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("exact_users"),
+           approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .orderBy(col("day"))
 }

@@ -205,6 +205,46 @@ object StreamOps {
               col("view_id"), col("view_ts"))
   }
 
+  // ---- st05: stream-static enrichment join ----------------------------
+
+  /** st05 batch twin: the event stream enriched against a STATIC dim
+    * (customer segment) and rolled up per segment — the canonical
+    * "enrich the firehose against reference data" stage
+    * (reference: runs joined to their stock rows in every list view).
+    */
+  def streamStaticJoinBatch(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+            col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.operators.Rounding.roundN(sum(col("value")), 2).as("total_value"))
+      .select(col("c_mktsegment").as("segment"), col("n_events"), col("total_value"))
+      .orderBy(col("segment"))
+
+  val streamStaticJoinOracle: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n_events,
+       round(sum("value"), 2) AS total_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment ORDER BY segment"""
+
+  /** st05 streaming path: a streaming source joined to a static
+    * (batch) DataFrame needs NO watermark and keeps NO join state —
+    * the static side is broadcast to every micro-batch, which is why
+    * stream-static is the preferred enrichment shape at scale (the
+    * dim refreshes per batch; only the aggregation holds state).
+    */
+  def streamStaticJoinStream(events: Dataset[EvV], customer: DataFrame): DataFrame =
+    events.toDF()
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+            col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.operators.Rounding.roundN(sum(col("value")), 2).as("total_value"))
+      .select(col("c_mktsegment").as("segment"), col("n_events"), col("total_value"))
+
+  case class EvV(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
   // ---- st02 streaming path (flatMapGroupsWithState) -------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)

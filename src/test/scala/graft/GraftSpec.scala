@@ -19,7 +19,7 @@ class GraftSpec extends AnyFunSuite {
   }
 
   test("every query key has an oracle or documented exemption") {
-    val exempt = Set("m01_multimodal_meta")
+    val exempt = Set("m01_multimodal_meta", "q35_approx_distinct")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
@@ -464,6 +464,57 @@ class GraftSpec extends AnyFunSuite {
         val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
       }
     }
+  }
+
+  test("q35 approx distinct: sketch within 3x rsd of the exact count") {
+    val rows = SparkEntry.queries("q35_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 3 * 0.02,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("q34 rank panel: tied prices share rank; quartiles partition each priority") {
+    val rows = SparkEntry.queries("q34_rank_panel")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, rs) =>
+      // equal price => equal rank & dense_rank
+      rs.groupBy(_.getAs[Double]("price")).foreach { case (_, same) =>
+        assert(same.map(_.getAs[Long]("rnk")).distinct.length == 1)
+        assert(same.map(_.getAs[Long]("drnk")).distinct.length == 1)
+      }
+      val qs = rs.map(_.getAs[Long]("quartile"))
+      assert(qs.forall(q => q >= 1 && q <= 4))
+      // ntile balance: group sizes differ by at most 1
+      val sizes = qs.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("st05 stream-static join: streaming result == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val evs = events.select("event_id", "ts", "user_id", "value")
+      .as[StreamOps.EvV].collect().toSeq
+    val stream = MemoryStream[StreamOps.EvV]
+    val q = StreamOps.streamStaticJoinStream(stream.toDS(), customer)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_st05").start()
+    try {
+      // two micro-batches: the static side is re-joined per batch
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_st05")
+      .orderBy("segment").collect().map(_.toSeq)
+    val batch = StreamOps.streamStaticJoinBatch(events, customer)
+      .collect().map(_.toSeq)
+    assert(streamed.sameElements(batch))
   }
 
   test("t12 pii scrub: all masks fire and no residual digits survive") {
