@@ -332,7 +332,7 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     val approx = lshTopK(embeddings, maxQueryId, k)
       .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+    exact.join(broadcast(approx), Seq("q_id", "neighbor_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("k_eval"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))

@@ -84,4 +84,51 @@ class PlanShapeSpec extends AnyFunSuite {
     // two broadcasts: K centroids (assignment) and the probed queries
     assert(count(plan("s05_ann_ivf_multiprobe"), "BroadcastExchange") >= 2)
   }
+
+  test("q31: sweep-line aggregates before the global window — the cumulative sum sees only daily rows") {
+    // exchanges: partial->final day agg, then single-partition for the
+    // calendar-bounded window; the output sort reuses that partitioning
+    val p = plan("q31_interval_concurrency")
+    assert(count(p, "Exchange") == 2)
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q32: all grouping-set levels come from ONE Expand + one partial agg (single scan)") {
+    val p = plan("q32_grouping_sets")
+    assert(count(p, "Expand") == 1)
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q33: semi join broadcasts with the status filter pushed to the orders scan") {
+    val p = plan("q33_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(p.contains("EqualTo(o_orderstatus,O)"))
+  }
+
+  test("q34: both ranking windows share one partitioning exchange") {
+    // hash-partition by priority (shared by wTie and wFull) + the
+    // range partition for the output sort — a third means reuse broke
+    assert(count(plan("q34_rank_panel"), "Exchange") == 2)
+  }
+
+  test("st05: static dim broadcasts; aggregation is partial before the shuffle") {
+    val p = plan("st05_stream_static_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("t11/t12/m03: per-row ops cost ZERO data shuffles (only the output sort exchange)") {
+    Seq("t11_repetition", "t12_pii_scrub", "m03_frame_sample").foreach { k =>
+      assert(count(plan(k), "Exchange") == 1, s"$k grew a shuffle")
+    }
+  }
+
+  test("d10: the cluster map broadcasts — the corpus census never shuffles the corpus") {
+    assert(plan("d10_dedup_apply").contains("BroadcastHashJoin"))
+  }
+
+  test("s06: approximate top-k joins to ground truth by broadcast, not a sort-merge shuffle") {
+    val p = plan("s06_ann_recall")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
