@@ -133,6 +133,11 @@ object SparkEntry {
     "st05_stream_static_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamStaticJoinBatch(
         Tables.events(s, d), Tables.customer(s, d))),
+    "q36_merge_delete" -> ((s, d) =>
+      Relational.mergeDeleteSummary(Tables.lineitem(s, d))),
+    "q37_snapshot_diff" -> ((s, d) =>
+      Relational.snapshotDiff(Tables.orders(s, d))),
+    "t13_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -397,5 +402,8 @@ object SparkEntry {
     // engine-specific by construction; accuracy (relative error vs the
     // exact count) is asserted in GraftSpec; driver records rows-only.
     "st05_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoinOracle,
+    "q36_merge_delete" -> Relational.mergeDeleteSummaryOracle,
+    "q37_snapshot_diff" -> Relational.snapshotDiffOracle,
+    "t13_token_entropy" -> TextOps.tokenEntropyOracle,
   )
 }

@@ -802,4 +802,106 @@ object Relational {
            countDistinct(col("user_id")).as("exact_users"),
            approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy(col("day"))
+
+  // ---- q36: merge with tombstone deletes ------------------------------
+
+  /** q36: the full three-way MERGE — updates AND deletes against the
+    * target in one pass (the reference's delta merge surface includes
+    * whenMatchedDelete; q08 covers the update/insert half). Source
+    * rows carry a tombstone flag; latest-wins window semantics pick
+    * the source row per composite key, then tombstoned keys drop out.
+    * Same single-shuffle shape as q08 — delete is just one more
+    * column on the same merge, not a second pass, which is the point:
+    * at 100 TB you cannot afford a separate anti-join for deletes.
+    * Tie-break is total (prio, tombstone, flag, qty): lineitem has
+    * duplicate (orderkey, linenumber) keys.
+    */
+  def mergeDeleteSummary(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = Seq(col("l_orderkey"), col("l_linenumber"))
+    val tgt = lineitem.select(key ++ Seq(col("l_returnflag"), col("l_quantity"),
+      lit(0).as("_prio"), lit(0).as("_del")): _*)
+    val upd = lineitem.filter(col("l_returnflag") === "R")
+      .select(key ++ Seq(col("l_returnflag"), (col("l_quantity") + 100.0).as("l_quantity"),
+        lit(1).as("_prio"), lit(0).as("_del")): _*)
+    val del = lineitem.filter(col("l_returnflag") === "A")
+      .select(key ++ Seq(col("l_returnflag"), col("l_quantity"),
+        lit(1).as("_prio"), lit(1).as("_del")): _*)
+    val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("_prio").desc, col("_del").desc,
+               col("l_returnflag").asc, col("l_quantity").asc)
+    tgt.union(upd).union(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_del") === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Rounding.roundN(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val mergeDeleteSummaryOracle: String =
+    """WITH upd AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag,
+                l_quantity + 100.0 AS l_quantity, 1 AS _prio, 0 AS _del
+         FROM lineitem WHERE l_returnflag = 'R'),
+       del AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, 1, 1
+         FROM lineitem WHERE l_returnflag = 'A'),
+       uni AS (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                0 AS _prio, 0 AS _del
+         FROM lineitem
+         UNION ALL SELECT * FROM upd
+         UNION ALL SELECT * FROM del),
+       merged AS (
+         SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+           ORDER BY _prio DESC, _del DESC, l_returnflag ASC, l_quantity ASC) AS rn
+         FROM uni)
+       SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+       FROM merged WHERE rn = 1 AND _del = 0
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---- q37: snapshot diff (CDC / change data feed) --------------------
+
+  /** q37: change-data-capture between two table versions — the diff a
+    * lakehouse CHANGE DATA FEED serves (inserted / deleted / updated /
+    * unchanged, with the post-image aggregate). The two snapshots are
+    * deterministic slices of orders (membership by key hash, prices
+    * perturbed on part of the new side). Full-outer join on the key,
+    * classify per row, census per change type. One shuffle on the key;
+    * at 100 TB both snapshots are bucketed/partitioned the same way,
+    * so the join co-locates and the diff is map-side.
+    */
+  def snapshotDiff(orders: DataFrame): DataFrame = {
+    val snapOld = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("p_old"))
+    val snapNew = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k_new"),
+        (col("o_totalprice") + (col("o_orderkey") % 3).cast("double")).as("p_new"))
+    snapOld.join(snapNew, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("k_old").isNull, "inserted")
+        .when(col("k_new").isNull, "deleted")
+        .when(col("p_old") =!= col("p_new"), "updated")
+        .otherwise("unchanged"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+           Rounding.roundN(sum(coalesce(col("p_new"), lit(0.0))), 2).as("new_total"))
+      .orderBy(col("change_type"))
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH o AS (SELECT o_orderkey AS k_old, o_totalprice AS p_old
+           FROM orders WHERE o_orderkey % 10 <> 0),
+       n AS (SELECT o_orderkey AS k_new,
+               o_totalprice + CAST(o_orderkey % 3 AS DOUBLE) AS p_new
+           FROM orders WHERE o_orderkey % 7 <> 0),
+       d AS (SELECT k_old, k_new, p_old, p_new,
+           CASE WHEN k_old IS NULL THEN 'inserted'
+                WHEN k_new IS NULL THEN 'deleted'
+                WHEN p_old <> p_new THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+         FROM o FULL OUTER JOIN n ON k_old = k_new)
+       SELECT change_type, count(*) AS n,
+         round(sum(coalesce(p_new, 0.0)), 2) AS new_total
+       FROM d GROUP BY change_type ORDER BY change_type"""
 }

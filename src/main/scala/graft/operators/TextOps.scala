@@ -494,4 +494,56 @@ object TextOps {
          n_emails, n_phones,
          CAST(len(regexp_extract_all(s2, '$numPattern')) AS BIGINT) AS n_nums
        FROM c2 ORDER BY c_custkey"""
+
+  // ---- token-distribution entropy (t13) -------------------------------
+
+  /** t13: Shannon entropy of each document's token distribution plus
+    * the evenness (entropy / ln(distinct)) — the information-density
+    * quality signal that separates natural text from keyword stuffing
+    * and degenerate repetition. Computed IN-ROW (no shuffle): the
+    * token histogram is folded over the SORTED distinct-token list, so
+    * both engines sum the identical terms in the identical order and
+    * the doubles agree to the rounding precision. Scan-speed at
+    * 100 TB like t02/t11.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", expr("size(array_distinct(toks))").cast("long"))
+      .withColumn("entropy", Rounding.roundN(
+        expr("""-aggregate(
+                  transform(array_sort(array_distinct(toks)),
+                    x -> (CAST(size(filter(toks, y -> y = x)) AS DOUBLE) / size(toks))
+                         * ln(CAST(size(filter(toks, y -> y = x)) AS DOUBLE) / size(toks))),
+                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""), 4))
+      .withColumn("evenness",
+        when(col("n_distinct") > 1,
+          Rounding.roundN(col("entropy") / log(col("n_distinct").cast("double")), 4))
+        .otherwise(lit(0.0)))
+      .select("doc_id", "n_tokens", "n_distinct", "entropy", "evenness")
+      .orderBy("doc_id")
+
+  /** Oracle: histogram relationally (unnest + group), counts collected
+    * in tok-sorted order so the fold matches Spark's sorted-distinct
+    * fold term-for-term; evenness divides the ROUNDED entropy exactly
+    * like the Spark column does. */
+  val tokenEntropyOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+       c AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+       h AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               list(CAST(n AS DOUBLE) ORDER BY tok) AS cnts
+             FROM c GROUP BY doc_id),
+       e AS (SELECT doc_id, n_tokens, n_distinct,
+               round(-list_reduce(list_transform(cnts,
+                   c -> (c / n_tokens) * ln(c / n_tokens)),
+                 (acc, v) -> acc + v), 4) AS entropy
+             FROM h)
+       SELECT doc_id, n_tokens, n_distinct, entropy,
+         CASE WHEN n_distinct > 1
+           THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 4)
+           ELSE 0.0 END AS evenness
+       FROM e ORDER BY doc_id"""
 }

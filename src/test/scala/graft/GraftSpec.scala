@@ -517,6 +517,38 @@ class GraftSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("q36 merge-delete: no 'A' keys survive; totals exceed q08's R-updated totals") {
+    val rows = SparkEntry.queries("q36_merge_delete")(spark, sf).collect()
+    // every surviving composite key's winner is a non-tombstone; flag A
+    // rows all had tombstones at higher prio, so A cannot appear
+    assert(!rows.exists(_.getAs[String]("l_returnflag") == "A"))
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet.subsetOf(Set("N", "R")))
+  }
+
+  test("q37 snapshot diff: every change type consistent with the key-slice arithmetic") {
+    val rows = SparkEntry.queries("q37_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n")).toMap
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    assert(rows("inserted") == keys.count(k => k % 10 == 0 && k % 7 != 0))
+    assert(rows("deleted") == keys.count(k => k % 10 != 0 && k % 7 == 0))
+    val both = keys.filter(k => k % 10 != 0 && k % 7 != 0)
+    assert(rows("updated") == both.count(_ % 3 != 0))
+    assert(rows("unchanged") == both.count(_ % 3 == 0))
+  }
+
+  test("t13 entropy: bounds 0 <= H <= ln(distinct); evenness in [0,1]") {
+    val rows = SparkEntry.queries("t13_token_entropy")(spark, sf).collect()
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val d = r.getAs[Long]("n_distinct").toDouble
+      // h is rounded to 4dp, so allow the half-step 5e-5 above ln(d)
+      assert(h >= -1e-9 && h <= math.log(d) + 5e-5)
+      val ev = r.getAs[Double]("evenness")
+      assert(ev >= 0.0 && ev <= 1.0 + 5e-5)
+    }
+  }
+
   test("t12 pii scrub: all masks fire and no residual digits survive") {
     val rows = SparkEntry.queries("t12_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
