@@ -138,6 +138,10 @@ object SparkEntry {
     "q37_snapshot_diff" -> ((s, d) =>
       Relational.snapshotDiff(Tables.orders(s, d))),
     "t13_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
+    "s07_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
+    "q38_value_histogram" -> ((s, d) =>
+      Relational.valueHistogram(Tables.events(s, d))),
+    "q39_data_profile" -> ((s, d) => Relational.dataProfile(Tables.orders(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -405,5 +409,8 @@ object SparkEntry {
     "q36_merge_delete" -> Relational.mergeDeleteSummaryOracle,
     "q37_snapshot_diff" -> Relational.snapshotDiffOracle,
     "t13_token_entropy" -> TextOps.tokenEntropyOracle,
+    "s07_knn_classify" -> Similarity.knnClassifyOracle(),
+    "q38_value_histogram" -> Relational.valueHistogramOracle,
+    "q39_data_profile" -> Relational.dataProfileOracle,
   )
 }

@@ -904,4 +904,69 @@ object Relational {
        SELECT change_type, count(*) AS n,
          round(sum(coalesce(p_new, 0.0)), 2) AS new_total
        FROM d GROUP BY change_type ORDER BY change_type"""
+
+  // ---- q38: fixed-width value histogram -------------------------------
+
+  /** q38: per-type value histograms — the distribution profile behind
+    * every monitoring dashboard and data-quality check. Fixed-width
+    * binning is a pure projection (floor of a division), so the
+    * histogram is ONE partial->final aggregate whose shuffle carries
+    * (type, bin) partial counts — cardinality bounded by the bin
+    * grid, independent of row count. The percentile family (t05) sorts
+    * per group; this never sorts.
+    */
+  def valueHistogram(events: DataFrame, binWidth: Double = 10.0): DataFrame =
+    events
+      .groupBy(col("event_type"),
+               floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", Rounding.roundN(col("bin") * binWidth, 2))
+      .select(col("event_type"), col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  val valueHistogramOracle: String =
+    """SELECT event_type, CAST(floor("value" / 10.0) AS BIGINT) AS bin,
+       round(CAST(floor("value" / 10.0) AS BIGINT) * 10.0, 2) AS bin_lo,
+       count(*) AS n
+       FROM events GROUP BY 1, 2, 3 ORDER BY event_type, bin"""
+
+  // ---- q39: one-pass data profile -------------------------------------
+
+  /** q39: the table profiler — null count and exact distinct count for
+    * every column in ONE scan (the data-quality snapshot every ingest
+    * batch publishes). All counts are computed as a single
+    * multi-aggregate (Spark plans distinct aggs with a shared Expand),
+    * then unpivoted with stack() — contrast with the naive
+    * one-query-per-column profiler that scans the table N times.
+    */
+  def dataProfile(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"d_$c"),
+          sum(col(c).isNull.cast("long")).as(s"n_$c"))
+    }
+    val stackArgs = cols.map(c => s"'$c', d_$c, n_$c").mkString(", ")
+    orders.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_distinct, n_nulls)"))
+      .orderBy(col("col_name"))
+  }
+
+  val dataProfileOracle: String =
+    """SELECT col_name, n_distinct, n_nulls FROM (
+         SELECT 'o_orderkey' AS col_name,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+         FROM orders
+         UNION ALL SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_totalprice', CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderdate', CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+       ) t ORDER BY col_name"""
 }

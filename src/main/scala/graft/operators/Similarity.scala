@@ -342,6 +342,49 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  // ---- s07: kNN classification ----------------------------------------
+
+  /** s07: k-nearest-neighbor majority-vote classification over the
+    * embedding space — the standard "label by neighborhood" eval that
+    * turns an ANN index into a classifier (and measures embedding
+    * quality). The top-k frame is tiny (queries x k) so it BROADCASTS
+    * into a probe of the corpus scan for neighbor labels; votes and
+    * the winner-per-query window all run on queries x k rows. Swap
+    * bruteForceTopK for lshTopK/ivfTopK and the classifier runs at
+    * ANN cost — same downstream plan.
+    */
+  def knnClassify(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = bruteForceTopK(embeddings, maxQueryId, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val votes = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(topk), col("vec_id") === col("neighbor_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label").asc)
+    val truth = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("t_id"), col("label").as("true_label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(truth), col("q_id") === col("t_id"))
+      .select(col("q_id"), col("true_label"),
+              col("label").as("predicted_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
+  def knnClassifyOracle(maxQueryId: Long = 8, k: Int = 5): String =
+    s"""WITH v AS (SELECT t.q_id, e.label, count(*) AS votes
+           FROM (${bruteForceTopKOracle(maxQueryId, k)}) t
+           JOIN embeddings e ON t.neighbor_id = e.vec_id
+           GROUP BY t.q_id, e.label),
+       r AS (SELECT q_id, label, votes, row_number() OVER (PARTITION BY q_id
+           ORDER BY votes DESC, label ASC) AS rn FROM v)
+       SELECT r.q_id, q.label AS true_label, r.label AS predicted_label,
+         CAST(votes AS BIGINT) AS votes
+       FROM r JOIN embeddings q ON r.q_id = q.vec_id
+       WHERE rn = 1 ORDER BY r.q_id"""
+
   def annRecallOracle(maxQueryId: Long = 8, k: Int = 3): String =
     s"""SELECT e.q_id, count(*) AS k_eval,
          CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,

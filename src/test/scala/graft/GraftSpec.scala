@@ -549,6 +549,36 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("s07 knn: one prediction per query; votes bounded by k") {
+    val rows = SparkEntry.queries("s07_knn_classify")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 5)
+    }
+  }
+
+  test("q38 histogram: bin counts sum to the row count; bins match values") {
+    val events = Tables.events(spark, sf)
+    val rows = SparkEntry.queries("q38_value_histogram")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == events.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bin_lo") == r.getAs[Long]("bin") * 10.0)
+    }
+  }
+
+  test("q39 profile: one row per column; distinct counts match direct queries") {
+    val rows = SparkEntry.queries("q39_data_profile")(spark, sf).collect()
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    val orders = Tables.orders(spark, sf)
+    assert(byCol("o_orderkey").getAs[Long]("n_distinct") ==
+      orders.select("o_orderkey").distinct().count())
+    assert(byCol("o_orderstatus").getAs[Long]("n_distinct") ==
+      orders.select("o_orderstatus").distinct().count())
+    assert(rows.forall(_.getAs[Long]("n_nulls") == 0L)) // corpus has no nulls
+  }
+
   test("t12 pii scrub: all masks fire and no residual digits survive") {
     val rows = SparkEntry.queries("t12_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
