@@ -131,4 +131,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("s06_ann_recall")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("s07: every kNN join broadcasts (top-k probe, truth labels) — no sort-merge anywhere") {
+    val p = plan("s07_knn_classify")
+    assert(!p.contains("SortMergeJoin"))
+    assert(count(p, "BroadcastHashJoin") >= 2)
+  }
+
+  test("q38: histogram is one partial->final agg; the shuffle carries (type,bin) rows") {
+    val p = plan("q38_value_histogram")
+    assert(p.contains("partial_count"))
+    assert(count(p, "Exchange") == 2) // agg + output sort
+  }
+
+  test("q39: profiler computes ALL columns' distinct aggs from ONE scan (single Expand)") {
+    val p = plan("q39_data_profile")
+    assert(count(p, "Expand") == 1)
+    assert(count(p, "Scan parquet") == 1)
+  }
 }
