@@ -142,6 +142,7 @@ object SparkEntry {
     "q38_value_histogram" -> ((s, d) =>
       Relational.valueHistogram(Tables.events(s, d))),
     "q39_data_profile" -> ((s, d) => Relational.dataProfile(Tables.orders(s, d))),
+    "q40_funnel" -> ((s, d) => Relational.conversionFunnel(Tables.events(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -412,5 +413,6 @@ object SparkEntry {
     "s07_knn_classify" -> Similarity.knnClassifyOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
+    "q40_funnel" -> Relational.conversionFunnelOracle,
   )
 }

@@ -969,4 +969,54 @@ object Relational {
          UNION ALL SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
            CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
        ) t ORDER BY col_name"""
+
+  // ---- q40: conversion funnel -----------------------------------------
+
+  /** q40: the ordered multi-step funnel — users who viewed, then
+    * clicked at-or-after their first view, then purchased at-or-after
+    * that click, with stage conversion rates. Implemented as cascaded
+    * per-user min-timestamp aggregates: each stage's frame is at most
+    * one row per user (bounded by the user population, not the event
+    * count), so the stage joins BROADCAST and each stage costs one
+    * partial->final agg over a filtered scan. The window/sessionize
+    * alternative (st02) sorts every event; this never sorts, which is
+    * the right trade when the funnel has few stages and events are
+    * 100 TB.
+    */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = events.filter(col("event_type") === "click").as("e")
+      .join(broadcast(v), col("e.user_id") === v("user_id") && col("ts") >= col("v_ts"))
+      .groupBy(col("e.user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase").as("e2")
+      .join(broadcast(c), col("e2.user_id") === c("user_id") && col("ts") >= col("c_ts"))
+      .groupBy(col("e2.user_id")).agg(min(col("ts")).as("p_ts"))
+    val counts = v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    counts.select(
+      col("n_viewed"), col("n_clicked"), col("n_purchased"),
+      Rounding.roundN(col("n_clicked").cast("double") / col("n_viewed"), 4)
+        .as("view_to_click"),
+      Rounding.roundN(col("n_purchased").cast("double") / col("n_clicked"), 4)
+        .as("click_to_purchase"))
+  }
+
+  val conversionFunnelOracle: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+           JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+           JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       k AS (SELECT (SELECT count(*) FROM v) AS n_viewed,
+                    (SELECT count(*) FROM c) AS n_clicked,
+                    (SELECT count(*) FROM p) AS n_purchased)
+       SELECT n_viewed, n_clicked, n_purchased,
+         round(CAST(n_clicked AS DOUBLE) / n_viewed, 4) AS view_to_click,
+         round(CAST(n_purchased AS DOUBLE) / n_clicked, 4) AS click_to_purchase
+       FROM k"""
 }

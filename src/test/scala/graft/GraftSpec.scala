@@ -579,6 +579,14 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_nulls") == 0L)) // corpus has no nulls
   }
 
+  test("q40 funnel: stages are monotone non-increasing; rates consistent") {
+    val r = SparkEntry.queries("q40_funnel")(spark, sf).collect().head
+    val (v, c, p) = (r.getAs[Long]("n_viewed"), r.getAs[Long]("n_clicked"),
+                     r.getAs[Long]("n_purchased"))
+    assert(v >= c && c >= p && p >= 0)
+    assert(math.abs(r.getAs[Double]("view_to_click") - c.toDouble / v) < 1e-4)
+  }
+
   test("t12 pii scrub: all masks fire and no residual digits survive") {
     val rows = SparkEntry.queries("t12_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
