@@ -242,7 +242,15 @@ object TextOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives FROM tf: tf is already unique per (doc, term), so a
+    // plain count == countDistinct(doc_id) over raw tokens. Column
+    // pruning narrows this branch to the distinct (doc_id, term)
+    // partial agg — the identical physical work the countDistinct
+    // spelling planned (measured equal at sf0.1), with the simpler
+    // single-source lineage. To actually share the explode between
+    // the branches at cluster scale, persist tf (it is the natural
+    // materialization point: corpus-token work happens once above it).
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
