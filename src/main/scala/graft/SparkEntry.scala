@@ -143,6 +143,9 @@ object SparkEntry {
       Relational.valueHistogram(Tables.events(s, d))),
     "q39_data_profile" -> ((s, d) => Relational.dataProfile(Tables.orders(s, d))),
     "q40_funnel" -> ((s, d) => Relational.conversionFunnel(Tables.events(s, d))),
+    "q41_time_weighted_avg" -> ((s, d) =>
+      Relational.timeWeightedAvg(Tables.events(s, d))),
+    "q42_gaps_islands" -> ((s, d) => Relational.gapsIslands(Tables.events(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -414,5 +417,7 @@ object SparkEntry {
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
+    "q41_time_weighted_avg" -> Relational.timeWeightedAvgOracle,
+    "q42_gaps_islands" -> Relational.gapsIslandsOracle,
   )
 }

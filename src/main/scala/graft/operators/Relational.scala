@@ -1019,4 +1019,73 @@ object Relational {
          round(CAST(n_clicked AS DOUBLE) / n_viewed, 4) AS view_to_click,
          round(CAST(n_purchased AS DOUBLE) / n_clicked, 4) AS click_to_purchase
        FROM k"""
+
+  // ---- q41: time-weighted average -------------------------------------
+
+  /** q41: per-user TIME-weighted average of the value signal — the
+    * correct average for state-over-time metrics (a value that held
+    * for an hour must weigh 60x one that held a minute; the plain
+    * avg() every naive dashboard computes is wrong the moment
+    * sampling is irregular). Weight = microseconds until the user's
+    * next event (lead window, integer arithmetic in both engines);
+    * the final sample has no duration and drops out. One shuffle on
+    * user_id, one sorted pass, then the weighted agg reuses the same
+    * partitioning — no further exchange.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("dt_us",
+        expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_weighted"),
+           Rounding.roundN(sum(col("value") * col("dt_us")) / sum(col("dt_us")), 4)
+             .as("tw_avg"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeWeightedAvgOracle: String =
+    """WITH w AS (SELECT user_id, "value",
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+       FROM events)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_weighted,
+         round(sum("value" * dt_us) / sum(dt_us), 4) AS tw_avg
+       FROM w WHERE dt_us IS NOT NULL
+       GROUP BY user_id ORDER BY user_id"""
+
+  // ---- q42: gaps and islands ------------------------------------------
+
+  /** q42: consecutive-day activity streaks per user (gaps-and-islands)
+    * — retention's favorite query. The island key is the classic
+    * `day - dense_rank(day)` trick: consecutive days share a constant
+    * difference, so the streak id is a pure window projection and the
+    * whole pattern is one shuffle on user_id + a sorted pass; both
+    * downstream aggregates group on refinements of that partitioning,
+    * so neither adds an exchange.
+    */
+  def gapsIslands(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), dense_rank().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("longest_streak"),
+           sum(col("streak")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val gapsIslandsOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       g AS (SELECT user_id, day,
+           day - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+         FROM d),
+       s AS (SELECT user_id, grp, count(*) AS streak FROM g GROUP BY user_id, grp)
+       SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
+         CAST(sum(streak) AS BIGINT) AS n_active_days
+       FROM s GROUP BY user_id ORDER BY user_id"""
 }

@@ -587,6 +587,33 @@ class GraftSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("view_to_click") - c.toDouble / v) < 1e-4)
   }
 
+  test("q41 tw-avg: weighted mean lies within each user's value range") {
+    val rows = SparkEntry.queries("q41_time_weighted_avg")(spark, sf).collect()
+    val bounds = Tables.events(spark, sf).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("value").as("lo"),
+           org.apache.spark.sql.functions.max("value").as("hi"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[Long]("user_id"))
+      val tw = r.getAs[Double]("tw_avg")
+      assert(tw >= lo - 1e-4 && tw <= hi + 1e-4)
+    }
+  }
+
+  test("q42 streaks: longest <= active days; active days == distinct event days") {
+    val rows = SparkEntry.queries("q42_gaps_islands")(spark, sf).collect()
+    val distinctDays = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_active_days") == distinctDays(u))
+    }
+  }
+
   test("t12 pii scrub: all masks fire and no residual digits survive") {
     val rows = SparkEntry.queries("t12_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
