@@ -149,4 +149,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Expand") == 1)
     assert(count(p, "Scan parquet") == 1)
   }
+
+  test("q40: every funnel stage joins by broadcast — events are never sort-merged") {
+    val p = plan("q40_funnel")
+    assert(!p.contains("SortMergeJoin"))
+    assert(count(p, "BroadcastHashJoin") >= 2)
+  }
+
+  test("q41: weighted agg collapses into the window's partitioning — 2 exchanges total") {
+    // Exchange(user_id) for the lead window + the output sort; the
+    // groupBy(user_id) agg adds NO exchange (partitioning reuse)
+    assert(count(plan("q41_time_weighted_avg"), "Exchange") == 2)
+  }
+
+  test("q42: island aggs are partition refinements — no exchange after the window") {
+    // distinct (user,day) + window(user) + output sort; both island
+    // aggregates reuse the window partitioning
+    assert(count(plan("q42_gaps_islands"), "Exchange") == 3)
+  }
 }
