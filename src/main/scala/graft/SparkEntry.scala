@@ -146,6 +146,8 @@ object SparkEntry {
     "q41_time_weighted_avg" -> ((s, d) =>
       Relational.timeWeightedAvg(Tables.events(s, d))),
     "q42_gaps_islands" -> ((s, d) => Relational.gapsIslands(Tables.events(s, d))),
+    "d11_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashEstimate(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -419,5 +421,6 @@ object SparkEntry {
     "q40_funnel" -> Relational.conversionFunnelOracle,
     "q41_time_weighted_avg" -> Relational.timeWeightedAvgOracle,
     "q42_gaps_islands" -> Relational.gapsIslandsOracle,
+    "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
   )
 }

@@ -265,6 +265,53 @@ object Dedup {
              FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id) t
        GROUP BY lang ORDER BY lang"""
 
+  // ---- d11: MinHash estimation accuracy -------------------------------
+
+  /** d11: how good is the 16-permutation MinHash estimate? For every
+    * verified near-dup pair, compare the signature-agreement fraction
+    * (the MinHash Jaccard estimator) against the true shingle Jaccard
+    * — the evaluation that justifies the permutation count (the
+    * dedup-suite analogue of s06's ANN recall eval). Estimator
+    * variance ~ sqrt(J(1-J)/16): the spec asserts the observed error
+    * stays within 3 sigma. Signatures come from the same native
+    * kernel the LSH path uses, so this also pins kernel/oracle
+    * agreement per permutation; everything runs on the tiny verified-
+    * pair frame (sigs broadcast into it).
+    */
+  def minhashEstimate(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val pairs = minhashLsh(documents, minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    val sigs = documents.select(col("doc_id"),
+      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
+    pairs
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))").cast("long"))
+      .withColumn("est", Rounding.roundN(col("n_agree").cast("double") / NumPerms, 4))
+      .withColumn("abs_err", Rounding.roundN(abs(col("est") - col("jac")), 4))
+      .select(col("doc_a"), col("doc_b"), col("jac"), col("n_agree"),
+              col("est"), col("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashEstimateOracle(minJaccard: Double = 0.3): String = {
+    val agree = (0 until NumPerms)
+      .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashLshCtes,
+       vp AS (SELECT doc_a, doc_b, round(jac, 4) AS jac FROM verified
+              WHERE jac >= $minJaccard),
+       est AS (SELECT doc_a, doc_b, jac,
+           CAST($agree AS BIGINT) AS n_agree
+         FROM vp JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id)
+       SELECT doc_a, doc_b, jac, n_agree,
+         round(CAST(n_agree AS DOUBLE) / $NumPerms, 4) AS est,
+         round(abs(round(CAST(n_agree AS DOUBLE) / $NumPerms, 4) - jac), 4) AS abs_err
+       FROM est ORDER BY doc_a, doc_b"""
+  }
+
   // ---- d08: benchmark decontamination ---------------------------------
 
   /** d08: decontamination — flag corpus documents that share any

@@ -614,6 +614,17 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("d11 minhash estimate: observed error within 3 sigma of the 16-perm estimator") {
+    val rows = SparkEntry.queries("d11_minhash_estimate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jac")
+      val sigma = math.sqrt(j * (1 - j) / graft.operators.Dedup.NumPerms)
+      assert(r.getAs[Double]("abs_err") <= 3 * sigma + 1e-4,
+        s"err=${r.getAs[Double]("abs_err")} jac=$j sigma=$sigma")
+    }
+  }
+
   test("t12 pii scrub: all masks fire and no residual digits survive") {
     val rows = SparkEntry.queries("t12_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
