@@ -46,10 +46,19 @@ object Bench {
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver records only a bounded TAIL of stdout and parses the
+    // last line as JSON — round 3's line (81 queries x full names x
+    // 9-decimal doubles, ~2.6 KB) overflowed the window and lost its
+    // head. Keep the line ~1.1 KB: 3-decimal timings keyed by the
+    // unique operator id (the prefix before the first '_' — q01, d07,
+    // st04...; full names are in SURVEY.md §2 / CORRECTNESS_r*.json).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

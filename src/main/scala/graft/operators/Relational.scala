@@ -977,30 +977,39 @@ object Relational {
     * that click, with stage conversion rates. Implemented as cascaded
     * per-user min-timestamp aggregates: each stage's frame is at most
     * one row per user (bounded by the user population, not the event
-    * count), so the stage joins BROADCAST and each stage costs one
-    * partial->final agg over a filtered scan. The window/sessionize
-    * alternative (st02) sorts every event; this never sorts, which is
-    * the right trade when the funnel has few stages and events are
-    * 100 TB.
+    * count), so each stage costs one partial->final agg over a
+    * filtered scan. The stage joins carry NO broadcast hint: a
+    * per-user frame is only small relative to the event log — at the
+    * 100 TB design point distinct users are 10^8-10^9 and a forced
+    * broadcast would OOM rather than fall back, so the join degrades
+    * gracefully to shuffle-on-user_id and AQE upgrades it to broadcast
+    * whenever the runtime stage size actually fits the threshold. The
+    * window/sessionize alternative (st02) sorts every event; this
+    * never sorts, which is the right trade when the funnel has few
+    * stages and events are 100 TB.
     */
   def conversionFunnel(events: DataFrame): DataFrame = {
     val v = events.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
     val c = events.filter(col("event_type") === "click").as("e")
-      .join(broadcast(v), col("e.user_id") === v("user_id") && col("ts") >= col("v_ts"))
+      .join(v, col("e.user_id") === v("user_id") && col("ts") >= col("v_ts"))
       .groupBy(col("e.user_id")).agg(min(col("ts")).as("c_ts"))
     val p = events.filter(col("event_type") === "purchase").as("e2")
-      .join(broadcast(c), col("e2.user_id") === c("user_id") && col("ts") >= col("c_ts"))
+      .join(c, col("e2.user_id") === c("user_id") && col("ts") >= col("c_ts"))
       .groupBy(col("e2.user_id")).agg(min(col("ts")).as("p_ts"))
     val counts = v.agg(count(lit(1)).as("n_viewed"))
       .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    // zero-stage guard: 0.0/0 is NaN in Spark but engine-dependent in
+    // DuckDB — emit NULL on an empty upstream stage on both sides
     counts.select(
       col("n_viewed"), col("n_clicked"), col("n_purchased"),
-      Rounding.roundN(col("n_clicked").cast("double") / col("n_viewed"), 4)
-        .as("view_to_click"),
-      Rounding.roundN(col("n_purchased").cast("double") / col("n_clicked"), 4)
-        .as("click_to_purchase"))
+      when(col("n_viewed") > 0,
+        Rounding.roundN(col("n_clicked").cast("double") / col("n_viewed"), 4))
+        .otherwise(lit(null).cast("double")).as("view_to_click"),
+      when(col("n_clicked") > 0,
+        Rounding.roundN(col("n_purchased").cast("double") / col("n_clicked"), 4))
+        .otherwise(lit(null).cast("double")).as("click_to_purchase"))
   }
 
   val conversionFunnelOracle: String =
@@ -1016,8 +1025,10 @@ object Relational {
                     (SELECT count(*) FROM c) AS n_clicked,
                     (SELECT count(*) FROM p) AS n_purchased)
        SELECT n_viewed, n_clicked, n_purchased,
-         round(CAST(n_clicked AS DOUBLE) / n_viewed, 4) AS view_to_click,
-         round(CAST(n_purchased AS DOUBLE) / n_clicked, 4) AS click_to_purchase
+         CASE WHEN n_viewed > 0
+           THEN round(CAST(n_clicked AS DOUBLE) / n_viewed, 4) END AS view_to_click,
+         CASE WHEN n_clicked > 0
+           THEN round(CAST(n_purchased AS DOUBLE) / n_clicked, 4) END AS click_to_purchase
        FROM k"""
 
   // ---- q41: time-weighted average -------------------------------------
@@ -1037,7 +1048,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("dt_us",
-        expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)"))
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
       .filter(col("dt_us").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_weighted"),

@@ -11,7 +11,9 @@ object CheckReuse {
     val key = if (args.length > 1) args(1) else "t10_tfidf_topk"
     val spark = GraftSession.local("graft-reuse", 8)
     val df = SparkEntry.queries(key)(spark, sfDir)
-    df.count() // execute so AQE finalizes the plan
+    // execute THIS Dataset's own plan (df.count() would build a separate
+    // QueryExecution and leave df's AdaptiveSparkPlan un-finalized)
+    df.write.format("noop").mode("overwrite").save()
     val p = df.queryExecution.executedPlan.toString
     println(s"[reuse] $key ReusedExchange=" + "ReusedExchange".r.findAllIn(p).size +
       " Generate=" + "Generate".r.findAllIn(p).size)

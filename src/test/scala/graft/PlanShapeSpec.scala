@@ -150,10 +150,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Scan parquet") == 1)
   }
 
-  test("q40: every funnel stage joins by broadcast — events are never sort-merged") {
-    val p = plan("q40_funnel")
-    assert(!p.contains("SortMergeJoin"))
-    assert(count(p, "BroadcastHashJoin") >= 2)
+  test("q40: no FORCED broadcast of a per-user frame — the planner chooses") {
+    // a broadcast() hint on the per-user stage frames would bypass the
+    // size threshold and OOM at 10^8+ users; the join must be hint-free
+    // (the planner may still pick broadcast when the stage is actually
+    // small — that is the point)
+    val analyzed =
+      SparkEntry.queries("q40_funnel")(spark, sf).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"))
+    assert(!analyzed.contains("UnresolvedHint"))
   }
 
   test("q41: weighted agg collapses into the window's partitioning — 2 exchanges total") {
@@ -166,5 +171,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // distinct (user,day) + window(user) + output sort; both island
     // aggregates reuse the window partitioning
     assert(count(plan("q42_gaps_islands"), "Exchange") == 3)
+  }
+
+  test("dedup suite: d02/d04/d07/d10/d11 share ONE LSH candidate build (persist point)") {
+    val before = graft.operators.Dedup.pipelineBuilds
+    Seq("d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard", "d07_dedup_clusters",
+        "d10_dedup_apply", "d11_minhash_estimate")
+      .foreach(k => SparkEntry.queries(k)(spark, sf).count())
+    val delta = graft.operators.Dedup.pipelineBuilds - before
+    // <= 1, not == 1: another test may have already primed the cache
+    // for this corpus, in which case zero builds is the success case
+    assert(delta <= 1, s"LSH candidate stage built $delta times across the dedup suite")
   }
 }
