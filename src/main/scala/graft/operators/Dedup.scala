@@ -74,50 +74,53 @@ object Dedup {
   private def jaccardExpr(d: Dialect, a: String, b: String): String =
     s"CAST(${Dialect.intersectSize(d, a, b)} AS DOUBLE) / ${d.unionSize(a, b)}"
 
+  // ---- the materialized pipeline (persist point) ----------------------
+
+  /** How many times the LSH candidate stage was actually BUILT (not
+    * served from cache) — spec-pinned evidence that d02/d04/d07/d10/d11
+    * share ONE pipeline execution per corpus instead of re-running the
+    * signature+banding stage each (see PlanShapeSpec "pipeline built
+    * once"). */
+  @volatile var pipelineBuilds: Long = 0L
+
+  private val pipelineCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, Double), DedupPipeline]
+
+  /** The dedup persist-point: candidate pairs, verified pairs and the
+    * cluster map are computed ONCE per (corpus, threshold) and
+    * localCheckpointed; d02/d04/d07/d10/d11 are all views over these
+    * frames. This mirrors how the 100 TB pipeline actually runs — pair
+    * generation is one job whose output is materialized storage, and
+    * clustering / census / estimator-eval consume it — and is what the
+    * reference's once-per-batch merge idempotency corresponds to
+    * (queue_for_delta.py:741-757: the expensive step runs once, every
+    * consumer reads its output).
+    *
+    * Caching is keyed by (session, input files, threshold) and applies
+    * ONLY when `documents` is a bare table scan (a leaf plan): a
+    * filtered/synthetic frame has no stable identity, so it gets a
+    * fresh un-shared pipeline rather than a wrong cache hit.
+    */
+  def pipeline(documents: DataFrame, minJaccard: Double = 0.3): DedupPipeline = {
+    val bareScan = documents.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
+    val files = documents.inputFiles.sorted.mkString(",")
+    if (!bareScan || files.isEmpty) new DedupPipeline(documents, minJaccard)
+    else pipelineCache.computeIfAbsent(
+      (documents.sparkSession, files, minJaccard),
+      _ => new DedupPipeline(documents, minJaccard))
+  }
+
   /** d02: MinHash + LSH banding near-duplicate pairs.
     * sig = 16 permutation minima over the shingle set; NumBands bands
     * of RowsPerBand rows (4x4 — retuned from 8x2 after the same-vocab
     * corpus collapsed 2-row bands into a 1841-doc bucket); candidates
     * = docs sharing any band key; verified with true shingle
-    * Jaccard >= minJaccard.
+    * Jaccard >= minJaccard. All heavy lifting lives in [[pipeline]].
     */
-  def minhashLsh(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
-    import graft.functions.GraftFunctions._
-    // native single-pass signature (min over the window-hash multiset
-    // == min over the distinct set, so this matches the oracle)
-    val sigArr = documents.select(col("doc_id"),
-      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
-    val sigCols = (0 until NumPerms).map(j => element_at(col("sig"), j + 1).as(s"m$j"))
-    val sig = sigArr.select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * b + r}"))
-      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bkey"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // verification: per-doc shingle frame joined to the pairs by id.
-    // Computed for the WHOLE corpus here: every reference to `pairs`
-    // re-executes the candidate pipeline in an un-materialized plan,
-    // so semi-joining sh down to candidate docs triples the LSH stage
-    // and loses (measured). In a persisted pipeline at cluster scale,
-    // materialize `pairs` (it's tiny) and semi-join sh to its doc ids
-    // so the shingle kernel runs only on candidates.
-    val sh = documents.select(col("doc_id"), shingle_set(col("text")).as("hs"))
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jac", graft.functions.GraftFunctions.arr_jaccard(col("hs_a"), col("hs_b")))
-      .filter(col("jac") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), Rounding.roundN(col("jac"), 4).as("jac"))
+  def minhashLsh(documents: DataFrame, minJaccard: Double = 0.3): DataFrame =
+    pipeline(documents, minJaccard).pairs
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** The shared CTE chain producing `verified(doc_a, doc_b, jac)` —
     * reused by the d02 oracle and the d07 cluster oracle so the edge
@@ -152,50 +155,14 @@ object Dedup {
   /** d07: resolve the near-dup PAIRS into canonical CLUSTERS — the
     * step every real dedup pipeline runs after pair generation (you
     * keep one doc per component, not one per pair). Connected
-    * components via distributed min-label propagation: each vertex
-    * repeatedly adopts the minimum label among itself and its
-    * neighbors; fixpoint in O(component diameter) rounds. Every
-    * iteration materializes its frame (localCheckpoint) — an
-    * ITERATIVE algorithm on an un-materialized lineage would re-execute
-    * all previous rounds each round (see PLANS.md on plan re-execution)
-    * and the LSH edge set is checkpointed once up front for the same
-    * reason. Near-dup components are shallow (dozens of docs), so the
-    * round count is small and each round is one tiny shuffle.
+    * components via distributed min-label propagation (the loop lives
+    * in [[DedupPipeline.clusters]]); the verified-pair frame comes from
+    * the shared pipeline, so running d02 then d07 pays the LSH stage
+    * once.
     */
-  def dedupClusters(documents: DataFrame, minJaccard: Double = 0.3,
-                    maxIters: Int = 50): DataFrame = {
-    val pairs = minhashLsh(documents, minJaccard)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("a", "b")
-    // round 0 fused into initialization: label = min(self, neighbors).
-    // For the dominant shallow components (pairs, triangles, stars on
-    // the min vertex) this IS the fixpoint, so the loop usually runs
-    // once to confirm and once more only for chains.
-    var labels = edges.groupBy(col("a"))
-      .agg(least(min(col("b")), col("a")).as("label"))
-      .select(col("a").as("id"), col("label")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val neigh = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.as("l")
-        .join(neigh.as("n"), col("l.id") === col("n.a"), "left")
-        .select(col("l.id").as("id"),
-                least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"),
-                (col("l.label") > coalesce(col("n.nlabel"), col("l.label")))
-                  .cast("long").as("chg"))
-        .localCheckpoint()
-      changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
-      labels = updated.select(col("id"), col("label"))
-      iter += 1
-    }
-    lastIters = iter
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  def dedupClusters(documents: DataFrame, minJaccard: Double = 0.3): DataFrame =
+    pipeline(documents, minJaccard).clusters
       .orderBy(col("doc_id"))
-  }
 
   /** Observability: rounds the last dedupClusters call took to converge
     * (the quantity to watch if component diameters grow at scale). */
@@ -241,7 +208,7 @@ object Dedup {
     * itself never shuffles.
     */
   def dedupApply(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
-    val clusters = dedupClusters(documents, minJaccard)
+    val clusters = pipeline(documents, minJaccard).clusters
       .select(col("doc_id").as("m_doc_id"), col("cluster_id"))
     documents
       .join(broadcast(clusters), col("doc_id") === col("m_doc_id"), "left")
@@ -280,13 +247,17 @@ object Dedup {
     */
   def minhashEstimate(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
     import graft.functions.GraftFunctions._
-    val pairs = minhashLsh(documents, minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-    val sigs = documents.select(col("doc_id"),
-      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
+    val pl = pipeline(documents, minJaccard)
+    val pairs = pl.pairs.select(col("doc_a"), col("doc_b"), col("jac"))
+    // signature kernel re-runs ONLY on docs that appear in a verified
+    // pair (the checkpointed pairs frame bounds the semi-join); the
+    // joins carry no broadcast hint — pair-member frames are bounded by
+    // the pair count, which AQE can see at runtime, not by a constant
+    val sigs = pl.restrictToCandidates(documents)
+      .select(col("doc_id"), minhash_sig(col("text"), minhashA, minhashB).as("sig"))
     pairs
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_agree",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))").cast("long"))
       .withColumn("est", Rounding.roundN(col("n_agree").cast("double") / NumPerms, 4))
@@ -363,33 +334,52 @@ object Dedup {
   /** d09: blocked fuzzy key matching — surface keys within edit
     * distance 1 of each other (the entity-resolution pass the
     * reference's ticker normalization hints at: catching near-miss
-    * identifiers, not just case/whitespace variants). Standard
-    * blocking: candidates must share everything but the last
-    * character, which bounds each block to a handful of keys, then
-    * the exact levenshtein test runs inside the join predicate —
-    * never all-pairs. Output is the per-key fuzzy-neighbor census
+    * identifiers, not just case/whitespace variants).
+    *
+    * Blocking is the DELETION NEIGHBORHOOD (symmetric-delete): each
+    * key of length L explodes into {key} ∪ {key with one char
+    * deleted} — L+1 bounded block values. Two keys within ED <= 1
+    * ALWAYS share a block (equal → the key itself; substitution at i
+    * → both deletion-at-i variants; insert/delete → the longer key's
+    * deletion variant equals the shorter key), so recall over ED-1 is
+    * COMPLETE — unlike prefix blocking ("all but the last char"),
+    * which silently drops every pair differing before the final
+    * character (round-3 shape; a spec now pins one such pair). The
+    * exact levenshtein test runs inside the join predicate, and pairs
+    * that meet in several blocks are deduped BEFORE the census so each
+    * neighbor counts once. Block sizes stay bounded: a block collects
+    * only keys one deletion away from a common string, never a
+    * quadratic scan. Output is the per-key fuzzy-neighbor census
     * (count + smallest matching key), the compact resolution table.
     */
   def fuzzyKeys(customer: DataFrame, maxDist: Int = 1): DataFrame = {
-    val k = customer
-      .select(col("c_custkey"), upper(trim(col("c_name"))).as("k"))
-      .withColumn("blk", expr("substring(k, 1, length(k) - 1)"))
-    k.as("x").join(k.as("y"),
+    val k = customer.select(col("c_custkey"), upper(trim(col("c_name"))).as("k"))
+    val blocks = k.withColumn("blk", explode(expr(
+      """array_distinct(transform(sequence(0, length(k)),
+         i -> CASE WHEN i = 0 THEN k
+              ELSE concat(substring(k, 1, i - 1), substring(k, i + 1, length(k))) END))""")))
+    blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.c_custkey") < col("y.c_custkey") &&
         levenshtein(col("x.k"), col("y.k")) <= maxDist)
-      .groupBy(col("x.c_custkey").as("c_custkey"))
-      .agg(count(lit(1)).as("n_fuzzy"), min(col("y.c_custkey")).as("first_match"))
+      .select(col("x.c_custkey").as("c_custkey"), col("y.c_custkey").as("match_key"))
+      .distinct()
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_fuzzy"), min(col("match_key")).as("first_match"))
       .orderBy(col("c_custkey"))
   }
 
   def fuzzyKeysOracle(maxDist: Int = 1): String =
-    s"""WITH b AS (SELECT c_custkey, upper(trim(c_name)) AS k,
-         substring(upper(trim(c_name)), 1, length(trim(c_name)) - 1) AS blk
-       FROM customer)
-       SELECT x.c_custkey, count(*) AS n_fuzzy, min(y.c_custkey) AS first_match
-       FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
-         AND levenshtein(x.k, y.k) <= $maxDist
-       GROUP BY x.c_custkey ORDER BY x.c_custkey"""
+    s"""WITH k AS (SELECT c_custkey, upper(trim(c_name)) AS k FROM customer),
+       b AS (SELECT c_custkey, k,
+           unnest(list_distinct(list_transform(generate_series(0, length(k)),
+             i -> CASE WHEN i = 0 THEN k
+                  ELSE substring(k, 1, i - 1) || substring(k, i + 1, length(k)) END))) AS blk
+         FROM k),
+       p AS (SELECT DISTINCT x.c_custkey AS c_custkey, y.c_custkey AS match_key
+         FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+           AND levenshtein(x.k, y.k) <= $maxDist)
+       SELECT c_custkey, count(*) AS n_fuzzy, min(match_key) AS first_match
+       FROM p GROUP BY c_custkey ORDER BY c_custkey"""
 
   // ---- d03: SimHash ---------------------------------------------------
 
@@ -466,9 +456,20 @@ object Dedup {
 
   // ---- d04: word-bigram Jaccard ---------------------------------------
 
-  /** n-gram (word-bigram) Jaccard within (lang, source) blocks —
-    * blocking keys bound the pair count, the standard trick before
-    * pairwise verification at scale.
+  /** n-gram (word-bigram) Jaccard — the VERIFICATION kernel of the
+    * dedup suite, scored over the shared pipeline's LSH candidate
+    * pairs. Round 3 blocked on (lang, source): a low-cardinality key
+    * whose blocks are O(corpus) at 100 TB, making the self-join
+    * quadratic. The bounded-candidate form runs the bigram metric only
+    * on pairs that already share a MinHash band (|candidates| ~ the
+    * near-dup rate x corpus, never B^2), which is how a second,
+    * finer-grained similarity metric is actually deployed next to LSH:
+    * LSH proposes, the n-gram metric disposes.
+    *
+    * Recall contract: a pair is scored only if char-shingle MinHash
+    * banding proposed it (P[proposed] = 1-(1-j^4)^4 for shingle
+    * Jaccard j) — identical to d02's contract, and the per-band bucket
+    * census spec bounds the candidate count as the corpus grows.
     */
   private def bigramsExpr(d: Dialect): String = {
     val toks = s"${d.splitFn}(lower(text), ' ')"
@@ -483,18 +484,19 @@ object Dedup {
   }
 
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
-    val d = Dialect.spark
     // hashed-bigram sets: 8-byte elements instead of strings, so the
     // pairwise merge-Jaccard and the join shuffle both shrink ~3x.
     // Hash collisions merge identically on both engines (dedup is
     // applied AFTER hashing on both sides) so parity is unaffected.
-    val bg = documents.select(col("doc_id"), col("lang"), col("source"),
+    // The bigram kernel runs ONLY on candidate-pair members.
+    val pl = pipeline(documents)
+    val bg = pl.restrictToCandidates(documents).select(col("doc_id"),
       graft.functions.GraftFunctions.word_bigram_hashes(col("text")).as("bg"))
-    bg.as("x").join(bg.as("y"),
-        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              graft.functions.GraftFunctions.arr_jaccard(col("x.bg"), col("y.bg")).as("jac"))
+    pl.candidates
+      .join(bg.select(col("doc_id").as("doc_a"), col("bg").as("bg_a")), "doc_a")
+      .join(bg.select(col("doc_id").as("doc_b"), col("bg").as("bg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              graft.functions.GraftFunctions.arr_jaccard(col("bg_a"), col("bg_b")).as("jac"))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), Rounding.roundN(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -512,12 +514,133 @@ object Dedup {
 
   def ngramJaccardOracle(minJaccard: Double = 0.05): String = {
     val d = Dialect.duck
-    s"""WITH bg AS (SELECT doc_id, lang, source, $bigramHashesDuck AS bg FROM documents)
+    // reuses the d02 candidate CTE chain (`pairs`); the `verified` CTE
+    // in it goes unreferenced and DuckDB never evaluates it
+    s"""WITH $minhashLshCtes,
+       bg AS (SELECT doc_id, $bigramHashesDuck AS bg FROM documents)
        SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
-         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           ${jaccardExpr(d, "x.bg", "y.bg")} AS jac
-         FROM bg x JOIN bg y
-           ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id) t
+         SELECT p.doc_a, p.doc_b, ${jaccardExpr(d, "a.bg", "b.bg")} AS jac
+         FROM pairs p JOIN bg a ON p.doc_a = a.doc_id
+                      JOIN bg b ON p.doc_b = b.doc_id) t
        WHERE jac >= $minJaccard ORDER BY doc_a, doc_b"""
+  }
+}
+
+/** One corpus's materialized dedup pipeline: LSH candidate pairs,
+  * shingle-verified pairs and the cluster map, each computed once and
+  * `localCheckpoint`ed on first access. Obtain instances through
+  * [[Dedup.pipeline]] (which caches per corpus+threshold); every frame
+  * here is TINY relative to the corpus — pair rows, not documents — so
+  * the checkpoints are the cluster-scale equivalent of writing the
+  * pair/cluster tables to storage between jobs.
+  */
+final class DedupPipeline private[operators] (documents: DataFrame, minJaccard: Double) {
+  import Dedup._
+  import graft.functions.GraftFunctions._
+
+  /** LSH band-candidate pairs (doc_a < doc_b), deduped across bands.
+    * The ONE execution of the signature+banding stage; everything
+    * downstream (d02 verify, d04 bigram verify, d07 clustering, d11
+    * estimator eval) reads this frame. Native single-pass signature
+    * kernel: min over the window-hash multiset == min over the
+    * distinct set, so it matches the oracle's set-based arithmetic.
+    */
+  lazy val candidates: DataFrame = {
+    Dedup.pipelineBuilds += 1
+    val sigArr = documents.select(col("doc_id"),
+      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
+    val sigCols = (0 until NumPerms).map(j => element_at(col("sig"), j + 1).as(s"m$j"))
+    val sig = sigArr.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * b + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    bands.as("x")
+      .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Docs appearing in any candidate pair — the bounded set every
+    * verification kernel runs on. */
+  private lazy val candidateDocs: DataFrame =
+    candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+
+  /** Semi-join a corpus-shaped frame (with a doc_id column) down to
+    * candidate-pair members, so per-doc kernels (shingles, bigrams,
+    * signatures) run on candidates only — never the whole corpus a
+    * second time. No broadcast hint: the candidate count scales with
+    * the near-dup rate, and AQE upgrades the semi-join to broadcast
+    * whenever the materialized frame actually fits.
+    */
+  def restrictToCandidates(df: DataFrame): DataFrame =
+    df.join(candidateDocs, Seq("doc_id"), "left_semi")
+
+  /** Shingle-verified near-dup pairs: true Jaccard >= minJaccard,
+    * 4dp-rounded. The shingle kernel runs only on candidate docs. */
+  lazy val pairs: DataFrame = {
+    val sh = restrictToCandidates(documents)
+      .select(col("doc_id"), shingle_set(col("text")).as("hs"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jac", arr_jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), Rounding.roundN(col("jac"), 4).as("jac"))
+      .localCheckpoint()
+  }
+
+  /** Rounds the last cluster computation took to converge. */
+  @volatile var iters: Int = 0
+
+  /** Cluster map (doc_id -> min-reachable-id) over the verified pairs:
+    * connected components via distributed min-label propagation; each
+    * vertex repeatedly adopts the minimum label among itself and its
+    * neighbors; fixpoint in O(component diameter) rounds. Every
+    * iteration materializes its frame (localCheckpoint) — an iterative
+    * algorithm on an un-materialized lineage would re-execute all
+    * previous rounds each round (see PLANS.md on plan re-execution).
+    * Near-dup components are shallow (dozens of docs), so the round
+    * count is small and each round is one tiny shuffle. Round 0 is
+    * fused into initialization: label = min(self, neighbors) — for the
+    * dominant shallow components (pairs, triangles, stars on the min
+    * vertex) that IS the fixpoint, so the loop usually runs once to
+    * confirm and once more only for chains.
+    */
+  lazy val clusters: DataFrame = {
+    val MaxIters = 50
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b"), col("doc_a"))).toDF("a", "b")
+    var labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("a").as("id"), col("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxIters) {
+      val neigh = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(neigh.as("n"), col("l.id") === col("n.a"), "left")
+        .select(col("l.id").as("id"),
+                least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"),
+                (col("l.label") > coalesce(col("n.nlabel"), col("l.label")))
+                  .cast("long").as("chg"))
+        .localCheckpoint()
+      changed = updated.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      labels = updated.select(col("id"), col("label"))
+      iter += 1
+    }
+    iters = iter
+    Dedup.lastIters = iter
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }
