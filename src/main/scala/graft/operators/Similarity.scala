@@ -20,7 +20,64 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   val Dims = 64
+
+  /** Default hyperplane count for the ORACLE-BOUND queries (pinned so
+    * the DuckDB SQL stays static across corpora). Production sizing is
+    * [[planesFor]] — the spec suite runs [[bucketCensus]] with derived
+    * planes at every SF to prove the derived index stays bounded. */
   val NumPlanes = 4
+
+  /** Data-dependent hyperplane count: enough planes that the EXPECTED
+    * bucket occupancy n / 2^p is at most `targetBucket`, floored at
+    * [[NumPlanes]] and capped at 24 (2^24 = 16M buckets serves n=10^9
+    * at ~64 expected occupants — beyond that you shard the index, not
+    * the plane count). This is the 100x-scale lever the fixed constant
+    * lacks: 16 buckets at 100 TB would be near-all-pairs. Measured on
+    * the test corpus (see BucketCensusSpec numbers in the spec): the
+    * LARGEST bucket plateaus at a few percent of the corpus however
+    * many planes are added — tight clusters of near-identical vectors
+    * share every sign bit, which is precisely what makes sign-LSH a
+    * near-dup blocker — so the census asserts avg <= target and
+    * max <= 8x target rather than pretending skew away.
+    */
+  def planesFor(n: Long, targetBucket: Int = 64): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(NumPlanes, needed))
+  }
+
+  /** Data-dependent IVF centroid ids: K ~ sqrt(n) vectors stride-
+    * sampled deterministically across the id space (the stand-in for
+    * a sampled k-means — same K growth, same plan shape). sqrt(n)
+    * cells keep BOTH sides of the search balanced: ~sqrt(n) expected
+    * cell occupancy and ~sqrt(n) centroids to probe per query. */
+  def centroidIdsFor(n: Long): Seq[Long] = {
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    (0 until k).map(i => i.toLong * n / k)
+  }
+
+  /** Occupancy census of the hyperplane-LSH buckets — the evidence
+    * that an index sized by [[planesFor]] stays sub-quadratic as the
+    * corpus grows: one row with bucket count, max/p99/avg occupancy.
+    * Runs as one partial->final agg over the bucket projection. */
+  def bucketCensus(embeddings: DataFrame, numPlanes: Int): DataFrame = {
+    import graft.functions.GraftFunctions._
+    embeddings
+      .select(plane_bucket(col("embedding"), numPlanes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_occ"),
+           expr("percentile(n, 0.99)").as("p99_occ"),
+           avg(col("n")).as("avg_occ"))
+  }
+
+  /** Occupancy census of the IVF cells for a given centroid set —
+    * same evidence for the s03/s05 path. */
+  def cellCensus(embeddings: DataFrame, cents: Seq[Long]): DataFrame =
+    assignedCells(embeddings, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_occ"),
+           expr("percentile(n, 0.99)").as("p99_occ"),
+           avg(col("n")).as("avg_occ"))
 
   private def dot(d: Dialect, a: String, b: String): String =
     if (d eq Dialect.spark)
@@ -35,9 +92,9 @@ object Similarity {
     d.sumDouble(d.transform(d.range("1", Dims.toString),
       s"i -> CAST(${d.elem(e, "i")} AS DOUBLE) * ${planeSign(d, j)}"))
 
-  /** Sign-bucket id from NumPlanes random hyperplanes. */
-  private def bucketExpr(d: Dialect, e: String): String =
-    (0 until NumPlanes).map { j =>
+  /** Sign-bucket id from `numPlanes` random hyperplanes. */
+  private def bucketExpr(d: Dialect, e: String, numPlanes: Int = NumPlanes): String =
+    (0 until numPlanes).map { j =>
       s"(CASE WHEN ${planeDot(d, e, j)} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -83,11 +140,12 @@ object Similarity {
   /** s02: LSH-bucketed approximate top-k — candidates share the
     * query's hyperplane sign bucket; equi-join on bucket id.
     */
-  def lshTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
+  def lshTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+              numPlanes: Int = NumPlanes): DataFrame = {
     import graft.functions.GraftFunctions._
     val f = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", vec_norm(col("embedding")))
-      .withColumn("bucket", plane_bucket(col("embedding"), NumPlanes))
+      .withColumn("bucket", plane_bucket(col("embedding"), numPlanes))
     val corpus = f.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
                           col("nrm").as("cn"), col("bucket"))
     val queries = f.filter(col("vec_id") < maxQueryId)
@@ -105,10 +163,11 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def lshTopKOracle(maxQueryId: Long = 8, k: Int = 3): String = {
+  def lshTopKOracle(maxQueryId: Long = 8, k: Int = 3,
+                    numPlanes: Int = NumPlanes): String = {
     val d = Dialect.duck
     s"""WITH f AS (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
-           ${bucketExpr(d, "embedding")} AS bucket FROM embeddings),
+           ${bucketExpr(d, "embedding", numPlanes)} AS bucket FROM embeddings),
        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
            ${dot(d, "q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          FROM f c JOIN f q ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -129,15 +188,19 @@ object Similarity {
     * At 100 TB: K grows to ~sqrt(N), multi-probe = union of nearest
     * cells, centroids come from a sampled k-means — same plan shape.
     */
+  /** Pinned centroid set for the ORACLE-BOUND queries (static SQL);
+    * production sizing is [[centroidIdsFor]] (K ~ sqrt(n)), census-
+    * checked at every SF by the spec suite. */
   val centroidIds: Seq[Long] = (100L until 108L)
 
   /** IVF cell assignment: every vector to its nearest centroid
     * (broadcast K centroids + top-1 window) — shared by s03 search and
     * s04 centroid refinement. */
-  private def assignedCells(embeddings: DataFrame): DataFrame = {
+  private def assignedCells(embeddings: DataFrame,
+                            centIds: Seq[Long] = centroidIds): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    val cents = embeddings.filter(col("vec_id").isin(centroidIds: _*))
+    val cents = embeddings.filter(col("vec_id").isin(centIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
@@ -288,11 +351,12 @@ object Similarity {
        FROM ex GROUP BY cell, dim ORDER BY cell, dim"""
 
   /** d05: embedding-cosine near-duplicate pairs, LSH-blocked. */
-  def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
+  def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.3,
+                       numPlanes: Int = NumPlanes): DataFrame = {
     import graft.functions.GraftFunctions._
     val f = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", vec_norm(col("embedding")))
-      .withColumn("bucket", plane_bucket(col("embedding"), NumPlanes))
+      .withColumn("bucket", plane_bucket(col("embedding"), numPlanes))
     val a = f.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
                      col("nrm").as("na"), col("bucket"))
     val b = f.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
@@ -305,10 +369,11 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  def embeddingNearDupOracle(minCos: Double = 0.3): String = {
+  def embeddingNearDupOracle(minCos: Double = 0.3,
+                             numPlanes: Int = NumPlanes): String = {
     val d = Dialect.duck
     s"""WITH f AS (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
-           ${bucketExpr(d, "embedding")} AS bucket FROM embeddings)
+           ${bucketExpr(d, "embedding", numPlanes)} AS bucket FROM embeddings)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(${dot(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
        FROM f a JOIN f b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -46,6 +46,19 @@ object LakehouseWriter {
     * repair script) exactly which rename to replay: data is ALWAYS
     * present at one of the three. A failed staging write cleans up
     * after itself and leaves the serving path untouched.
+    *
+    * Guarantees and boundaries vs the reference's delta-rs table
+    * (services/workers/tasks/queue_for_delta.py:680-799):
+    *  - IDEMPOTENT: replaying the same batch is a no-op by
+    *    construction (latest-wins on the same keys/values — spec:
+    *    "mergeInto is idempotent"), the property the reference leans
+    *    on for its retried Celery tasks.
+    *  - NOT concurrent-writer safe: there is no transaction log, no
+    *    optimistic-concurrency commit, no time travel. Two
+    *    simultaneous mergeInto calls race on the rename swap; the
+    *    marker makes the crash window OBSERVABLE, not serialized.
+    *    Callers must serialize writers per table path (one writer per
+    *    table is also how the reference's queue partitions its work).
     */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
                 source: DataFrame, keys: Seq[String], tieBreak: Seq[String]): Unit = {

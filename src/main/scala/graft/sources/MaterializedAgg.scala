@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a keyed count/sum aggregate under
+  * lakehouse upserts — the Spark analogue of the reference's
+  * "invalidate the serving cache on write" loop (the reference
+  * recomputes its cached list views whenever a write lands,
+  * services/api/cache_utils.py:47-146 + services/api/signals.py).
+  * Here the write triggers an INCREMENTAL refresh instead of a full
+  * recompute: subtract the contribution of the target rows whose keys
+  * the batch touches, add the contribution of their merged
+  * replacements. Only the batch and the affected target rows (one
+  * semi-join on the merge keys, prunable to the touched partitions)
+  * are ever read — the 100 TB property: refresh cost scales with the
+  * BATCH, not the table.
+  *
+  * Works for decomposable aggregates (count/sum here; min/max would
+  * need a re-scan of shrinking groups). The merged winners of the
+  * affected keys are recomputed with the SAME
+  * [[graft.operators.Relational.mergeUpsert]] the write path uses, so
+  * the winner choice cannot drift between the table and the view.
+  */
+object MaterializedAgg {
+
+  /** The maintained view: per-group row count and value sum. */
+  def fullAgg(df: DataFrame, groupCol: String, sumCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col(sumCol)).as("total"))
+
+  /** Refresh `prevAgg` (= fullAgg of the pre-merge table) to reflect
+    * mergeUpsert(targetBefore, source, keys, tieBreak), without
+    * rescanning the table: delta = agg(merged affected slice) -
+    * agg(affected slice before). Groups whose count reaches zero drop
+    * out, matching a recomputed aggregate's absent groups.
+    */
+  def refreshAfterUpsert(prevAgg: DataFrame, targetBefore: DataFrame,
+                         source: DataFrame, keys: Seq[String],
+                         tieBreak: Seq[String],
+                         groupCol: String, sumCol: String): DataFrame = {
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val affectedBefore = targetBefore.join(srcKeys, keys, "left_semi")
+    val affectedAfter =
+      graft.operators.Relational.mergeUpsert(affectedBefore, source, keys, tieBreak)
+    val minus = fullAgg(affectedBefore, groupCol, sumCol)
+      .select(col("grp"), (-col("n")).as("n"), (-col("total")).as("total"))
+    val plus = fullAgg(affectedAfter, groupCol, sumCol)
+    prevAgg.unionByName(minus).unionByName(plus)
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .filter(col("n") > 0)
+  }
+}
