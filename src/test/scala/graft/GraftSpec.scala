@@ -316,6 +316,50 @@ class GraftSpec extends AnyFunSuite {
     assert(refreshed("ttm") == ((2L, 70.0)))
   }
 
+  test("refresh-on-write: streaming ingest keeps the aggregate view incrementally fresh") {
+    import spark.implicits._
+    import graft.sources.{MaterializedAgg, VersionedTable}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_row").toString + "/t"
+    val keys = Seq("suppkey", "record_type")
+    val seed = Seq((1L, "financials", 10.0), (2L, "ttm", 20.0))
+      .toDF("suppkey", "record_type", "qty")
+    VersionedTable.merge(spark, root, seed, keys, Seq("qty"))
+    var view = MaterializedAgg
+      .fullAgg(VersionedTable.read(spark, root), "record_type", "qty").localCheckpoint()
+    // the reference invalidates its serving cache on every write
+    // (cache_utils.py + signals.py); here each micro-batch's merge
+    // refreshes the view from the batch + affected slice only
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDS().toDF("suppkey", "record_type", "qty")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val recs = batch.localCheckpoint()
+        if (recs.count() > 0) {
+          val before = VersionedTable.read(spark, root).localCheckpoint()
+          VersionedTable.merge(spark, root, recs, keys, Seq("qty"))
+          view = MaterializedAgg.refreshAfterUpsert(
+            view, before, recs, keys, Seq("qty"), "record_type", "qty")
+            .localCheckpoint()
+        }
+      }
+      .start()
+    def viewMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    try {
+      input.addData((1L, "financials", 15.0), (3L, "financials", 30.0))
+      q.processAllAvailable()
+      assert(viewMap(view) == viewMap(MaterializedAgg.fullAgg(
+        VersionedTable.read(spark, root), "record_type", "qty")))
+      assert(viewMap(view)("financials") == ((2L, 45.0)))
+      input.addData((2L, "ttm", 22.0))
+      q.processAllAvailable()
+      assert(viewMap(view) == viewMap(MaterializedAgg.fullAgg(
+        VersionedTable.read(spark, root), "record_type", "qty")))
+      assert(viewMap(view)("ttm") == ((1L, 22.0)))
+    } finally q.stop()
+  }
+
   test("mergeInto is idempotent: replaying the same batch is exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -349,6 +393,103 @@ class GraftSpec extends AnyFunSuite {
     assert(!parent.listFiles().exists(f =>
       f.getName.endsWith("_staging") || f.getName.endsWith("_old") ||
       f.getName.endsWith("_MERGE_INPROGRESS")))
+  }
+
+  test("VersionedTable: atomic commits, time travel, and invisible uncommitted staging") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vt").toString + "/t"
+    val keys = Seq("suppkey")
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    assert(VersionedTable.merge(spark, root, tbl(1L -> 10.0, 2L -> 20.0), keys, Seq("qty")) == 0L)
+    assert(VersionedTable.merge(spark, root, tbl(2L -> 25.0, 3L -> 30.0), keys, Seq("qty")) == 1L)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snap(VersionedTable.read(spark, root)) ==
+      Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    // time travel: version 0 is still the pre-merge snapshot
+    assert(snap(VersionedTable.readAsOf(spark, root, 0L)) == Map(1L -> 10.0, 2L -> 20.0))
+    // a staged-but-never-committed snapshot (crashed writer) is
+    // invisible: no log entry -> not a version
+    tbl(9L -> 99.0).write.parquet(s"$root/data/v00000099-deadbeef")
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(snap(VersionedTable.read(spark, root)) ==
+      Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+  }
+
+  test("VersionedTable: concurrent writers — loser detects the conflict and retry merges BOTH") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtc").toString + "/t"
+    val keys = Seq("suppkey")
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    VersionedTable.merge(spark, root, tbl(1L -> 10.0), keys, Seq("qty"))
+    // writer W1 snapshots base=0 ... then W2 commits first
+    val w1base = VersionedTable.currentVersion(spark, root).get
+    VersionedTable.merge(spark, root, tbl(2L -> 20.0), keys, Seq("qty")) // W2 wins v1
+    // W1's stale commit must FAIL atomically, not clobber W2
+    intercept[VersionedTable.VersionConflictException] {
+      VersionedTable.commit(spark, root, tbl(3L -> 30.0), w1base)
+    }
+    assert(VersionedTable.read(spark, root).count() == 2) // W2 intact
+    // W1 retries through merge(): recomputed against the FRESH
+    // snapshot, so both writers' rows land
+    assert(VersionedTable.merge(spark, root, tbl(3L -> 30.0), keys, Seq("qty")) == 2L)
+    val rows = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // vacuum keeps the current version readable, reclaims history
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    intercept[Exception] { VersionedTable.readAsOf(spark, root, 0L).collect() }
+  }
+
+  test("Landing: manifest-gated ingest is exactly-once, resumes after failures, retries flaky sinks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Landing, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_land").toString
+    val landing = s"$base/landing"; val manifest = s"$base/manifest"
+    val target = s"$base/tbl"
+    Seq((1L, 10.0)).toDF("k", "v").write.parquet(s"$landing/a.parquet")
+    Seq((2L, 20.0)).toDF("k", "v").write.parquet(s"$landing/b.parquet")
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      VersionedTable.merge(spark, target, df, keys = Seq("k"), tieBreak = Seq("v"))
+    // first run consumes both files
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink)
+      == Seq("a.parquet", "b.parquet"))
+    assert(VersionedTable.read(spark, target).count() == 2)
+    // replay is a no-op: nothing pending, target unchanged
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink).isEmpty)
+    assert(VersionedTable.read(spark, target).count() == 2)
+    // a late-arriving file is picked up alone
+    Seq((3L, 30.0)).toDF("k", "v").write.parquet(s"$landing/c.parquet")
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink)
+      == Seq("c.parquet"))
+    assert(VersionedTable.read(spark, target).count() == 3)
+    // transient failures: fail twice then succeed — the ingest survives
+    // and the manifest records the attempt count
+    Seq((4L, 40.0)).toDF("k", "v").write.parquet(s"$landing/d.parquet")
+    var calls = 0
+    val flaky = (df: org.apache.spark.sql.DataFrame) => {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient 503")
+      sink(df)
+    }
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, flaky, backoffMs = 1)
+      == Seq("d.parquet"))
+    assert(VersionedTable.read(spark, target).count() == 4)
+    val entry = VersionedTable.read(spark, manifest)
+      .filter(col("file") === "d.parquet").head
+    assert(entry.getAs[Long]("attempts") == 3L)
+    // permanent failure: retries exhaust, the file stays pending
+    Seq((5L, 50.0)).toDF("k", "v").write.parquet(s"$landing/e.parquet")
+    intercept[RuntimeException] {
+      Landing.ingest(spark, landing, "*.parquet", manifest,
+        _ => throw new RuntimeException("hard down"), backoffMs = 1)
+    }
+    assert(Landing.pending(spark, landing, "*.parquet", manifest) == Seq("e.parquet"))
   }
 
   test("LakehouseWriter round-trips partitioned unified records") {
