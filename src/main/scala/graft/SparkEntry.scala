@@ -148,6 +148,8 @@ object SparkEntry {
     "q42_gaps_islands" -> ((s, d) => Relational.gapsIslands(Tables.events(s, d))),
     "d11_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimate(Tables.documents(s, d))),
+    "d12_dedup_incremental" -> ((s, d) =>
+      Dedup.dedupIncremental(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -422,5 +424,6 @@ object SparkEntry {
     "q41_time_weighted_avg" -> Relational.timeWeightedAvgOracle,
     "q42_gaps_islands" -> Relational.gapsIslandsOracle,
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
+    "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
   )
 }

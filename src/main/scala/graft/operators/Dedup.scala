@@ -201,17 +201,22 @@ object Dedup {
     * report the per-language admission census. This is the output a
     * training pipeline consumes; d02/d07 are its intermediate stages.
     *
-    * Scale shape: the cluster map is VANISHINGLY small next to the
-    * corpus (one row per clustered doc, and near-dup clusters are a
-    * few percent of docs), so it broadcasts and the census is one
-    * map-side-partial aggregate over the corpus scan — the corpus
-    * itself never shuffles.
+    * Scale shape: the cluster map is one row per CLUSTERED doc. On a
+    * lightly-duplicated corpus that is a few percent of rows and the
+    * join should broadcast so the corpus never shuffles — but the
+    * clustered fraction is data-dependent (a crawl corpus can be
+    * 30-50% near-dups), so the join carries NO broadcast hint: a
+    * forced broadcast of an unbounded-fraction frame OOMs at 100 TB
+    * instead of falling back. The cluster map is materialized
+    * (localCheckpoint in the shared pipeline), so AQE sees its REAL
+    * size at runtime and upgrades the join to broadcast exactly when
+    * it fits — the same hint-free rule as q40's per-user frames.
     */
   def dedupApply(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
     val clusters = pipeline(documents, minJaccard).clusters
       .select(col("doc_id").as("m_doc_id"), col("cluster_id"))
     documents
-      .join(broadcast(clusters), col("doc_id") === col("m_doc_id"), "left")
+      .join(clusters, col("doc_id") === col("m_doc_id"), "left")
       .withColumn("keep",
         col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .groupBy(col("lang"))
@@ -524,6 +529,80 @@ object Dedup {
                       JOIN bg b ON p.doc_b = b.doc_id) t
        WHERE jac >= $minJaccard ORDER BY doc_a, doc_b"""
   }
+
+  // ---- d12: incremental dedup (new batch vs existing corpus) ----------
+
+  /** LSH index rows (doc_id, band, bkey) for a document frame —
+    * factored out so the one-shot pipeline build and the incremental
+    * probe path share the exact banding definition (a drift here
+    * would silently change which pairs ever meet). */
+  private[operators] def bandFrame(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val sigArr = df.select(col("doc_id"),
+      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
+    val sigCols = (0 until NumPerms).map(j => element_at(col("sig"), j + 1).as(s"m$j"))
+    val sig = sigArr.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * b + r}"))
+      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+  }
+
+  /** d12: INCREMENTAL dedup — a new batch of documents probed against
+    * the existing corpus's LSH band index, without ever re-scanning
+    * the corpus pair-wise. This is how dedup actually runs at 100 TB:
+    * the corpus index (band, bkey, doc_id) is a PERSISTED table
+    * bucketed by (band, bkey), daily arrivals are a fraction of a
+    * percent of the table, and admission = "no verified match in the
+    * index". Only the batch's bands shuffle (the index probe
+    * co-locates against the bucketed index); shingle verification
+    * touches exactly the candidate members on both sides.
+    *
+    * The batch/corpus split here is deterministic (doc_id % batchMod)
+    * so DuckDB can replay it; the membership filter is the ONLY
+    * difference from a real ingest frame. Output: every verified
+    * (batch doc, corpus doc) near-dup pair — the batch docs absent
+    * from it are the admitted ones (d10's census applies downstream).
+    */
+  def dedupIncremental(documents: DataFrame, minJaccard: Double = 0.3,
+                       batchMod: Int = 17): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val isBatch = col("doc_id") % batchMod === 0
+    val batch = documents.filter(isBatch)
+    val corpus = documents.filter(!isBatch)
+    val cand = bandFrame(batch).select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
+      .join(bandFrame(corpus).select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+      .select(col("batch_doc"), col("corpus_doc"))
+      .distinct()
+    val shB = batch
+      .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))
+    val shC = corpus
+      .join(cand.select(col("corpus_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_doc"), shingle_set(col("text")).as("hs_c"))
+    cand.join(shB, "batch_doc").join(shC, "corpus_doc")
+      .withColumn("jac", arr_jaccard(col("hs_b"), col("hs_c")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("batch_doc"), col("corpus_doc"), Rounding.roundN(col("jac"), 4).as("jac"))
+      .orderBy(col("batch_doc"), col("corpus_doc"))
+  }
+
+  /** Oracle: the full-corpus verified pairs restricted to pairs with
+    * exactly one batch member — a (batch, corpus) pair shares a band
+    * iff the unordered pair does, so the incremental probe must equal
+    * this filter of d02's edge set. */
+  def dedupIncrementalOracle(minJaccard: Double = 0.3, batchMod: Int = 17): String =
+    s"""WITH $minhashLshCtes
+       SELECT CASE WHEN doc_a % $batchMod = 0 THEN doc_a ELSE doc_b END AS batch_doc,
+              CASE WHEN doc_a % $batchMod = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+              round(jac, 4) AS jac
+       FROM verified
+       WHERE jac >= $minJaccard
+         AND ((doc_a % $batchMod = 0) <> (doc_b % $batchMod = 0))
+       ORDER BY batch_doc, corpus_doc"""
 }
 
 /** One corpus's materialized dedup pipeline: LSH candidate pairs,
@@ -547,17 +626,7 @@ final class DedupPipeline private[operators] (documents: DataFrame, minJaccard: 
     */
   lazy val candidates: DataFrame = {
     Dedup.pipelineBuilds += 1
-    val sigArr = documents.select(col("doc_id"),
-      minhash_sig(col("text"), minhashA, minhashB).as("sig"))
-    val sigCols = (0 until NumPerms).map(j => element_at(col("sig"), j + 1).as(s"m$j"))
-    val sig = sigArr.select(col("doc_id") +: sigCols: _*)
-    val bandStructs = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * b + r}"))
-      struct(lit(b).as("band"), concat_ws("_", rows: _*).as("bkey"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val bands = Dedup.bandFrame(documents)
     bands.as("x")
       .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -866,10 +866,13 @@ object Relational {
     * lakehouse CHANGE DATA FEED serves (inserted / deleted / updated /
     * unchanged, with the post-image aggregate). The two snapshots are
     * deterministic slices of orders (membership by key hash, prices
-    * perturbed on part of the new side). Full-outer join on the key,
-    * classify per row, census per change type. One shuffle on the key;
-    * at 100 TB both snapshots are bucketed/partitioned the same way,
-    * so the join co-locates and the diff is map-side.
+    * perturbed on part of the new side) so the census is DuckDB-
+    * checkable; the same classify kernel running on REAL committed
+    * versions of a transactional table is
+    * [[graft.sources.VersionedTable.changeFeed]]. Full-outer join on
+    * the key, classify per row, census per change type. One shuffle on
+    * the key; at 100 TB both snapshots are bucketed/partitioned the
+    * same way, so the join co-locates and the diff is map-side.
     */
   def snapshotDiff(orders: DataFrame): DataFrame = {
     val snapOld = orders.filter(col("o_orderkey") % 10 =!= 0)

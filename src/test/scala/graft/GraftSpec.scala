@@ -418,6 +418,74 @@ class GraftSpec extends AnyFunSuite {
       Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
   }
 
+  test("VersionedTable: change feed between versions serves the real insert/update/delete delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtcf").toString + "/t"
+    val keys = Seq("suppkey")
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    // v0: {1,2,3}; v1: 2 updated, 3 gone (commit replaces), 4 inserted
+    VersionedTable.merge(spark, root, tbl(1L -> 10.0, 2L -> 20.0, 3L -> 30.0),
+      keys, Seq("qty"))
+    VersionedTable.commit(spark, root, tbl(1L -> 10.0, 2L -> 25.0, 4L -> 40.0),
+      base = 0L)
+    val feed = VersionedTable.changeFeed(spark, root, 0L, 1L, keys)
+      .select(col("suppkey"), col("change_type"),
+        col("_old.qty").as("q_old"), col("_new.qty").as("q_new"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // unchanged row 1 is NOT in the feed; pre/post images are correct
+    assert(feed == Map(
+      2L -> ("updated", Some(20.0), Some(25.0)),
+      3L -> ("deleted", Some(30.0), None),
+      4L -> ("inserted", None, Some(40.0))))
+    // the feed replays: v0 minus deletes plus inserts/updates == v1
+    val replayed = VersionedTable.readAsOf(spark, root, 0L)
+      .join(feed.keys.toSeq.toDF("suppkey"), Seq("suppkey"), "left_anti")
+      .union(VersionedTable.changeFeed(spark, root, 0L, 1L, keys)
+        .filter(col("change_type") =!= "deleted")
+        .select(col("suppkey"), col("_new.qty").as("qty")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replayed == VersionedTable.readAsOf(spark, root, 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("VersionedTable: O(delta) appends, compaction, and reachability-aware vacuum") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vta").toString + "/t"
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    def snap(v: Long) = VersionedTable.readAsOf(spark, root, v)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def nDirs = {
+      val d = new java.io.File(s"$root/data")
+      if (d.exists) d.listFiles.count(_.isDirectory) else 0
+    }
+    assert(VersionedTable.append(spark, root, tbl(1L -> 10.0), base = -1L) == 0L)
+    assert(VersionedTable.append(spark, root, tbl(2L -> 20.0), base = 0L) == 1L)
+    assert(VersionedTable.append(spark, root, tbl(3L -> 30.0), base = 1L) == 2L)
+    // each append staged ONLY its delta (3 dirs, not 1+2+3 snapshots)
+    assert(nDirs == 3)
+    assert(snap(2L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(snap(1L) == Map(1L -> 10.0, 2L -> 20.0)) // time travel intact
+    // a stale appender hits the same optimistic-concurrency guard
+    intercept[VersionedTable.VersionConflictException] {
+      VersionedTable.append(spark, root, tbl(9L -> 90.0), base = 1L)
+    }
+    // vacuum keeps v1+v2: v1's dirs are SHARED with v2 via the append
+    // chain, so dropping v0's log entry must delete NO data dir
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(nDirs == 3 && snap(1L) == Map(1L -> 10.0, 2L -> 20.0))
+    // compact folds the chain into one snapshot; content unchanged
+    assert(VersionedTable.compact(spark, root) == 3L)
+    assert(snap(3L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // now only the compacted dir is reachable — vacuum reclaims the chain
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(nDirs == 1)
+    assert(snap(3L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("VersionedTable: concurrent writers — loser detects the conflict and retry merges BOTH") {
     import spark.implicits._
     import graft.sources.VersionedTable
@@ -838,6 +906,20 @@ class GraftSpec extends AnyFunSuite {
       assert(r.getAs[Double]("abs_err") <= 3 * sigma + 1e-4,
         s"err=${r.getAs[Double]("abs_err")} jac=$j sigma=$sigma")
     }
+  }
+
+  test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
+    // the index-probe path must find EXACTLY the d02 pairs with one
+    // batch member — losing any would mean incremental ingest admits
+    // duplicates the batch-mode pipeline would have caught
+    val d12 = SparkEntry.queries("d12_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cross = SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 17 == 0) != (b % 17 == 0) }
+      .map { case (a, b, j) => if (a % 17 == 0) (a, b, j) else (b, a, j) }.toSet
+    assert(d12.nonEmpty)
+    assert(d12 == cross)
   }
 
   test("d09 deletion-neighborhood blocking finds mid-string ED-1 pairs prefix blocking missed") {

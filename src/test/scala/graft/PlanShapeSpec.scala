@@ -123,8 +123,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("d10: the cluster map broadcasts — the corpus census never shuffles the corpus") {
-    assert(plan("d10_dedup_apply").contains("BroadcastHashJoin"))
+  test("d10: cluster-map join is hint-free; AQE still broadcasts it when it fits") {
+    // the clustered fraction is data-dependent (can be 30-50% of a
+    // crawl corpus), so a forced broadcast would OOM at scale instead
+    // of falling back; the materialized cluster map lets AQE pick
+    // broadcast from its REAL runtime size — assert both halves
+    val df = SparkEntry.queries("d10_dedup_apply")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"))
+    assert(!analyzed.contains("UnresolvedHint"))
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE did not upgrade the small cluster map to a broadcast join")
   }
 
   test("s06: approximate top-k joins to ground truth by broadcast, not a sort-merge shuffle") {
