@@ -138,6 +138,7 @@ object SparkEntry {
     "q37_snapshot_diff" -> ((s, d) =>
       Relational.snapshotDiff(Tables.orders(s, d))),
     "t13_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
+    "t14_surprisal" -> ((s, d) => TextOps.surprisal(Tables.documents(s, d))),
     "s07_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
       Relational.valueHistogram(Tables.events(s, d))),
@@ -417,6 +418,7 @@ object SparkEntry {
     "q36_merge_delete" -> Relational.mergeDeleteSummaryOracle,
     "q37_snapshot_diff" -> Relational.snapshotDiffOracle,
     "t13_token_entropy" -> TextOps.tokenEntropyOracle,
+    "t14_surprisal" -> TextOps.surprisalOracle,
     "s07_knn_classify" -> Similarity.knnClassifyOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,

@@ -554,4 +554,66 @@ object TextOps {
            THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 4)
            ELSE 0.0 END AS evenness
        FROM e ORDER BY doc_id"""
+
+  // ---- corpus-LM surprisal (t14) --------------------------------------
+
+  /** t14: per-document average surprisal under the corpus's own
+    * unigram language model — the cheap end of perplexity filtering
+    * (docs whose tokens are uniformly corpus-frequent score low;
+    * gibberish and off-distribution text score high). avg_nll =
+    * (1/N) Σ_tokens -ln p(tok), p from corpus term frequencies; ppl
+    * = exp(avg_nll) is the natural-log perplexity, derived from the
+    * ROUNDED avg so both engines exponentiate the identical double.
+    *
+    * Scale shape: one (doc, tok) partial-count agg and one corpus
+    * term-frequency agg over the same exploded scan; the frequency
+    * table is VOCABULARY-bounded (Heaps' law: sublinear in corpus
+    * size), so its join back to per-doc terms broadcasts at any
+    * corpus scale — no hint needed, AQE sees the agg output size.
+    * The per-doc fold runs over the tok-SORTED term list
+    * (collect_list + array_sort) so the double summation order is
+    * pinned cross-engine exactly like t13's entropy fold.
+    */
+  def surprisal(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val docTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_corpus"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    docTok.join(tf, "tok")
+      .crossJoin(total) // one row
+      .withColumn("term",
+        col("c") * -log(col("n_corpus").cast("double") / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           collect_list(struct(col("tok"), col("term"))).as("ts"))
+      .withColumn("avg_nll", Rounding.roundN(
+        expr("""aggregate(array_sort(ts), CAST(0 AS DOUBLE),
+                 (acc, s) -> acc + s.term)""") / col("n_tokens"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+              Rounding.roundN(exp(col("avg_nll")), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same two aggs relationally; the per-doc term list is
+    * collected in tok order so list_reduce folds the identical
+    * doubles in the identical order. */
+  val surprisalOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+       dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+       tf AS (SELECT tok, count(*) AS n_corpus FROM toks GROUP BY 1),
+       tot AS (SELECT count(*) AS n_total FROM toks),
+       terms AS (SELECT doc_id, tok, c,
+           c * -ln(CAST(n_corpus AS DOUBLE) / n_total) AS term
+         FROM dt JOIN tf USING (tok) CROSS JOIN tot),
+       agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 list(term ORDER BY tok) AS ts
+               FROM terms GROUP BY doc_id),
+       e AS (SELECT doc_id, n_tokens,
+               round(list_reduce(ts, (acc, v) -> acc + v) / n_tokens, 4) AS avg_nll
+             FROM agg)
+       SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 2) AS ppl
+       FROM e ORDER BY doc_id"""
 }

@@ -908,6 +908,45 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 surprisal: off-distribution docs score above corpus-typical docs") {
+    import spark.implicits._
+    val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "zqx wvu jkl pqr mno abc")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.surprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    // every token of doc 9 is corpus-rare -> strictly the highest nll;
+    // docs 1-8 are identical so their scores coincide
+    assert(out(9L) > out(1L))
+    assert((1L to 8L).map(out).distinct.size == 1)
+    // ppl = exp(avg_nll) rounded from the rounded avg
+    val r9 = graft.operators.TextOps.surprisal(docs).collect().find(_.getLong(0) == 9L).get
+    assert(math.abs(r9.getAs[Double]("ppl") - math.exp(r9.getAs[Double]("avg_nll"))) < 0.005 + 1e-9)
+  }
+
+  test("Landing + append: exactly-once O(delta) ingest (one add-file commit per landed file)") {
+    import spark.implicits._
+    import graft.sources.{Landing, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_landa").toString
+    val landing = s"$base/landing"; val manifest = s"$base/manifest"
+    val target = s"$base/tbl"
+    Seq((1L, 10.0)).toDF("k", "v").write.parquet(s"$landing/a.parquet")
+    Seq((2L, 20.0)).toDF("k", "v").write.parquet(s"$landing/b.parquet")
+    // append-mode sink: arrivals are new keys, so each file is one
+    // O(delta) add-file commit instead of a full snapshot rewrite
+    def sink(df: org.apache.spark.sql.DataFrame): Unit = {
+      val b = VersionedTable.currentVersion(spark, target).getOrElse(-1L)
+      VersionedTable.append(spark, target, df, b)
+    }
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink).size == 2)
+    assert(VersionedTable.read(spark, target).count() == 2)
+    // replay is a no-op: no new versions, no re-appended rows
+    val v = VersionedTable.currentVersion(spark, target).get
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink).isEmpty)
+    assert(VersionedTable.currentVersion(spark, target).contains(v))
+    // each ingest staged only its file's rows: dir count == file count
+    assert(new java.io.File(s"$target/data").listFiles.count(_.isDirectory) == 2)
+  }
+
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
     // the index-probe path must find EXACTLY the d02 pairs with one
     // batch member — losing any would mean incremental ingest admits
@@ -934,6 +973,21 @@ class GraftSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("c_custkey") == 1L)
     assert(out.head.getAs[Long]("first_match") == 2L)
     assert(out.head.getAs[Long]("n_fuzzy") == 1L)
+  }
+
+  test("d09 positional classification: inserts match, deletes match, shared-variant ED-2 rejected") {
+    import spark.implicits._
+    // 1-2: pure insert (i=0 side);  1-3: equal keys (i=j=0);
+    // 4-5: "ABC"/"BCA" share deletion variant "BC" at DIFFERENT
+    // positions (i=1 vs j=3) but are ED 2 — the i≠j>0 rejection is
+    // what keeps the no-levenshtein path exact
+    val c = Seq((1L, "ACME"), (2L, "ACMES"), (3L, "acme "),
+                (4L, "ABC CO"), (5L, "BCA CO"))
+      .toDF("c_custkey", "c_name")
+    val out = graft.operators.Dedup.fuzzyKeys(c).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[Long]("n_fuzzy"), r.getAs[Long]("first_match"))).toMap
+    assert(out == Map(1L -> (2L, 2L), 2L -> (1L, 3L)))
   }
 
   test("ANN sizing: derived planes/centroids keep bucket occupancy bounded at every SF") {
