@@ -565,24 +565,33 @@ object TextOps {
     * = exp(avg_nll) is the natural-log perplexity, derived from the
     * ROUNDED avg so both engines exponentiate the identical double.
     *
-    * Scale shape: one (doc, tok) partial-count agg and one corpus
-    * term-frequency agg over the same exploded scan; the frequency
-    * table is VOCABULARY-bounded (Heaps' law: sublinear in corpus
-    * size), so its join back to per-doc terms broadcasts at any
-    * corpus scale — no hint needed, AQE sees the agg output size.
-    * The per-doc fold runs over the tok-SORTED term list
-    * (collect_list + array_sort) so the double summation order is
-    * pinned cross-engine exactly like t13's entropy fold.
+    * Scale shape: ONE scan of the corpus. The term-frequency table
+    * re-aggregates the (doc, tok) count frame, so both branches hang
+    * off an IDENTICAL pruned exchange — (doc_id, tok, count) — and
+    * AQE's ReuseExchange collapses them at runtime (this is why tf
+    * derives from docTok rather than from the raw token stream,
+    * where pruning would diverge the branches — the t10 lesson,
+    * inverted). The corpus TOTAL is a window-sum over the frequency
+    * table, which is VOCABULARY-bounded (Heaps' law: sublinear in
+    * corpus size), so the single-partition window is vocab-sized,
+    * never corpus-sized, and no third scan branch exists.
+    * PlanShapeSpec pins the one-scan + ReusedExchange shape on the
+    * post-execution adaptive plan. The vocab-bounded frequency table
+    * joins back by broadcast at any corpus scale — no hint needed,
+    * AQE sees the agg output size. The per-doc fold runs over the
+    * tok-SORTED term list (collect_list + array_sort) so the double
+    * summation order is pinned cross-engine exactly like t13's
+    * entropy fold.
     */
   def surprisal(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val docTok = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
-    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_corpus"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    val tf = docTok.groupBy(col("tok")).agg(sum(col("c")).as("n_corpus"))
+      .withColumn("n_total", sum(col("n_corpus")).over(Window.partitionBy()))
     docTok.join(tf, "tok")
-      .crossJoin(total) // one row
       .withColumn("term",
         col("c") * -log(col("n_corpus").cast("double") / col("n_total")))
       .groupBy(col("doc_id"))

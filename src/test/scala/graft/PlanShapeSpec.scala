@@ -184,6 +184,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(plan("q42_gaps_islands"), "Exchange") == 3)
   }
 
+  test("t14: ReuseExchange collapses the freq branch — ONE corpus scan end to end") {
+    // tf re-aggregates docTok, so both branches keep the identical
+    // pruned (doc_id, tok, count) exchange and AQE reuses it (unlike
+    // t10, where pruning diverged the branches); the corpus total is
+    // a window over the vocab-bounded tf, so no third branch either.
+    // executedPlan.toString appends the pre-AQE "Initial Plan" — count
+    // scans only in the FINAL section or reuse looks like extra scans
+    val df = SparkEntry.queries("t14_surprisal")(spark, sf)
+    df.collect() // ReusedExchange is an AQE runtime feature — finalize first
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(count(p, "Scan parquet") == 1, "corpus scanned more than once")
+    assert(p.contains("ReusedExchange"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d12: index probe is an equi-join on band keys — never an all-pairs corpus join") {
+    val df = SparkEntry.queries("d12_dedup_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("bkey"), "probe join lost its band key")
+  }
+
   test("dedup suite: d02/d04/d07/d10/d11 share ONE LSH candidate build (persist point)") {
     val before = graft.operators.Dedup.pipelineBuilds
     Seq("d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard", "d07_dedup_clusters",
