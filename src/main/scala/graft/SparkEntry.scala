@@ -140,6 +140,8 @@ object SparkEntry {
     "t13_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
     "t14_surprisal" -> ((s, d) => TextOps.surprisal(Tables.documents(s, d))),
     "s07_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
+    "s08_quantized_recall" -> ((s, d) =>
+      Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
       Relational.valueHistogram(Tables.events(s, d))),
     "q39_data_profile" -> ((s, d) => Relational.dataProfile(Tables.orders(s, d))),
@@ -147,6 +149,8 @@ object SparkEntry {
     "q41_time_weighted_avg" -> ((s, d) =>
       Relational.timeWeightedAvg(Tables.events(s, d))),
     "q42_gaps_islands" -> ((s, d) => Relational.gapsIslands(Tables.events(s, d))),
+    "q43_cohort_retention" -> ((s, d) =>
+      Relational.cohortRetention(Tables.events(s, d))),
     "d11_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimate(Tables.documents(s, d))),
     "d12_dedup_incremental" -> ((s, d) =>
@@ -420,11 +424,13 @@ object SparkEntry {
     "t13_token_entropy" -> TextOps.tokenEntropyOracle,
     "t14_surprisal" -> TextOps.surprisalOracle,
     "s07_knn_classify" -> Similarity.knnClassifyOracle(),
+    "s08_quantized_recall" -> Similarity.quantizedRecallOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
     "q41_time_weighted_avg" -> Relational.timeWeightedAvgOracle,
     "q42_gaps_islands" -> Relational.gapsIslandsOracle,
+    "q43_cohort_retention" -> Relational.cohortRetentionOracle,
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
   )

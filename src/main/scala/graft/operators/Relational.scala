@@ -1102,4 +1102,35 @@ object Relational {
        SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
          CAST(sum(streak) AS BIGINT) AS n_active_days
        FROM s GROUP BY user_id ORDER BY user_id"""
+
+  // ---- q43: cohort retention matrix -----------------------------------
+
+  /** q43: cohort retention — users bucketed by their FIRST active day,
+    * counted per (cohort, day-offset) cell; the matrix behind every
+    * retention curve dashboard. Same skeleton as q42: distinct
+    * (user, day) shrinks the stream before anything wide, the cohort
+    * day is a min-window over the user partition, and the final
+    * aggregate's shuffle carries only (cohort, offset) partial counts
+    * — bounded by the calendar grid squared, independent of user
+    * count, so the matrix agg is grid-cheap at any scale.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"),
+               datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       c AS (SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+       SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+         CAST(day - cohort_day AS INTEGER) AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
 }

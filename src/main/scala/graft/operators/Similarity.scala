@@ -100,6 +100,24 @@ object Similarity {
 
   private def normExpr(d: Dialect, e: String): String = s"sqrt(${dot(d, e, e)})"
 
+  /** Per-vector symmetric integer codes as a DOUBLE list:
+    * floor(x * levels / max|x|), levels = 127 for int8, 7 for int4.
+    * floor (not round) dodges the half-boundary class entirely — a
+    * 1-ulp disagreement inside round() would flip an integer code,
+    * floor only moves on exact integer boundaries, unreachable from
+    * a float*double product of real embedding data. Both dialects
+    * fold max|x| left-to-right over the same elements. */
+  private def codesExpr(d: Dialect, e: String, levels: Int): String = {
+    val maxabs =
+      if (d eq Dialect.spark)
+        s"aggregate($e, CAST(0 AS DOUBLE), (a, y) -> greatest(a, abs(CAST(y AS DOUBLE))))"
+      else
+        s"list_reduce(list_transform(generate_series(1, $Dims), i -> abs(CAST($e[i] AS DOUBLE))), (a, y) -> greatest(a, y))"
+    val scale = s"(CAST($levels AS DOUBLE) / greatest($maxabs, 1e-30))"
+    val xf = if (d eq Dialect.spark) "transform" else "list_transform"
+    s"$xf($e, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS DOUBLE))"
+  }
+
   /** s01: exact cosine top-k per query vector, brute force.
     * The query set is broadcast; the corpus never shuffles.
     */
@@ -459,4 +477,93 @@ object Similarity {
        LEFT JOIN (${lshTopKOracle(maxQueryId, k)}) a
          ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
        GROUP BY e.q_id ORDER BY e.q_id"""
+
+  // ---- s08: int8 scalar-quantization recall ---------------------------
+
+  /** Top-k under quantized cosine — the [[bruteForceTopK]] shape
+    * scored on per-vector symmetric integer codes (see [[codesExpr]]).
+    * Cosine is scale-invariant, so scoring the INTEGER code vectors
+    * directly equals scoring the dequantized floats — no dequant pass
+    * exists anywhere. */
+  private def quantizedTopK(embeddings: DataFrame, maxQueryId: Long, k: Int,
+                            levels: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Dialect.spark
+    val corpus = embeddings
+      .select(col("vec_id").as("c_id"),
+              expr(codesExpr(d, "embedding", levels)).as("ce"))
+      .withColumn("cn", expr(normExpr(d, "ce")))
+    val queries = corpus.filter(col("c_id") < maxQueryId)
+      .select(col("c_id").as("q_id"), col("ce").as("qe"), col("cn").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_q").desc, col("c_id"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("cos_q", expr(dot(d, "qe", "ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"))
+  }
+
+  /** s08: what does scalar quantization COST in recall? At 100 TB the
+    * embedding store is the bandwidth bill — int8 codes cut every
+    * scan, shuffle and broadcast of vectors 4×, int4 8× — and this
+    * eval is the evidence for where on the compression/recall
+    * frontier the corpus can afford to sit: per query, recall@k of
+    * int8-quantized and int4-quantized cosine top-k against the
+    * exact-cosine top-k (same queries×k join-and-count frame as
+    * [[annRecall]]). The quantizer is floor-based so the integer
+    * codes are bit-reproducible cross-engine (no round-half boundary
+    * — see [[codesExpr]]), which is what lets a DuckDB oracle replay
+    * both index builds exactly.
+    */
+  def quantizedRecall(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(embeddings, maxQueryId, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val int8 = quantizedTopK(embeddings, maxQueryId, k, levels = 127)
+      .withColumn("hit8", lit(1L))
+    val int4 = quantizedTopK(embeddings, maxQueryId, k, levels = 7)
+      .withColumn("hit4", lit(1L))
+    exact.join(broadcast(int8), Seq("q_id", "neighbor_id"), "left")
+      .join(broadcast(int4), Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_eval"),
+           sum(coalesce(col("hit8"), lit(0L))).as("hits_int8"),
+           sum(coalesce(col("hit4"), lit(0L))).as("hits_int4"))
+      .withColumn("recall_int8",
+        Rounding.roundN(col("hits_int8").cast("double") / col("k_eval"), 4))
+      .withColumn("recall_int4",
+        Rounding.roundN(col("hits_int4").cast("double") / col("k_eval"), 4))
+      .select(col("q_id"), col("k_eval"), col("hits_int8"), col("recall_int8"),
+              col("hits_int4"), col("recall_int4"))
+      .orderBy(col("q_id"))
+  }
+
+  def quantizedRecallOracle(maxQueryId: Long = 8, k: Int = 5): String = {
+    val d = Dialect.duck
+    def approx(levels: Int): String =
+      s"""WITH codes AS (SELECT vec_id, ${codesExpr(d, "embedding", levels)} AS code
+             FROM embeddings),
+         c AS (SELECT vec_id AS c_id, code AS ce, ${normExpr(d, "code")} AS cn
+               FROM codes),
+         q AS (SELECT vec_id AS q_id, code AS qe, ${normExpr(d, "code")} AS qn
+               FROM codes WHERE vec_id < $maxQueryId),
+         scored AS (SELECT q_id, c_id, ${dot(d, "qe", "ce")} / (qn * cn) AS cos_q
+           FROM c JOIN q ON q_id <> c_id),
+         ranked AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, c_id) AS rank
+           FROM scored)
+         SELECT q_id, c_id AS neighbor_id FROM ranked WHERE rank <= $k"""
+    s"""SELECT e.q_id, count(*) AS k_eval,
+         CAST(sum(CASE WHEN a8.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits_int8,
+         round(CAST(sum(CASE WHEN a8.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / count(*), 4) AS recall_int8,
+         CAST(sum(CASE WHEN a4.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits_int4,
+         round(CAST(sum(CASE WHEN a4.neighbor_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / count(*), 4) AS recall_int4
+       FROM (${bruteForceTopKOracle(maxQueryId, k)}) e
+       LEFT JOIN (${approx(127)}) a8
+         ON e.q_id = a8.q_id AND e.neighbor_id = a8.neighbor_id
+       LEFT JOIN (${approx(7)}) a4
+         ON e.q_id = a4.q_id AND e.neighbor_id = a4.neighbor_id
+       GROUP BY e.q_id ORDER BY e.q_id"""
+  }
 }

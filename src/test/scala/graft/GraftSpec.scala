@@ -360,6 +360,35 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming append sink: each micro-batch is one O(delta) add-file commit") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sta").toString + "/t"
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDS().toDF("k", "v")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val recs = batch.localCheckpoint()
+        if (recs.count() > 0) {
+          val base = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
+          VersionedTable.append(spark, root, recs, base)
+          ()
+        }
+      }
+      .start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0)); q.processAllAvailable()
+      input.addData((3L, 30.0)); q.processAllAvailable()
+      // two micro-batches -> two versions, two delta dirs, union content
+      assert(VersionedTable.currentVersion(spark, root).contains(1L))
+      assert(new java.io.File(s"$root/data").listFiles.count(_.isDirectory) == 2)
+      assert(VersionedTable.read(spark, root).count() == 3)
+      // batch boundary is time-travelable
+      assert(VersionedTable.readAsOf(spark, root, 0L).count() == 2)
+    } finally q.stop()
+  }
+
   test("mergeInto is idempotent: replaying the same batch is exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -945,6 +974,17 @@ class GraftSpec extends AnyFunSuite {
     assert(VersionedTable.currentVersion(spark, target).contains(v))
     // each ingest staged only its file's rows: dir count == file count
     assert(new java.io.File(s"$target/data").listFiles.count(_.isDirectory) == 2)
+  }
+
+  test("s08 quantization frontier: int8 recall dominates int4, both eval full k") {
+    val rows = SparkEntry.queries("s08_quantized_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("k_eval") == 5L))
+    val m8 = rows.map(_.getAs[Double]("recall_int8")).sum / rows.length
+    val m4 = rows.map(_.getAs[Double]("recall_int4")).sum / rows.length
+    assert(m8 >= m4, s"int8 mean recall $m8 below int4 $m4")
+    assert(m8 >= 0.9, s"int8 mean recall $m8 — quantizer is broken, not lossy")
+    assert(m4 >= 0.4, s"int4 mean recall $m4 — 3-bit-magnitude codes collapsed")
   }
 
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
