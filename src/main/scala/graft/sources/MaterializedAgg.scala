@@ -51,4 +51,28 @@ object MaterializedAgg {
       .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
       .filter(col("n") > 0)
   }
+
+  /** Refresh the view from a CHANGE DATA FEED
+    * ([[VersionedTable.changeFeed]]) instead of from the table — the
+    * fully decoupled consumer: a deleted row retracts its (group,
+    * value) contribution from the pre-image, an inserted row adds the
+    * post-image, and an update is retract + add (which also handles a
+    * row MOVING between groups). The consumer never reads any table
+    * snapshot after its initial seed — refresh cost scales with the
+    * DELTA, and at 100 TB the feed is the only thing that crosses
+    * from the write side to the serving side.
+    */
+  def applyChangeFeed(prevAgg: DataFrame, feed: DataFrame,
+                      groupCol: String, sumCol: String): DataFrame = {
+    val minus = feed.filter(col("change_type").isin("deleted", "updated"))
+      .select(col(s"_old.$groupCol").as("grp"),
+              lit(-1L).as("n"), (-col(s"_old.$sumCol")).as("total"))
+    val plus = feed.filter(col("change_type").isin("inserted", "updated"))
+      .select(col(s"_new.$groupCol").as("grp"),
+              lit(1L).as("n"), col(s"_new.$sumCol").as("total"))
+    prevAgg.unionByName(minus).unionByName(plus)
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .filter(col("n") > 0)
+  }
 }

@@ -515,6 +515,37 @@ class GraftSpec extends AnyFunSuite {
     assert(snap(3L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
   }
 
+  test("CDC consumer: aggregate maintained from the change feed ALONE matches full recompute") {
+    import spark.implicits._
+    import graft.sources.{MaterializedAgg, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
+    val keys = Seq("suppkey")
+    def tbl(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("suppkey", "record_type", "qty")
+    VersionedTable.commit(spark, root,
+      tbl((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)), base = -1L)
+    // v1 exercises every branch: 1 deleted, 2 updated in place,
+    // 3 MOVES group b->a (retract+add), 4 inserted
+    VersionedTable.commit(spark, root,
+      tbl((2L, "a", 25.0), (3L, "a", 30.0), (4L, "b", 40.0)), base = 0L)
+    VersionedTable.commit(spark, root,
+      tbl((2L, "a", 25.0), (3L, "a", 33.0), (4L, "b", 40.0), (5L, "b", 50.0)), base = 1L)
+    def viewSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // seed from v0, then consume ONLY the feed — no snapshot reads
+    var view = MaterializedAgg.fullAgg(
+      VersionedTable.readAsOf(spark, root, 0L), "record_type", "qty").localCheckpoint()
+    for (v <- 1L to 2L) {
+      val feed = VersionedTable.changeFeed(spark, root, v - 1, v, keys)
+      view = MaterializedAgg.applyChangeFeed(view, feed, "record_type", "qty")
+        .localCheckpoint()
+      assert(viewSet(view) == viewSet(MaterializedAgg.fullAgg(
+        VersionedTable.readAsOf(spark, root, v), "record_type", "qty")),
+        s"feed-maintained view diverged at version $v")
+    }
+    assert(viewSet(view) == Set(("a", 2L, 58.0), ("b", 2L, 90.0)))
+  }
+
   test("VersionedTable: concurrent writers — loser detects the conflict and retry merges BOTH") {
     import spark.implicits._
     import graft.sources.VersionedTable
