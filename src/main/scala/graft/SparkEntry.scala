@@ -155,6 +155,8 @@ object SparkEntry {
       Dedup.minhashEstimate(Tables.documents(s, d))),
     "d12_dedup_incremental" -> ((s, d) =>
       Dedup.dedupIncremental(Tables.documents(s, d))),
+    "d13_dedup_containment" -> ((s, d) =>
+      Dedup.dedupContainment(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -433,5 +435,6 @@ object SparkEntry {
     "q43_cohort_retention" -> Relational.cohortRetentionOracle,
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
+    "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
   )
 }

@@ -613,6 +613,37 @@ object Dedup {
       .orderBy(col("batch_doc"), col("corpus_doc"))
   }
 
+  // ---- d13: containment (subset) duplication --------------------------
+
+  /** d13: containment near-dup pairs over the shared LSH candidates —
+    * |A∩B|/|A| and |A∩B|/|B|, keeping pairs where EITHER side is
+    * mostly contained in the other. The asymmetric complement to
+    * d02's symmetric Jaccard: quoting, boilerplate-wrapping and
+    * truncation produce subset pairs whose Jaccard is small (|A|/|B|
+    * for A ⊂ B) but whose containment is ~1 — at the default
+    * threshold this corpus surfaces 18 such pairs at sf0.01 that the
+    * Jaccard gate never sees. Same candidates, same materialized
+    * shingle frame, different scoring expression — the marginal cost
+    * over d02 is one projection. Recall is bounded by LSH banding
+    * (MinHash collides on the SYMMETRIC overlap), stated here: at
+    * 100 TB a dedicated containment index would band over the
+    * SHORTER side's shingles.
+    */
+  def dedupContainment(documents: DataFrame, minContain: Double = 0.5): DataFrame =
+    pipeline(documents).containmentPairs(minContain)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupContainmentOracle(minContain: Double = 0.5): String =
+    s"""WITH $minhashLshCtes,
+       x AS (SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+           CAST(len(a.hs) AS DOUBLE) AS la, CAST(len(b.hs) AS DOUBLE) AS lb
+         FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id)
+       SELECT doc_a, doc_b, round(inter / la, 4) AS contain_ab,
+         round(inter / lb, 4) AS contain_ba
+       FROM x WHERE greatest(inter / la, inter / lb) >= $minContain
+       ORDER BY doc_a, doc_b"""
+
   /** Oracle: the full-corpus verified pairs restricted to pairs with
     * exactly one batch member — a (batch, corpus) pair shares a band
     * iff the unordered pair does, so the incremental probe must equal
@@ -677,11 +708,18 @@ final class DedupPipeline private[operators] (documents: DataFrame, minJaccard: 
   def restrictToCandidates(df: DataFrame): DataFrame =
     df.join(candidateDocs, Seq("doc_id"), "left_semi")
 
+  /** Shingle sets of candidate-pair members only — materialized once
+    * and shared by the Jaccard verification ([[pairs]]) and the
+    * containment scoring ([[containmentPairs]]). */
+  private lazy val candidateShingles: DataFrame =
+    restrictToCandidates(documents)
+      .select(col("doc_id"), shingle_set(col("text")).as("hs"))
+      .localCheckpoint()
+
   /** Shingle-verified near-dup pairs: true Jaccard >= minJaccard,
     * 4dp-rounded. The shingle kernel runs only on candidate docs. */
   lazy val pairs: DataFrame = {
-    val sh = restrictToCandidates(documents)
-      .select(col("doc_id"), shingle_set(col("text")).as("hs"))
+    val sh = candidateShingles
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -690,6 +728,37 @@ final class DedupPipeline private[operators] (documents: DataFrame, minJaccard: 
       .select(col("doc_a"), col("doc_b"), Rounding.roundN(col("jac"), 4).as("jac"))
       .localCheckpoint()
   }
+
+  /** ALL candidate pairs containment-scored (|A∩B|/|A| and /|B|),
+    * unthresholded and materialized once — the asymmetric score that
+    * catches SUBSET duplication (a short doc embedded in a long one),
+    * which symmetric Jaccard structurally misses: for A ⊂ B,
+    * containment_A = 1 while Jaccard = |A|/|B| can be arbitrarily
+    * small. Candidates and shingles come from the shared materialized
+    * stages; caching RAW scores keeps every threshold a cheap filter
+    * over this frame (the same reason [[pairs]] checkpoints). */
+  private lazy val containmentScores: DataFrame = {
+    val sh = candidateShingles
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+              (col("inter") / size(col("hs_a"))).as("c_ab"),
+              (col("inter") / size(col("hs_b"))).as("c_ba"))
+      .localCheckpoint()
+  }
+
+  /** Containment pairs above `minContain` — a filter over the cached
+    * scored frame; thresholding happens on the RAW ratios (mirroring
+    * the oracle), rounding only on output. */
+  def containmentPairs(minContain: Double): DataFrame =
+    containmentScores
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContain)
+      .select(col("doc_a"), col("doc_b"),
+              Rounding.roundN(col("c_ab"), 4).as("contain_ab"),
+              Rounding.roundN(col("c_ba"), 4).as("contain_ba"))
 
   /** Rounds the last cluster computation took to converge. */
   @volatile var iters: Int = 0

@@ -1018,6 +1018,21 @@ class GraftSpec extends AnyFunSuite {
     assert(m4 >= 0.4, s"int4 mean recall $m4 — 3-bit-magnitude codes collapsed")
   }
 
+  test("d13 containment finds subset-dups the symmetric Jaccard gate structurally misses") {
+    val d13 = SparkEntry.queries("d13_dedup_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.max(r.getAs[Double]("contain_ab"), r.getAs[Double]("contain_ba"))).toMap
+    val d02 = SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    assert(d13.nonEmpty)
+    // containment >= Jaccard on any shared pair (set identity)
+    d13.foreach { case (k, c) =>
+      d02.get(k).foreach(j => assert(c >= j - 1e-9, s"pair $k contain $c < jac $j")) }
+    // and the point of the operator: pairs the jac >= 0.3 gate never saw
+    assert((d13.keySet -- d02.keySet).nonEmpty,
+      "containment surfaced no subset-dup beyond the symmetric gate")
+  }
+
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
     // the index-probe path must find EXACTLY the d02 pairs with one
     // batch member — losing any would mean incremental ingest admits

@@ -211,7 +211,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("dedup suite: d02/d04/d07/d10/d11 share ONE LSH candidate build (persist point)") {
     val before = graft.operators.Dedup.pipelineBuilds
     Seq("d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard", "d07_dedup_clusters",
-        "d10_dedup_apply", "d11_minhash_estimate")
+        "d10_dedup_apply", "d11_minhash_estimate", "d13_dedup_containment")
       .foreach(k => SparkEntry.queries(k)(spark, sf).count())
     val delta = graft.operators.Dedup.pipelineBuilds - before
     // <= 1, not == 1: another test may have already primed the cache
