@@ -157,6 +157,7 @@ object SparkEntry {
       Dedup.dedupIncremental(Tables.documents(s, d))),
     "d13_dedup_containment" -> ((s, d) =>
       Dedup.dedupContainment(Tables.documents(s, d))),
+    "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -436,5 +437,6 @@ object SparkEntry {
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
+    "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
   )
 }

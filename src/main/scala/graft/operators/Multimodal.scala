@@ -158,4 +158,82 @@ object Multimodal {
          CAST(length(frame) AS BIGINT) AS frame_len,
          sha256(frame) AS frame_digest
        FROM f ORDER BY doc_id, frame_idx"""
+
+  // ---- m04: content-defined chunking ----------------------------------
+
+  /** Rolling position-weighted window hash ending at byte i (1-based,
+    * window [[CdcWindow]]): Σ_k ascii(byte[i-W+k]) · k. A chunk
+    * boundary falls wherever hash % [[CdcDivisor]] == 0, so boundaries
+    * move WITH content (insert a byte and only the chunks around the
+    * edit re-digest) — the property fixed-size framing (m03) lacks and
+    * the reason every large-binary dedup store chunks this way.
+    * DuckDB fragment only: the Spark side runs the same arithmetic in
+    * the native [[graft.functions.CdcBoundaries]] kernel, and the
+    * oracle compare is what pins the two bit-identical. */
+  private def cdcWinHash(W: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $W), k -> CAST(ascii(substring(text, CAST(i - $W + k AS INTEGER), 1)) AS BIGINT) * k), (a, v) -> a + v)"
+
+  val CdcWindow = 8
+  val CdcDivisor = 32
+
+  /** m04: content-defined chunk manifest + cross-document chunk dedup
+    * census. Every payload splits at content-derived boundaries
+    * (average chunk ≈ [[CdcDivisor]] bytes); each chunk gets its byte
+    * span and sha-256, and `n_shared` counts how many chunks
+    * corpus-wide carry the same digest — the dedup signal a
+    * chunk-store consumes (shared chunks are stored once at 100 TB;
+    * the census is ONE window over the digest). As in m02/m03 the
+    * payload is the document's ASCII bytes so DuckDB replays the
+    * byte-exact pipeline: boundary hashes, spans, tail chunk and
+    * digests are all oracle-pinned. Narrow per-row explode, no
+    * shuffle before the census window on (digest)-partials.
+    */
+  def cdcChunks(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.cdc_boundaries
+    // boundary scan runs in the native kernel (CdcBoundaries) — the
+    // equivalent HOF-lambda fold (cdcWinHash, which the ORACLE still
+    // evaluates) costs O(len·W) interpreted allocations per row:
+    // 17s -> sub-second at sf0.1, same arithmetic, oracle-verified
+    documents
+      .select(col("doc_id"), col("text"),
+        cdc_boundaries(col("text"), CdcWindow, CdcDivisor).as("ends"))
+      .select(col("doc_id"), col("text"), explode(expr(
+        """transform(sequence(1, size(ends)), k -> struct(
+             CAST(k - 1 AS BIGINT) AS idx,
+             CASE WHEN k = 1 THEN CAST(0 AS BIGINT) ELSE element_at(ends, k - 1) END AS st,
+             element_at(ends, k) AS en))""")).as("ch"))
+      .select(col("doc_id"), col("ch.idx").as("chunk_idx"), col("ch.st").as("start"),
+        (col("ch.en") - col("ch.st")).as("n_bytes"),
+        sha2(expr("substring(text, CAST(ch.st + 1 AS INT), CAST(ch.en - ch.st AS INT))"), 256)
+          .as("digest"))
+      .withColumn("n_shared",
+        count(lit(1)).over(Window.partitionBy(col("digest"))))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def cdcChunksOracle: String = {
+    val (w, div) = (CdcWindow, CdcDivisor)
+    s"""WITH b AS (
+         SELECT doc_id, text,
+           list_concat(
+             list_filter(generate_series($w, greatest(length(text) - 1, $w)),
+                         i -> i <= length(text) - 1 AND (${cdcWinHash(w)}) % $div = 0),
+             [CAST(length(text) AS BIGINT)]) AS ends
+         FROM documents),
+       c AS (
+         SELECT doc_id, text, unnest(list_transform(generate_series(1, len(ends)),
+           k -> struct_pack(idx := CAST(k - 1 AS BIGINT),
+                            st := CASE WHEN k = 1 THEN CAST(0 AS BIGINT) ELSE ends[k - 1] END,
+                            en := ends[k]))) AS ch
+         FROM b),
+       m AS (
+         SELECT doc_id, ch.idx AS chunk_idx, ch.st AS start,
+           CAST(ch.en - ch.st AS BIGINT) AS n_bytes,
+           sha256(substring(text, CAST(ch.st + 1 AS INTEGER), CAST(ch.en - ch.st AS INTEGER))) AS digest
+         FROM c)
+       SELECT doc_id, chunk_idx, start, n_bytes, digest,
+         CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS n_shared
+       FROM m ORDER BY doc_id, chunk_idx"""
+  }
 }

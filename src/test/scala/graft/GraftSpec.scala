@@ -1018,6 +1018,27 @@ class GraftSpec extends AnyFunSuite {
     assert(m4 >= 0.4, s"int4 mean recall $m4 — 3-bit-magnitude codes collapsed")
   }
 
+  test("m04 CDC chunking: boundaries re-sync after a prefix edit; fixed framing loses all alignment") {
+    import spark.implicits._
+    // aperiodic but deterministic 240-char payload
+    val base = (1 to 240).map(i => ('a' + ((i * i * 31 + i * 7) % 26)).toChar).mkString
+    val docs = Seq((1L, base), (2L, "X" + base)).toDF("doc_id", "text")
+    val ch = graft.operators.Multimodal.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getAs[String]("digest")).toSeq).toMap
+    // content-defined boundaries depend only on the local window, so
+    // the boundary set shifts uniformly with the edit and every chunk
+    // AFTER the first re-aligns digest-for-digest
+    assert(ch(1L).size == ch(2L).size)
+    assert(ch(1L).head != ch(2L).head) // the edited head chunk changed
+    assert(ch(1L).tail == ch(2L).tail,
+      "chunks after the edit failed to re-sync digest-for-digest")
+    // the fixed-frame path (m03) loses every frame on the same edit
+    val fr = graft.operators.Multimodal.frameSampleSummary(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[String]("frame_digest")).toSet).toMap
+    assert(fr(1L).intersect(fr(2L)).isEmpty)
+  }
+
   test("d13 containment finds subset-dups the symmetric Jaccard gate structurally misses") {
     val d13 = SparkEntry.queries("d13_dedup_containment")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
