@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of a keyed count/sum aggregate under
@@ -64,12 +64,21 @@ object MaterializedAgg {
     */
   def applyChangeFeed(prevAgg: DataFrame, feed: DataFrame,
                       groupCol: String, sumCol: String): DataFrame = {
+    // a column used in the view may be a PAYLOAD field (pre/post image
+    // inside _old/_new) or a KEY column (top-level in the feed, one
+    // coalesced value per row — identical for both images by
+    // definition); resolve whichever the feed carries
+    def side(image: String, c: String): Column = {
+      val payload = feed.schema(image).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (payload.fieldNames.contains(c)) col(s"$image.$c") else col(c)
+    }
     val minus = feed.filter(col("change_type").isin("deleted", "updated"))
-      .select(col(s"_old.$groupCol").as("grp"),
-              lit(-1L).as("n"), (-col(s"_old.$sumCol")).as("total"))
+      .select(side("_old", groupCol).as("grp"),
+              lit(-1L).as("n"), (-side("_old", sumCol)).as("total"))
     val plus = feed.filter(col("change_type").isin("inserted", "updated"))
-      .select(col(s"_new.$groupCol").as("grp"),
-              lit(1L).as("n"), col(s"_new.$sumCol").as("total"))
+      .select(side("_new", groupCol).as("grp"),
+              lit(1L).as("n"), side("_new", sumCol).as("total"))
     prevAgg.unionByName(minus).unionByName(plus)
       .groupBy(col("grp"))
       .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))

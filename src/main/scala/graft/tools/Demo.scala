@@ -78,6 +78,36 @@ object Demo {
     println(s"7. corpus build: ${clusters.count()} near-dup docs in $nClusters clusters, " +
       s"$kept docs pass admission, $splits splits, $batches training batches")
 
+    // 8. TRANSACTIONAL LAYER: versioned commits, O(delta) appends,
+    //    change feed, CDC-maintained serving view (reference:
+    //    delta-rs versioned MERGE + serving-cache invalidation)
+    import graft.sources.{MaterializedAgg, VersionedTable}
+    val vt = s"$work/versioned/records"
+    val vkeys = Seq("suppkey", "record_type", "period_end_date")
+    VersionedTable.merge(spark, vt,
+      unified.filter(col("record_type") =!= "ttm"), vkeys, Seq("qty"))
+    var view = MaterializedAgg
+      .fullAgg(VersionedTable.read(spark, vt), "record_type", "qty").localCheckpoint()
+    val base = VersionedTable.currentVersion(spark, vt).get
+    VersionedTable.append(spark, vt,
+      unified.filter(col("record_type") === "ttm"), base) // O(delta) add-file commit
+    val feed = VersionedTable.changeFeed(spark, vt, base, base + 1, vkeys)
+    view = MaterializedAgg.applyChangeFeed(view, feed, "record_type", "qty")
+    def aggMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    val viewOk = aggMap(view) == aggMap(
+      MaterializedAgg.fullAgg(VersionedTable.read(spark, vt), "record_type", "qty"))
+    println(s"8. transactional: v${base + 1} appended O(delta), feed=${feed.count()} changes, " +
+      s"CDC-maintained view == full recompute: $viewOk")
+
+    // 9. INCREMENTAL INGEST OPS: new-batch dedup probe against the
+    //    corpus band index + content-defined chunk dedup census
+    val probe = Dedup.dedupIncremental(Tables.documents(spark, sf))
+    val chunks = Multimodal.cdcChunks(Tables.documents(spark, sf))
+    val sharedChunks = chunks.filter(col("n_shared") > 1).count()
+    println(s"9. incremental: batch-vs-index near-dups=${probe.count()}, " +
+      s"cdc chunks=${chunks.count()} of which $sharedChunks store-once shared")
+
     println("== demo complete")
     spark.stop()
   }
