@@ -208,6 +208,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bkey"), "probe join lost its band key")
   }
 
+  test("q43: cohort matrix costs distinct + window + grid agg + sort — four exchanges") {
+    // distinct (user, day), window repartition on user_id, the
+    // (cohort, offset) matrix agg (grid-bounded partials), output sort;
+    // a fifth exchange would mean the cohort join shape regressed
+    assert(count(plan("q43_cohort_retention"), "Exchange") == 4)
+  }
+
+  test("s08: every quantized top-k join broadcasts — no sort-merge in the eval frame") {
+    assert(!plan("s08_quantized_recall").contains("SortMergeJoin"))
+  }
+
+  test("m04: chunking shuffles only for the digest census window and the output sort") {
+    val p = plan("m04_cdc_chunks")
+    assert(count(p, "Exchange") == 2, "chunking grew a shuffle before the census")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
   test("dedup suite: d02/d04/d07/d10/d11 share ONE LSH candidate build (persist point)") {
     val before = graft.operators.Dedup.pipelineBuilds
     Seq("d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard", "d07_dedup_clusters",
