@@ -241,12 +241,17 @@ object Relational {
 
   /** Skip-already-active anti-join (reference queue_all skip logic,
     * services/workers/tasks/queue_all_stocks_for_fetch.py): customers
-    * with no open order. left_anti against the filtered (small) side,
-    * broadcast so the big side never shuffles.
+    * with no open order. The open-order side is reduced to DISTINCT
+    * keys before the join — bounded by |customers with an open order|,
+    * not by open-order row count — and the join is HINT-FREE: open
+    * orders are a data-dependent fraction of the fact table, so a
+    * forced broadcast would OOM at 100 TB instead of falling back;
+    * AQE broadcasts the distinct-key set exactly when it actually
+    * fits (PlanShapeSpec pins both halves).
     */
   def queueSkipAntiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
-      .join(broadcast(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))),
+      .join(orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct(),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -297,13 +302,17 @@ object Relational {
     * update_stock_metadata: the Stock row is refreshed from the
     * lakehouse's latest metadata record,
     * services/workers/tasks/update_stock_metadata.py:292-345).
-    * The latest-per-key frame is small relative to the dim — broadcast
-    * it; the dim table never shuffles.
+    * The latest-per-key frame is one row per customer-with-orders —
+    * bounded by the USER population, the same class q40's stage frames
+    * are — so the join is HINT-FREE: at 10^8-10^9 users a forced
+    * broadcast cannot fall back, while an unhinted join degrades to
+    * shuffle-on-key and AQE upgrades to broadcast when the frame
+    * actually fits (PlanShapeSpec pins both halves).
     */
   def metadataUpsert(customer: DataFrame, orders: DataFrame): DataFrame = {
     val latest = latestPerKey(orders) // custkey, latest_orderkey, latest_orderdate, latest_totalprice
     customer
-      .join(broadcast(latest), col("c_custkey") === col("custkey"), "left")
+      .join(latest, col("c_custkey") === col("custkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
               col("latest_orderdate"), col("latest_totalprice"),
               col("latest_orderkey").isNotNull.as("has_orders"))

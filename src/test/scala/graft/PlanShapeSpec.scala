@@ -39,10 +39,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(plan("q03_star_join"), "BroadcastHashJoin") == 3)
   }
 
-  test("q13: anti-join plans as a broadcast hash join") {
-    val p = plan("q13_queue_skip_antijoin")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(p.contains("LeftAnti"))
+  test("q13: anti-join is hint-free on distinct keys; AQE still broadcasts when it fits") {
+    // open orders are a data-dependent fraction of the fact table — a
+    // forced broadcast of that side cannot fall back at 100 TB. The
+    // join must be hint-free over the DISTINCT key set; AQE picks
+    // broadcast from the distinct frame's REAL runtime size.
+    val df = SparkEntry.queries("q13_queue_skip_antijoin")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"))
+    assert(!analyzed.contains("UnresolvedHint"))
+    assert(analyzed.contains("Deduplicate") || analyzed.contains("Distinct") ||
+           analyzed.contains("Aggregate"), "open-order side lost its distinct")
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "AQE did not upgrade the distinct-key set to a broadcast anti-join")
+  }
+
+  test("q18: latest-per-key side is hint-free; AQE still broadcasts when it fits") {
+    // one row per customer-with-orders — bounded by USERS, the class
+    // q40/d10 de-hinted; must not carry a forced broadcast
+    val df = SparkEntry.queries("q18_metadata_upsert")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"))
+    assert(!analyzed.contains("UnresolvedHint"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE did not upgrade the latest-per-key frame to a broadcast join")
   }
 
   test("q08: merge window gets the map-side rank-limit (WindowGroupLimit)") {
