@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared persist-point cache machinery: every materialized pipeline
+  * stage (dedup LSH candidates, tf frames) is cached per corpus so
+  * sibling operators share ONE build — but bounded, identity-stamped
+  * and explicitly invalidatable, because a long-lived session iterating
+  * over many corpora/thresholds must not pin checkpointed blocks
+  * forever, and an in-place overwrite of the same file NAMES must not
+  * serve a stale frame.
+  */
+private[graft] object Caching {
+
+  /** LRU-bounded cache (access-ordered). Evicted values are simply
+    * dropped: localCheckpoint blocks are reclaimed by Spark's
+    * ContextCleaner once the last DataFrame reference is unreachable,
+    * so eviction == eventual executor-storage release without an
+    * explicit unpersist (which would race in-flight readers of the
+    * evicted frame).
+    */
+  final class BoundedCache[K, V](maxEntries: Int) {
+    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > maxEntries
+    }
+    def getOrElseUpdate(k: K)(v: => V): V = map.synchronized {
+      val hit = map.get(k)
+      if (hit != null) hit
+      else { val built = v; map.put(k, built); built }
+    }
+    def clear(): Unit = map.synchronized(map.clear())
+    def size: Int = map.synchronized(map.size())
+  }
+
+  /** Content identity of a bare-scan frame: every input file with its
+    * length and mtime — so rewriting a corpus IN PLACE (same names,
+    * new bytes) changes the stamp and misses the cache instead of
+    * serving a checkpoint of the old bytes. Empty when the frame has
+    * no input files (synthetic/in-memory — uncacheable). One driver-side
+    * stat per input file: bare table scans have few files per corpus,
+    * and the stat cost is nanoseconds against a pipeline build.
+    */
+  def stamp(df: DataFrame): String = {
+    val files = df.inputFiles.sorted
+    if (files.isEmpty) ""
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString(",")
+    }
+  }
+
+  /** True when `df` is a bare table scan (leaf plan) — the only shape
+    * with a stable identity worth caching; filtered/synthetic frames
+    * get fresh un-shared builds rather than wrong cache hits. */
+  def bareScan(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
+}

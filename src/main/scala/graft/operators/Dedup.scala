@@ -83,8 +83,16 @@ object Dedup {
     * once"). */
   @volatile var pipelineBuilds: Long = 0L
 
+  // LRU-bounded (a long session iterating over many corpora/thresholds
+  // must not pin checkpointed blocks forever) and keyed on the file
+  // STAMP (name+len+mtime), so an in-place corpus rewrite misses the
+  // cache instead of serving stale checkpoints.
   private val pipelineCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, Double), DedupPipeline]
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Double), DedupPipeline](8)
+
+  /** Drop every cached pipeline (their checkpoint blocks are reclaimed
+    * by the ContextCleaner once unreferenced). */
+  def invalidatePipelines(): Unit = pipelineCache.clear()
 
   /** The dedup persist-point: candidate pairs, verified pairs and the
     * cluster map are computed ONCE per (corpus, threshold) and
@@ -96,19 +104,18 @@ object Dedup {
     * (queue_for_delta.py:741-757: the expensive step runs once, every
     * consumer reads its output).
     *
-    * Caching is keyed by (session, input files, threshold) and applies
-    * ONLY when `documents` is a bare table scan (a leaf plan): a
-    * filtered/synthetic frame has no stable identity, so it gets a
+    * Caching is keyed by (session, input-file stamp, threshold) and
+    * applies ONLY when `documents` is a bare table scan (a leaf plan):
+    * a filtered/synthetic frame has no stable identity, so it gets a
     * fresh un-shared pipeline rather than a wrong cache hit.
     */
   def pipeline(documents: DataFrame, minJaccard: Double = 0.3): DedupPipeline = {
-    val bareScan = documents.queryExecution.analyzed
-      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
-    val files = documents.inputFiles.sorted.mkString(",")
-    if (!bareScan || files.isEmpty) new DedupPipeline(documents, minJaccard)
-    else pipelineCache.computeIfAbsent(
-      (documents.sparkSession, files, minJaccard),
-      _ => new DedupPipeline(documents, minJaccard))
+    val stamp = Caching.stamp(documents)
+    if (!Caching.bareScan(documents) || stamp.isEmpty)
+      new DedupPipeline(documents, minJaccard)
+    else pipelineCache.getOrElseUpdate(
+      (documents.sparkSession, stamp, minJaccard))(
+      new DedupPipeline(documents, minJaccard))
   }
 
   /** d02: MinHash + LSH banding near-duplicate pairs.

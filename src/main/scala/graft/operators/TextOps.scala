@@ -229,27 +229,51 @@ object TextOps {
 
   // ---- TF-IDF top terms (t10) ----------------------------------------
 
+  /** How many times the tf frame was actually BUILT (not served from
+    * cache) — spec-pinned evidence that t10's consumers share one
+    * corpus-token pass per corpus (see PlanShapeSpec). */
+  @volatile var tfBuilds: Long = 0L
+
+  private val tfCache =
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String), DataFrame](8)
+
+  /** The corpus term-frequency persist point: (doc_id, term, tf),
+    * computed ONCE per corpus and localCheckpointed — the natural
+    * materialization boundary of a text pipeline (all corpus-token
+    * work happens below it; everything downstream reads vocab-bounded
+    * rows). t10's tf/df/join branches are all views over this frame,
+    * so the explode+count pass runs once instead of once per branch —
+    * the same storage-boundary treatment [[Dedup.pipeline]] gives LSH
+    * candidates. Cache policy is identical: bare-scan frames only,
+    * keyed by (session, file stamp), LRU-bounded.
+    */
+  def tfFrame(documents: DataFrame): DataFrame = {
+    def build = {
+      tfBuilds += 1
+      documents
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+    }
+    val stamp = Caching.stamp(documents)
+    if (!Caching.bareScan(documents) || stamp.isEmpty) build
+    else tfCache.getOrElseUpdate((documents.sparkSession, stamp))(build)
+  }
+
   /** t10: top-k TF-IDF terms per document — the classic keyword
-    * extractor. Three aggregates, all two-phase with map-side
-    * partials: tf per (doc, term), df per term (distinct docs), and
-    * N (one row, broadcast back). The ranking key is the ROUNDED
-    * score (then the term): both engines compute ln with ulp-level
-    * agreement and 6-dp rounding absorbs it, so the rank — and the
-    * hash — are stable cross-engine (verified at all three SFs).
+    * extractor. tf comes from the materialized [[tfFrame]]; df derives
+    * FROM tf (tf is unique per (doc, term), so a plain count ==
+    * countDistinct(doc_id) over raw tokens) and N is one broadcast
+    * row — so the corpus-token pass runs ONCE and both the df branch
+    * and the scoring join read checkpointed vocab-bounded rows. The
+    * ranking key is the ROUNDED score (then the term): both engines
+    * compute ln with ulp-level agreement and 6-dp rounding absorbs
+    * it, so the rank — and the hash — are stable cross-engine
+    * (verified at all three SFs).
     */
   def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df derives FROM tf: tf is already unique per (doc, term), so a
-    // plain count == countDistinct(doc_id) over raw tokens. Column
-    // pruning narrows this branch to the distinct (doc_id, term)
-    // partial agg — the identical physical work the countDistinct
-    // spelling planned (measured equal at sf0.1), with the simpler
-    // single-source lineage. To actually share the explode between
-    // the branches at cluster scale, persist tf (it is the natural
-    // materialization point: corpus-token work happens once above it).
+    val tf = tfFrame(documents)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -223,6 +223,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t10: tf persist point — corpus tokens explode once, both branches read the checkpoint") {
+    val before = graft.operators.TextOps.tfBuilds
+    val df = SparkEntry.queries("t10_tfidf_topk")(spark, sf)
+    df.collect()
+    // second call on the same corpus must serve tf from the cache
+    SparkEntry.queries("t10_tfidf_topk")(spark, sf).count()
+    val delta = graft.operators.TextOps.tfBuilds - before
+    assert(delta <= 1, s"tf frame built $delta times for one corpus")
+    // the only parquet scan left is the one-row N(docs) count; tf/df
+    // branches read the checkpointed RDD
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(count(p, "Scan parquet") <= 1, "a consumer re-scanned the corpus past the tf checkpoint")
+    assert(p.contains("ExistingRDD"), "tf branches are not reading the checkpoint")
+  }
+
   test("d12: index probe is an equi-join on band keys — never an all-pairs corpus join") {
     val df = SparkEntry.queries("d12_dedup_incremental")(spark, sf)
     df.collect()
