@@ -7,12 +7,25 @@ import org.apache.spark.sql.functions._
   * analogue of the reference's fetch-and-land loop
   * (services/workers/tasks/queue_for_fetch.py: API fetch into object
   * storage; queue_for_delta.py:353 `_download_from_storage`): files
-  * arrive in a landing directory, and each is processed EXACTLY ONCE
-  * across any number of ingest runs, because the manifest — itself a
+  * arrive in a landing directory, and the manifest — itself a
   * [[VersionedTable]], so manifest updates are atomic commits — records
   * every file already consumed. A crashed run re-processes only the
   * files whose manifest entry never committed; a replayed run is a
   * no-op.
+  *
+  * Delivery semantics, stated honestly: the guarantee is AT-LEAST-ONCE
+  * with effective exactly-once for IDEMPOTENT sinks. `process(df)`
+  * runs BEFORE the file's manifest entry commits, so a crash in the
+  * window between the two re-runs `process` for that file on the next
+  * run. With a merge-style sink ([[VersionedTable.merge]] /
+  * [[VersionedTable.mergePartitioned]] — latest-wins on the key) the
+  * replay converges to the same table and the composition is
+  * exactly-once end to end; with a NON-idempotent sink (a blind
+  * append) a crash in that window double-appends — pair appends with
+  * a downstream dedup or use a keyed merge. (Committing data and
+  * manifest in one transaction would need both to live in one
+  * [[VersionedTable]] commit — a layering the reference's Delta
+  * pipeline gets by writing the manifest INTO the table's own log.)
   *
   * The sandbox has no network, so the flaky part of a real source
   * (HTTP 429/503, object-store eventual consistency) is modeled by
@@ -43,26 +56,39 @@ object Landing {
   }
 
   /** Files under `landingDir` matching `glob` that have NO committed
-    * manifest entry yet. */
+    * manifest entry yet. The listing is anti-joined against the
+    * manifest TABLE distributed-side, and only the surviving pending
+    * names — bounded by the batch, not the table — are collected: at
+    * 10^7+ landed files the manifest never materializes on the driver.
+    * (The glob listing itself is a filesystem-metadata operation; at
+    * that scale a real deployment partitions the landing prefix by
+    * arrival date so each run lists one bounded shard.)
+    */
   def pending(spark: SparkSession, landingDir: String, glob: String,
               manifestRoot: String): Seq[String] = {
+    import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(landingDir), spark.sparkContext.hadoopConfiguration)
     val listed = fs.globStatus(new org.apache.hadoop.fs.Path(s"$landingDir/$glob"))
-      .map(_.getPath.getName).toSeq.sorted
-    val done: Set[String] =
-      if (VersionedTable.currentVersion(spark, manifestRoot).isEmpty) Set.empty
-      else VersionedTable.read(spark, manifestRoot)
-        .select(col("file")).collect().map(_.getString(0)).toSet
-    listed.filterNot(done)
+      .map(_.getPath.getName).toSeq
+    if (listed.isEmpty || VersionedTable.currentVersion(spark, manifestRoot).isEmpty)
+      listed.sorted
+    else
+      listed.toDF("file")
+        .join(VersionedTable.read(spark, manifestRoot).select(col("file")),
+              Seq("file"), "left_anti")
+        .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Ingest every pending file exactly once: `process(file df)` runs
-    * under retry, then the file's manifest entry (name, rows, ingest
-    * batch) commits atomically. Returns the file names processed this
-    * run (empty on replay — the idempotency contract). Per-file
-    * manifest commits mean a crash mid-run loses no completed work:
-    * the next run resumes at the first unrecorded file.
+  /** Ingest every pending file: `process(file df)` runs under retry,
+    * then the file's manifest entry (name, rows, ingest batch) commits
+    * atomically. Returns the file names processed this run (empty on
+    * replay — the manifest gate). Per-file manifest commits mean a
+    * crash mid-run loses no completed work: the next run resumes at
+    * the first unrecorded file — and re-runs `process` for the one
+    * file whose processing finished but whose entry never committed,
+    * which is why the sink must be idempotent for end-to-end
+    * exactly-once (see class doc).
     */
   def ingest(spark: SparkSession, landingDir: String, glob: String,
              manifestRoot: String, process: DataFrame => Unit,

@@ -6,13 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * transactional semantics the reference gets from delta-rs
   * (services/workers/tasks/queue_for_delta.py:680-799: ACID merge
   * commits into a versioned Delta table), rebuilt on nothing but a
-  * filesystem with atomic create:
+  * filesystem with atomic rename:
   *
   * Layout:
   * {{{
-  *   <root>/_log/v00000003.commit   // one file per version; content =
-  *                                  // the data directory it publishes
-  *   <root>/data/v00000003-<uuid>/  // immutable parquet snapshot
+  *   <root>/_log/v00000003.commit      // one file per version; content =
+  *                                     // the data dirs it publishes
+  *   <root>/_log/v00000009.checkpoint  // full log state every N commits
+  *   <root>/_log/_last_checkpoint      // pointer to the newest checkpoint
+  *   <root>/data/v00000003-<uuid>/     // immutable parquet snapshot
   * }}}
   *
   * Protocol (optimistic concurrency, the same shape Delta's log
@@ -20,11 +22,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  1. read the current version `b` (max committed log entry);
   *  2. stage the new snapshot under a WRITER-UNIQUE data dir — two
   *     racing writers can never collide on staging paths;
-  *  3. publish by creating `_log/v{b+1}.commit` with overwrite=false
-  *     — an ATOMIC lose-or-win point (HDFS create and POSIX
-  *     createNewFile are atomic): the loser gets
+  *  3. write the commit CONTENT (the dir list) to a writer-unique temp
+  *     file, then publish by renaming it to `_log/v{b+1}.commit` with
+  *     rename-no-replace — the lose-or-win point. Because the content
+  *     is complete BEFORE the name exists, no reader can ever observe
+  *     a committed version with a missing/partial dir list (the gap
+  *     the old create-then-write publish had); a crash before the
+  *     rename leaves only an invisible temp file. The loser gets
   *     [[VersionConflictException]], cleans up its staged dir, and can
   *     retry against the fresh snapshot ([[merge]] does exactly that).
+  *     Defensively, a zero-length commit file (a legacy writer's crash
+  *     window) is treated as UNCOMMITTED everywhere.
+  *
+  *     Atomicity caveat, stated honestly: rename-no-replace is truly
+  *     atomic on HDFS; Hadoop's local filesystem and most object
+  *     stores implement it as exists-check-then-rename, so two
+  *     same-instant winners are detectable but not impossible there —
+  *     the same caveat Delta handles with per-store LogStore
+  *     implementations (S3 needs a coordination service; Azure/GCS
+  *     rename is atomic). On a real cluster this class sits on
+  *     HDFS-semantics storage.
   *
   * What this buys over [[LakehouseWriter.mergeInto]]'s
   * merge-and-rewrite: readers NEVER observe a window where the table
@@ -34,24 +51,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * historical version stays readable ([[readAsOf]] — time travel)
   * until [[vacuum]] reclaims it.
   *
-  * A commit file lists the data dirs a version reads (one per line):
-  * [[commit]]/[[merge]] publish a single full snapshot; [[append]]
-  * adds ONLY the new rows' dir to the predecessor's list — the
-  * add-file action that makes appends O(delta), with [[compact]] to
-  * fold a long chain back into one snapshot and [[vacuum]] deleting
-  * only dirs no retained version reaches.
+  * A commit file lists the data dirs a version reads (one per line,
+  * optionally annotated `dir<TAB>partitionValue` for partition-scoped
+  * dirs): [[commit]]/[[merge]] publish a single full snapshot;
+  * [[append]] adds ONLY the new rows' dir to the predecessor's list —
+  * the add-file action that makes appends O(delta) — and
+  * [[mergePartitioned]] rewrites ONLY the partition dirs the source
+  * batch touches, carrying every untouched partition dir forward
+  * unchanged (the copy-on-write file pruning delta-rs does: upsert
+  * cost is O(touched partitions), not O(table)). [[compact]] folds a
+  * long chain back into one snapshot and [[vacuum]] deletes only dirs
+  * no retained version reaches.
   *
-  * Remaining boundary vs delta-rs, stated honestly: merges still
-  * rewrite the full snapshot (no remove-file actions / copy-on-write
-  * file pruning, so upsert cost is O(table) where Delta rewrites only
-  * touched files) — at 100 TB you partition the table and version
-  * each partition's slice, or step up to a real Delta/Iceberg log;
-  * checkpoint/compaction of the log itself is not implemented.
+  * Log checkpointing: every [[CheckpointInterval]]-th commit also
+  * writes a `.checkpoint` file holding the FULL version->dirs state
+  * and repoints `_last_checkpoint` at it (Delta's checkpoint
+  * pattern). [[currentVersion]] then resolves by reading the pointer
+  * and probing forward over at most one interval of commit files —
+  * O(1) + tail instead of listing unbounded history — and [[vacuum]]
+  * reads one checkpoint + the tail instead of every commit file ever
+  * written. Checkpoints are a cache of commit content, written AFTER
+  * the commit wins: a crash between commit and checkpoint only costs
+  * the fallback listing path, never correctness.
   */
 object VersionedTable {
 
   final class VersionConflictException(val version: Long)
     extends RuntimeException(s"version $version was committed concurrently")
+
+  /** Write a log checkpoint every N commits. */
+  val CheckpointInterval = 10
+
+  /** Log files read (pointer + probes, or 1 for a full listing) by the
+    * most recent [[currentVersion]] call — spec-pinned evidence that
+    * resolution is O(1)+tail on a checkpointed log, not O(history). */
+  @volatile var lastResolveLogReads: Int = 0
 
   private def fs(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -61,38 +95,113 @@ object VersionedTable {
 
   private def verName(v: Long) = f"v$v%08d"
 
-  /** Highest committed version, or None for an absent/empty table. */
+  /** One published data dir: its root-relative path, plus the
+    * partition value it holds when the dir is partition-scoped. */
+  private final case class Entry(rel: String, part: Option[String]) {
+    def line: String = part.fold(rel)(pv => s"$rel\t$pv")
+  }
+  private def parseEntry(line: String): Entry = line.split("\t") match {
+    case Array(rel)     => Entry(rel, None)
+    case Array(rel, pv) => Entry(rel, Some(pv))
+    case other          => Entry(other.head, Some(other(1)))
+  }
+
+  private def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+
+  private def commitPath(root: String, v: Long) = p(s"$root/_log/${verName(v)}.commit")
+
+  /** A commit exists and is non-empty (zero-length = a legacy writer
+    * crashed between create and content write = uncommitted). */
+  private def committed(f: org.apache.hadoop.fs.FileSystem, root: String, v: Long): Boolean =
+    try f.getFileStatus(commitPath(root, v)).getLen > 0
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Version the newest checkpoint covers, if a readable pointer
+    * exists. Best-effort: any failure falls back to the listing. */
+  private def lastCheckpointVersion(f: org.apache.hadoop.fs.FileSystem,
+                                    root: String): Option[Long] =
+    try {
+      val in = f.open(p(s"$root/_log/_last_checkpoint"))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      val v = s.toLong
+      if (f.exists(p(s"$root/_log/${verName(v)}.checkpoint"))) Some(v) else None
+    } catch { case _: Exception => None }
+
+  /** Full version->entries state at the newest checkpoint, if any. */
+  private def checkpointState(f: org.apache.hadoop.fs.FileSystem,
+                              root: String): Option[Map[Long, Seq[Entry]]] =
+    lastCheckpointVersion(f, root).map { cp =>
+      val in = f.open(p(s"$root/_log/${verName(cp)}.checkpoint"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        .map { line =>
+          val i = line.indexOf('\t')
+          (line.substring(0, i).toLong, parseEntry(line.substring(i + 1)))
+        }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    }
+
+  /** Highest committed version, or None for an absent/empty table.
+    * With a checkpoint: read the pointer, probe forward from it —
+    * O(1) + commits-since-checkpoint file reads. Without: one log
+    * listing. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
-    val ld = p(s"$root/_log")
-    if (!f.exists(ld)) None
-    else {
-      val vs = f.listStatus(ld).map(_.getPath.getName)
-        .filter(_.matches("v\\d{8}\\.commit"))
-        .map(_.stripPrefix("v").stripSuffix(".commit").toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+    lastCheckpointVersion(f, root) match {
+      case Some(cp) =>
+        var v = cp
+        var reads = 1 // the pointer
+        while ({ reads += 1; committed(f, root, v + 1) }) v += 1
+        lastResolveLogReads = reads
+        Some(v)
+      case None =>
+        lastResolveLogReads = 1 // one listing
+        val ld = p(s"$root/_log")
+        if (!f.exists(ld)) None
+        else {
+          val vs = f.listStatus(ld)
+            .filter(st => st.getPath.getName.matches("v\\d{8}\\.commit") && st.getLen > 0)
+            .map(_.getPath.getName.stripPrefix("v").stripSuffix(".commit").toLong)
+          if (vs.isEmpty) None else Some(vs.max)
+        }
     }
   }
 
-  /** The RELATIVE data dirs a version's commit file publishes — one
-    * for a full-snapshot commit, several for an append chain. */
-  private def dataRelsOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  /** The entries a version's commit file publishes. */
+  private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] = {
     val f = fs(spark, root)
-    val in = f.open(p(s"$root/_log/${verName(v)}.commit"))
+    val in = f.open(commitPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(parseEntry)
     finally in.close()
   }
 
   /** Time travel: the immutable snapshot a given version published. */
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(dataRelsOf(spark, root, version).map(r => s"$root/$r"): _*)
+    spark.read.parquet(entriesOf(spark, root, version).map(e => s"$root/${e.rel}"): _*)
 
   /** The latest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     readAsOf(spark, root, v)
+  }
+
+  /** Dir-level partition pruning for a partition-native table: read
+    * ONLY the dirs holding `partValue` — a reader of one partition
+    * never lists or opens any other partition's files. Absent
+    * partition => empty-but-typed result is the caller's concern
+    * (throws FileNotFoundException like an absent table). */
+  def readPartition(spark: SparkSession, root: String, partValue: String,
+                    version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val rels = entriesOf(spark, root, v).filter(_.part.contains(enc(partValue))).map(_.rel)
+    if (rels.isEmpty)
+      throw new java.io.FileNotFoundException(s"no dirs for partition $partValue at $root@v$v")
+    spark.read.parquet(rels.map(r => s"$root/$r"): _*)
   }
 
   /** Stage `df` and atomically publish it as version `base + 1`.
@@ -118,7 +227,7 @@ object VersionedTable {
     */
   def append(spark: SparkSession, root: String, df: DataFrame, base: Long): Long =
     stageAndCommit(spark, root, df, base,
-      carryOver = if (base < 0) Nil else dataRelsOf(spark, root, base))
+      carryOver = if (base < 0) Nil else entriesOf(spark, root, base))
 
   /** Fold the current version's dir list into a single full snapshot
     * — commits a NEW version (history stays time-travelable until
@@ -131,25 +240,84 @@ object VersionedTable {
   }
 
   private def stageAndCommit(spark: SparkSession, root: String, df: DataFrame,
-                             base: Long, carryOver: Seq[String]): Long = {
+                             base: Long, carryOver: Seq[Entry]): Long = {
     val f = fs(spark, root)
     val next = base + 1
     val rel = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
     val staged = s"$root/$rel"
     try df.write.mode("errorifexists").parquet(staged)
     catch { case e: Throwable => f.delete(p(staged), true); throw e }
-    f.mkdirs(p(s"$root/_log"))
-    val commitFile = p(s"$root/_log/${verName(next)}.commit")
-    val out =
-      try f.create(commitFile, /* overwrite = */ false)
-      catch { case _: java.io.IOException =>
-        f.delete(p(staged), true)
-        throw new VersionConflictException(next)
-      }
-    try out.write((carryOver :+ rel).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    publish(spark, root, next, carryOver :+ Entry(rel, None),
+            onConflictCleanup = () => f.delete(p(staged), true))
     next
   }
+
+  /** The atomic publish: full commit content to a writer-unique temp
+    * file, then rename-no-replace onto the commit name. Also writes
+    * the periodic log checkpoint after winning. */
+  private def publish(spark: SparkSession, root: String, next: Long,
+                      entries: Seq[Entry], onConflictCleanup: () => Unit): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(p(s"$root/_log"))
+    val tmp = p(s"$root/_log/.tmp-${verName(next)}-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /* overwrite = */ false)
+    try out.write(entries.map(_.line).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = commitPath(root, next)
+    // defensive pre-check + no-replace rename: on HDFS the rename is
+    // the atomic arbiter; on local FS / object stores the pre-check
+    // narrows (not closes) the race window — see class doc caveat
+    val won =
+      try {
+        if (f.exists(target)) false
+        else {
+          org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+            spark.sparkContext.hadoopConfiguration).rename(tmp, target)
+          true
+        }
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (!won) {
+      f.delete(tmp, false)
+      onConflictCleanup()
+      throw new VersionConflictException(next)
+    }
+    if (next > 0 && next % CheckpointInterval == 0) writeCheckpoint(spark, root, next)
+  }
+
+  /** Best-effort checkpoint at version `v`: full version->entries
+    * state of every commit currently in the log, then repoint
+    * `_last_checkpoint`. Failure here never fails the commit — the
+    * fallback listing path stays correct. */
+  private def writeCheckpoint(spark: SparkSession, root: String, v: Long): Unit =
+    try {
+      val f = fs(spark, root)
+      val prior = checkpointState(f, root).getOrElse(Map.empty)
+      val versions = f.listStatus(p(s"$root/_log"))
+        .filter(st => st.getPath.getName.matches("v\\d{8}\\.commit") && st.getLen > 0)
+        .map(_.getPath.getName.stripPrefix("v").stripSuffix(".commit").toLong)
+        .sorted.toSeq
+      val lines = versions.flatMap { ver =>
+        prior.getOrElse(ver, entriesOf(spark, root, ver)).map(e => s"$ver\t${e.line}")
+      }
+      val cpTmp = p(s"$root/_log/.tmp-cp-${java.util.UUID.randomUUID()}")
+      val out = f.create(cpTmp, false)
+      try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(cpTmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(cpTmp, p(s"$root/_log/${verName(v)}.checkpoint"))
+      val ptr = f.create(p(s"$root/_log/_last_checkpoint"), /* overwrite = */ true)
+      try ptr.write(v.toString.getBytes("UTF-8")) finally ptr.close()
+    } catch { case _: Exception => () }
+
+  /** A deterministic winner order even when the caller passes no
+    * tieBreak and a batch carries duplicate keys: every non-key column
+    * in name order. Without this, re-executions of the same merge (the
+    * view-maintenance path re-runs mergeUpsert) could pick different
+    * winners and silently diverge. */
+  private def effectiveTieBreak(source: DataFrame, keys: Seq[String],
+                                tieBreak: Seq[String]): Seq[String] =
+    if (tieBreak.nonEmpty) tieBreak
+    else source.columns.filterNot(keys.contains).sorted.toSeq
 
   /** MERGE `source` into the table under optimistic concurrency: read
     * the latest snapshot, upsert with the shared
@@ -160,21 +328,124 @@ object VersionedTable {
     * silently dropped or doubled. Replaying an already-applied batch
     * commits a new version with identical content (idempotent by
     * latest-wins), mirroring the reference's retried Celery merges.
+    * Rewrites the FULL snapshot — use [[mergePartitioned]] when a
+    * stable partition column exists.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String], tieBreak: Seq[String] = Nil,
             maxRetries: Int = 3): Long = {
+    val tb = effectiveTieBreak(source, keys, tieBreak)
     var attempt = 0
     while (true) {
       val base = currentVersion(spark, root).getOrElse(-1L)
       val merged =
         if (base < 0) source
         else graft.operators.Relational.mergeUpsert(
-          readAsOf(spark, root, base), source, keys, tieBreak)
+          readAsOf(spark, root, base), source, keys, tb)
       try return commit(spark, root, merged, base)
       catch {
         case _: VersionConflictException if attempt < maxRetries =>
           attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Publish `df` as a PARTITION-NATIVE snapshot: one immutable dir
+    * per distinct `partitionCol` value (the value is kept as a normal
+    * data column inside the files, so readers never depend on Spark
+    * partition-discovery). This is the layout [[mergePartitioned]]
+    * requires; partition cardinality is assumed bounded (record_type,
+    * period, tenant — the reference partitions by record_type/period,
+    * queue_for_delta.py) so the per-partition write loop is driver-side
+    * bounded, not data-sized.
+    */
+  def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partitionCol: String, base: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val next = base + 1
+    val src = df.localCheckpoint() // one computation feeds every slice
+    val values = src.select(col(partitionCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted
+    require(values.nonEmpty, s"no non-null $partitionCol values to partition by")
+    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+    val entries =
+      try values.toSeq.map { v =>
+        val rel = s"$parent/p=${enc(v)}"
+        src.filter(col(partitionCol).cast("string") === v)
+          .write.mode("errorifexists").parquet(s"$root/$rel")
+        Entry(rel, Some(enc(v)))
+      }
+      catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+    publish(spark, root, next, entries,
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+    next
+  }
+
+  /** PARTITION-SCOPED merge — the copy-on-write file pruning the
+    * delta-rs merge does (queue_for_delta.py:680-799 rewrites only
+    * touched files): rewrite ONLY the partition dirs the source batch
+    * touches; every untouched partition's dirs are carried forward in
+    * the commit's entry list byte-for-byte. An upsert touching 1 of N
+    * partitions stages O(1 partition) bytes, not O(table).
+    *
+    * Contract: `partitionCol` must be STABLE per key (a key's rows
+    * never move between partitions — true of the reference's
+    * record_type/period partitioning, where the partition columns are
+    * part of the merge key); then per-partition merging is exactly
+    * global merging. The table must be partition-native (created by
+    * [[commitPartitioned]] / this method). Same optimistic-concurrency
+    * retry as [[merge]]; winner determinism follows the same
+    * [[effectiveTieBreak]] contract.
+    */
+  def mergePartitioned(spark: SparkSession, root: String, source: DataFrame,
+                       keys: Seq[String], partitionCol: String,
+                       tieBreak: Seq[String] = Nil, maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val tb = effectiveTieBreak(source, keys, tieBreak)
+    val src = source.localCheckpoint() // stable slices across retries
+    val touched = src.select(col(partitionCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(spark, root).getOrElse(-1L)
+      if (base < 0) {
+        // creating: dedupe the batch itself with merge semantics
+        val deduped = graft.operators.Relational.mergeUpsert(
+          src.limit(0), src, keys, tb)
+        return commitPartitioned(spark, root, deduped, partitionCol, base)
+      }
+      val baseEntries = entriesOf(spark, root, base)
+      require(baseEntries.forall(_.part.isDefined),
+        s"mergePartitioned requires a partition-native table; $root@v$base has unscoped dirs " +
+        "(create it with commitPartitioned, or compact via mergePartitioned only)")
+      val next = base + 1
+      val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+      val staged =
+        try touched.toSeq.map { v =>
+          val ev = enc(v)
+          val beforeRels = baseEntries.filter(_.part.contains(ev)).map(_.rel)
+          val slice = src.filter(col(partitionCol).cast("string") === v)
+          val merged =
+            if (beforeRels.isEmpty)
+              graft.operators.Relational.mergeUpsert(slice.limit(0), slice, keys, tb)
+            else graft.operators.Relational.mergeUpsert(
+              spark.read.parquet(beforeRels.map(r => s"$root/$r"): _*), slice, keys, tb)
+          val rel = s"$parent/p=$ev"
+          merged.write.mode("errorifexists").parquet(s"$root/$rel")
+          Entry(rel, Some(ev))
+        }
+        catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+      val carried = baseEntries.filterNot(e => e.part.exists(pv => touched.map(enc).contains(pv)))
+      try {
+        publish(spark, root, next, carried ++ staged,
+                onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+        return next
+      } catch {
+        case _: VersionConflictException if attempt < maxRetries =>
+          attempt += 1 // staged dirs already cleaned; recompute vs fresh base
       }
     }
     -1L // unreachable
@@ -220,22 +491,40 @@ object VersionedTable {
     * log entries, and any data dir no RETAINED version still
     * references — append chains share dirs across versions, so
     * reachability, not ownership, decides what dies). The current
-    * version is always kept. */
+    * version is always kept. With a checkpoint, dir lists of old
+    * versions come from the checkpoint map instead of one read per
+    * commit file — O(1) content reads + tail. Checkpoint files below
+    * the cutoff are dropped too, except the newest (still the pointer
+    * target). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
     val f = fs(spark, root)
     currentVersion(spark, root).foreach { cur =>
       val cutoff = cur - math.max(1, keepLast) + 1
       val ld = p(s"$root/_log")
-      val versions = f.listStatus(ld).map(_.getPath.getName)
-        .filter(_.matches("v\\d{8}\\.commit"))
+      val names = f.listStatus(ld).map(_.getPath.getName)
+      val versions = names.filter(_.matches("v\\d{8}\\.commit"))
         .map(_.stripPrefix("v").stripSuffix(".commit").toLong)
+      val cpMap = checkpointState(f, root).getOrElse(Map.empty)
+      def entries(v: Long): Seq[Entry] =
+        cpMap.getOrElse(v, entriesOf(spark, root, v))
       val retained: Set[String] = versions.filter(_ >= cutoff)
-        .flatMap(v => dataRelsOf(spark, root, v)).toSet
+        .flatMap(v => entries(v).map(_.rel)).toSet
       versions.filter(_ < cutoff).foreach { v =>
-        val rels = dataRelsOf(spark, root, v)
-        f.delete(p(s"$root/_log/${verName(v)}.commit"), false)
+        val rels = entries(v).map(_.rel)
+        f.delete(commitPath(root, v), false)
         rels.filterNot(retained).foreach(r => f.delete(p(s"$root/$r"), true))
       }
+      // the old checkpoint may now sit BELOW vacuumed commits, which
+      // would wedge the forward probe at the gap — refresh it to the
+      // current version (Delta's log-cleanup order: checkpoint first,
+      // then expire), then drop every superseded checkpoint file
+      if (lastCheckpointVersion(f, root).exists(_ < cur))
+        writeCheckpoint(spark, root, cur)
+      val newestCp = lastCheckpointVersion(f, root).getOrElse(Long.MinValue)
+      names.filter(_.matches("v\\d{8}\\.checkpoint"))
+        .map(_.stripPrefix("v").stripSuffix(".checkpoint").toLong)
+        .filter(v => v != newestCp && v != cur)
+        .foreach(v => f.delete(p(s"$root/_log/${verName(v)}.checkpoint"), false))
     }
   }
 }

@@ -515,6 +515,116 @@ class GraftSpec extends AnyFunSuite {
     assert(snap(3L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
   }
 
+  test("VersionedTable: partition-scoped merge stages O(touched partition), carries the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtp").toString + "/t"
+    val keys = Seq("suppkey", "record_type") // partition col is part of the key => stable
+    def tbl(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("suppkey", "record_type", "qty")
+    def commitLines(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/v${"%08d".format(v)}.commit")), "UTF-8")
+      .split("\n").toSeq
+    // v0: three partitions A/B/C, one dir each
+    assert(VersionedTable.mergePartitioned(spark, root,
+      tbl((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "C", 40.0)),
+      keys, "record_type") == 0L)
+    val v0Lines = commitLines(0L)
+    assert(v0Lines.size == 3)
+    // v1: source touches ONLY partition B
+    assert(VersionedTable.mergePartitioned(spark, root,
+      tbl((3L, "B", 35.0), (5L, "B", 50.0)), keys, "record_type") == 1L)
+    val v1Lines = commitLines(1L)
+    // A and C dirs carried forward BYTE-FOR-BYTE; exactly one new dir (B)
+    val carried = v1Lines.filter(v0Lines.contains)
+    assert(carried.size == 2, s"expected A+C carried, got $v1Lines vs $v0Lines")
+    assert(v1Lines.size == 3)
+    val newLines = v1Lines.filterNot(v0Lines.contains)
+    assert(newLines.size == 1 && newLines.head.contains("p=B"),
+      s"new dir is not partition B: $newLines")
+    // merged content is the GLOBAL merge result
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(snap(VersionedTable.read(spark, root).select("suppkey", "record_type", "qty")) ==
+      Map((1L, "A") -> 10.0, (2L, "A") -> 20.0, (3L, "B") -> 35.0,
+          (4L, "C") -> 40.0, (5L, "B") -> 50.0))
+    // time travel across a partition-scoped merge
+    assert(snap(VersionedTable.readAsOf(spark, root, 0L)
+      .select("suppkey", "record_type", "qty")) ==
+      Map((1L, "A") -> 10.0, (2L, "A") -> 20.0, (3L, "B") -> 30.0, (4L, "C") -> 40.0))
+    // change feed across a partition-scoped merge sees only partition B's delta
+    val feed = VersionedTable.changeFeed(spark, root, 0L, 1L, keys)
+      .select(col("suppkey"), col("change_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed == Map(3L -> "updated", 5L -> "inserted"))
+    // partition-pruned read opens ONLY B's dirs
+    val bOnly = VersionedTable.readPartition(spark, root, "B")
+    assert(bOnly.inputFiles.forall(_.contains("p=B")))
+    assert(snap(bOnly.select("suppkey", "record_type", "qty")) ==
+      Map((3L, "B") -> 35.0, (5L, "B") -> 50.0))
+  }
+
+  test("VersionedTable: duplicate-key batch with no tieBreak merges DETERMINISTICALLY") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    // same dup-key batch merged into two fresh tables must pick the
+    // same winner — the view-maintenance path re-executes mergeUpsert
+    // in a separate execution and would silently diverge otherwise
+    def run(): Map[Long, (Double, String)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_vtd").toString + "/t"
+      VersionedTable.merge(spark, root,
+        Seq((1L, 0.0, "seed"), (2L, 0.0, "seed")).toDF("suppkey", "qty", "tag"),
+        keys = Seq("suppkey"))
+      val batch = Seq((1L, 10.0, "x"), (1L, 10.0, "b"), (1L, 7.0, "z"), (2L, 5.0, "y"))
+        .toDF("suppkey", "qty", "tag")
+      VersionedTable.merge(spark, root, batch, keys = Seq("suppkey")) // tieBreak = Nil
+      VersionedTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    }
+    val a = run()
+    // the default order is ALL non-key columns ascending by name:
+    // (qty, tag) asc => (7.0, "z") beats both 10.0 rows for key 1
+    assert(a == Map(1L -> ((7.0, "z")), 2L -> ((5.0, "y"))))
+    assert(a == run()) // and a re-execution picks the same winners
+  }
+
+  test("VersionedTable: log checkpoint bounds resolve cost; empty commit files are uncommitted") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtl").toString + "/t"
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    var base = -1L
+    (0 to 14).foreach { i =>
+      base = VersionedTable.append(spark, root, tbl(i.toLong -> i.toDouble), base)
+    }
+    // checkpoint landed at v10 and the pointer names it
+    assert(new java.io.File(s"$root/_log/v00000010.checkpoint").exists())
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/_last_checkpoint")), "UTF-8").trim == "10")
+    // resolution = pointer + forward probes, never a full history read:
+    // probe 11..15 (4 hits + 1 miss) + pointer = 6 log reads for a
+    // 15-commit log; the bound is the interval, not the history length
+    assert(VersionedTable.currentVersion(spark, root).contains(14L))
+    assert(VersionedTable.lastResolveLogReads <= VersionedTable.CheckpointInterval + 2,
+      s"resolve read ${VersionedTable.lastResolveLogReads} log files")
+    // a zero-length commit file (legacy crash window) is UNCOMMITTED:
+    // it must neither become current nor wedge the probe loop
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/_log/v00000015.commit"))
+    assert(VersionedTable.currentVersion(spark, root).contains(14L))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/_log/v00000015.commit"))
+    // vacuum with a checkpoint present: correctness (reachability) holds
+    VersionedTable.vacuum(spark, root, keepLast = 2)
+    assert(VersionedTable.read(spark, root).count() == 15)
+    assert(VersionedTable.readAsOf(spark, root, 13L).count() == 14)
+    intercept[Exception] { VersionedTable.readAsOf(spark, root, 5L).collect() }
+    // post-vacuum appends + resolution still work against the old pointer
+    base = VersionedTable.append(spark, root, tbl(99L -> 99.0), base)
+    assert(VersionedTable.currentVersion(spark, root).contains(15L))
+  }
+
   test("CDC consumer: aggregate maintained from the change feed ALONE matches full recompute") {
     import spark.implicits._
     import graft.sources.{MaterializedAgg, VersionedTable}
@@ -983,7 +1093,7 @@ class GraftSpec extends AnyFunSuite {
     assert(math.abs(r9.getAs[Double]("ppl") - math.exp(r9.getAs[Double]("avg_nll"))) < 0.005 + 1e-9)
   }
 
-  test("Landing + append: exactly-once O(delta) ingest (one add-file commit per landed file)") {
+  test("Landing + append: replay-safe O(delta) ingest (one add-file commit per landed file)") {
     import spark.implicits._
     import graft.sources.{Landing, VersionedTable}
     val base = java.nio.file.Files.createTempDirectory("graft_landa").toString
@@ -992,7 +1102,12 @@ class GraftSpec extends AnyFunSuite {
     Seq((1L, 10.0)).toDF("k", "v").write.parquet(s"$landing/a.parquet")
     Seq((2L, 20.0)).toDF("k", "v").write.parquet(s"$landing/b.parquet")
     // append-mode sink: arrivals are new keys, so each file is one
-    // O(delta) add-file commit instead of a full snapshot rewrite
+    // O(delta) add-file commit instead of a full snapshot rewrite.
+    // NOTE the delivery contract (Landing class doc): a blind append is
+    // NOT idempotent, so a crash between process and manifest commit
+    // would double-append — whole-run REPLAY (tested here) is gated by
+    // the manifest; crash-window exactly-once needs a keyed merge sink
+    // (tested in the manifest-gated ingest spec above)
     def sink(df: org.apache.spark.sql.DataFrame): Unit = {
       val b = VersionedTable.currentVersion(spark, target).getOrElse(-1L)
       VersionedTable.append(spark, target, df, b)
