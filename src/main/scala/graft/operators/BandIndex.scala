@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** The PERSISTED LSH corpus index — how incremental dedup actually
+  * runs at 100 TB (the reference's analogue is the queue-skip gate
+  * over already-landed records, queue_all_stocks_for_fetch.py: new
+  * work probes persisted state, it never recomputes it). Two
+  * [[VersionedTable]]s under one root:
+  *
+  *  - `<root>/bands`:    (doc_id, band, bkey) — the LSH band index
+  *  - `<root>/shingles`: (doc_id, hs)         — shingle sets for
+  *    verification, so candidate verification never re-reads (or
+  *    re-shingles) corpus documents
+  *
+  * The ingest cycle is probe -> admit -> index-append:
+  * [[probe]] bands ONLY the batch and equi-joins it against the
+  * persisted band table (at cluster scale you would write this as a
+  * (band,bkey)-bucketed table so the probe co-locates; here the
+  * VersionedTable layout + AQE covers the local case), verifies
+  * candidates with true Jaccard over the persisted shingle store, and
+  * [[ingest]] appends the ADMITTED docs' bands+shingles as O(batch)
+  * add-file commits ([[VersionedTable.append]]) so the next batch sees
+  * them — no corpus re-banding, no corpus re-pairing, ever. Banding
+  * comes from the same [[Dedup.bandFrame]] the batch pipeline uses, so
+  * index and probe cannot drift on which pairs ever meet.
+  *
+  * The two appends are separate commits (bands first); a crash between
+  * them leaves admitted docs band-visible but unverifiable until the
+  * next ingest retries — replaying the same batch is idempotent at the
+  * pair level because banding is deterministic.
+  */
+object BandIndex {
+
+  /** Times a corpus index was actually BUILT (not probed) — the
+    * spec-pinned evidence that repeated d12 runs are probe-only. */
+  @volatile var indexBuilds: Long = 0L
+
+  private def bandsRoot(root: String) = s"$root/bands"
+  private def shinglesRoot(root: String) = s"$root/shingles"
+
+  private def shingleFrame(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    docs.select(col("doc_id"), shingle_set(col("text")).as("hs"))
+  }
+
+  /** Build (or rebuild) the index from a corpus: one banding + one
+    * shingling pass, committed as the two tables' next versions. */
+  def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    indexBuilds += 1
+    val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
+    VersionedTable.commit(spark, bandsRoot(root), Dedup.bandFrame(corpus), bv)
+    val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
+    VersionedTable.commit(spark, shinglesRoot(root), shingleFrame(corpus), sv)
+  }
+
+  /** Verified near-dup pairs (batch_doc, corpus_doc, jac) of a batch
+    * against the PERSISTED index. Only the batch is banded/shingled
+    * from text; the corpus side is two index reads: candidates from
+    * the band equi-join (never all-pairs), shingles semi-joined down
+    * to candidate members. Cost scales with the batch and its
+    * candidate fan-out — independent of corpus size except through
+    * the (bucketable) band join.
+    */
+  def probe(spark: SparkSession, root: String, batch: DataFrame,
+            minJaccard: Double = 0.3): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val batchBands = Dedup.bandFrame(batch)
+      .select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
+    val idxBands = VersionedTable.read(spark, bandsRoot(root))
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey"))
+    // materialized once (the candidate stage is a storage boundary,
+    // exactly like DedupPipeline.candidates): three consumers below —
+    // without this the candidate subtree re-executes per consumer
+    val cand = batchBands.join(idxBands, Seq("band", "bkey"))
+      .select(col("batch_doc"), col("corpus_doc"))
+      .distinct()
+      .localCheckpoint()
+    val shB = batch
+      .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))
+    val shC = VersionedTable.read(spark, shinglesRoot(root))
+      .join(cand.select(col("corpus_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_doc"), col("hs").as("hs_c"))
+    cand.join(shB, "batch_doc").join(shC, "corpus_doc")
+      .withColumn("jac", arr_jaccard(col("hs_b"), col("hs_c")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("batch_doc"), col("corpus_doc"), Rounding.roundN(col("jac"), 4).as("jac"))
+  }
+
+  /** The closed loop: probe the batch, ADMIT every batch doc with no
+    * verified match, append the admitted docs' bands and shingles to
+    * the index (O(batch) add-file commits) so subsequent batches see
+    * them. Returns (admitted docs, verified pairs). */
+  def ingest(spark: SparkSession, root: String, batch: DataFrame,
+             minJaccard: Double = 0.3): (DataFrame, DataFrame) = {
+    val pairs = probe(spark, root, batch, minJaccard).localCheckpoint()
+    val admitted = batch
+      .join(pairs.select(col("batch_doc").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
+    VersionedTable.append(spark, bandsRoot(root), Dedup.bandFrame(admitted), bv)
+    val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
+    VersionedTable.append(spark, shinglesRoot(root), shingleFrame(admitted), sv)
+    (admitted, pairs)
+  }
+}

@@ -580,43 +580,50 @@ object Dedup {
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
   }
 
+  /** Times a d12 corpus index was served from cache vs built — see
+    * [[BandIndex.indexBuilds]] for the build counter itself. */
+  private val indexCache =
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4)
+
   /** d12: INCREMENTAL dedup — a new batch of documents probed against
-    * the existing corpus's LSH band index, without ever re-scanning
-    * the corpus pair-wise. This is how dedup actually runs at 100 TB:
-    * the corpus index (band, bkey, doc_id) is a PERSISTED table
-    * bucketed by (band, bkey), daily arrivals are a fraction of a
-    * percent of the table, and admission = "no verified match in the
-    * index". Only the batch's bands shuffle (the index probe
-    * co-locates against the bucketed index); shingle verification
-    * touches exactly the candidate members on both sides.
+    * the corpus's PERSISTED LSH band index ([[BandIndex]]): the index
+    * (band, bkey, doc_id) plus the shingle store live as
+    * [[graft.sources.VersionedTable]]s, built ONCE per corpus and
+    * probed per batch — no corpus re-banding, no corpus re-pairing,
+    * no corpus document re-scan on the probe path. This is how dedup
+    * actually runs at 100 TB: daily arrivals are a fraction of a
+    * percent of the table, admission = "no verified match in the
+    * index", and admitted docs' bands APPEND to the index (the closed
+    * loop — [[BandIndex.ingest]], spec-tested with two successive
+    * batches). Only the batch's bands shuffle; shingle verification
+    * touches exactly the candidate members (batch side shingled
+    * fresh, corpus side read from the store).
     *
     * The batch/corpus split here is deterministic (doc_id % batchMod)
     * so DuckDB can replay it; the membership filter is the ONLY
-    * difference from a real ingest frame. Output: every verified
-    * (batch doc, corpus doc) near-dup pair — the batch docs absent
-    * from it are the admitted ones (d10's census applies downstream).
+    * difference from a real ingest frame. The index build is cached
+    * per (session, corpus stamp, batchMod) under the same policy as
+    * [[pipeline]] — repeated runs (and bench steady-state) pay
+    * probe-only cost. Output: every verified (batch doc, corpus doc)
+    * near-dup pair — the batch docs absent from it are the admitted
+    * ones (d10's census applies downstream).
     */
   def dedupIncremental(documents: DataFrame, minJaccard: Double = 0.3,
                        batchMod: Int = 17): DataFrame = {
-    import graft.functions.GraftFunctions._
+    val spark = documents.sparkSession
     val isBatch = col("doc_id") % batchMod === 0
     val batch = documents.filter(isBatch)
     val corpus = documents.filter(!isBatch)
-    val cand = bandFrame(batch).select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
-      .join(bandFrame(corpus).select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-      .select(col("batch_doc"), col("corpus_doc"))
-      .distinct()
-    val shB = batch
-      .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))
-    val shC = corpus
-      .join(cand.select(col("corpus_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("corpus_doc"), shingle_set(col("text")).as("hs_c"))
-    cand.join(shB, "batch_doc").join(shC, "corpus_doc")
-      .withColumn("jac", arr_jaccard(col("hs_b"), col("hs_c")))
-      .filter(col("jac") >= minJaccard)
-      .select(col("batch_doc"), col("corpus_doc"), Rounding.roundN(col("jac"), 4).as("jac"))
+    def buildTemp(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+      BandIndex.build(spark, root, corpus)
+      root
+    }
+    val stamp = Caching.stamp(documents)
+    val root =
+      if (!Caching.bareScan(documents) || stamp.isEmpty) buildTemp()
+      else indexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp())
+    BandIndex.probe(spark, root, batch, minJaccard)
       .orderBy(col("batch_doc"), col("corpus_doc"))
   }
 

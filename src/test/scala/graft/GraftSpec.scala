@@ -1078,6 +1078,37 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("BandIndex: closed ingest loop — successive batches see each other's admitted docs") {
+    import spark.implicits._
+    import graft.operators.BandIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val tC = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa"
+    BandIndex.build(spark, root,
+      Seq((10L, tA), (11L, tB)).toDF("doc_id", "text"))
+    // batch 1: doc 20 duplicates corpus doc 10 (matched, NOT admitted);
+    // doc 21 is novel (admitted -> appended to the index)
+    val (adm1, pairs1) = BandIndex.ingest(spark, root,
+      Seq((20L, tA), (21L, tC)).toDF("doc_id", "text"))
+    assert(adm1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+    assert(pairs1.select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((20L, 10L)))
+    // batch 2: doc 30 duplicates doc 21 — admitted only one batch ago;
+    // the probe must see it through the index APPEND, proving the loop
+    // is closed without any corpus recompute
+    val (adm2, pairs2) = BandIndex.ingest(spark, root,
+      Seq((30L, tC)).toDF("doc_id", "text"))
+    assert(pairs2.select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 21L)))
+    assert(adm2.count() == 0)
+    // the index grew by O(batch) add-file commits, not rebuilds
+    import graft.sources.VersionedTable
+    assert(VersionedTable.currentVersion(spark, s"$root/bands").contains(2L))
+    assert(VersionedTable.read(spark, s"$root/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L, 21L))
+  }
+
   test("t14 surprisal: off-distribution docs score above corpus-typical docs") {
     import spark.implicits._
     val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) :+

@@ -238,13 +238,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), "tf branches are not reading the checkpoint")
   }
 
-  test("d12: index probe is an equi-join on band keys — never an all-pairs corpus join") {
+  test("d12: probe reads the PERSISTED band index — equi-join on band keys, no corpus re-scan") {
+    val before = graft.operators.BandIndex.indexBuilds
     val df = SparkEntry.queries("d12_dedup_incremental")(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // a second run on the same corpus must be probe-only (cached index)
+    SparkEntry.queries("d12_dedup_incremental")(spark, sf).count()
+    assert(graft.operators.BandIndex.indexBuilds - before <= 1,
+      "corpus index rebuilt instead of probed")
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("bkey"), "probe join lost its band key")
+    // the corpus side comes from the persisted index tables (the band
+    // join lives inside the materialized candidate stage); only the
+    // BATCH shingle branch may scan the documents table
+    assert(p.contains("graft-bandidx"), "probe is not reading the persisted index")
+    assert(count(p, "documents.parquet") <= 2,
+      "probe re-scanned corpus documents past the index")
   }
 
   test("q43: cohort matrix costs distinct + window + grid agg + sort — four exchanges") {
