@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of a keyed count/sum aggregate under
@@ -83,5 +83,61 @@ object MaterializedAgg {
       .groupBy(col("grp"))
       .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
       .filter(col("n") > 0)
+  }
+}
+
+/** The closed write->serve loop over REAL commits — the reference's
+  * cache-invalidation cycle (services/api/cache_utils.py:47-146 +
+  * signals.py: every write invalidates and refreshes the serving
+  * cache) as a streaming foreachBatch sink: each micro-batch MERGES
+  * into a [[VersionedTable]], then the maintained aggregate refreshes
+  * from the table's CHANGE FEED between the view's version and the
+  * post-commit version. After seeding, the serving side never reads a
+  * table snapshot again — per-batch refresh cost is O(feed), and the
+  * feed is the only thing that crosses from the write side to the
+  * serving side (the 100 TB property; the view itself is
+  * group-cardinality-bounded and localCheckpointed per refresh, the
+  * iterative-frame rule).
+  *
+  * Version tracking is explicit (`atVersion`), so a foreign writer
+  * committing between refreshes is folded in by the next feed — the
+  * full-outer snapshot diff between ANY two versions is the net delta,
+  * no matter how many commits lie between.
+  */
+final class ServingView(spark: SparkSession, root: String,
+                        keys: Seq[String], groupCol: String, sumCol: String,
+                        tieBreak: Seq[String] = Nil) {
+  @volatile private var atVersion: Long =
+    VersionedTable.currentVersion(spark, root).getOrElse(-1L)
+  @volatile private var state: DataFrame =
+    if (atVersion < 0) null
+    else MaterializedAgg.fullAgg(
+      VersionedTable.readAsOf(spark, root, atVersion), groupCol, sumCol).localCheckpoint()
+
+  /** The maintained view (seed + every applied feed). */
+  def view: DataFrame = {
+    require(state != null, s"no committed data at $root yet")
+    state
+  }
+
+  /** The table version the view currently reflects. */
+  def version: Long = atVersion
+
+  /** foreachBatch body: commit the batch, then feed-refresh the view.
+    * Empty batches are no-ops (no empty commits). */
+  def sink(batch: DataFrame, batchId: Long): Unit = {
+    val recs = batch.localCheckpoint()
+    if (recs.count() > 0) {
+      val to = VersionedTable.merge(spark, root, recs, keys, tieBreak)
+      state =
+        if (state == null)
+          MaterializedAgg.fullAgg(
+            VersionedTable.readAsOf(spark, root, to), groupCol, sumCol).localCheckpoint()
+        else
+          MaterializedAgg.applyChangeFeed(state,
+            VersionedTable.changeFeed(spark, root, atVersion, to, keys),
+            groupCol, sumCol).localCheckpoint()
+      atVersion = to
+    }
   }
 }

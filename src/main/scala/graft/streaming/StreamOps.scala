@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   * checks; the streaming paths run the same logical ops through
   * readStream/memory-sink and flatMapGroupsWithState and are
   * spec-tested with processAllAvailable().
+  *
+  * State-store sizing at cluster scale: every stateful op here (st02's
+  * flatMapGroupsWithState sessions, st03's dropDuplicates keys, st04's
+  * join buffers) keeps per-key state whose bound comes from the
+  * WATERMARK; the store itself should be RocksDB in production
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * ...state.RocksDBStateStoreProvider`) so state lives off-heap with
+  * disk spill and changelog checkpointing instead of in the executor
+  * heap — the default HDFS-backed store holds the working map in
+  * memory and becomes the OOM point at 10^8+ live keys. The operators
+  * are provider-agnostic (spec-pinned: the st02 scenario re-runs on
+  * RocksDB with identical output and rocksdb state metrics present).
   */
 object StreamOps {
 

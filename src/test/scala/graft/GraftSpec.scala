@@ -360,6 +360,94 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ServingView: per-micro-batch commit + change-feed refresh equals full recompute") {
+    import spark.implicits._
+    import graft.sources.{MaterializedAgg, ServingView, VersionedTable}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sv").toString + "/t"
+    val keys = Seq("suppkey")
+    def tbl(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("suppkey", "record_type", "qty")
+    VersionedTable.merge(spark, root, tbl((1L, "financials", 10.0), (2L, "ttm", 20.0)), keys)
+    val sv = new ServingView(spark, root, keys, "record_type", "qty")
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDS().toDF("suppkey", "record_type", "qty")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) => sv.sink(b, id); () }
+      .start()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def recomputed = m(MaterializedAgg.fullAgg(
+      VersionedTable.read(spark, root), "record_type", "qty"))
+    try {
+      // update key 1 + insert key 3: feed carries one update, one insert
+      input.addData((1L, "financials", 15.0), (3L, "financials", 30.0))
+      q.processAllAvailable()
+      assert(m(sv.view) == recomputed)
+      assert(m(sv.view) == Map("financials" -> ((2L, 45.0)), "ttm" -> ((1L, 20.0))))
+      assert(sv.version == 1L)
+      // key 2 MOVES groups (ttm -> financials): retract + add in one feed
+      // row; the emptied group must drop out entirely
+      input.addData((2L, "financials", 22.0))
+      q.processAllAvailable()
+      assert(m(sv.view) == recomputed)
+      assert(m(sv.view) == Map("financials" -> ((3L, 67.0))))
+      // a FOREIGN writer commits outside the loop; the next batch's feed
+      // spans both versions and folds it in (snapshot diff = net delta)
+      VersionedTable.merge(spark, root, tbl((4L, "ttm", 5.0)), keys)
+      input.addData((5L, "ttm", 7.0))
+      q.processAllAvailable()
+      assert(m(sv.view) == recomputed)
+      assert(m(sv.view)("ttm") == ((2L, 12.0)))
+    } finally q.stop()
+  }
+
+  test("streaming state on RocksDB: sessionizer behaves identically on the production store") {
+    // local[32] runs the default HDFS-backed store; a 1000-executor
+    // cluster runs RocksDB so per-key state spills off-heap/disk and
+    // stays bounded. Pin that the stateful sessionizer (custom
+    // flatMapGroupsWithState state, event-time timeouts) is
+    // provider-agnostic by re-running the st02 scenario on RocksDB and
+    // checking the query REALLY ran on it.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, minutes: Long, user: Long) =
+        StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+      val input = MemoryStream[StreamOps.Ev]
+      val q = StreamOps.sessionizeStream(input.toDS(), gapMinutes = 30)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_st02_rocksdb").start()
+      try {
+        input.addData(ev(1, 60, 1), ev(2, 70, 1))
+        q.processAllAvailable()
+        input.addData(ev(3, 190, 1))
+        q.processAllAvailable()
+        input.addData(ev(4, 1060, 2))
+        q.processAllAvailable()
+        input.addData(ev(5, 1061, 2))
+        q.processAllAvailable()
+        val out = spark.table("graft_st02_rocksdb").as[StreamOps.Session].collect()
+        val u1 = out.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+        assert(u1.length == 2)
+        assert(u1(0).n_events == 2 && u1(0).session_end.getTime == 70 * 60000L)
+        assert(u1(1).session_start.getTime == 190 * 60000L && u1(1).n_events == 1)
+        // evidence the state really lived in RocksDB, not the default
+        val sops = q.lastProgress.stateOperators
+        assert(sops.nonEmpty &&
+          sops(0).customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb")),
+          "query did not run on the RocksDB state store")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming append sink: each micro-batch is one O(delta) add-file commit") {
     import spark.implicits._
     import graft.sources.VersionedTable
