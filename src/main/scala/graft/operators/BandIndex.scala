@@ -60,9 +60,12 @@ object BandIndex {
     * against the PERSISTED index. Only the batch is banded/shingled
     * from text; the corpus side is two index reads: candidates from
     * the band equi-join (never all-pairs), shingles semi-joined down
-    * to candidate members. Cost scales with the batch and its
-    * candidate fan-out — independent of corpus size except through
-    * the (bucketable) band join.
+    * to candidate members. COMPUTE scales with the batch and its
+    * candidate fan-out; the one O(corpus) term left is the columnar
+    * SCAN of the two index tables (a semi-join prunes work, not IO —
+    * at 100 TB the stores get partitioned by doc_id range / bucketed
+    * by band key so the probe prunes files too, stated honestly here
+    * rather than assumed).
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             minJaccard: Double = 0.3): DataFrame = {
@@ -73,11 +76,13 @@ object BandIndex {
       .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey"))
     // materialized once (the candidate stage is a storage boundary,
     // exactly like DedupPipeline.candidates): three consumers below —
-    // without this the candidate subtree re-executes per consumer
+    // without this the candidate subtree re-executes per consumer.
+    // Lazy: the checkpoint fills on the query's own first pass over it
+    // instead of an extra eager job at plan-construction time
     val cand = batchBands.join(idxBands, Seq("band", "bkey"))
       .select(col("batch_doc"), col("corpus_doc"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val shB = batch
       .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))
