@@ -232,11 +232,81 @@ object VersionedTable {
   /** Fold the current version's dir list into a single full snapshot
     * — commits a NEW version (history stays time-travelable until
     * vacuum). The maintenance pass that bounds small-file growth
-    * under an append-heavy workload. */
+    * under an append-heavy workload. NOTE: publishes an UNSCOPED
+    * snapshot — on a partition-native table use
+    * [[compactPartitioned]] instead, or the partition annotations
+    * (and with them [[mergePartitioned]]) are lost. */
   def compact(spark: SparkSession, root: String): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     commit(spark, root, readAsOf(spark, root, base), base)
+  }
+
+  /** Partition-scoped O(delta) APPEND: stage ONLY the new rows, one
+    * dir per touched partition value, and carry every base entry
+    * forward — the add-file action for a partition-native table.
+    * Repeated appends build per-partition dir chains (readers union
+    * them; [[readPartition]] prunes to one partition's chain);
+    * [[compactPartitioned]] folds fragmented chains without losing
+    * the partition layout. Same optimistic-concurrency protocol as
+    * [[append]]. */
+  def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partitionCol: String, base: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, root)
+    val next = base + 1
+    val src = df.localCheckpoint()
+    val values = src.select(col(partitionCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted
+    require(values.nonEmpty, s"no non-null $partitionCol values to append")
+    val carry = if (base < 0) Nil else entriesOf(spark, root, base)
+    require(carry.forall(_.part.isDefined),
+      s"appendPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
+    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+    val entries =
+      try values.toSeq.map { v =>
+        val rel = s"$parent/p=${enc(v)}"
+        src.filter(col(partitionCol).cast("string") === v)
+          .write.mode("errorifexists").parquet(s"$root/$rel")
+        Entry(rel, Some(enc(v)))
+      }
+      catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+    publish(spark, root, next, carry ++ entries,
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+    next
+  }
+
+  /** Partition-preserving compaction: fold each partition's dir CHAIN
+    * (one base dir + appended/merged dirs accumulated over versions)
+    * into a single dir per partition, keeping the partition
+    * annotations so [[mergePartitioned]]/[[readPartition]] keep
+    * working. Partitions whose chain is already a single dir are
+    * carried forward UNTOUCHED (byte-for-byte entry lines) — compact
+    * cost scales with the fragmented partitions, not the table. */
+  def compactPartitioned(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val base = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val entries = entriesOf(spark, root, base)
+    require(entries.forall(_.part.isDefined),
+      s"compactPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
+    val next = base + 1
+    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+    val byPart = entries.groupBy(_.part.get).toSeq.sortBy(_._1)
+    val newEntries =
+      try byPart.map { case (pv, es) =>
+        if (es.size == 1) es.head // already one dir: carry, don't rewrite
+        else {
+          val rel = s"$parent/p=$pv"
+          spark.read.parquet(es.map(e => s"$root/${e.rel}"): _*)
+            .write.mode("errorifexists").parquet(s"$root/$rel")
+          Entry(rel, Some(pv))
+        }
+      }
+      catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+    publish(spark, root, next, newEntries,
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+    next
   }
 
   private def stageAndCommit(spark: SparkSession, root: String, df: DataFrame,

@@ -108,6 +108,30 @@ object Demo {
     println(s"9. incremental: batch-vs-index near-dups=${probe.count()}, " +
       s"cdc chunks=${chunks.count()} of which $sharedChunks store-once shared")
 
+    // 10. PARTITION-SCOPED MERGE: the delta-rs copy-on-write shape —
+    //     a ttm-only delta rewrites ONLY the ttm partition dirs; the
+    //     other record_type partitions are carried forward untouched
+    val pt = s"$work/versioned/partitioned"
+    VersionedTable.mergePartitioned(spark, pt, unified, vkeys, "record_type")
+    val ttmDelta = unified.filter(col("record_type") === "ttm")
+      .withColumn("qty", col("qty") + 1.0)
+    val pv = VersionedTable.mergePartitioned(spark, pt, ttmDelta, vkeys, "record_type")
+    def lines(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$pt/_log/v${"%08d".format(v)}.commit")), "UTF-8").split("\n")
+    val carried = lines(pv).toSet.intersect(lines(pv - 1).toSet).size
+    println(s"10. partition-scoped merge: v$pv staged ${lines(pv).length - carried} " +
+      s"partition dir(s), carried $carried untouched (upsert cost = O(touched partition))")
+
+    // 11. CLOSED DEDUP INGEST LOOP: persisted band index — probe the
+    //     arriving batch, admit the novel docs, append their bands so
+    //     the NEXT batch sees them (no corpus recompute anywhere)
+    val idxRoot = s"$work/bandindex"
+    val docs = Tables.documents(spark, sf)
+    BandIndex.build(spark, idxRoot, docs.filter(col("doc_id") % 17 =!= 0))
+    val (admitted, pairs) = BandIndex.ingest(spark, idxRoot, docs.filter(col("doc_id") % 17 === 0))
+    println(s"11. dedup ingest loop: ${pairs.count()} near-dup pairs vs index, " +
+      s"${admitted.count()} admitted docs appended to the index")
+
     println("== demo complete")
     spark.stop()
   }

@@ -653,6 +653,43 @@ class GraftSpec extends AnyFunSuite {
       Map((3L, "B") -> 35.0, (5L, "B") -> 50.0))
   }
 
+  test("VersionedTable: partitioned append chains + partition-preserving compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtpa").toString + "/t"
+    def tbl(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("suppkey", "record_type", "qty")
+    def entryLines(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/v${"%08d".format(v)}.commit")), "UTF-8")
+      .split("\n").toSeq
+    VersionedTable.commitPartitioned(spark, root,
+      tbl((1L, "A", 10.0), (2L, "B", 20.0)), "record_type", base = -1L)
+    // two O(delta) appends touch ONLY partition B -> B builds a 3-dir
+    // chain while A's single entry is carried byte-for-byte
+    VersionedTable.appendPartitioned(spark, root, tbl((3L, "B", 30.0)), "record_type", 0L)
+    VersionedTable.appendPartitioned(spark, root, tbl((4L, "B", 40.0)), "record_type", 1L)
+    val v2 = entryLines(2L)
+    assert(v2.count(_.contains("p=B")) == 3 && v2.count(_.contains("p=A")) == 1)
+    assert(entryLines(0L).filter(_.contains("p=A")) == v2.filter(_.contains("p=A")))
+    // pruned read of B sees the whole chain
+    assert(VersionedTable.readPartition(spark, root, "B")
+      .agg(sum(col("qty"))).head.getDouble(0) == 90.0)
+    // compaction folds B to one dir, carries A untouched, keeps layout
+    assert(VersionedTable.compactPartitioned(spark, root) == 3L)
+    val v3 = entryLines(3L)
+    assert(v3.count(_.contains("p=B")) == 1 && v3.filter(_.contains("p=A")) == v2.filter(_.contains("p=A")))
+    assert(VersionedTable.read(spark, root).count() == 4)
+    assert(VersionedTable.readAsOf(spark, root, 1L).count() == 3) // time travel intact
+    // still partition-native: a further partition-scoped merge works
+    VersionedTable.mergePartitioned(spark, root, tbl((4L, "B", 45.0)),
+      Seq("suppkey", "record_type"), "record_type")
+    assert(VersionedTable.readPartition(spark, root, "B")
+      .agg(sum(col("qty"))).head.getDouble(0) == 95.0)
+    assert(VersionedTable.readPartition(spark, root, "A")
+      .agg(sum(col("qty"))).head.getDouble(0) == 10.0)
+  }
+
   test("VersionedTable: duplicate-key batch with no tieBreak merges DETERMINISTICALLY") {
     import spark.implicits._
     import graft.sources.VersionedTable
