@@ -402,6 +402,43 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("capstone: landed files -> manifest-gated ingest -> versioned merge -> CDC-served view") {
+    // the reference's entire loop in one composition: files arrive in
+    // the landing zone, the manifest gates ingest (replay = no-op),
+    // every file merges into the versioned table (idempotent sink =>
+    // end-to-end exactly-once per the Landing contract), and the
+    // serving aggregate is maintained from the change feed alone
+    import spark.implicits._
+    import graft.sources.{Landing, MaterializedAgg, ServingView, VersionedTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val landing = s"$dir/landing"; val manifest = s"$dir/manifest"
+    val table = s"$dir/table"
+    def tbl(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("suppkey", "record_type", "qty")
+    tbl((1L, "financials", 10.0)).write.parquet(s"$landing/a.parquet")
+    tbl((1L, "financials", 15.0), (2L, "ttm", 20.0)).write.parquet(s"$landing/b.parquet")
+    val sv = new ServingView(spark, table, Seq("suppkey"), "record_type", "qty")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def recomputed = m(MaterializedAgg.fullAgg(
+      VersionedTable.read(spark, table), "record_type", "qty"))
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest,
+      df => sv.sink(df, 0L)) == Seq("a.parquet", "b.parquet"))
+    assert(m(sv.view) == recomputed)
+    assert(m(sv.view) == Map("financials" -> ((1L, 15.0)), "ttm" -> ((1L, 20.0))))
+    // whole-run replay: no new table versions, no view drift
+    val v = VersionedTable.currentVersion(spark, table)
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest,
+      df => sv.sink(df, 0L)).isEmpty)
+    assert(VersionedTable.currentVersion(spark, table) == v && m(sv.view) == recomputed)
+    // a late arrival is the only thing the next run touches
+    tbl((3L, "ttm", 5.0)).write.parquet(s"$landing/c.parquet")
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest,
+      df => sv.sink(df, 0L)) == Seq("c.parquet"))
+    assert(m(sv.view) == recomputed)
+    assert(m(sv.view)("ttm") == ((2L, 25.0)))
+  }
+
   test("streaming state on RocksDB: sessionizer behaves identically on the production store") {
     // local[32] runs the default HDFS-backed store; a 1000-executor
     // cluster runs RocksDB so per-key state spills off-heap/disk and
