@@ -95,6 +95,40 @@ object BandIndex {
       .select(col("batch_doc"), col("corpus_doc"), Rounding.roundN(col("jac"), 4).as("jac"))
   }
 
+  /** The CLUSTER-SCALE index layout: the band table written as a
+    * catalog table BUCKETED by (band, bkey) — the layout the probe
+    * join wants at 100 TB, where the index is the big side and must
+    * never shuffle. A probe against it plans as a sort-merge join
+    * whose ONLY exchange is the batch side being shuffled into the
+    * index's bucket scheme (spec-pinned with broadcast disabled; with
+    * broadcast on, a small batch is broadcast instead — either way the
+    * index side moves zero rows). Appending admitted bands keeps the
+    * bucket spec (`insertInto` on a bucketed table re-buckets the
+    * delta). The VersionedTable layout above keeps time
+    * travel/atomicity; this one buys shuffle-free probes — a real
+    * deployment uses a bucketed Iceberg/Delta table and gets both.
+    */
+  def buildBucketed(spark: SparkSession, table: String, corpus: DataFrame,
+                    buckets: Int = 32): Unit = {
+    indexBuilds += 1
+    Dedup.bandFrame(corpus).write.mode("overwrite")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Candidate pairs of a batch against the BUCKETED index — the
+    * band equi-join only (verification composes over any shingle
+    * store); the index side scans in place, bucket-aligned. */
+  def bucketedCandidates(spark: SparkSession, table: String,
+                         batch: DataFrame): DataFrame =
+    Dedup.bandFrame(batch)
+      .select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
+      .join(spark.table(table)
+              .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+      .select(col("batch_doc"), col("corpus_doc"))
+      .distinct()
+
   /** The closed loop: probe the batch, ADMIT every batch doc with no
     * verified match, append the admitted docs' bands and shingles to
     * the index (O(batch) add-file commits) so subsequent batches see

@@ -257,6 +257,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe re-scanned corpus documents past the index")
   }
 
+  test("BandIndex bucketed layout: the index side of the probe join NEVER shuffles") {
+    // at 100 TB the index is the big side; bucketing by (band, bkey)
+    // means a probe shuffles ONLY the batch into the bucket scheme.
+    // Disable broadcast so the sort-merge path (the at-scale plan) is
+    // what gets pinned — with broadcast on, a small batch broadcasts
+    // and the index side still moves zero rows.
+    val docs = graft.Tables.documents(spark, sf)
+    graft.operators.BandIndex.buildBucketed(spark, "graft_bidx_plan_test",
+      docs.filter("doc_id % 17 != 0"), buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = graft.operators.BandIndex.bucketedCandidates(
+        spark, "graft_bidx_plan_test", docs.filter("doc_id % 17 = 0"))
+      cand.collect()
+      val p = cand.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"))
+      // exchanges: batch side into the bucket scheme + the distinct's
+      // agg exchange — the bucketed index scan contributes NONE
+      assert(count(p, "Exchange") == 2,
+        s"bucketed index side grew a shuffle:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        "index scan is not bucket-aware")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bidx_plan_test")
+    }
+  }
+
   test("q43: cohort matrix costs distinct + window + grid agg + sort — four exchanges") {
     // distinct (user, day), window repartition on user_id, the
     // (cohort, offset) matrix agg (grid-bounded partials), output sort;
