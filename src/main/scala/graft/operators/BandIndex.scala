@@ -132,7 +132,15 @@ object BandIndex {
   /** The closed loop: probe the batch, ADMIT every batch doc with no
     * verified match, append the admitted docs' bands and shingles to
     * the index (O(batch) add-file commits) so subsequent batches see
-    * them. Returns (admitted docs, verified pairs). */
+    * them. Returns (admitted docs, verified pairs).
+    *
+    * Concurrency contract: ONE ingest loop per index. Two concurrent
+    * ingests both probe the pre-append index, so near-dups BETWEEN
+    * their batches are admitted on both sides (the append commits
+    * themselves are conflict-safe via VersionedTable's optimistic
+    * concurrency — racing ingests fail fast rather than corrupt).
+    * Serialize batches, or dedupe within the union of concurrent
+    * batches first (d02 on the combined batch). */
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              minJaccard: Double = 0.3): (DataFrame, DataFrame) = {
     val pairs = probe(spark, root, batch, minJaccard).localCheckpoint()

@@ -293,24 +293,34 @@ object Similarity {
     * size. Candidate pairs stay unique (a corpus vector has one cell),
     * so no dedup stage is needed before the rank.
     */
-  def ivfMultiProbe(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
-                    nProbe: Int = 2): DataFrame = {
+  /** The top-nProbe nearest cells per query vector — shared by the
+    * s05 search and the recall sweep so probe-cell choice (csim desc,
+    * cent_id tiebreak) cannot drift between search and eval. */
+  private def probeCells(embeddings: DataFrame, maxQueryId: Long,
+                         nProbe: Int, centIds: Seq[Long]): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    val cents = embeddings.filter(col("vec_id").isin(centroidIds: _*))
+    val cents = embeddings.filter(col("vec_id").isin(centIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-    val corpus = assignedCells(embeddings)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-              col("nrm").as("cn"), col("cell"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val qprobe = embeddings.filter(col("vec_id") < maxQueryId)
+    embeddings.filter(col("vec_id") < maxQueryId)
       .crossJoin(broadcast(cents))
       .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
               vec_norm(col("embedding")).as("qn"), col("cent_id").as("cell"))
+  }
+
+  def ivfMultiProbe(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                    nProbe: Int = 2, centIds: Seq[Long] = centroidIds): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = assignedCells(embeddings, centIds)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"))
+    val qprobe = probeCells(embeddings, maxQueryId, nProbe, centIds)
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     corpus.join(broadcast(qprobe), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -423,6 +433,66 @@ object Similarity {
         Rounding.roundN(col("n_hits").cast("double") / col("k_eval"), 4))
       .select(col("q_id"), col("k_eval"), col("n_hits"), col("recall"))
       .orderBy(col("q_id"))
+  }
+
+  /** Sampled-query recall/efficiency SWEEP — the evaluation every ANN
+    * deployment runs to pick its operating point, at a query-set size
+    * that makes the numbers statistically meaningful (s06's oracle
+    * binding pins 8 queries for cross-engine determinism; this
+    * harness defaults to 64). One row per (method, parameter): mean
+    * recall@k over the sample against brute-force ground truth, and
+    * the mean FRACTION of the corpus scored per query — the
+    * throughput side of the tradeoff (recall without its candidate
+    * cost is not an operating point). Index sizes are the
+    * data-dependent production ones (planesFor / centroidIdsFor), not
+    * the oracle-pinned constants; IVF probe cells come from the same
+    * [[probeCells]] the search uses, so eval cannot drift from what
+    * production would run. At 100 TB this runs unchanged: ground
+    * truth brute-forces a BOUNDED query sample (O(N·Q), Q bounded),
+    * everything else is the index's own probe cost.
+    */
+  def recallSweep(embeddings: DataFrame, nQueries: Long = 64, k: Int = 10,
+                  probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val n = embeddings.count()
+    val planes = planesFor(n)
+    val cents = centroidIdsFor(n)
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("neighbor_id")).localCheckpoint()
+
+    def row(method: String, approx: DataFrame, candFrac: DataFrame): DataFrame =
+      exact.join(approx.select(col("q_id"), col("neighbor_id"))
+                   .withColumn("hit", lit(1L)),
+                 Seq("q_id", "neighbor_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+               .as("recall"))
+        .crossJoin(candFrac)
+        .select(lit(method).as("method"),
+                Rounding.roundN(col("recall"), 4).as("recall"),
+                Rounding.roundN(col("cand_frac"), 4).as("cand_frac"))
+
+    // LSH: a query scores its own hyperplane bucket (minus itself)
+    val bucketed = embeddings.select(col("vec_id"),
+      plane_bucket(col("embedding"), planes).as("bucket"))
+    val bsizes = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    val lshFrac = bucketed.filter(col("vec_id") < nQueries)
+      .join(bsizes, "bucket")
+      .agg((avg(col("bn") - 1) / n).as("cand_frac"))
+    val lshRow = row(s"lsh[planes=$planes]",
+      lshTopK(embeddings, nQueries, k, planes), lshFrac)
+
+    // IVF at K ~ sqrt(n): a query scores the union of its probed cells
+    val csizes = assignedCells(embeddings, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+    val ivfRows = probes.map { p =>
+      val frac = probeCells(embeddings, nQueries, p, cents)
+        .join(csizes, "cell")
+        .groupBy(col("q_id")).agg(sum(col("cn")).as("probed"))
+        .agg((avg(col("probed")) / n).as("cand_frac"))
+      row(s"ivf[K=${cents.size},probe=$p]",
+        ivfMultiProbe(embeddings, nQueries, k, p, cents), frac)
+    }
+    (lshRow +: ivfRows).reduce(_.unionByName(_))
   }
 
   // ---- s07: kNN classification ----------------------------------------

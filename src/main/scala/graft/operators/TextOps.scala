@@ -237,6 +237,11 @@ object TextOps {
   private val tfCache =
     new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String), DataFrame](8)
 
+  /** Drop every cached tf frame (checkpoint blocks reclaimed by the
+    * ContextCleaner once unreferenced) — the explicit flush hook,
+    * mirroring [[Dedup.invalidatePipelines]]. */
+  def invalidateTfFrames(): Unit = tfCache.clear()
+
   /** The corpus term-frequency persist point: (doc_id, term, tf),
     * computed ONCE per corpus and localCheckpointed — the natural
     * materialization boundary of a text pipeline (all corpus-token

@@ -1229,6 +1229,29 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("recall sweep: probe widening is monotone in recall AND cost; LSH prunes the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.operators.Similarity.recallSweep(emb, nQueries = 32, k = 5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val ivf = rows.keys.filter(_.startsWith("ivf")).toSeq.sortBy(
+      k => k.split("probe=")(1).stripSuffix("]").toInt)
+    assert(ivf.size == 3)
+    // widening the probe can only ADD candidates per query, so recall
+    // and candidate fraction are both non-decreasing — a deterministic
+    // property of the sweep, not a data accident
+    ivf.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 >= rows(a)._1 - 1e-9, s"recall fell $a -> $b: $rows")
+      assert(rows(b)._2 >= rows(a)._2 - 1e-9, s"cand cost fell $a -> $b: $rows")
+    }
+    rows.values.foreach { case (rec, frac) =>
+      assert(rec >= 0.0 && rec <= 1.0 && frac > 0.0 && frac <= 1.0)
+    }
+    // the point of the index: neither method scores the whole corpus
+    rows.foreach { case (m, (_, frac)) =>
+      assert(frac < 0.9, s"$m scored ${frac * 100}%% of the corpus — no pruning")
+    }
+  }
+
   test("d11 minhash estimate: observed error within 3 sigma of the 16-perm estimator") {
     val rows = SparkEntry.queries("d11_minhash_estimate")(spark, sf).collect()
     assert(rows.nonEmpty)
