@@ -148,10 +148,15 @@ object BandIndex {
       .join(pairs.select(col("batch_doc").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
-    VersionedTable.append(spark, bandsRoot(root), Dedup.bandFrame(admitted), bv)
-    val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
-    VersionedTable.append(spark, shinglesRoot(root), shingleFrame(admitted), sv)
+    // an all-duplicate batch admits nothing — commit nothing, or
+    // steady-state ingest churns two empty versions per micro-batch
+    // (log growth, probe-tail growth, vacuum work, zero information)
+    if (!admitted.isEmpty) {
+      val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
+      VersionedTable.append(spark, bandsRoot(root), Dedup.bandFrame(admitted), bv)
+      val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
+      VersionedTable.append(spark, shinglesRoot(root), shingleFrame(admitted), sv)
+    }
     (admitted, pairs)
   }
 }

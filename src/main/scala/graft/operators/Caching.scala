@@ -12,24 +12,43 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Caching {
 
-  /** LRU-bounded cache (access-ordered). Evicted values are simply
-    * dropped: localCheckpoint blocks are reclaimed by Spark's
-    * ContextCleaner once the last DataFrame reference is unreachable,
-    * so eviction == eventual executor-storage release without an
-    * explicit unpersist (which would race in-flight readers of the
-    * evicted frame).
+  /** LRU-bounded cache (access-ordered). By default evicted values
+    * are simply dropped: localCheckpoint blocks are reclaimed by
+    * Spark's ContextCleaner once the last DataFrame reference is
+    * unreachable, so eviction == eventual executor-storage release
+    * without an explicit unpersist (which would race in-flight
+    * readers). Values holding NON-GC-tracked resources (an on-disk
+    * index dir) pass `onEvict` to reclaim them — with the stated
+    * caveat that an in-flight reader of a just-evicted value loses it
+    * (same hazard class as unpersist; acceptable for dev-harness
+    * caches, the production analogue is a storage-layer TTL).
+    *
+    * The value builder runs OUTSIDE the map lock, so a multi-second
+    * build (eager Spark jobs) never blocks hits on other keys; two
+    * racing builders of the SAME key both build and the loser's value
+    * is discarded (evicted) — wasted work, never a wrong result.
     */
-  final class BoundedCache[K, V](maxEntries: Int) {
+  final class BoundedCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => ()) {
     private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        size() > maxEntries
+        if (size() > maxEntries) { onEvict(e.getValue); true } else false
     }
-    def getOrElseUpdate(k: K)(v: => V): V = map.synchronized {
-      val hit = map.get(k)
-      if (hit != null) hit
-      else { val built = v; map.put(k, built); built }
+    def getOrElseUpdate(k: K)(v: => V): V = {
+      map.synchronized {
+        val hit = map.get(k)
+        if (hit != null) return hit
+      }
+      val built = v
+      map.synchronized {
+        val winner = map.get(k)
+        if (winner != null) { onEvict(built); winner }
+        else { map.put(k, built); built }
+      }
     }
-    def clear(): Unit = map.synchronized(map.clear())
+    def clear(): Unit = map.synchronized {
+      map.values.forEach(v => onEvict(v))
+      map.clear()
+    }
     def size: Int = map.synchronized(map.size())
   }
 

@@ -110,9 +110,11 @@ object Dedup {
     * fresh un-shared pipeline rather than a wrong cache hit.
     */
   def pipeline(documents: DataFrame, minJaccard: Double = 0.3): DedupPipeline = {
+    // bareScan first: an uncacheable frame must not pay per-file stats
+    if (!Caching.bareScan(documents))
+      return new DedupPipeline(documents, minJaccard)
     val stamp = Caching.stamp(documents)
-    if (!Caching.bareScan(documents) || stamp.isEmpty)
-      new DedupPipeline(documents, minJaccard)
+    if (stamp.isEmpty) new DedupPipeline(documents, minJaccard)
     else pipelineCache.getOrElseUpdate(
       (documents.sparkSession, stamp, minJaccard))(
       new DedupPipeline(documents, minJaccard))
@@ -580,10 +582,15 @@ object Dedup {
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
   }
 
-  /** Times a d12 corpus index was served from cache vs built — see
-    * [[BandIndex.indexBuilds]] for the build counter itself. */
+  /** d12's per-corpus index roots (see [[BandIndex.indexBuilds]] for
+    * the build counter). Eviction DELETES the temp index dirs — these
+    * are on-disk tables, not GC-tracked checkpoint blocks, so dropping
+    * the path alone would orphan a full corpus index per eviction. */
   private val indexCache =
-    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4)
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4,
+      onEvict = root =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        catch { case _: Exception => () })
 
   /** d12: INCREMENTAL dedup — a new batch of documents probed against
     * the corpus's PERSISTED LSH band index ([[BandIndex]]): the index
@@ -619,10 +626,13 @@ object Dedup {
       BandIndex.build(spark, root, corpus)
       root
     }
-    val stamp = Caching.stamp(documents)
     val root =
-      if (!Caching.bareScan(documents) || stamp.isEmpty) buildTemp()
-      else indexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp())
+      if (!Caching.bareScan(documents)) buildTemp()
+      else {
+        val stamp = Caching.stamp(documents)
+        if (stamp.isEmpty) buildTemp()
+        else indexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp())
+      }
     BandIndex.probe(spark, root, batch, minJaccard)
       .orderBy(col("batch_doc"), col("corpus_doc"))
   }

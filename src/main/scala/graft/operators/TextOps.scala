@@ -261,8 +261,9 @@ object TextOps {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .localCheckpoint()
     }
+    if (!Caching.bareScan(documents)) return build // no stats for uncacheable frames
     val stamp = Caching.stamp(documents)
-    if (!Caching.bareScan(documents) || stamp.isEmpty) build
+    if (stamp.isEmpty) build
     else tfCache.getOrElseUpdate((documents.sparkSession, stamp))(build)
   }
 

@@ -103,10 +103,25 @@ object VersionedTable {
   private def parseEntry(line: String): Entry = line.split("\t") match {
     case Array(rel)     => Entry(rel, None)
     case Array(rel, pv) => Entry(rel, Some(pv))
-    case other          => Entry(other.head, Some(other(1)))
+    // partition values are URL-encoded (no raw tabs), so 3+ fields can
+    // only mean a future format extension — fail loudly rather than
+    // silently dropping fields through a checkpoint round-trip
+    case _ => throw new IllegalStateException(s"malformed commit entry: $line")
   }
 
   private def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+
+  /** Partition-native writes address dirs BY partition value, so a
+    * null value has nowhere to live — fail loudly instead of silently
+    * dropping the rows (the contract every partitioned store shares:
+    * Hive/Delta route nulls to a default partition; we reject them
+    * explicitly so the caller decides the encoding). */
+  private def requireNoNullPartitions(df: DataFrame, partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(df.filter(col(partitionCol).isNull).isEmpty,
+      s"null $partitionCol values cannot be partition-routed; " +
+      "coalesce them to a sentinel value before the write")
+  }
 
   private def commitPath(root: String, v: Long) = p(s"$root/_log/${verName(v)}.commit")
 
@@ -252,25 +267,14 @@ object VersionedTable {
     * [[append]]. */
   def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
                         partitionCol: String, base: Long): Long = {
-    import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val next = base + 1
     val src = df.localCheckpoint()
-    val values = src.select(col(partitionCol).cast("string")).na.drop()
-      .distinct().collect().map(_.getString(0)).sorted
-    require(values.nonEmpty, s"no non-null $partitionCol values to append")
+    requireNoNullPartitions(src, partitionCol)
     val carry = if (base < 0) Nil else entriesOf(spark, root, base)
     require(carry.forall(_.part.isDefined),
       s"appendPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
-    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
-    val entries =
-      try values.toSeq.map { v =>
-        val rel = s"$parent/p=${enc(v)}"
-        src.filter(col(partitionCol).cast("string") === v)
-          .write.mode("errorifexists").parquet(s"$root/$rel")
-        Entry(rel, Some(enc(v)))
-      }
-      catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+    val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next, carry ++ entries,
             onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
     next
@@ -336,11 +340,20 @@ object VersionedTable {
     val target = commitPath(root, next)
     // defensive pre-check + no-replace rename: on HDFS the rename is
     // the atomic arbiter; on local FS / object stores the pre-check
-    // narrows (not closes) the race window — see class doc caveat
+    // narrows (not closes) the race window — see class doc caveat.
+    // A ZERO-LENGTH target is a crashed legacy writer's garbage, which
+    // currentVersion already treats as uncommitted — it must not win
+    // the pre-check or the version would be permanently unwritable
+    // (every writer re-resolving to the same base and conflicting
+    // forever); delete it and let the rename arbitrate.
     val won =
       try {
-        if (f.exists(target)) false
+        val existingLen =
+          try Some(f.getFileStatus(target).getLen)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (existingLen.exists(_ > 0)) false
         else {
+          existingLen.foreach(_ => f.delete(target, false))
           org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
             spark.sparkContext.hadoopConfiguration).rename(tmp, target)
           true
@@ -409,7 +422,12 @@ object VersionedTable {
     while (true) {
       val base = currentVersion(spark, root).getOrElse(-1L)
       val merged =
-        if (base < 0) source
+        // creation dedupes the batch itself with merge semantics — a
+        // duplicate-key first batch must not seed more rows than any
+        // later merge would leave, or a change-feed consumer seeded
+        // from v0 diverges from recompute on the first update
+        if (base < 0)
+          graft.operators.Relational.mergeUpsert(source.limit(0), source, keys, tb)
         else graft.operators.Relational.mergeUpsert(
           readAsOf(spark, root, base), source, keys, tb)
       try return commit(spark, root, merged, base)
@@ -430,15 +448,19 @@ object VersionedTable {
     * queue_for_delta.py) so the per-partition write loop is driver-side
     * bounded, not data-sized.
     */
-  def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
-                        partitionCol: String, base: Long): Long = {
+  /** Stage one dir per distinct partition value of `src` under a
+    * fresh writer-unique parent for version `next`. Cleans up the
+    * parent and rethrows on any write failure. Shared by every
+    * partition-native write path so staging (encoding, layout,
+    * cleanup) cannot drift between them. `src` must already be
+    * checkpointed and null-partition-checked by the caller. */
+  private def stagePartitions(spark: SparkSession, root: String, src: DataFrame,
+                              partitionCol: String, next: Long): (String, Seq[Entry]) = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
-    val next = base + 1
-    val src = df.localCheckpoint() // one computation feeds every slice
-    val values = src.select(col(partitionCol).cast("string")).na.drop()
+    val values = src.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).sorted
-    require(values.nonEmpty, s"no non-null $partitionCol values to partition by")
+    require(values.nonEmpty, s"no $partitionCol values to stage")
     val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
     val entries =
       try values.toSeq.map { v =>
@@ -448,6 +470,16 @@ object VersionedTable {
         Entry(rel, Some(enc(v)))
       }
       catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+    (parent, entries)
+  }
+
+  def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                        partitionCol: String, base: Long): Long = {
+    val f = fs(spark, root)
+    val next = base + 1
+    val src = df.localCheckpoint() // one computation feeds every slice
+    requireNoNullPartitions(src, partitionCol)
+    val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next, entries,
             onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
     next
@@ -476,17 +508,24 @@ object VersionedTable {
     val f = fs(spark, root)
     val tb = effectiveTieBreak(source, keys, tieBreak)
     val src = source.localCheckpoint() // stable slices across retries
-    val touched = src.select(col(partitionCol).cast("string")).na.drop()
+    requireNoNullPartitions(src, partitionCol)
+    val touched = src.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).sorted
     var attempt = 0
     while (true) {
       val base = currentVersion(spark, root).getOrElse(-1L)
       if (base < 0) {
-        // creating: dedupe the batch itself with merge semantics
+        // creating: dedupe the batch itself with merge semantics; a
+        // creation RACE is a conflict like any other — retry against
+        // the winner's table instead of propagating
         val deduped = graft.operators.Relational.mergeUpsert(
           src.limit(0), src, keys, tb)
-        return commitPartitioned(spark, root, deduped, partitionCol, base)
-      }
+        try return commitPartitioned(spark, root, deduped, partitionCol, base)
+        catch {
+          case _: VersionConflictException if attempt < maxRetries =>
+            attempt += 1
+        }
+      } else {
       val baseEntries = entriesOf(spark, root, base)
       require(baseEntries.forall(_.part.isDefined),
         s"mergePartitioned requires a partition-native table; $root@v$base has unscoped dirs " +
@@ -516,6 +555,7 @@ object VersionedTable {
       } catch {
         case _: VersionConflictException if attempt < maxRetries =>
           attempt += 1 // staged dirs already cleaned; recompute vs fresh base
+      }
       }
     }
     -1L // unreachable
@@ -577,6 +617,14 @@ object VersionedTable {
       val cpMap = checkpointState(f, root).getOrElse(Map.empty)
       def entries(v: Long): Seq[Entry] =
         cpMap.getOrElse(v, entriesOf(spark, root, v))
+      // refresh the checkpoint to the current version BEFORE expiring
+      // anything (Delta's log-cleanup order: checkpoint, THEN expire):
+      // a pointer below vacuumed commits would wedge the forward probe
+      // at the gap and resolve currentVersion to a deleted version —
+      // after which a writer could commit over it and shadow the real
+      // head. With this order a crash mid-vacuum only redoes deletions.
+      if (lastCheckpointVersion(f, root).exists(_ < cur))
+        writeCheckpoint(spark, root, cur)
       val retained: Set[String] = versions.filter(_ >= cutoff)
         .flatMap(v => entries(v).map(_.rel)).toSet
       versions.filter(_ < cutoff).foreach { v =>
@@ -584,12 +632,6 @@ object VersionedTable {
         f.delete(commitPath(root, v), false)
         rels.filterNot(retained).foreach(r => f.delete(p(s"$root/$r"), true))
       }
-      // the old checkpoint may now sit BELOW vacuumed commits, which
-      // would wedge the forward probe at the gap — refresh it to the
-      // current version (Delta's log-cleanup order: checkpoint first,
-      // then expire), then drop every superseded checkpoint file
-      if (lastCheckpointVersion(f, root).exists(_ < cur))
-        writeCheckpoint(spark, root, cur)
       val newestCp = lastCheckpointVersion(f, root).getOrElse(Long.MinValue)
       names.filter(_.matches("v\\d{8}\\.checkpoint"))
         .map(_.stripPrefix("v").stripSuffix(".checkpoint").toLong)

@@ -727,6 +727,21 @@ class GraftSpec extends AnyFunSuite {
       .agg(sum(col("qty"))).head.getDouble(0) == 10.0)
   }
 
+  test("VersionedTable: null partition values are rejected, not silently dropped") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtn").toString + "/t"
+    val bad = Seq((1L, Some("A"), 10.0), (2L, None, 20.0))
+      .toDF("suppkey", "record_type", "qty")
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitioned(spark, root, bad, "record_type", base = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergePartitioned(spark, root, bad,
+        Seq("suppkey", "record_type"), "record_type")
+    }
+  }
+
   test("VersionedTable: duplicate-key batch with no tieBreak merges DETERMINISTICALLY") {
     import spark.implicits._
     import graft.sources.VersionedTable
@@ -749,6 +764,14 @@ class GraftSpec extends AnyFunSuite {
     // (qty, tag) asc => (7.0, "z") beats both 10.0 rows for key 1
     assert(a == Map(1L -> ((7.0, "z")), 2L -> ((5.0, "y"))))
     assert(a == run()) // and a re-execution picks the same winners
+    // CREATION dedupes too: a dup-key FIRST batch seeds one row per
+    // key (a v0 with extra duplicate rows would desync any change-feed
+    // consumer seeded from it on the first subsequent merge)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_vtd0").toString + "/t"
+    VersionedTable.merge(spark, root2,
+      Seq((1L, 10.0, "x"), (1L, 7.0, "z"), (2L, 5.0, "y")).toDF("suppkey", "qty", "tag"),
+      keys = Seq("suppkey"))
+    assert(VersionedTable.read(spark, root2).count() == 2)
   }
 
   test("VersionedTable: log checkpoint bounds resolve cost; empty commit files are uncommitted") {
@@ -771,20 +794,26 @@ class GraftSpec extends AnyFunSuite {
     assert(VersionedTable.lastResolveLogReads <= VersionedTable.CheckpointInterval + 2,
       s"resolve read ${VersionedTable.lastResolveLogReads} log files")
     // a zero-length commit file (legacy crash window) is UNCOMMITTED:
-    // it must neither become current nor wedge the probe loop
+    // it neither becomes current NOR blocks the next writer — publish
+    // reclaims the garbage name and commits over it
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(s"$root/_log/v00000015.commit"))
     assert(VersionedTable.currentVersion(spark, root).contains(14L))
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(s"$root/_log/v00000015.commit"))
+    base = VersionedTable.append(spark, root, tbl(15L -> 15.0), base)
+    assert(base == 15L)
+    assert(VersionedTable.read(spark, root).count() == 16)
     // vacuum with a checkpoint present: correctness (reachability) holds
     VersionedTable.vacuum(spark, root, keepLast = 2)
-    assert(VersionedTable.read(spark, root).count() == 15)
-    assert(VersionedTable.readAsOf(spark, root, 13L).count() == 14)
+    assert(VersionedTable.read(spark, root).count() == 16)
+    assert(VersionedTable.readAsOf(spark, root, 14L).count() == 15)
     intercept[Exception] { VersionedTable.readAsOf(spark, root, 5L).collect() }
-    // post-vacuum appends + resolution still work against the old pointer
+    // vacuum refreshed the checkpoint BEFORE expiring commits (the
+    // order that makes a mid-vacuum crash harmless): the pointer now
+    // names the current version, so the probe can never wedge below it
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/_last_checkpoint")), "UTF-8").trim == "15")
     base = VersionedTable.append(spark, root, tbl(99L -> 99.0), base)
-    assert(VersionedTable.currentVersion(spark, root).contains(15L))
+    assert(VersionedTable.currentVersion(spark, root).contains(16L))
   }
 
   test("CDC consumer: aggregate maintained from the change feed ALONE matches full recompute") {
@@ -1287,9 +1316,11 @@ class GraftSpec extends AnyFunSuite {
     assert(pairs2.select("batch_doc", "corpus_doc").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 21L)))
     assert(adm2.count() == 0)
-    // the index grew by O(batch) add-file commits, not rebuilds
+    // the index grew by ONE O(batch) add-file commit: batch 1's
+    // admission appended (v0 -> v1); batch 2 admitted nothing, so it
+    // committed NOTHING (no empty-version churn in steady state)
     import graft.sources.VersionedTable
-    assert(VersionedTable.currentVersion(spark, s"$root/bands").contains(2L))
+    assert(VersionedTable.currentVersion(spark, s"$root/bands").contains(1L))
     assert(VersionedTable.read(spark, s"$root/shingles")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L, 21L))
   }
