@@ -479,6 +479,25 @@ class GraftSpec extends AnyFunSuite {
           sops(0).customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb")),
           "query did not run on the RocksDB state store")
       } finally q.stop()
+      // st04: the stream-stream join's buffered state (both sides
+      // retained up to the watermark bound) on the same provider
+      val clicks = MemoryStream[StreamOps.Ev]
+      val views = MemoryStream[StreamOps.Ev]
+      val qj = StreamOps.intervalJoinStream(clicks.toDS(), views.toDS(), 30)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_st04_rocksdb").start()
+      try {
+        views.addData(ev(101, 10, 1), ev(102, 60, 1), ev(103, 70, 1))
+        qj.processAllAvailable()
+        clicks.addData(ev(201, 75, 1))
+        qj.processAllAvailable()
+        val out = spark.table("graft_st04_rocksdb").collect()
+        assert(out.map(_.getAs[Long]("view_id")).sorted.toSeq == Seq(102L, 103L))
+        val sops = qj.lastProgress.stateOperators
+        assert(sops.nonEmpty &&
+          sops(0).customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb")),
+          "join state did not live in RocksDB")
+      } finally qj.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
