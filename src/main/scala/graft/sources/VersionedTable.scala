@@ -193,9 +193,18 @@ object VersionedTable {
     finally in.close()
   }
 
-  /** Time travel: the immutable snapshot a given version published. */
+  /** Time travel: the immutable snapshot a given version published.
+    * Reads with schema UNION across the version's dirs (mergeSchema):
+    * an append chain whose later commits added columns serves the
+    * evolved schema with nulls for pre-evolution rows — without it,
+    * plain parquet reads take ONE file's schema and silently drop the
+    * other dirs' new columns. (Delta stores the evolved schema in the
+    * log and validates writers against it; here evolution is
+    * union-on-read and writers are unvalidated — the footer-read cost
+    * of mergeSchema is the price, stated honestly.) */
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(entriesOf(spark, root, version).map(e => s"$root/${e.rel}"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(entriesOf(spark, root, version).map(e => s"$root/${e.rel}"): _*)
 
   /** The latest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -216,7 +225,7 @@ object VersionedTable {
     val rels = entriesOf(spark, root, v).filter(_.part.contains(enc(partValue))).map(_.rel)
     if (rels.isEmpty)
       throw new java.io.FileNotFoundException(s"no dirs for partition $partValue at $root@v$v")
-    spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+    spark.read.option("mergeSchema", "true").parquet(rels.map(r => s"$root/$r"): _*)
   }
 
   /** Stage `df` and atomically publish it as version `base + 1`.
@@ -582,13 +591,26 @@ object VersionedTable {
                  fromVersion: Long, toVersion: Long,
                  keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    val oldDf = readAsOf(spark, root, fromVersion)
+    val newDf = readAsOf(spark, root, toVersion)
+    // image structs are built over the UNION of both versions' columns
+    // (missing = typed null), so the feed survives schema evolution
+    // between the versions: a column added with all-null backfill
+    // compares equal on untouched rows instead of failing the struct
+    // comparison on mismatched types
+    val colType = (oldDf.schema ++ newDf.schema).map(f => f.name -> f.dataType).toMap
+    val dataCols = (oldDf.columns ++ newDf.columns).distinct.toSeq
+      .filterNot(keys.contains)
     def imaged(df: DataFrame, as: String) = {
-      val dataCols = df.columns.filterNot(keys.contains).toSeq
+      val fields = dataCols.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(colType(c)).as(c)
+      }
       df.select(keys.map(col) :+
-        struct(lit(1).as("_present") +: dataCols.map(col): _*).as(as): _*)
+        struct(lit(1).as("_present") +: fields: _*).as(as): _*)
     }
-    imaged(readAsOf(spark, root, fromVersion), "_old")
-      .join(imaged(readAsOf(spark, root, toVersion), "_new"), keys, "full_outer")
+    imaged(oldDf, "_old")
+      .join(imaged(newDf, "_new"), keys, "full_outer")
       .withColumn("change_type",
         when(col("_old").isNull, "inserted")
           .when(col("_new").isNull, "deleted")

@@ -746,6 +746,33 @@ class GraftSpec extends AnyFunSuite {
       .agg(sum(col("qty"))).head.getDouble(0) == 10.0)
   }
 
+  test("VersionedTable: schema evolution — an appended column is served, not silently dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtse").toString + "/t"
+    VersionedTable.append(spark, root,
+      Seq((1L, 10.0)).toDF("suppkey", "qty"), base = -1L)
+    // the delta arrives with a NEW column; union-on-read must serve it
+    // with nulls for pre-evolution rows (plain parquet reads would
+    // silently drop it depending on which file's schema won)
+    VersionedTable.append(spark, root,
+      Seq((2L, 20.0, "eur")).toDF("suppkey", "qty", "currency"), base = 0L)
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.columns.toSet == Set("suppkey", "qty", "currency"))
+    val byKey = cur.collect().map(r =>
+      r.getAs[Long]("suppkey") -> Option(r.getAs[String]("currency"))).toMap
+    assert(byKey == Map(1L -> None, 2L -> Some("eur")))
+    // time travel serves each version's OWN schema
+    assert(VersionedTable.readAsOf(spark, root, 0L).columns.toSet == Set("suppkey", "qty"))
+    // the change feed crosses the evolution: row 1's null-backfilled
+    // new column is NOT a change; only the insert appears
+    val feed = VersionedTable.changeFeed(spark, root, 0L, 1L, Seq("suppkey"))
+      .select(col("suppkey"), col("change_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed == Map(2L -> "inserted"))
+  }
+
   test("VersionedTable: null partition values are rejected, not silently dropped") {
     import spark.implicits._
     import graft.sources.VersionedTable
