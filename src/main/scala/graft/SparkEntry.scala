@@ -157,6 +157,7 @@ object SparkEntry {
       Dedup.dedupIncremental(Tables.documents(s, d))),
     "d13_dedup_containment" -> ((s, d) =>
       Dedup.dedupContainment(Tables.documents(s, d))),
+    "d14_dup_spans" -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
   )
 
@@ -437,6 +438,7 @@ object SparkEntry {
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
+    "d14_dup_spans" -> Dedup.dupSpansOracle(),
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
   )
 }

@@ -358,6 +358,39 @@ case class WordGramHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordGramHashes = copy(child = c)
 }
 
+/** POSITIONAL rolling word n-gram hashes: [[WordGramHashes]]'s exact
+  * arithmetic (token poly-hash, then the 131-base Rabin-Karp window
+  * fold mod P) but emitted IN TOKEN ORDER with no distinct — index i
+  * of the output array is the gram starting at token i, which is what
+  * span-level duplicate detection needs (a duplicated REGION is a run
+  * of consecutive positions whose grams match, so positions are the
+  * payload, not just membership). `posexplode` over this array yields
+  * the (doc, pos, gram) posting list directly.
+  */
+case class WordGramPosHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = BigramHash.hash(toks(i)); i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    i = 0
+    while (i < out.length) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 131 + th(i + j)) % TextKernels.P; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordGramPosHashes = copy(child = c)
+}
+
 /** Jaccard set-similarity |A∩B| / |A∪B| of two arrays.
   *
   * Fast path: when both inputs are STRICTLY ascending (sorted,
@@ -498,6 +531,7 @@ object GraftFunctions {
   def word_bigrams(col: Column): Column = c(WordBigrams(x(col)))
   def word_bigram_hashes(col: Column): Column = c(WordBigramHashes(x(col)))
   def word_gram_hashes(col: Column, n: Int): Column = c(WordGramHashes(x(col), n))
+  def word_gram_pos_hashes(col: Column, n: Int): Column = c(WordGramPosHashes(x(col), n))
   def vec_dot(a: Column, b: Column): Column = c(VecDot(x(a), x(b)))
   def arr_jaccard(a: Column, b: Column): Column = c(ArrJaccard(x(a), x(b)))
   def vec_norm(a: Column): Column = {

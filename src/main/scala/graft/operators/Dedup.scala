@@ -681,6 +681,99 @@ object Dedup {
        WHERE jac >= $minJaccard
          AND ((doc_a % $batchMod = 0) <> (doc_b % $batchMod = 0))
        ORDER BY batch_doc, corpus_doc"""
+
+  // ---- d14: duplicated spans (substring-level dedup) ------------------
+
+  /** d14: duplicated-SPAN detection — maximal runs of tokens shared
+    * VERBATIM between two documents, the substring modality that
+    * document-level Jaccard (d02) and containment (d13) structurally
+    * miss: a 30-token quote inside two otherwise-unrelated documents
+    * moves set similarity almost nowhere but is exactly what
+    * substring-level training-data dedup must remove (the
+    * suffix-array ExactSubstr pass of "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022 — re-expressed
+    * here without the un-distributable global suffix array).
+    *
+    * Shape: positional n-gram hashes (WordGramPosHashes — one
+    * arithmetic kernel shared with d08, emitted in token order) give
+    * the posting list (doc, pos, gram); only grams seen in >= 2
+    * documents survive (the inverted-index gate — unique grams, the
+    * overwhelming mass at any scale, are dropped MAP-SIDE after one
+    * partial agg); surviving postings equi-join on gram (never
+    * all-pairs); and matched coordinates merge into maximal spans by
+    * gaps-and-islands on each (doc_a, doc_b) diagonal (pos_a - pos_b
+    * constant, consecutive pos_a ⟺ one contiguous shared run —
+    * q42's island trick on match coordinates). A span of L shared
+    * tokens is L - n + 1 consecutive diagonal matches, so
+    * span_toks = max(pos_a) - min(pos_a) + n exactly.
+    *
+    * Scale guards, stated honestly: `dfCap` drops grams appearing in
+    * more than dfCap documents — boilerplate n-grams otherwise
+    * explode the postings self-join quadratically (the classic
+    * inverted-index hot key; Lee et al. handle it by suffix-array
+    * construction, we bound it explicitly and the oracle applies the
+    * same cap). At 100 TB the posting join shuffles only
+    * duplicated-gram postings (hash-partitioned by gram), and the
+    * island window partitions by (doc pair, diagonal) — bounded by
+    * matched coordinates, never by corpus size.
+    */
+  def dupSpans(documents: DataFrame, n: Int = 8, minTokens: Int = 16,
+               dfCap: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val g = documents.select(col("doc_id"),
+      posexplode(word_gram_pos_hashes(col("text"), n)).as(Seq("pos", "gram")))
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= dfCap)
+      .select(col("gram"))
+    // the gated postings are the operator's persist point: without it
+    // the full posting subtree (scan + gram kernel + gram shuffle)
+    // re-executes for BOTH sides of the self-join below; after the
+    // gate the frame is duplicated-gram postings only — pair rows,
+    // not corpus — the same storage-boundary shape as DedupPipeline.
+    // Lazy: fills on the join's own first pass over it.
+    val gd = g.join(dup, Seq("gram")).localCheckpoint(eager = false)
+    val m = gd.as("a").join(gd.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.pos").cast("long").as("pos_a"), col("b.pos").cast("long").as("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    m.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+           (max(col("pos_a")) - min(col("pos_a")) + lit(n.toLong)).as("span_toks"))
+      .filter(col("span_toks") >= minTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"), col("span_toks"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
+  def dupSpansOracle(n: Int = 8, minTokens: Int = 16, dfCap: Int = 64): String = {
+    val charHash = "list_reduce(list_transform(generate_series(1, length(s)), " +
+      s"k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       th AS (SELECT doc_id, len(toks) AS nt,
+           list_transform(toks, s -> $charHash) AS th FROM t),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, nt - $n + 1),
+           i -> {'pos': i - 1, 'gram': list_reduce(th[i:i+$n-1], (a, b) -> (a * 131 + b) % $P)})) AS s
+         FROM th WHERE nt >= $n),
+       g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram AS gram FROM g0),
+       dup AS (SELECT gram FROM g GROUP BY gram
+               HAVING count(DISTINCT doc_id) BETWEEN 2 AND $dfCap),
+       gd AS (SELECT g.* FROM g JOIN dup USING (gram)),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+             FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       i AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (
+                 PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
+             FROM m)
+       SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+         max(pos_a) - min(pos_a) + $n AS span_toks
+       FROM i GROUP BY doc_a, doc_b, diag, isl
+       HAVING max(pos_a) - min(pos_a) + $n >= $minTokens
+       ORDER BY doc_a, doc_b, a_start, b_start"""
+  }
 }
 
 /** One corpus's materialized dedup pipeline: LSH candidate pairs,

@@ -1462,6 +1462,28 @@ class GraftSpec extends AnyFunSuite {
       "containment surfaced no subset-dup beyond the symmetric gate")
   }
 
+  test("d14 dup-spans pins exact coordinates of a verbatim quote the document-level gate never sees") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i")
+    val short = (1 to 10).map(i => s"c$i") // 10 < minTokens: must be suppressed
+    val fillA = (1 to 60).map(i => s"a$i")
+    val fillB = (1 to 60).map(i => s"b$i")
+    val textA = (fillA.take(10) ++ quote ++ fillA.slice(10, 40) ++ short ++ fillA.drop(40)).mkString(" ")
+    val textB = (fillB.take(35) ++ quote ++ fillB.slice(35, 50) ++ short ++ fillB.drop(50)).mkString(" ")
+    val docs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.dupSpans(docs).collect()
+    // exactly the 20-token quote, at its exact token coordinates in
+    // EACH document — the sub-threshold 10-token run is filtered, and
+    // boundary grams (straddling fill|quote) differ between docs so
+    // the span is tight, not inflated
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      == Seq((1L, 2L, 10L, 35L, 20L)))
+    // and the pair is invisible to document-level similarity: 20 shared
+    // tokens in ~90-token documents sits far below the d02 gate
+    assert(graft.operators.Dedup.minhashLsh(docs).collect().isEmpty,
+      "quote pair unexpectedly visible to the document-level Jaccard gate")
+  }
+
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
     // the index-probe path must find EXACTLY the d02 pairs with one
     // batch member — losing any would mean incremental ingest admits
