@@ -11,9 +11,11 @@ import graft.sources.VersionedTable
   * [[VersionedTable]]s under one root:
   *
   *  - `<root>/bands`:    (doc_id, band, bkey) — the LSH band index
-  *  - `<root>/shingles`: (doc_id, hs)         — shingle sets for
+  *  - `<root>/shingles`: (doc_id, hs, pb)     — shingle sets for
   *    verification, so candidate verification never re-reads (or
-  *    re-shingles) corpus documents
+  *    re-shingles) corpus documents; partition-native on
+  *    pb = doc_id mod [[ShingleParts]] so a probe opens only the
+  *    partition dirs its candidates live in
   *
   * The ingest cycle is probe -> admit -> index-append:
   * [[probe]] bands ONLY the batch and equi-joins it against the
@@ -41,31 +43,47 @@ object BandIndex {
   private def bandsRoot(root: String) = s"$root/bands"
   private def shinglesRoot(root: String) = s"$root/shingles"
 
+  /** Shingle-store partition fan-out: the store is partition-native on
+    * pb = doc_id mod ShingleParts, so a probe reads ONLY the partition
+    * dirs its candidate corpus docs live in — verification prunes IO,
+    * not just compute. The probe's partition-id collection is bounded
+    * by this constant (same bounded-collect class as
+    * mergePartitioned's touched-partition list), never by data. */
+  val ShingleParts = 16
+
+  private def shinglePart = pmod(col("doc_id"), lit(ShingleParts.toLong)).cast("string")
+
   private def shingleFrame(docs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions._
-    docs.select(col("doc_id"), shingle_set(col("text")).as("hs"))
+    docs.select(col("doc_id"), shingle_set(col("text")).as("hs"),
+      shinglePart.as("pb"))
   }
 
   /** Build (or rebuild) the index from a corpus: one banding + one
-    * shingling pass, committed as the two tables' next versions. */
+    * shingling pass, committed as the two tables' next versions. The
+    * shingle store is partition-native on pb ([[ShingleParts]]). */
   def build(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
     indexBuilds += 1
     val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
     VersionedTable.commit(spark, bandsRoot(root), Dedup.bandFrame(corpus), bv)
     val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
-    VersionedTable.commit(spark, shinglesRoot(root), shingleFrame(corpus), sv)
+    VersionedTable.commitPartitioned(spark, shinglesRoot(root), shingleFrame(corpus), "pb", sv)
   }
 
   /** Verified near-dup pairs (batch_doc, corpus_doc, jac) of a batch
     * against the PERSISTED index. Only the batch is banded/shingled
     * from text; the corpus side is two index reads: candidates from
-    * the band equi-join (never all-pairs), shingles semi-joined down
-    * to candidate members. COMPUTE scales with the batch and its
-    * candidate fan-out; the one O(corpus) term left is the columnar
-    * SCAN of the two index tables (a semi-join prunes work, not IO —
-    * at 100 TB the stores get partitioned by doc_id range / bucketed
-    * by band key so the probe prunes files too, stated honestly here
-    * rather than assumed).
+    * the band equi-join (never all-pairs), and shingles read ONLY
+    * from the partition dirs the candidates' corpus docs live in
+    * (the store is partition-native on doc_id mod [[ShingleParts]] —
+    * verification prunes IO, not just compute; a probe whose
+    * candidates hit 2 of 16 partitions opens 2 dirs). The remaining
+    * O(corpus) term is the columnar scan of the BAND table — that is
+    * what the (band,bkey)-bucketed layout ([[buildBucketed]]) is for.
+    *
+    * The candidate frame materializes at call time (its partition ids
+    * drive the pruned read — a driver-side list bounded by
+    * ShingleParts, never by data).
     */
   def probe(spark: SparkSession, root: String, batch: DataFrame,
             minJaccard: Double = 0.3): DataFrame = {
@@ -77,16 +95,24 @@ object BandIndex {
     // materialized once (the candidate stage is a storage boundary,
     // exactly like DedupPipeline.candidates): three consumers below —
     // without this the candidate subtree re-executes per consumer.
-    // Lazy: the checkpoint fills on the query's own first pass over it
-    // instead of an extra eager job at plan-construction time
+    // Lazy: the checkpoint fills on the partition-id pass below
     val cand = batchBands.join(idxBands, Seq("band", "bkey"))
       .select(col("batch_doc"), col("corpus_doc"))
       .distinct()
       .localCheckpoint(eager = false)
+    val parts = cand
+      .select(pmod(col("corpus_doc"), lit(ShingleParts.toLong)).cast("string").as("pb"))
+      .distinct().collect().map(_.getString(0)).sorted
+    if (parts.isEmpty) // no candidates: nothing to verify, no store read
+      return cand.select(col("batch_doc"), col("corpus_doc"), lit(0.0).as("jac")).limit(0)
+    val shV = VersionedTable.currentVersion(spark, shinglesRoot(root))
+    val shStore = parts.map(pv =>
+        VersionedTable.readPartition(spark, shinglesRoot(root), pv, shV))
+      .reduce(_ unionByName _)
     val shB = batch
       .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))
-    val shC = VersionedTable.read(spark, shinglesRoot(root))
+    val shC = shStore
       .join(cand.select(col("corpus_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("corpus_doc"), col("hs").as("hs_c"))
     cand.join(shB, "batch_doc").join(shC, "corpus_doc")
@@ -155,7 +181,7 @@ object BandIndex {
       val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
       VersionedTable.append(spark, bandsRoot(root), Dedup.bandFrame(admitted), bv)
       val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
-      VersionedTable.append(spark, shinglesRoot(root), shingleFrame(admitted), sv)
+      VersionedTable.appendPartitioned(spark, shinglesRoot(root), shingleFrame(admitted), "pb", sv)
     }
     (admitted, pairs)
   }

@@ -1371,6 +1371,36 @@ class GraftSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L, 21L))
   }
 
+  test("BandIndex: probe's shingle read opens ONLY the candidate partitions (IO pruning)") {
+    import spark.implicits._
+    import graft.operators.BandIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_bidx_prune").toString
+    // 64 corpus docs spanning every shingle partition (doc_id 0..63 →
+    // pb 0..15 all occupied), pairwise-distinct texts
+    val corpus = (0L until 64L)
+      .map(i => (i, s"corpus doc $i " + (1 to 12).map(k => s"w${i}_$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    BandIndex.build(spark, root, corpus)
+    // batch doc 1000 duplicates corpus doc 5 — its only candidates
+    // live in pb = 5, so verification must read exactly one of the 16
+    // partition dirs
+    val dup5 = corpus.filter($"doc_id" === 5L).head().getString(1)
+    val pairs = BandIndex.probe(spark, root,
+      Seq((1000L, dup5)).toDF("doc_id", "text"))
+    assert(pairs.select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1000L, 5L)))
+    val shingleParts = pairs.inputFiles.filter(_.contains("/shingles/"))
+      .flatMap(_.split("/").find(_.startsWith("p=")))
+      .toSet
+    assert(shingleParts == Set("p=5"),
+      s"probe opened shingle partitions $shingleParts, expected only p=5 of 16")
+    // a candidate-less probe reads no shingle partition at all
+    val none = BandIndex.probe(spark, root,
+      Seq((2000L, "totally unrelated text with no shared vocabulary at all")).toDF("doc_id", "text"))
+    assert(none.collect().isEmpty)
+    assert(!none.inputFiles.exists(_.contains("/shingles/")))
+  }
+
   test("t14 surprisal: off-distribution docs score above corpus-typical docs") {
     import spark.implicits._
     val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) :+
