@@ -55,29 +55,55 @@ object Landing {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The manifest slice covering `shards` — reads ONLY those shard
+    * partitions of a sharded manifest (absent shards skipped: a new
+    * arrival date has no partition yet). None when the manifest table
+    * doesn't exist or none of the shards do. */
+  private[graft] def manifestSlice(spark: SparkSession, manifestRoot: String,
+                                   shards: Seq[String]): Option[DataFrame] = {
+    val v = VersionedTable.currentVersion(spark, manifestRoot)
+    if (v.isEmpty) return None
+    val frames = shards.distinct.sorted.flatMap { s =>
+      try Some(VersionedTable.readPartition(spark, manifestRoot, s, v))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+    frames.reduceOption(_ unionByName _)
+  }
+
   /** Files under `landingDir` matching `glob` that have NO committed
     * manifest entry yet. The listing is anti-joined against the
     * manifest TABLE distributed-side, and only the surviving pending
     * names — bounded by the batch, not the table — are collected: at
     * 10^7+ landed files the manifest never materializes on the driver.
-    * (The glob listing itself is a filesystem-metadata operation; at
-    * that scale a real deployment partitions the landing prefix by
-    * arrival date so each run lists one bounded shard.)
+    *
+    * `shardOf` (file name → shard, e.g. an arrival-date prefix) makes
+    * the anti-join read ONLY the manifest shards the listing touches
+    * ([[manifestSlice]]): with a date-partitioned landing prefix each
+    * run lists one bounded shard and scans one manifest partition,
+    * however many years of history the manifest holds. Use the same
+    * `shardOf` for every pending/ingest call against one manifest —
+    * it is the manifest's partition layout, not a per-call filter.
     */
   def pending(spark: SparkSession, landingDir: String, glob: String,
-              manifestRoot: String): Seq[String] = {
+              manifestRoot: String,
+              shardOf: Option[String => String] = None): Seq[String] = {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(landingDir), spark.sparkContext.hadoopConfiguration)
     val listed = fs.globStatus(new org.apache.hadoop.fs.Path(s"$landingDir/$glob"))
       .map(_.getPath.getName).toSeq
-    if (listed.isEmpty || VersionedTable.currentVersion(spark, manifestRoot).isEmpty)
-      listed.sorted
-    else
-      listed.toDF("file")
-        .join(VersionedTable.read(spark, manifestRoot).select(col("file")),
-              Seq("file"), "left_anti")
-        .collect().map(_.getString(0)).toSeq.sorted
+    if (listed.isEmpty) return Nil
+    val manifest = shardOf match {
+      case Some(f) => manifestSlice(spark, manifestRoot, listed.map(f))
+      case None => VersionedTable.currentVersion(spark, manifestRoot)
+        .map(_ => VersionedTable.read(spark, manifestRoot))
+    }
+    manifest match {
+      case None => listed.sorted
+      case Some(m) =>
+        listed.toDF("file").join(m.select(col("file")), Seq("file"), "left_anti")
+          .collect().map(_.getString(0)).toSeq.sorted
+    }
   }
 
   /** Ingest every pending file: `process(file df)` runs under retry,
@@ -92,15 +118,24 @@ object Landing {
     */
   def ingest(spark: SparkSession, landingDir: String, glob: String,
              manifestRoot: String, process: DataFrame => Unit,
-             maxAttempts: Int = 3, backoffMs: Long = 10): Seq[String] = {
+             maxAttempts: Int = 3, backoffMs: Long = 10,
+             shardOf: Option[String => String] = None): Seq[String] = {
     import spark.implicits._
-    val todo = pending(spark, landingDir, glob, manifestRoot)
+    val todo = pending(spark, landingDir, glob, manifestRoot, shardOf)
     todo.foreach { name =>
       val df = spark.read.parquet(s"$landingDir/$name")
       val (_, attempts) = withRetry(maxAttempts, backoffMs)(process(df))
-      val entry = Seq((name, df.count(), attempts.toLong))
-        .toDF("file", "rows", "attempts")
-      VersionedTable.merge(spark, manifestRoot, entry, keys = Seq("file"))
+      shardOf match {
+        case Some(f) =>
+          val entry = Seq((name, df.count(), attempts.toLong, f(name)))
+            .toDF("file", "rows", "attempts", "shard")
+          VersionedTable.mergePartitioned(spark, manifestRoot, entry,
+            keys = Seq("file"), partitionCol = "shard")
+        case None =>
+          val entry = Seq((name, df.count(), attempts.toLong))
+            .toDF("file", "rows", "attempts")
+          VersionedTable.merge(spark, manifestRoot, entry, keys = Seq("file"))
+      }
     }
     todo
   }

@@ -967,6 +967,48 @@ class GraftSpec extends AnyFunSuite {
     assert(Landing.pending(spark, landing, "*.parquet", manifest) == Seq("e.parquet"))
   }
 
+  test("Landing: sharded manifest — pending reads only the listed shards' partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Landing, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_land_shard").toString
+    val landing = s"$base/landing"; val manifest = s"$base/manifest"
+    val shardOf = Some((name: String) => name.take(10)) // arrival-date prefix
+    var processed = List.empty[Long]
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      processed = processed ++ df.select("k").collect().map(_.getLong(0))
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(s"$landing/2024-01-01_a.parquet")
+    Seq((2L, 2.0)).toDF("k", "v").write.parquet(s"$landing/2024-01-01_b.parquet")
+    Seq((3L, 3.0)).toDF("k", "v").write.parquet(s"$landing/2024-01-02_c.parquet")
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink, shardOf = shardOf)
+      .size == 3)
+    // the manifest is partition-native by shard: each day's entries
+    // live in their own partition dirs
+    assert(VersionedTable.readPartition(spark, manifest, "2024-01-01")
+      .select("file").collect().map(_.getString(0)).toSet
+      == Set("2024-01-01_a.parquet", "2024-01-01_b.parquet"))
+    // a next-day run lists only that day's prefix and its anti-join
+    // frame opens ONLY that shard's manifest partition — years of
+    // manifest history never get scanned
+    Seq((4L, 4.0)).toDF("k", "v").write.parquet(s"$landing/2024-01-02_d.parquet")
+    val slice = Landing.manifestSlice(spark, manifest, Seq("2024-01-02")).get
+    assert(slice.inputFiles.nonEmpty &&
+      slice.inputFiles.forall(_.contains("p=2024-01-02")),
+      s"manifest slice opened foreign shards: ${slice.inputFiles.mkString(",")}")
+    assert(Landing.pending(spark, landing, "2024-01-02*.parquet", manifest, shardOf)
+      == Seq("2024-01-02_d.parquet"))
+    assert(Landing.ingest(spark, landing, "2024-01-02*.parquet", manifest, sink,
+      shardOf = shardOf) == Seq("2024-01-02_d.parquet"))
+    // replay across the whole landing zone is still a no-op, and a
+    // never-seen shard in the listing doesn't break the slice
+    Seq((5L, 5.0)).toDF("k", "v").write.parquet(s"$landing/2024-01-03_e.parquet")
+    assert(Landing.pending(spark, landing, "*.parquet", manifest, shardOf)
+      == Seq("2024-01-03_e.parquet"))
+    assert(processed.sorted == List(1L, 2L, 3L, 4L))
+    assert(VersionedTable.read(spark, manifest)
+      .filter(col("shard") === "2024-01-02").count() == 2)
+  }
+
   test("LakehouseWriter round-trips partitioned unified records") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/stocks"
