@@ -158,6 +158,8 @@ object SparkEntry {
     "d13_dedup_containment" -> ((s, d) =>
       Dedup.dedupContainment(Tables.documents(s, d))),
     "d14_dup_spans" -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
+    "t15_approx_percentile" -> ((s, d) =>
+      TextOps.approxPercentiles(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
   )
 

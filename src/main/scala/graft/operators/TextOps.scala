@@ -173,6 +173,30 @@ object TextOps {
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** t15: SKETCH percentiles — the 100 TB form of t05 the t05 scaladoc
+    * promises: `approx_percentile` keeps a fixed-size quantile summary
+    * per group (mergeable, rank error <= 1/accuracy) instead of
+    * sorting every group's values, so the exchange carries
+    * KB-per-group sketches where t05 shuffles and sorts the raw
+    * column. Exact values ride along for self-evidencing accuracy
+    * (the q35 pattern — sketch outputs differ by engine, so there is
+    * no DuckDB oracle BY CONSTRUCTION; the spec bounds the rank error
+    * instead, and the exact columns make every run's error visible).
+    */
+  def approxPercentiles(documents: DataFrame, accuracy: Int = 1000): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("percentile(n_chars, 0.5)").as("exact_median"),
+           expr("percentile(n_chars, 0.9)").as("exact_p90"),
+           expr(s"approx_percentile(n_chars, array(0.5D, 0.9D), $accuracy)").as("ap"))
+      .select(col("lang"), col("n_docs"),
+        Rounding.roundN(col("exact_median"), 4).as("exact_median"),
+        Rounding.roundN(col("exact_p90"), 4).as("exact_p90"),
+        element_at(col("ap"), 1).cast("long").as("approx_median"),
+        element_at(col("ap"), 2).cast("long").as("approx_p90"))
+      .orderBy(col("lang"))
+
   // ---- fingerprinting (t04) -------------------------------------------
 
   /** Rolling-hash document fingerprint: min-sampled 5-gram polynomial

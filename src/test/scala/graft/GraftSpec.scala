@@ -19,7 +19,8 @@ class GraftSpec extends AnyFunSuite {
   }
 
   test("every query key has an oracle or documented exemption") {
-    val exempt = Set("m01_multimodal_meta", "q35_approx_distinct")
+    val exempt = Set("m01_multimodal_meta", "q35_approx_distinct",
+      "t15_approx_percentile")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
@@ -1194,6 +1195,35 @@ class GraftSpec extends AnyFunSuite {
       assert(r.getAs[Long]("top_count") >= 1 && r.getAs[Long]("top_count") <= n)
       Seq("dup_token_frac", "top_token_frac", "dup_bigram_frac").foreach { c =>
         val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+  }
+
+  test("t15 approx percentile: sketch value's RANK within the guaranteed error window") {
+    // approx_percentile(accuracy = a) guarantees the returned value is
+    // an actual sample whose rank is within eps*n (eps = 1/a) of the
+    // target rank — the contract is on RANK, not on the interpolated
+    // value (at a jump in the distribution the sketch value can sit
+    // far from the interpolated percentile while being rank-exact)
+    import org.apache.spark.sql.functions.col
+    val eps = 1.0 / 1000
+    val docs = Tables.documents(spark, sf)
+    val rows = SparkEntry.queries("t15_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val n = r.getAs[Long]("n_docs").toDouble
+      for ((q, field) <- Seq((0.5, "approx_median"), (0.9, "approx_p90"))) {
+        val v = r.getAs[Long](field)
+        val le = docs.filter(col("lang") === lang && col("n_chars") <= v).count().toDouble
+        val lt = docs.filter(col("lang") === lang && col("n_chars") < v).count().toDouble
+        // v occupies ranks (lt, le]; some occupied rank must fall within
+        // the error window around the target rank q*n (+1 rank slack
+        // for the discrete boundary)
+        val slack = eps * n + 1
+        assert(q * n >= lt - slack && q * n <= le + slack,
+          s"lang=$lang $field=$v occupies ranks ($lt, $le] of $n — " +
+          s"target ${q * n} outside the ±$slack window")
       }
     }
   }
