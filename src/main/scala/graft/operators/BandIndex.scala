@@ -142,6 +142,16 @@ object BandIndex {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Append a batch's bands to the BUCKETED index, KEEPING the bucket
+    * spec: `insertInto` on a bucketed catalog table shuffles only the
+    * delta into the table's bucket scheme and writes bucket-tagged
+    * files — the next probe is still shuffle-free on the index side
+    * (spec-pinned). This is the admitted-docs path of the ingest loop
+    * on the cluster-scale layout; O(batch) write, the existing index
+    * files are never touched. */
+  def appendBucketed(spark: SparkSession, table: String, docs: DataFrame): Unit =
+    Dedup.bandFrame(docs).write.mode("append").insertInto(table)
+
   /** Candidate pairs of a batch against the BUCKETED index — the
     * band equi-join only (verification composes over any shingle
     * store); the index side scans in place, bucket-aligned. */

@@ -280,6 +280,21 @@ class PlanShapeSpec extends AnyFunSuite {
         s"bucketed index side grew a shuffle:\n$p")
       assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
         "index scan is not bucket-aware")
+      // bucketed INGEST: insertInto keeps the bucket spec — after
+      // appending an admitted doc the probe finds it and the index
+      // side still contributes no exchange (the append re-bucketed
+      // only the delta, so the table stayed probe-ready)
+      val novel = docs.filter("doc_id % 17 = 0").limit(1)
+        .selectExpr("doc_id + 1000000 AS doc_id", "text")
+      graft.operators.BandIndex.appendBucketed(spark, "graft_bidx_plan_test", novel)
+      val cand2 = graft.operators.BandIndex.bucketedCandidates(
+        spark, "graft_bidx_plan_test", docs.filter("doc_id % 17 = 0"))
+      val novelId = novel.head().getLong(0)
+      assert(cand2.filter(s"corpus_doc = $novelId").count() > 0,
+        "appended doc invisible to the probe")
+      val p2 = cand2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(count(p2, "Exchange") == 2,
+        s"index side grew a shuffle after bucketed append:\n$p2")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS graft_bidx_plan_test")
