@@ -184,6 +184,11 @@ object VersionedTable {
     }
   }
 
+  /** Root-relative data dirs of a version — the read-only view the
+    * stats/data-skipping layer ([[DataSkipping]]) prunes over. */
+  private[sources] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    entriesOf(spark, root, v).map(_.rel)
+
   /** The entries a version's commit file publishes. */
   private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] = {
     val f = fs(spark, root)

@@ -774,6 +774,48 @@ class GraftSpec extends AnyFunSuite {
     assert(feed == Map(2L -> "inserted"))
   }
 
+  test("DataSkipping: z-order prunes on EITHER column; linear sort only on its leading one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val zRoot = s"$base/z"; val linRoot = s"$base/lin"
+    // x uniform, y a decorrelated permutation-ish hash of x
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("x", col("id"))
+      .withColumn("y", (col("id") * 2654435761L) % 10000)
+    DataSkipping.zOrderCommit(spark, zRoot, df, "x", "y", nDirs = 16, base = -1L)
+    VersionedTable.commitPartitioned(spark, linRoot,
+      df.withColumn("zb", floor(col("x") / 625).cast("string")), "zb", -1L)
+    val zx = DataSkipping.prunedDirs(spark, zRoot, "x", 0, 624).size
+    val zy = DataSkipping.prunedDirs(spark, zRoot, "y", 0, 624).size
+    val lx = DataSkipping.prunedDirs(spark, linRoot, "x", 0, 624).size
+    val ly = DataSkipping.prunedDirs(spark, linRoot, "y", 0, 624).size
+    assert(lx == 1, s"linear layout should be exact on its sort column, opened $lx")
+    assert(ly == 16, "y is decorrelated from the linear sort — nothing should prune")
+    // the z-order point: a 1/16 range on EITHER column touches ~one
+    // column/row of the 4x4 Morton grid, not the whole table
+    assert(zx <= 6 && zy <= 6, s"z-order opened x:$zx y:$zy of 16 dirs")
+    // parity: the pruned read equals the full-scan filter exactly
+    val got = DataSkipping.readWhere(spark, zRoot, "y", 0, 624)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exp = VersionedTable.read(spark, zRoot)
+      .filter(col("y").between(0, 624)).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
+    // the pruned read's scan opens exactly the surviving dirs
+    val rw = DataSkipping.readWhere(spark, zRoot, "x", 0, 624)
+    val openedDirs = rw.inputFiles.map(_.replaceAll("/[^/]*$", "")).toSet
+    assert(openedDirs.size == zx, s"scan opened ${openedDirs.size} dirs, stats kept $zx")
+    // stats are computed once per (version, column) and served from
+    // the sidecar afterwards — a different range triggers no rebuild
+    val builds = DataSkipping.statsBuilds
+    DataSkipping.prunedDirs(spark, zRoot, "y", 2000, 3000)
+    DataSkipping.prunedDirs(spark, zRoot, "x", 9000, 9999)
+    assert(DataSkipping.statsBuilds == builds, "stats sidecar was rebuilt on a cached read")
+    // an out-of-range predicate opens nothing but keeps the schema
+    assert(DataSkipping.readWhere(spark, zRoot, "x", 20000, 30000).collect().isEmpty)
+  }
+
   test("VersionedTable: null partition values are rejected, not silently dropped") {
     import spark.implicits._
     import graft.sources.VersionedTable
