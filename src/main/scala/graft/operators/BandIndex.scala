@@ -105,10 +105,7 @@ object BandIndex {
       .distinct().collect().map(_.getString(0)).sorted
     if (parts.isEmpty) // no candidates: nothing to verify, no store read
       return cand.select(col("batch_doc"), col("corpus_doc"), lit(0.0).as("jac")).limit(0)
-    val shV = VersionedTable.currentVersion(spark, shinglesRoot(root))
-    val shStore = parts.map(pv =>
-        VersionedTable.readPartition(spark, shinglesRoot(root), pv, shV))
-      .reduce(_ unionByName _)
+    val shStore = VersionedTable.readPartitions(spark, shinglesRoot(root), parts)
     val shB = batch
       .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))

@@ -636,4 +636,175 @@ object Similarity {
          ON e.q_id = a4.q_id AND e.neighbor_id = a4.neighbor_id
        GROUP BY e.q_id ORDER BY e.q_id"""
   }
+
+  // ---- s09: product-quantization (PQ) recall --------------------------
+
+  /** PQ geometry: 8 subspaces x 8 dims, 16 codebook entries per
+    * subspace — a 64-float vector (256 B) becomes 8 four-bit codes
+    * (4 B): 64x smaller than float32 and 16x smaller than s08's int4
+    * codes, the step that makes billion-vector ANN fit in memory
+    * (IVF-PQ). Codebook entries are CONTIGUOUS corpus vector ids,
+    * static so the oracle SQL stays corpus-independent (the
+    * centroidIds/NumPlanes convention; production training is a
+    * per-subspace k-means — s04's Lloyd machinery — same plan shape).
+    */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dims / PqSubspaces
+  val PqCodebookIds: Seq[Long] = 200L until 216L
+  private val PqK = PqCodebookIds.size
+
+  /** Subspace-j L2^2 between `e` and `c` — identical left-to-right
+    * fold on both engines; squared via self-multiplication (round-trip
+    * safe, no pow()). `j` may be a column reference. */
+  private def pqSubDist(d: Dialect, e: String, c: String, j: String): String = {
+    val diff = s"(CAST(${d.elem(e, "i")} AS DOUBLE) - CAST(${d.elem(c, "i")} AS DOUBLE))"
+    d.sumDouble(d.transform(
+      d.range(s"$j * $PqSubDim + 1", s"$j * $PqSubDim + $PqSubDim"),
+      s"i -> $diff * $diff"))
+  }
+
+  private def l2Expr(d: Dialect, a: String, b: String): String = {
+    val diff = s"(CAST(${d.elem(a, "i")} AS DOUBLE) - CAST(${d.elem(b, "i")} AS DOUBLE))"
+    d.sumDouble(d.transform(d.range("1", Dims.toString), s"i -> $diff * $diff"))
+  }
+
+  private def pqCodebook(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id").isin(PqCodebookIds: _*))
+      .select((col("vec_id") - lit(PqCodebookIds.head)).cast("int").as("cidx"),
+              col("embedding").as("cemb"))
+
+  /** The (vector, codebook entry, subspace, subdistance) fan-out both
+    * the encoder and the query distance tables read — `side`'s rows
+    * against the 16-row broadcast codebook (always extracted from the
+    * FULL corpus) x 8 subspaces. */
+  private def pqSubDists(all: DataFrame, side: DataFrame): DataFrame =
+    side.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(pqCodebook(all)))
+      .select(col("vec_id"), col("cidx"),
+              explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("j"),
+              col("embedding"), col("cemb"))
+      .withColumn("sd", expr(pqSubDist(Dialect.spark, "embedding", "cemb", "j")))
+
+  /** Per-vector PQ codes: argmin codebook entry per subspace
+    * (tie-break lowest entry), assembled in subspace order. The index
+    * BUILD: one map-side pass against the broadcast codebook; after
+    * it the scan side never touches vectors again. */
+  private def pqCodes(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("sd").asc, col("cidx").asc)
+    pqSubDists(embeddings, embeddings)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
+        .as("codes"))
+  }
+
+  /** Per-query ADC distance tables: dt[j*K + c] = subdist(query, entry
+    * c, subspace j) — 128 doubles per query, the only thing the scan
+    * needs from the query side. */
+  private def pqDistTables(embeddings: DataFrame, maxQueryId: Long): DataFrame =
+    pqSubDists(embeddings, embeddings.filter(col("vec_id") < maxQueryId))
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx, sd))), s -> s.sd)")
+        .as("dt"))
+
+  /** Asymmetric-distance top-k: the corpus streams 4-BYTE code rows,
+    * queries broadcast their distance tables, and the approximate L2^2
+    * is 8 table lookups per (query, vector) — no vector arithmetic in
+    * the scan at all. This is the PQ bandwidth win made visible in
+    * the plan: the scan side's projection is (vec_id, codes). */
+  private def pqTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
+      s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)
+    pqCodes(embeddings).select(col("vec_id").as("c_id"), col("codes"))
+      .join(broadcast(pqDistTables(embeddings, maxQueryId)), col("q_id") =!= col("c_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"))
+  }
+
+  /** Exact L2^2 top-k — the ground truth PQ approximates (PQ codes
+    * quantize Euclidean cells, so the honest baseline is L2, not the
+    * cosine of s01). */
+  private def exactL2TopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("c_id").asc)
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("dist", expr(l2Expr(Dialect.spark, "qe", "ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"))
+  }
+
+  /** s09: SHORTLIST recall of PQ asymmetric-distance search — the
+    * fraction of each query's exact-L2 top-k found in PQ's top-R
+    * (R = 10k) shortlist. This is how PQ is actually deployed: the
+    * 4-byte codes produce a cheap candidate shortlist and an exact
+    * re-rank (on R vectors, not N) finishes the query — so shortlist
+    * membership, not top-k agreement, is the operative contract
+    * (recall@k-in-top-R, the standard IVF-PQ operating point). s08's
+    * scalar codes are the 4x/8x compression rungs; PQ is the 64x rung
+    * billion-scale indexes use. Same queries x k eval frame as
+    * s06/s08.
+    */
+  def pqRecall(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5,
+               shortlist: Int = 50): DataFrame = {
+    val exact = exactL2TopK(embeddings, maxQueryId, k)
+    val pq = pqTopK(embeddings, maxQueryId, shortlist).withColumn("hit", lit(1L))
+    exact.join(broadcast(pq), Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_eval"),
+           sum(coalesce(col("hit"), lit(0L))).as("hits_short"))
+      .withColumn("recall_short",
+        Rounding.roundN(col("hits_short").cast("double") / col("k_eval"), 4))
+      .select(col("q_id"), col("k_eval"), col("hits_short"), col("recall_short"))
+      .orderBy(col("q_id"))
+  }
+
+  def pqRecallOracle(maxQueryId: Long = 8, k: Int = 5,
+                     shortlist: Int = 50): String = {
+    val d = Dialect.duck
+    val lo = PqCodebookIds.head
+    val hi = PqCodebookIds.last
+    s"""WITH cb AS (SELECT vec_id - $lo AS cidx, embedding AS cemb
+           FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
+       sub AS (SELECT e.vec_id, c.cidx, t.j,
+           ${pqSubDist(d, "e.embedding", "c.cemb", "t.j")} AS sd
+         FROM embeddings e CROSS JOIN cb c
+         CROSS JOIN generate_series(0, ${PqSubspaces - 1}) t(j)),
+       codes AS (SELECT vec_id, list(cidx ORDER BY j) AS codes
+         FROM (SELECT vec_id, j, cidx, row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY sd, cidx) AS rn FROM sub) x
+         WHERE rn = 1 GROUP BY vec_id),
+       dt AS (SELECT vec_id AS q_id, list(sd ORDER BY j, cidx) AS dt
+         FROM sub WHERE vec_id < $maxQueryId GROUP BY vec_id),
+       scored AS (SELECT q.q_id, c.vec_id AS c_id,
+           list_reduce(list_transform(generate_series(0, ${PqSubspaces - 1}),
+             j -> dt[j * $PqK + codes[j + 1] + 1]), (a, b) -> a + b) AS adc
+         FROM codes c CROSS JOIN dt q WHERE q.q_id <> c.vec_id),
+       pq AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+           FROM scored) r WHERE rank <= $shortlist),
+       exact AS (SELECT q_id, c_id AS neighbor_id FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${l2Expr(d, "q.embedding", "c.embedding")}, c.vec_id) AS rank
+           FROM embeddings c JOIN embeddings q
+             ON q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id) t
+         WHERE rank <= $k)
+       SELECT e.q_id, count(*) AS k_eval,
+         CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits_short,
+         round(CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / count(*), 4) AS recall_short
+       FROM exact e LEFT JOIN pq p
+         ON e.q_id = p.q_id AND e.neighbor_id = p.c_id
+       GROUP BY e.q_id ORDER BY e.q_id"""
+  }
 }

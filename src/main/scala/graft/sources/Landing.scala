@@ -63,11 +63,8 @@ object Landing {
                                    shards: Seq[String]): Option[DataFrame] = {
     val v = VersionedTable.currentVersion(spark, manifestRoot)
     if (v.isEmpty) return None
-    val frames = shards.distinct.sorted.flatMap { s =>
-      try Some(VersionedTable.readPartition(spark, manifestRoot, s, v))
-      catch { case _: java.io.FileNotFoundException => None }
-    }
-    frames.reduceOption(_ unionByName _)
+    try Some(VersionedTable.readPartitions(spark, manifestRoot, shards.distinct, v))
+    catch { case _: java.io.FileNotFoundException => None } // no listed shard exists yet
   }
 
   /** Files under `landingDir` matching `glob` that have NO committed

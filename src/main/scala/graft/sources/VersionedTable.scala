@@ -233,6 +233,23 @@ object VersionedTable {
     spark.read.option("mergeSchema", "true").parquet(rels.map(r => s"$root/$r"): _*)
   }
 
+  /** Dir-pruned read across MULTIPLE partition values in ONE scan —
+    * the plural [[readPartition]]: all matching dirs go into a single
+    * parquet relation (one file index, one scan node) instead of a
+    * per-value union. Values with no dirs are simply absent from the
+    * result; throws only when NONE match. */
+  def readPartitions(spark: SparkSession, root: String, partValues: Seq[String],
+                     version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val want = partValues.map(enc).toSet
+    val rels = entriesOf(spark, root, v).filter(_.part.exists(want.contains)).map(_.rel)
+    if (rels.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no dirs for partitions ${partValues.mkString(",")} at $root@v$v")
+    spark.read.option("mergeSchema", "true").parquet(rels.map(r => s"$root/$r"): _*)
+  }
+
   /** Stage `df` and atomically publish it as version `base + 1`.
     * Throws [[VersionConflictException]] (after cleaning up the staged
     * snapshot) if another writer committed `base + 1` first. `base` is

@@ -1570,6 +1570,20 @@ class GraftSpec extends AnyFunSuite {
     assert(m4 >= 0.4, s"int4 mean recall $m4 — 3-bit-magnitude codes collapsed")
   }
 
+  test("s09 PQ shortlist recall lands far above the random-shortlist baseline") {
+    // 64x-compressed 4-bit codes with an UNTRAINED (stride) codebook:
+    // top-k agreement would be near zero, but shortlist membership —
+    // the operative contract, since production PQ feeds an exact
+    // re-rank — must beat random by a wide margin. Random 50-of-500
+    // shortlist => expected recall 0.1; observed (deterministic
+    // arithmetic) is 0.6.
+    val rows = SparkEntry.queries("s09_pq_recall")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("k_eval") == 5L))
+    val mean = rows.map(_.getAs[Double]("recall_short")).sum / rows.length
+    assert(mean >= 0.3, s"mean PQ shortlist recall $mean — codes carry no signal")
+  }
+
   test("m04 CDC chunking: boundaries re-sync after a prefix edit; fixed framing loses all alignment") {
     import spark.implicits._
     // aperiodic but deterministic 240-char payload
