@@ -102,10 +102,13 @@ object DataSkipping {
     val computed = rows.flatMap { r =>
       val dir = r.getString(0)
       rels.find(rel => dir.endsWith(s"/$rel")).map { rel =>
-        rel -> missing.flatMap { c =>
+        rel -> missing.map { c =>
           val mn = r.getAs[Any](s"min_$c"); val mx = r.getAs[Any](s"max_$c")
-          if (mn == null || mx == null) None
-          else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+          // all-null dir: record a NaN sentinel (NaN comparisons are
+          // false, so the dir is never pruned) — an absent entry would
+          // look like a missing column and rebuild stats on EVERY call
+          if (mn == null || mx == null) c -> (Double.NaN, Double.NaN)
+          else c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
         }.toMap
       }
     }.toMap

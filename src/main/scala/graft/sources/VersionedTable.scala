@@ -186,7 +186,7 @@ object VersionedTable {
 
   /** Root-relative data dirs of a version — the read-only view the
     * stats/data-skipping layer ([[DataSkipping]]) prunes over. */
-  private[sources] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+  private[graft] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     entriesOf(spark, root, v).map(_.rel)
 
   /** The entries a version's commit file publishes. */

@@ -132,6 +132,29 @@ object Demo {
     println(s"11. dedup ingest loop: ${pairs.count()} near-dup pairs vs index, " +
       s"${admitted.count()} admitted docs appended to the index")
 
+    // 12. SUBSTRING DEDUP: duplicated verbatim spans between document
+    //     pairs — the modality doc-level Jaccard misses (quotes,
+    //     boilerplate, truncations show up here)
+    val spans = Dedup.dupSpans(docs)
+    val longSpan = spans.agg(max(col("span_toks"))).head.getLong(0)
+    println(s"12. substring dedup: ${spans.count()} duplicated spans " +
+      s"(longest $longSpan tokens) across ${spans.select("doc_a", "doc_b").distinct().count()} doc pairs")
+
+    // 13. DATA SKIPPING: z-order the order facts by (custkey, total),
+    //     then range-read each column — both prune dirs, the full scan
+    //     doesn't
+    import graft.sources.DataSkipping
+    val zRoot = s"$work/versioned/zorders"
+    DataSkipping.zOrderCommit(spark, zRoot, rawOrders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", "o_totalprice", nDirs = 8, base = -1L)
+    val allDirs = graft.sources.VersionedTable
+      .dirsOf(spark, zRoot, 0L).size
+    val custDirs = DataSkipping.prunedDirs(spark, zRoot, "o_custkey", 0, 50).size
+    val priceDirs = DataSkipping.prunedDirs(spark, zRoot, "o_totalprice", 0, 20000).size
+    println(s"13. data skipping: custkey range opens $custDirs/$allDirs dirs, " +
+      s"totalprice range opens $priceDirs/$allDirs — either column prunes under z-order")
+
     println("== demo complete")
     spark.stop()
   }
