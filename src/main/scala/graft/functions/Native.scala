@@ -334,13 +334,15 @@ case class WordBigrams(child: Expression)
   * identical arithmetic (list_reduce over the token-hash slice), so
   * hash collisions merge the same grams on both engines.
   */
-case class WordGramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+object WordGramRolling {
+  /** The ONE implementation of positional rolling word n-gram hashes
+    * (token poly-hash, then the 131-base Rabin-Karp window fold mod
+    * P), shared by the distinct (d08) and positional (d14) kernels so
+    * the gram arithmetic cannot drift between them — both oracles
+    * replay exactly this. */
+  def hashes(v: UTF8String, n: Int): Array[Long] = {
+    val toks = v.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < n) return Array.emptyLongArray
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) { th(i) = BigramHash.hash(toks(i)); i += 1 }
@@ -353,41 +355,33 @@ case class WordGramHashes(child: Expression, n: Int)
       out(i) = acc
       i += 1
     }
-    new GenericArrayData(TextKernels.distinctHashes(out))
+    out
   }
+}
+
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.distinctHashes(
+      WordGramRolling.hashes(v.asInstanceOf[UTF8String], n)))
   override protected def withNewChildInternal(c: Expression): WordGramHashes = copy(child = c)
 }
 
 /** POSITIONAL rolling word n-gram hashes: [[WordGramHashes]]'s exact
-  * arithmetic (token poly-hash, then the 131-base Rabin-Karp window
-  * fold mod P) but emitted IN TOKEN ORDER with no distinct — index i
-  * of the output array is the gram starting at token i, which is what
-  * span-level duplicate detection needs (a duplicated REGION is a run
-  * of consecutive positions whose grams match, so positions are the
-  * payload, not just membership). `posexplode` over this array yields
-  * the (doc, pos, gram) posting list directly.
+  * arithmetic (one shared kernel — [[WordGramRolling]]) but emitted IN
+  * TOKEN ORDER with no distinct — index i of the output array is the
+  * gram starting at token i, which is what span-level duplicate
+  * detection needs (a duplicated REGION is a run of consecutive
+  * positions whose grams match, so positions are the payload, not
+  * just membership). `posexplode` over this array yields the
+  * (doc, pos, gram) posting list directly.
   */
 case class WordGramPosHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
-    val th = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) { th(i) = BigramHash.hash(toks(i)); i += 1 }
-    val out = new Array[Long](toks.length - n + 1)
-    i = 0
-    while (i < out.length) {
-      var acc = th(i)
-      var j = 1
-      while (j < n) { acc = (acc * 131 + th(i + j)) % TextKernels.P; j += 1 }
-      out(i) = acc
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(WordGramRolling.hashes(v.asInstanceOf[UTF8String], n))
   override protected def withNewChildInternal(c: Expression): WordGramPosHashes = copy(child = c)
 }
 

@@ -105,7 +105,14 @@ object BandIndex {
       .distinct().collect().map(_.getString(0)).sorted
     if (parts.isEmpty) // no candidates: nothing to verify, no store read
       return cand.select(col("batch_doc"), col("corpus_doc"), lit(0.0).as("jac")).limit(0)
-    val shStore = VersionedTable.readPartitions(spark, shinglesRoot(root), parts)
+    // a store persisted by the pre-partitioned layout (unscoped dirs)
+    // stays readable: fall back to the full scan it always got —
+    // pruning is an optimization, not a format break
+    val shV = VersionedTable.currentVersion(spark, shinglesRoot(root))
+    val shStore =
+      if (shV.exists(v => VersionedTable.partitionNative(spark, shinglesRoot(root), v)))
+        VersionedTable.readPartitions(spark, shinglesRoot(root), parts, shV)
+      else VersionedTable.read(spark, shinglesRoot(root))
     val shB = batch
       .join(cand.select(col("batch_doc").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("batch_doc"), shingle_set(col("text")).as("hs_b"))

@@ -99,9 +99,14 @@ object DataSkipping {
     val aggs = missing.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"), max(col(c).cast("double")).as(s"max_$c")))
     val rows = df.groupBy(col("_dir")).agg(aggs.head, aggs.tail: _*).collect()
-    val computed = rows.flatMap { r =>
+    def dirMatches(dir: String, rel: String): Boolean =
+      dir.endsWith(s"/$rel") ||
+        // input_file_name() URI-encodes paths, so an on-disk %XX (from
+        // a percent-encoded partition value) comes back as %25XX
+        java.net.URI.create(dir).getPath.endsWith(s"/$rel")
+    val fromRows = rows.flatMap { r =>
       val dir = r.getString(0)
-      rels.find(rel => dir.endsWith(s"/$rel")).map { rel =>
+      rels.find(rel => dirMatches(dir, rel)).map { rel =>
         rel -> missing.map { c =>
           val mn = r.getAs[Any](s"min_$c"); val mx = r.getAs[Any](s"max_$c")
           // all-null dir: record a NaN sentinel (NaN comparisons are
@@ -111,6 +116,12 @@ object DataSkipping {
           else c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
         }.toMap
       }
+    }.toMap
+    // dirs with no aggregated row at all (zero-row dir, or a path the
+    // suffix match missed) get the same NaN sentinel: never pruned,
+    // never treated as a missing column that would force a rebuild
+    val computed = rels.map { rel =>
+      rel -> fromRows.getOrElse(rel, missing.map(c => c -> (Double.NaN, Double.NaN)).toMap)
     }.toMap
     val merged = (existing.keySet ++ computed.keySet).map { rel =>
       rel -> (existing.getOrElse(rel, Map.empty) ++ computed.getOrElse(rel, Map.empty))
@@ -146,10 +157,9 @@ object DataSkipping {
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val pred = col(column).cast("double").between(lo, hi)
     val keep = prunedDirs(spark, root, column, lo, hi, Some(v))
-    if (keep.isEmpty) {
-      val all = VersionedTable.dirsOf(spark, root, v)
-      spark.read.parquet(s"$root/${all.head}").filter(pred).limit(0)
-    } else
+    if (keep.isEmpty) // schema-correct empty frame: the full UNION
+      VersionedTable.readAsOf(spark, root, v).filter(pred).limit(0)
+    else
       spark.read.option("mergeSchema", "true")
         .parquet(keep.map(r => s"$root/$r"): _*).filter(pred)
   }
@@ -176,6 +186,8 @@ object DataSkipping {
     val b = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"zOrderCommit: empty input or all-null clustering column ($c1/$c2)")
     def rank(c: String, mn: Double, mx: Double): Column =
       if (mx == mn) lit(0L)
       else least(lit(65535L),

@@ -63,6 +63,13 @@ object Landing {
                                    shards: Seq[String]): Option[DataFrame] = {
     val v = VersionedTable.currentVersion(spark, manifestRoot)
     if (v.isEmpty) return None
+    // an UNSHARDED manifest must fail loudly: treating it as "no shard
+    // exists yet" would report every already-ingested file as pending
+    // and re-run their side effects
+    require(VersionedTable.partitionNative(spark, manifestRoot, v.get),
+      s"manifest at $manifestRoot is not sharded (unscoped dirs); " +
+      "pending/ingest with shardOf would reprocess every recorded file — " +
+      "use a fresh manifest root for the sharded layout")
     try Some(VersionedTable.readPartitions(spark, manifestRoot, shards.distinct, v))
     catch { case _: java.io.FileNotFoundException => None } // no listed shard exists yet
   }

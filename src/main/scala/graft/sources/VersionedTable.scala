@@ -189,6 +189,13 @@ object VersionedTable {
   private[graft] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     entriesOf(spark, root, v).map(_.rel)
 
+  /** Whether every dir of `v` carries a partition annotation — the
+    * precondition for partition-addressed reads/writes; callers that
+    * would silently misbehave on an unscoped table check this and
+    * fail loudly (or fall back) instead. */
+  private[graft] def partitionNative(spark: SparkSession, root: String, v: Long): Boolean =
+    entriesOf(spark, root, v).forall(_.part.isDefined)
+
   /** The entries a version's commit file publishes. */
   private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] = {
     val f = fs(spark, root)

@@ -136,7 +136,8 @@ object Demo {
     //     pairs — the modality doc-level Jaccard misses (quotes,
     //     boilerplate, truncations show up here)
     val spans = Dedup.dupSpans(docs)
-    val longSpan = spans.agg(max(col("span_toks"))).head.getLong(0)
+    val longSpan = Option(spans.agg(max(col("span_toks"))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long]) // empty span set on a clean corpus
     println(s"12. substring dedup: ${spans.count()} duplicated spans " +
       s"(longest $longSpan tokens) across ${spans.select("doc_a", "doc_b").distinct().count()} doc pairs")
 

@@ -1050,6 +1050,14 @@ class GraftSpec extends AnyFunSuite {
     assert(processed.sorted == List(1L, 2L, 3L, 4L))
     assert(VersionedTable.read(spark, manifest)
       .filter(col("shard") === "2024-01-02").count() == 2)
+    // an UNSHARDED manifest + shardOf must fail loudly, not silently
+    // report every recorded file as pending (which would re-run their
+    // side effects)
+    val flat = s"$base/manifest_flat"
+    Landing.ingest(spark, landing, "2024-01-01*.parquet", flat, sink)
+    intercept[IllegalArgumentException] {
+      Landing.pending(spark, landing, "*.parquet", flat, shardOf)
+    }
   }
 
   test("LakehouseWriter round-trips partitioned unified records") {

@@ -284,12 +284,17 @@ class PlanShapeSpec extends AnyFunSuite {
       // appending an admitted doc the probe finds it and the index
       // side still contributes no exchange (the append re-bucketed
       // only the delta, so the table stayed probe-ready)
-      val novel = docs.filter("doc_id % 17 = 0").limit(1)
-        .selectExpr("doc_id + 1000000 AS doc_id", "text")
+      // pin the row FIRST: limit(1) without ordering is not stable
+      // across executions, and novel is evaluated twice below
+      val src = docs.filter("doc_id % 17 = 0")
+        .select("doc_id", "text").orderBy("doc_id").head()
+      val novelId = src.getLong(0) + 1000000L
+      val novel = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(novelId, src.getString(1))),
+        docs.select("doc_id", "text").schema)
       graft.operators.BandIndex.appendBucketed(spark, "graft_bidx_plan_test", novel)
       val cand2 = graft.operators.BandIndex.bucketedCandidates(
         spark, "graft_bidx_plan_test", docs.filter("doc_id % 17 = 0"))
-      val novelId = novel.head().getLong(0)
       assert(cand2.filter(s"corpus_doc = $novelId").count() > 0,
         "appended doc invisible to the probe")
       val p2 = cand2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
