@@ -1523,6 +1523,49 @@ class GraftSpec extends AnyFunSuite {
     assert(!none.inputFiles.exists(_.contains("/shingles/")))
   }
 
+  test("streaming dedup ingest: each micro-batch probes, admits and appends via the band index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.BandIndex
+    import graft.sources.VersionedTable
+    // the arrival side of the reference's continuous ingest loop, with
+    // admission control: every micro-batch probes the PERSISTED index,
+    // only novel docs enter, and an admitted doc is visible to the
+    // very next micro-batch — no corpus recompute anywhere (the
+    // streaming twin of the two-batch BandIndex spec; ServingView
+    // closes the serving side the same way)
+    val root = java.nio.file.Files.createTempDirectory("graft_bidx_stream").toString
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val tC = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa"
+    BandIndex.build(spark, root, Seq((10L, tA)).toDF("doc_id", "text"))
+    var dupLog = List.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (_, pairs) = BandIndex.ingest(spark, root, batch)
+          dupLog = dupLog ++ pairs.select("batch_doc", "corpus_doc").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((20L, tB)) // novel: admitted + appended
+      q.processAllAvailable()
+      input.addData((30L, tB), (31L, tC)) // 30 dups the doc admitted ONE batch ago
+      q.processAllAvailable()
+      input.addData((40L, tC)) // dups 31 from batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(dupLog.toSet == Set((30L, 20L), (40L, 31L)))
+    // the index holds the seed corpus + admitted docs only — every
+    // duplicate was turned away at the gate
+    assert(VersionedTable.read(spark, s"$root/shingles").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(10L, 20L, 31L))
+  }
+
   test("t14 surprisal: off-distribution docs score above corpus-typical docs") {
     import spark.implicits._
     val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat")) :+
