@@ -681,6 +681,8 @@ object VersionedTable {
       versions.filter(_ < cutoff).foreach { v =>
         val rels = entries(v).map(_.rel)
         f.delete(commitPath(root, v), false)
+        // the version's stats sidecar (DataSkipping) dies with it
+        f.delete(p(s"$root/_log/${verName(v)}.stats"), false)
         rels.filterNot(retained).foreach(r => f.delete(p(s"$root/$r"), true))
       }
       val newestCp = lastCheckpointVersion(f, root).getOrElse(Long.MinValue)

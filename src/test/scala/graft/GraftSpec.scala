@@ -814,6 +814,15 @@ class GraftSpec extends AnyFunSuite {
     assert(DataSkipping.statsBuilds == builds, "stats sidecar was rebuilt on a cached read")
     // an out-of-range predicate opens nothing but keeps the schema
     assert(DataSkipping.readWhere(spark, zRoot, "x", 20000, 30000).collect().isEmpty)
+    // vacuum: an expired version's stats sidecar dies with its commit
+    VersionedTable.commitPartitioned(spark, linRoot,
+      df.withColumn("zb", floor(col("x") / 625).cast("string")), "zb", 0L)
+    DataSkipping.prunedDirs(spark, linRoot, "x", 0, 624) // builds v1 stats
+    assert(new java.io.File(s"$linRoot/_log/v00000000.stats").exists)
+    VersionedTable.vacuum(spark, linRoot)
+    assert(!new java.io.File(s"$linRoot/_log/v00000000.stats").exists,
+      "vacuumed version's stats sidecar was orphaned")
+    assert(new java.io.File(s"$linRoot/_log/v00000001.stats").exists)
   }
 
   test("VersionedTable: null partition values are rejected, not silently dropped") {
