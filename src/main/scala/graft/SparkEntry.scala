@@ -159,6 +159,8 @@ object SparkEntry {
     "d13_dedup_containment" -> ((s, d) =>
       Dedup.dedupContainment(Tables.documents(s, d))),
     "d14_dup_spans" -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
+    "d15_span_incremental" -> ((s, d) =>
+      Dedup.dupSpansIncremental(Tables.documents(s, d))),
     "t15_approx_percentile" -> ((s, d) =>
       TextOps.approxPercentiles(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -443,6 +445,7 @@ object SparkEntry {
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
     "d14_dup_spans" -> Dedup.dupSpansOracle(),
+    "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
   )
 }

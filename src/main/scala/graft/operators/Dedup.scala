@@ -749,6 +749,77 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
   }
 
+  // ---- d15: incremental duplicated spans (batch vs persisted index) ---
+
+  private val gramIndexCache =
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4,
+      onEvict = root =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        catch { case _: Exception => () })
+
+  /** d15: INCREMENTAL span dedup — d14's substring detection in d12's
+    * ingest shape: the corpus posting index ([[GramIndex]]) is built
+    * ONCE per corpus (persisted, cached per corpus stamp) and the
+    * batch (doc_id % batchMod == 0, deterministic so DuckDB replays
+    * the split) probes it — no corpus re-tokenization on the probe
+    * path, and only cross (batch, corpus) spans come back. The
+    * hot-gram cap is applied to CORPUS document frequency at index
+    * build (what a real index does — batch arrivals can't be known
+    * at build time), which is the one semantic difference from
+    * d14's whole-collection gate.
+    */
+  def dupSpansIncremental(documents: DataFrame, n: Int = 8, minTokens: Int = 16,
+                          dfCap: Int = 64, batchMod: Int = 17): DataFrame = {
+    val spark = documents.sparkSession
+    val isBatch = col("doc_id") % batchMod === 0
+    val batch = documents.filter(isBatch)
+    val corpus = documents.filter(!isBatch)
+    def buildTemp(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-gramidx").toString
+      GramIndex.build(spark, root, corpus, n, dfCap)
+      root
+    }
+    val root =
+      if (!Caching.bareScan(documents)) buildTemp()
+      else {
+        val stamp = Caching.stamp(documents)
+        if (stamp.isEmpty) buildTemp()
+        else gramIndexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp())
+      }
+    GramIndex.probe(spark, root, batch, n, minTokens)
+      .orderBy(col("batch_doc"), col("corpus_doc"), col("b_start"), col("c_start"))
+  }
+
+  def dupSpansIncrementalOracle(n: Int = 8, minTokens: Int = 16,
+                                dfCap: Int = 64, batchMod: Int = 17): String = {
+    val charHash = "list_reduce(list_transform(generate_series(1, length(s)), " +
+      s"k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       th AS (SELECT doc_id, len(toks) AS nt,
+           list_transform(toks, s -> $charHash) AS th FROM t),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, nt - $n + 1),
+           i -> {'pos': i - 1, 'gram': list_reduce(th[i:i+$n-1], (a, b) -> (a * 131 + b) % $P)})) AS s
+         FROM th WHERE nt >= $n),
+       g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram AS gram FROM g0),
+       cg AS (SELECT * FROM g WHERE doc_id % $batchMod <> 0),
+       bg AS (SELECT * FROM g WHERE doc_id % $batchMod = 0),
+       hot AS (SELECT gram FROM cg GROUP BY gram
+               HAVING count(DISTINCT doc_id) > $dfCap),
+       idx AS (SELECT * FROM cg WHERE gram NOT IN (SELECT gram FROM hot)),
+       m AS (SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+               b.pos AS pos_b, c.pos AS pos_c
+             FROM bg b JOIN idx c ON b.gram = c.gram),
+       i AS (SELECT batch_doc, corpus_doc, pos_b, pos_c, pos_b - pos_c AS diag,
+               pos_b - row_number() OVER (
+                 PARTITION BY batch_doc, corpus_doc, pos_b - pos_c ORDER BY pos_b) AS isl
+             FROM m)
+       SELECT batch_doc, corpus_doc, min(pos_b) AS b_start, min(pos_c) AS c_start,
+         max(pos_b) - min(pos_b) + $n AS span_toks
+       FROM i GROUP BY batch_doc, corpus_doc, diag, isl
+       HAVING max(pos_b) - min(pos_b) + $n >= $minTokens
+       ORDER BY batch_doc, corpus_doc, b_start, c_start"""
+  }
+
   def dupSpansOracle(n: Int = 8, minTokens: Int = 16, dfCap: Int = 64): String = {
     val charHash = "list_reduce(list_transform(generate_series(1, length(s)), " +
       s"k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"

@@ -1532,6 +1532,30 @@ class GraftSpec extends AnyFunSuite {
     assert(!none.inputFiles.exists(_.contains("/shingles/")))
   }
 
+  test("GramIndex: appended postings make a doc probeable by the next batch") {
+    import spark.implicits._
+    import graft.operators.GramIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    val quote = (1 to 20).map(i => s"q$i")
+    val corpusDoc = ((1 to 30).map(i => s"a$i") ++ quote).mkString(" ")
+    val novelDoc = ((1 to 30).map(i => s"b$i") ++ (1 to 20).map(i => s"z$i")).mkString(" ")
+    val quotingDoc = ((1 to 30).map(i => s"c$i") ++ (1 to 20).map(i => s"z$i")).mkString(" ")
+    GramIndex.build(spark, root, Seq((10L, corpusDoc)).toDF("doc_id", "text"))
+    // batch 1: doc 20 shares the quote with corpus doc 10 (one span,
+    // exact coordinates); doc 21 is novel — append its postings
+    val p1 = GramIndex.probe(spark, root,
+      Seq((20L, "intro words " + quote.mkString(" ")), (21L, novelDoc)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p1.toSeq == Seq((20L, 10L, 2L, 30L, 20L)))
+    GramIndex.append(spark, root, Seq((21L, novelDoc)).toDF("doc_id", "text"))
+    // batch 2: doc 30 quotes doc 21's z-run — visible only through the
+    // O(batch) append, no corpus rebuild anywhere
+    val p2 = GramIndex.probe(spark, root,
+      Seq((30L, quotingDoc)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(p2.toSeq == Seq((30L, 21L, 20L)))
+  }
+
   test("streaming dedup ingest: each micro-batch probes, admits and appends via the band index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

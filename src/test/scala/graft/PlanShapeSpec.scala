@@ -257,6 +257,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe re-scanned corpus documents past the index")
   }
 
+  test("d15: span probe reads the PERSISTED gram index — no corpus re-tokenization") {
+    val before = graft.operators.GramIndex.indexBuilds
+    val df = SparkEntry.queries("d15_span_incremental")(spark, sf)
+    df.collect()
+    // a second run on the same corpus must be probe-only (cached index)
+    SparkEntry.queries("d15_span_incremental")(spark, sf).count()
+    assert(graft.operators.GramIndex.indexBuilds - before <= 1,
+      "gram index rebuilt instead of probed")
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("graft-gramidx"), "probe is not reading the persisted index")
+    // only the BATCH side may tokenize documents
+    assert(count(p, "documents.parquet") <= 1,
+      "probe re-tokenized corpus documents past the index")
+  }
+
   test("BandIndex bucketed layout: the index side of the probe join NEVER shuffles") {
     // at 100 TB the index is the big side; bucketing by (band, bkey)
     // means a probe shuffles ONLY the batch into the bucket scheme.
