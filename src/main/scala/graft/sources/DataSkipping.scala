@@ -200,4 +200,20 @@ object DataSkipping {
       .drop("_z")
     VersionedTable.commitPartitioned(spark, root, keyed, "zb", base)
   }
+
+  /** Re-cluster the CURRENT version (OPTIMIZE): plain appends land as
+    * dirs spanning the whole value space, so their stats prune
+    * nothing and skipping effectiveness decays as they accumulate;
+    * this folds the table back into a fresh z-ordered layout as a NEW
+    * version (history stays time-travelable until vacuum). Cost is a
+    * full clustering rewrite — the periodic maintenance pass every
+    * clustered lakehouse table runs, triggered when pruned-dir ratios
+    * degrade, not per append. */
+  def recluster(spark: SparkSession, root: String,
+                c1: String, c2: String, nDirs: Int): Long = {
+    val base = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    zOrderCommit(spark, root, VersionedTable.readAsOf(spark, root, base),
+                 c1, c2, nDirs, base)
+  }
 }

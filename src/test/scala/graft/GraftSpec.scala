@@ -825,6 +825,35 @@ class GraftSpec extends AnyFunSuite {
     assert(new java.io.File(s"$linRoot/_log/v00000001.stats").exists)
   }
 
+  test("DataSkipping.recluster: appends degrade pruning; OPTIMIZE restores it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_opt").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("x", col("id"))
+      .withColumn("y", (col("id") * 2654435761L) % 10000)
+    DataSkipping.zOrderCommit(spark, root, mk(0, 8000), "x", "y", nDirs = 16, base = -1L)
+    val prunedV0 = DataSkipping.prunedDirs(spark, root, "y", 0, 624, Some(0L)).size
+    assert(prunedV0 < 16)
+    // a plain append lands ONE dir whose y spans the whole space — its
+    // stats can never prune it, so every y-range read now opens it too
+    VersionedTable.append(spark, root, mk(8000, 10000), 0L)
+    val prunedV1 = DataSkipping.prunedDirs(spark, root, "y", 0, 624, Some(1L)).size
+    assert(prunedV1 == prunedV0 + 1, "the unclustered append should always survive pruning")
+    // OPTIMIZE: one z-ordered rewrite folds the table back into tight
+    // dirs as a new version; pruning recovers, parity holds
+    val v2 = DataSkipping.recluster(spark, root, "x", "y", nDirs = 16)
+    assert(VersionedTable.dirsOf(spark, root, v2).size == 16)
+    val prunedV2 = DataSkipping.prunedDirs(spark, root, "y", 0, 624, Some(v2)).size
+    assert(prunedV2 <= 6, s"post-OPTIMIZE y-range still opens $prunedV2/16 dirs")
+    val got = DataSkipping.readWhere(spark, root, "y", 0, 624)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exp = VersionedTable.read(spark, root)
+      .filter(col("y").between(0, 624)).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("VersionedTable: null partition values are rejected, not silently dropped") {
     import spark.implicits._
     import graft.sources.VersionedTable
