@@ -626,15 +626,25 @@ object Dedup {
       BandIndex.build(spark, root, corpus)
       root
     }
-    val root =
-      if (!Caching.bareScan(documents)) buildTemp()
+    // uncacheable corpora (derived frames, no stable stamp) get an
+    // EPHEMERAL index: probe materializes eagerly and the dir is
+    // deleted before returning — otherwise every call leaks one full
+    // on-disk index into the temp dir
+    val (root, ephemeral) =
+      if (!Caching.bareScan(documents)) (buildTemp(), true)
       else {
         val stamp = Caching.stamp(documents)
-        if (stamp.isEmpty) buildTemp()
-        else indexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp())
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (indexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp()), false)
       }
-    BandIndex.probe(spark, root, batch, minJaccard)
+    val res = BandIndex.probe(spark, root, batch, minJaccard)
       .orderBy(col("batch_doc"), col("corpus_doc"))
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => () }
+      out
+    } else res
   }
 
   // ---- d13: containment (subset) duplication --------------------------
@@ -779,15 +789,27 @@ object Dedup {
       GramIndex.build(spark, root, corpus, n, dfCap)
       root
     }
-    val root =
-      if (!Caching.bareScan(documents)) buildTemp()
+    // cache key carries EVERY parameter that shapes the built index
+    // (n, dfCap) — a key without them would serve an n=8 index to an
+    // n=4 probe, whose gram hashes never collide: silently empty
+    // results. Ephemeral (uncacheable) indexes are deleted after the
+    // probe materializes, like d12's.
+    val (root, ephemeral) =
+      if (!Caching.bareScan(documents)) (buildTemp(), true)
       else {
         val stamp = Caching.stamp(documents)
-        if (stamp.isEmpty) buildTemp()
-        else gramIndexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp())
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (gramIndexCache.getOrElseUpdate(
+          (spark, s"$stamp|n=$n|cap=$dfCap", batchMod))(buildTemp()), false)
       }
-    GramIndex.probe(spark, root, batch, n, minTokens)
+    val res = GramIndex.probe(spark, root, batch, n, minTokens)
       .orderBy(col("batch_doc"), col("corpus_doc"), col("b_start"), col("c_start"))
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => () }
+      out
+    } else res
   }
 
   def dupSpansIncrementalOracle(n: Int = 8, minTokens: Int = 16,

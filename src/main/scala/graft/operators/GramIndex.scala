@@ -42,7 +42,10 @@ object GramIndex {
   def build(spark: SparkSession, root: String, corpus: DataFrame,
             n: Int = 8, dfCap: Int = 64): Unit = {
     indexBuilds += 1
-    val g = postings(corpus, n)
+    // one tokenize+hash pass: the hot-gram aggregate AND the anti-join
+    // side both read this frame (without the checkpoint the subtree
+    // executes twice per build)
+    val g = postings(corpus, n).localCheckpoint(eager = false)
     val hot = g.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > dfCap).select(col("gram"))

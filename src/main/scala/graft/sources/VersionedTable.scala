@@ -680,11 +680,19 @@ object VersionedTable {
         .flatMap(v => entries(v).map(_.rel)).toSet
       versions.filter(_ < cutoff).foreach { v =>
         val rels = entries(v).map(_.rel)
-        f.delete(commitPath(root, v), false)
-        // the version's stats sidecar (DataSkipping) dies with it
+        // sidecar BEFORE commit file: expiry is derived from the
+        // commit listing, so the reverse order + a crash between the
+        // two would orphan the sidecar forever
         f.delete(p(s"$root/_log/${verName(v)}.stats"), false)
+        f.delete(commitPath(root, v), false)
         rels.filterNot(retained).foreach(r => f.delete(p(s"$root/$r"), true))
       }
+      // sweep sidecars a previous crashed vacuum orphaned (their
+      // commit file is already gone, so the loop above never sees them)
+      names.filter(_.matches("v\\d{8}\\.stats"))
+        .map(_.stripPrefix("v").stripSuffix(".stats").toLong)
+        .filter(v => v < cutoff)
+        .foreach(v => f.delete(p(s"$root/_log/${verName(v)}.stats"), false))
       val newestCp = lastCheckpointVersion(f, root).getOrElse(Long.MinValue)
       names.filter(_.matches("v\\d{8}\\.checkpoint"))
         .map(_.stripPrefix("v").stripSuffix(".checkpoint").toLong)
