@@ -452,7 +452,8 @@ object Similarity {
     * everything else is the index's own probe cost.
     */
   def recallSweep(embeddings: DataFrame, nQueries: Long = 64, k: Int = 10,
-                  probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+                  probes: Seq[Int] = Seq(1, 2, 4),
+                  shortlists: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
     import graft.functions.GraftFunctions._
     val n = embeddings.count()
     val planes = planesFor(n)
@@ -460,10 +461,11 @@ object Similarity {
     val exact = bruteForceTopK(embeddings, nQueries, k)
       .select(col("q_id"), col("neighbor_id")).localCheckpoint()
 
-    def row(method: String, approx: DataFrame, candFrac: DataFrame): DataFrame =
-      exact.join(approx.select(col("q_id"), col("neighbor_id"))
-                   .withColumn("hit", lit(1L)),
-                 Seq("q_id", "neighbor_id"), "left")
+    def row(method: String, approx: DataFrame, candFrac: DataFrame,
+            baseline: DataFrame = exact): DataFrame =
+      baseline.join(approx.select(col("q_id"), col("neighbor_id"))
+                      .withColumn("hit", lit(1L)),
+                    Seq("q_id", "neighbor_id"), "left")
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
                .as("recall"))
         .crossJoin(candFrac)
@@ -492,7 +494,20 @@ object Similarity {
       row(s"ivf[K=${cents.size},probe=$p]",
         ivfMultiProbe(embeddings, nQueries, k, p, cents), frac)
     }
-    (lshRow +: ivfRows).reduce(_.unionByName(_))
+    // PQ: the code scan is cheap table lookups over the WHOLE corpus;
+    // the cost axis is the shortlist R the exact re-rank must score
+    // (cand_frac = R/n). Recall is measured against exact L2 — the
+    // metric PQ codes quantize — so these rows answer "how big a
+    // shortlist buys how much of the true top-k".
+    val exactL2 = exactL2TopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("neighbor_id")).localCheckpoint()
+    val pqRows = shortlists.map { r =>
+      row(s"pq-l2[R=$r]", pqTopK(embeddings, nQueries, r),
+          embeddings.sparkSession.range(1).select(
+            (lit(math.min(r, n).toDouble) / n).as("cand_frac")),
+          baseline = exactL2)
+    }
+    (lshRow +: (ivfRows ++ pqRows)).reduce(_.unionByName(_))
   }
 
   // ---- s07: kNN classification ----------------------------------------

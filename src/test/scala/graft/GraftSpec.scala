@@ -1481,10 +1481,21 @@ class GraftSpec extends AnyFunSuite {
     rows.values.foreach { case (rec, frac) =>
       assert(rec >= 0.0 && rec <= 1.0 && frac > 0.0 && frac <= 1.0)
     }
-    // the point of the index: neither method scores the whole corpus
+    // the point of the index: no method hands the exact scorer the
+    // whole corpus (PQ's cand_frac is the re-rank shortlist R/n)
     rows.foreach { case (m, (_, frac)) =>
       assert(frac < 0.9, s"$m scored ${frac * 100}%% of the corpus — no pruning")
     }
+    // PQ shortlist widening is monotone in recall and cost too — and
+    // its recall floor is the whole reason the shortlist exists
+    val pq = rows.keys.filter(_.startsWith("pq")).toSeq.sortBy(
+      k => k.split("R=")(1).stripSuffix("]").toInt)
+    assert(pq.size == 3)
+    pq.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 >= rows(a)._1 - 1e-9, s"pq recall fell $a -> $b: $rows")
+      assert(rows(b)._2 >= rows(a)._2 - 1e-9, s"pq cost fell $a -> $b: $rows")
+    }
+    assert(rows(pq.last)._1 >= 0.3, s"pq widest shortlist carries no signal: $rows")
   }
 
   test("d11 minhash estimate: observed error within 3 sigma of the 16-perm estimator") {
