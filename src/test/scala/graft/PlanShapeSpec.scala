@@ -257,6 +257,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe re-scanned corpus documents past the index")
   }
 
+  test("d14: span detection joins postings on gram — no cartesian, checkpointed gate") {
+    val df = SparkEntry.queries("d14_dup_spans")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the gated-postings checkpoint feeds both self-join sides: the
+    // posting subtree (scan + gram kernel + gram shuffle) ran once
+    assert(p.contains("ExistingRDD"), "gated postings are not read from the checkpoint")
+  }
+
+  test("s09: PQ scan joins code rows against broadcast tables — no sort-merge anywhere") {
+    val p = plan("s09_pq_recall")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d15: span probe reads the PERSISTED gram index — no corpus re-tokenization") {
     val before = graft.operators.GramIndex.indexBuilds
     val df = SparkEntry.queries("d15_span_incremental")(spark, sf)
