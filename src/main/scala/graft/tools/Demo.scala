@@ -141,6 +141,15 @@ object Demo {
     println(s"12. substring dedup: ${spans.count()} duplicated spans " +
       s"(longest $longSpan tokens) across ${spans.select("doc_a", "doc_b").distinct().count()} doc pairs")
 
+    // 12b. INCREMENTAL SUBSTRING DEDUP: the same arrival batch probes
+    //     the persisted gram posting index — span detection with no
+    //     corpus re-tokenization (GramIndex = d15's engine)
+    val gidx = s"$work/gramindex"
+    GramIndex.build(spark, gidx, docs.filter(col("doc_id") % 17 =!= 0))
+    val crossSpans = GramIndex.probe(spark, gidx, docs.filter(col("doc_id") % 17 === 0))
+    println(s"12b. incremental spans: ${crossSpans.count()} batch-vs-corpus spans " +
+      "from the persisted posting index")
+
     // 13. DATA SKIPPING: z-order the order facts by (custkey, total),
     //     then range-read each column — both prune dirs, the full scan
     //     doesn't
