@@ -825,6 +825,45 @@ class GraftSpec extends AnyFunSuite {
     assert(new java.io.File(s"$linRoot/_log/v00000001.stats").exists)
   }
 
+  test("Scd2: type-2 merge closes changed windows, keeps history, reconstructs any as-of") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Scd2, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+    def dim(rows: (String, Double)*) = rows.toSeq.toDF("ticker", "pe")
+    Scd2.mergeScd2(spark, root, dim("A" -> 1.0, "B" -> 2.0), Seq("ticker"), "2024-01-01 00:00:00")
+    // t2: A changes, B unchanged (must stay untouched), C is new
+    Scd2.mergeScd2(spark, root, dim("A" -> 10.0, "B" -> 2.0, "C" -> 3.0),
+      Seq("ticker"), "2024-02-01 00:00:00")
+    // t3: C changes again
+    Scd2.mergeScd2(spark, root, dim("C" -> 30.0), Seq("ticker"), "2024-03-01 00:00:00")
+    val all = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getAs[String]("ticker"), r.getAs[Double]("pe"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).isEmpty,
+        r.getAs[Boolean]("is_current")))
+    // exactly one current row per key; closed rows are not current
+    assert(all.count(_._4) == 3)
+    all.foreach { case (_, _, open, cur) => assert(open == cur) }
+    // A carries its full history; B's window never moved
+    val a = all.filter(_._1 == "A").sortBy(_._2)
+    assert(a.map(x => (x._2, x._4)).toSeq == Seq((1.0, false), (10.0, true)))
+    val b = VersionedTable.read(spark, root).filter(col("ticker") === "B").head()
+    assert(b.getAs[java.sql.Timestamp]("valid_from").toString.startsWith("2024-01-01"))
+    // as-of reconstruction is a FILTER: the dim at each batch time
+    def at(ts: String) = Scd2.asOf(spark, root, ts).collect()
+      .map(r => r.getAs[String]("ticker") -> r.getAs[Double]("pe")).toMap
+    assert(at("2024-01-15 00:00:00") == Map("A" -> 1.0, "B" -> 2.0))
+    assert(at("2024-02-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 3.0))
+    assert(at("2024-03-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 30.0))
+    // out-of-order batches are rejected, not silently corrupted
+    intercept[IllegalArgumentException] {
+      Scd2.mergeScd2(spark, root, dim("A" -> 99.0), Seq("ticker"), "2024-02-15 00:00:00")
+    }
+    // the type-2 table is still a VersionedTable: each merge is one
+    // time-travelable commit
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+  }
+
   test("DataSkipping.recluster: appends degrade pruning; OPTIMIZE restores it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
