@@ -100,6 +100,23 @@ object Demo {
     println(s"8. transactional: v${base + 1} appended O(delta), feed=${feed.count()} changes, " +
       s"CDC-maintained view == full recompute: $viewOk")
 
+    // 8b. SCD2 DIM HISTORY: the metadata dim as a type-2 table — the
+    //     reference overwrites stock metadata in place; here each
+    //     refresh preserves history and any as-of is a range filter
+    import graft.sources.Scd2
+    val dimRoot = s"$work/versioned/dim_scd2"
+    val meta = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+    Scd2.mergeScd2(spark, dimRoot, meta, Seq("custkey"), "2024-01-01 00:00:00")
+    Scd2.mergeScd2(spark, dimRoot,
+      meta.limit(50).withColumn("acctbal", col("acctbal") + 100.0),
+      Seq("custkey"), "2024-02-01 00:00:00")
+    val histRows = graft.sources.VersionedTable.read(spark, dimRoot)
+      .filter(!col(Scd2.Current)).count()
+    val asOfJan = Scd2.asOf(spark, dimRoot, "2024-01-15 00:00:00").count()
+    println(s"8b. scd2 dim: $histRows closed history rows after a 50-key refresh, " +
+      s"as-of-January slice has $asOfJan rows (range filter, no replay)")
+
     // 9. INCREMENTAL INGEST OPS: new-batch dedup probe against the
     //    corpus band index + content-defined chunk dedup census
     val probe = Dedup.dedupIncremental(Tables.documents(spark, sf))
