@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   * SCD2 merge is an upsert, not a sync — deletions are a tombstone
   * attribute, not a row removal).
   *
-  * Contracts, stated honestly: batch effective times must be strictly
-  * increasing per table (checked against max(valid_from) — one tiny
-  * agg); the source is deduped per key deterministically (all
-  * non-key columns as tie-break, the [[VersionedTable.merge]]
-  * convention) so re-executed merges cannot diverge; the rewrite is
-  * O(table) like [[VersionedTable.merge]] — partition the dim by a
-  * stable column and the partition-scoped machinery applies the same
-  * way.
+  * Contracts, stated honestly: a batch carrying real changes must be
+  * strictly later than the table's newest valid_from (checked;
+  * out-of-order batches are rejected, not silently applied); a batch
+  * whose every effect is already in the table — a REPLAY from the
+  * Landing at-least-once crash window, or a no-op refresh — commits
+  * nothing and returns the current version (idempotent); the source
+  * is deduped per key deterministically (all non-key columns as
+  * tie-break, the [[VersionedTable.merge]] convention) so re-executed
+  * merges cannot diverge. The rewrite is O(table) like
+  * [[VersionedTable.merge]]; a partition-scoped variant would follow
+  * [[VersionedTable.mergePartitioned]]'s dir-carrying shape (NOT
+  * implemented here).
   *
   * Scale shape: ONE shuffle of current rows + batch on the key
   * (change detection); history rows are unioned through untouched —
@@ -61,10 +65,12 @@ object Scd2 {
     val snap = VersionedTable.readAsOf(spark, root, base.get)
     val cur = snap.filter(col(Current))
     val hist = snap.filter(!col(Current))
-    require(cur.filter(col(From) >= ets).isEmpty,
-      s"SCD2 merge at $effTs is not after the table's newest valid_from — " +
-      "out-of-order batches would corrupt validity ranges")
-    // change detection: ONE equi-join of current rows vs the batch
+    // change detection FIRST: ONE equi-join of current rows vs the
+    // batch. A batch whose every effect is already in the table (a
+    // replayed merge — the Landing at-least-once crash window — or a
+    // pure no-op refresh) commits NOTHING and returns the current
+    // version: idempotent, and no version churn. Only a batch with
+    // real changes is then held to the monotonic-time contract.
     val srcR = src.select(
       (keys.map(col) ++ attrs.map(c => col(c).as(s"${c}__new"))): _*)
     val cmp = cur.join(srcR, keys)
@@ -72,10 +78,15 @@ object Scd2 {
       .reduce(_ || _)
     val changedKeys = cmp.filter(differs).select(keys.map(col): _*)
       .localCheckpoint(eager = false)
+    val newKeys = src.join(cur, keys, "left_anti")
+    if (changedKeys.isEmpty && newKeys.isEmpty) return base.get
+    require(cur.filter(col(From) >= ets).isEmpty,
+      s"SCD2 merge at $effTs is not after the table's newest valid_from — " +
+      "out-of-order batches would corrupt validity ranges")
     val closed = cur.join(changedKeys, keys, "left_semi")
       .withColumn(To, ets).withColumn(Current, lit(false))
     val keptCurrent = cur.join(changedKeys, keys, "left_anti")
-    val inserts = src.join(cur, keys, "left_anti")
+    val inserts = newKeys
       .unionByName(src.join(changedKeys, keys, "left_semi"))
       .withColumn(From, ets)
       .withColumn(To, lit(null).cast("timestamp"))

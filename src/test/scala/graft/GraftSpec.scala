@@ -855,12 +855,16 @@ class GraftSpec extends AnyFunSuite {
     assert(at("2024-01-15 00:00:00") == Map("A" -> 1.0, "B" -> 2.0))
     assert(at("2024-02-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 3.0))
     assert(at("2024-03-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 30.0))
-    // out-of-order batches are rejected, not silently corrupted
+    // out-of-order batches with REAL changes are rejected, not
+    // silently corrupted
     intercept[IllegalArgumentException] {
       Scd2.mergeScd2(spark, root, dim("A" -> 99.0), Seq("ticker"), "2024-02-15 00:00:00")
     }
-    // the type-2 table is still a VersionedTable: each merge is one
-    // time-travelable commit
+    // ...but a REPLAYED (already-applied) batch is an idempotent
+    // no-op — no new version, no window churn (the Landing
+    // at-least-once crash window composes safely)
+    val v = Scd2.mergeScd2(spark, root, dim("C" -> 30.0), Seq("ticker"), "2024-03-01 00:00:00")
+    assert(v == 2L)
     assert(VersionedTable.currentVersion(spark, root).contains(2L))
   }
 
