@@ -198,7 +198,13 @@ object DataSkipping {
       .repartitionByRange(nDirs, col("_z"))
       .withColumn("zb", spark_partition_id().cast("string"))
       .drop("_z")
-    VersionedTable.commitPartitioned(spark, root, keyed, "zb", base)
+    val v = VersionedTable.commitPartitioned(spark, root, keyed, "zb", base)
+    // stats AT WRITE TIME: the clustering write already knows its
+    // columns, so publish the sidecar now — the first pruned read
+    // pays no stats job (Delta writes per-file stats into the log the
+    // same way)
+    ensureStats(spark, root, v, Seq(c1, c2))
+    v
   }
 
   /** Re-cluster the CURRENT version (OPTIMIZE): plain appends land as

@@ -787,8 +787,13 @@ class GraftSpec extends AnyFunSuite {
     DataSkipping.zOrderCommit(spark, zRoot, df, "x", "y", nDirs = 16, base = -1L)
     VersionedTable.commitPartitioned(spark, linRoot,
       df.withColumn("zb", floor(col("x") / 625).cast("string")), "zb", -1L)
+    // write-time stats: the z-order write published its sidecar, so
+    // the FIRST pruned read triggers no stats build
+    val builds0 = DataSkipping.statsBuilds
     val zx = DataSkipping.prunedDirs(spark, zRoot, "x", 0, 624).size
     val zy = DataSkipping.prunedDirs(spark, zRoot, "y", 0, 624).size
+    assert(DataSkipping.statsBuilds == builds0,
+      "first read after a z-order write rebuilt stats the write already published")
     val lx = DataSkipping.prunedDirs(spark, linRoot, "x", 0, 624).size
     val ly = DataSkipping.prunedDirs(spark, linRoot, "y", 0, 624).size
     assert(lx == 1, s"linear layout should be exact on its sort column, opened $lx")
