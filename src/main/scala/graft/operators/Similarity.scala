@@ -507,7 +507,41 @@ object Similarity {
             (lit(math.min(r, n).toDouble) / n).as("cand_frac")),
           baseline = exactL2)
     }
-    (lshRow +: (ivfRows ++ pqRows)).reduce(_.unionByName(_))
+
+    // IVF-PQ: the billion-scale composition — ADC runs only inside
+    // the probed cells, so the code scan touches cand_frac of the
+    // corpus (the ivf rows' cost axis) while each candidate costs 4
+    // code bytes + 8 table lookups instead of a vector read. Recall
+    // is the top-R(=head shortlist) vs exact L2, like the pq rows;
+    // cell pruning can only LOSE candidates vs flat PQ at the same R
+    // (spec-pinned).
+    val ivfPqR = shortlists.headOption.getOrElse(50)
+    val corpusCodes = pqCodes(embeddings)
+      .select(col("vec_id").as("c_id"), col("codes"))
+      .join(assignedCells(embeddings, cents)
+              .select(col("vec_id").as("c_id"), col("cell")), "c_id")
+      .localCheckpoint()
+    val dts = pqDistTables(embeddings, nQueries).localCheckpoint()
+    val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
+      s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
+    val ivfPqRows = probes.map { p =>
+      import org.apache.spark.sql.expressions.Window
+      val qp = probeCells(embeddings, nQueries, p, cents)
+        .select(col("q_id"), col("cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)
+      val approx = corpusCodes.join(broadcast(qp), "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .join(broadcast(dts), "q_id")
+        .withColumn("adc", adc)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= ivfPqR)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+      val frac = qp.join(csizes, "cell")
+        .groupBy(col("q_id")).agg(sum(col("cn")).as("probed"))
+        .agg((avg(col("probed")) / n).as("cand_frac"))
+      row(s"ivfpq[probe=$p,R=$ivfPqR]", approx, frac, baseline = exactL2)
+    }
+    (lshRow +: (ivfRows ++ pqRows ++ ivfPqRows)).reduce(_.unionByName(_))
   }
 
   // ---- s07: kNN classification ----------------------------------------

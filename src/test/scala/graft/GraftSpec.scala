@@ -1519,7 +1519,7 @@ class GraftSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val rows = graft.operators.Similarity.recallSweep(emb, nQueries = 32, k = 5)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    val ivf = rows.keys.filter(_.startsWith("ivf")).toSeq.sortBy(
+    val ivf = rows.keys.filter(_.startsWith("ivf[")).toSeq.sortBy(
       k => k.split("probe=")(1).stripSuffix("]").toInt)
     assert(ivf.size == 3)
     // widening the probe can only ADD candidates per query, so recall
@@ -1547,6 +1547,20 @@ class GraftSpec extends AnyFunSuite {
       assert(rows(b)._2 >= rows(a)._2 - 1e-9, s"pq cost fell $a -> $b: $rows")
     }
     assert(rows(pq.last)._1 >= 0.3, s"pq widest shortlist carries no signal: $rows")
+    // IVF-PQ: probe widening is monotone, and cell pruning can only
+    // LOSE candidates vs flat PQ at the same shortlist — both
+    // deterministic set properties
+    val ivfpq = rows.keys.filter(_.startsWith("ivfpq")).toSeq.sortBy(
+      k => k.split("probe=")(1).split(",")(0).toInt)
+    assert(ivfpq.size == 3)
+    ivfpq.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 >= rows(a)._1 - 1e-9, s"ivfpq recall fell $a -> $b: $rows")
+    }
+    val flatR = ivfpq.head.split("R=")(1).stripSuffix("]")
+    rows.get(s"pq-l2[R=$flatR]").foreach { case (flatRec, _) =>
+      ivfpq.foreach(m => assert(rows(m)._1 <= flatRec + 1e-9,
+        s"$m beat flat PQ at the same shortlist — cell pruning cannot add candidates"))
+    }
   }
 
   test("d11 minhash estimate: observed error within 3 sigma of the 16-perm estimator") {
