@@ -192,10 +192,23 @@ object BandIndex {
     // steady-state ingest churns two empty versions per micro-batch
     // (log growth, probe-tail growth, vacuum work, zero information)
     if (!admitted.isEmpty) {
+      // decide the shingle append MODE before committing ANYTHING: a
+      // legacy (pre-partitioned, unscoped-dir) store would fail
+      // appendPartitioned's partition-native require AFTER the bands
+      // append had already committed, leaving the two tables one
+      // version out of step mid-cycle. Probe already falls back to a
+      // full read on such stores; the write side gets the matching
+      // fallback (plain append), so the tables advance together on
+      // either layout.
+      val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
+      val shingleNative = sv < 0 ||
+        VersionedTable.partitionNative(spark, shinglesRoot(root), sv)
       val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
       VersionedTable.append(spark, bandsRoot(root), Dedup.bandFrame(admitted), bv)
-      val sv = VersionedTable.currentVersion(spark, shinglesRoot(root)).getOrElse(-1L)
-      VersionedTable.appendPartitioned(spark, shinglesRoot(root), shingleFrame(admitted), "pb", sv)
+      if (shingleNative)
+        VersionedTable.appendPartitioned(spark, shinglesRoot(root), shingleFrame(admitted), "pb", sv)
+      else
+        VersionedTable.append(spark, shinglesRoot(root), shingleFrame(admitted), sv)
     }
     (admitted, pairs)
   }

@@ -16,8 +16,10 @@ import graft.sources.VersionedTable
   * standard inverted-index discipline: boilerplate grams explode the
   * probe join quadratically and carry no dedup signal. Appends do not
   * re-apply the cap (an appended doc could push a gram past it);
-  * periodic [[build]] from the full corpus re-levels it — stated
-  * honestly, the same compaction-refresh contract as the band index.
+  * periodic [[build]] from the full corpus re-levels it, and
+  * [[rebuildRecommended]] says WHEN that is due (appended-doc count
+  * tracked in a meta sidecar) — the same compaction-refresh contract
+  * as the band index, with an explicit degradation signal.
   *
   * At 100 TB the posting table gets bucketed by gram (the BandIndex
   * buildBucketed treatment) so probes never shuffle the index side;
@@ -28,6 +30,58 @@ object GramIndex {
   /** Times a posting index was BUILT (not probed) — the d12-style
     * evidence that repeated incremental runs are probe-only. */
   @volatile var indexBuilds: Long = 0L
+
+  /** Recommend a rebuild when appends have grown the corpus past this
+    * fraction of its size at the last [[build]]. */
+  val RebuildFraction = 0.25
+
+  private def metaPath(root: String) = s"$root/_gram_meta"
+
+  private def hfs(spark: SparkSession, root: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private def readMeta(spark: SparkSession, root: String): Option[(Long, Long)] =
+    try {
+      val f = hfs(spark, root)
+      val in = f.open(new org.apache.hadoop.fs.Path(metaPath(root)))
+      val kv = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }.toMap
+      finally in.close()
+      Some((kv("built_docs"), kv("appended_docs")))
+    } catch { case _: Exception => None }
+
+  private def writeMeta(spark: SparkSession, root: String,
+                        builtDocs: Long, appendedDocs: Long): Unit = {
+    val f = hfs(spark, root)
+    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
+      /* overwrite = */ true)
+    try out.write(s"built_docs=$builtDocs\nappended_docs=$appendedDocs\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Whether the periodic [[build]] is DUE: appends never re-apply the
+    * hot-gram cap, so a long append chain can push boilerplate grams
+    * arbitrarily past `dfCap` and quadratically degrade every probe
+    * join — and without a signal nobody knows when "periodic" has
+    * arrived. Build/append track corpus doc counts in a meta sidecar;
+    * the recommendation fires when appended docs exceed
+    * [[RebuildFraction]] of the built corpus (the cap can drift by at
+    * most that factor before re-leveling). An index with no meta (one
+    * built before tracking, so its drift is UNKNOWN) recommends
+    * conservatively. Same single-ingest-loop write contract as
+    * [[BandIndex.ingest]] — concurrent appends would race the meta
+    * rewrite, not corrupt the index itself. The DataSkipping analogue:
+    * recluster is the degradation response for z-order, this is the
+    * degradation response for the posting cap. */
+  def rebuildRecommended(spark: SparkSession, root: String): Boolean =
+    readMeta(spark, root) match {
+      case Some((built, appended)) =>
+        appended > built.max(1L) * RebuildFraction
+      case None => true
+    }
 
   private def postings(docs: DataFrame, n: Int): DataFrame = {
     import graft.functions.GraftFunctions._
@@ -52,13 +106,19 @@ object GramIndex {
     val idx = g.join(hot, Seq("gram"), "left_anti")
     val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
     VersionedTable.commit(spark, root, idx, v)
+    writeMeta(spark, root, corpus.select(col("doc_id")).distinct().count(), 0L)
   }
 
-  /** Append a batch's postings (no cap re-check — see class doc):
+  /** Append a batch's postings (no cap re-check — see class doc;
+    * [[rebuildRecommended]] says when the drift is due a re-level):
     * O(batch) add-file commit. */
   def append(spark: SparkSession, root: String, docs: DataFrame, n: Int = 8): Unit = {
     val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
     VersionedTable.append(spark, root, postings(docs, n), v)
+    val batchDocs = docs.select(col("doc_id")).distinct().count()
+    readMeta(spark, root).foreach { case (built, appended) =>
+      writeMeta(spark, root, built, appended + batchDocs)
+    }
   }
 
   /** Duplicated spans of `batch` against the PERSISTED index: batch

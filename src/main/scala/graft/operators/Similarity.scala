@@ -512,9 +512,13 @@ object Similarity {
     // the probed cells, so the code scan touches cand_frac of the
     // corpus (the ivf rows' cost axis) while each candidate costs 4
     // code bytes + 8 table lookups instead of a vector read. Recall
-    // is the top-R(=head shortlist) vs exact L2, like the pq rows;
-    // cell pruning can only LOSE candidates vs flat PQ at the same R
-    // (spec-pinned).
+    // is the top-R(=head shortlist) vs exact L2, like the pq rows.
+    // NOTE: vs flat PQ at the same R there is NO ordering invariant —
+    // pruning restricts the candidate POOL (every IVF-PQ candidate
+    // lies in a probed cell), but top-R within the restricted pool
+    // can include exact neighbors whose global ADC rank is worse
+    // than R, so pruning can RAISE recall by evicting distractors.
+    // The spec pins a tolerance band, not an inequality.
     val ivfPqR = shortlists.headOption.getOrElse(50)
     val corpusCodes = pqCodes(embeddings)
       .select(col("vec_id").as("c_id"), col("codes"))

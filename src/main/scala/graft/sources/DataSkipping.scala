@@ -21,15 +21,20 @@ import org.apache.spark.sql.functions._
   * so range predicates on EITHER prune — where a linear sort clusters
   * only its leading column (the spec pins exactly that difference).
   *
-  * Stats are numeric-only (cast to double) in this version; string
-  * stats add collation/truncation questions (Delta truncates to
-  * 32-char prefixes) that nothing in the corpus needs yet.
+  * Numeric stats cast to double; STRING stats are binary-collation
+  * min/max truncated Delta-style to a [[StringStatPrefix]]-char
+  * prefix — the stored min prefix is a valid lower bound as-is, and
+  * a truncated max gets `￿` appended so every string sharing the
+  * prefix stays under it (the standard tie-upper-bound trick;
+  * surrogate-pair edge cases are out of scope and only cost pruning,
+  * never correctness, because bounds only ever widen).
   *
-  * The stats build is one job over the version's dirs grouped by
-  * parent dir; its collected result is one row per dir — bounded by
-  * the layout, never by data. The sidecar republish is atomic
-  * (temp + rename); a lost race just means the next reader
-  * recomputes into the cache again.
+  * The stats build is one job over ONLY the dirs that lack entries
+  * for the requested columns (an append-then-read computes stats for
+  * the ONE new dir, not the table), grouped by parent dir; its
+  * collected result is one row per dir — bounded by the layout, never
+  * by data. The sidecar republish is atomic (temp + rename); a lost
+  * race just means the next reader recomputes into the cache again.
   */
 object DataSkipping {
 
@@ -37,6 +42,16 @@ object DataSkipping {
     * cache) — spec evidence that repeated pruned reads are IO-free
     * on the stats side. */
   @volatile var statsBuilds: Long = 0L
+
+  /** Dirs the most recent stats build actually scanned — spec
+    * evidence that the stats cost of an append is O(new dirs): shared
+    * dirs' bounds are seeded from prior versions' sidecars (dirs are
+    * immutable, bounds travel with the dir), so only genuinely new
+    * dirs are ever read. */
+  @volatile var lastStatsDirsScanned: Int = 0
+
+  /** Delta-style string-stat truncation length. */
+  val StringStatPrefix = 32
 
   private def verName(v: Long) = f"v$v%08d"
   private def statsPath(root: String, v: Long) = s"$root/_log/${verName(v)}.stats"
@@ -46,9 +61,24 @@ object DataSkipping {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
-  // sidecar line: rel \t col \t min \t max (doubles; rel/col carry no tabs)
+  /** One dir's cached bounds for one column. A numeric NaN pair is the
+    * "present but never prunes" sentinel (all-null / zero-row dirs of
+    * EITHER type use it — NaN comparisons are false, and presence is
+    * what stops the per-call rebuild). */
+  sealed private trait Stat
+  private final case class NumStat(mn: Double, mx: Double) extends Stat
+  private final case class StrStat(mn: String, mx: String) extends Stat
+
+  private val NoStat: Stat = NumStat(Double.NaN, Double.NaN)
+
+  private def encS(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decS(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  // sidecar lines (rel/col carry no tabs):
+  //   numeric: rel \t col \t min \t max            (doubles; legacy form)
+  //   string:  rel \t col \t S \t encMin \t encMax (URL-encoded bounds)
   private def readSidecar(spark: SparkSession, root: String,
-                          v: Long): Map[String, Map[String, (Double, Double)]] = {
+                          v: Long): Map[String, Map[String, Stat]] = {
     val f = fs(spark, root)
     if (!f.exists(hp(statsPath(root, v)))) return Map.empty
     val in = f.open(hp(statsPath(root, v)))
@@ -56,22 +86,28 @@ object DataSkipping {
                finally in.close()
     text.split("\n").map(_.trim).filter(_.nonEmpty)
       .map { line =>
-        val Array(rel, c, mn, mx) = line.split("\t")
-        (rel, c, mn.toDouble, mx.toDouble)
+        line.split("\t", -1) match {
+          case Array(rel, c, mn, mx) => (rel, c, NumStat(mn.toDouble, mx.toDouble): Stat)
+          case Array(rel, c, "S", mn, mx) => (rel, c, StrStat(decS(mn), decS(mx)): Stat)
+          case _ => throw new IllegalStateException(s"malformed stats line: $line")
+        }
       }
       .groupBy(_._1).map { case (rel, xs) =>
-        rel -> xs.map(x => x._2 -> (x._3, x._4)).toMap
+        rel -> xs.map(x => x._2 -> x._3).toMap
       }
   }
 
   private def writeSidecar(spark: SparkSession, root: String, v: Long,
-                           stats: Map[String, Map[String, (Double, Double)]]): Unit = {
+                           stats: Map[String, Map[String, Stat]]): Unit = {
     val f = fs(spark, root)
     val tmp = hp(s"$root/_log/.stats-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try {
       val text = stats.toSeq.sortBy(_._1).flatMap { case (rel, cs) =>
-        cs.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$rel\t$c\t$mn\t$mx" }
+        cs.toSeq.sortBy(_._1).map {
+          case (c, NumStat(mn, mx)) => s"$rel\t$c\t$mn\t$mx"
+          case (c, StrStat(mn, mx)) => s"$rel\t$c\tS\t${encS(mn)}\t${encS(mx)}"
+        }
       }.mkString("\n")
       out.write(text.getBytes("UTF-8"))
     } finally out.close()
@@ -81,23 +117,52 @@ object DataSkipping {
     if (!f.rename(tmp, hp(statsPath(root, v)))) f.delete(tmp, false)
   }
 
-  /** Per-dir min/max for `cols` at `version`, computed once and cached
-    * in the version's stats sidecar; later calls with new columns
-    * extend the sidecar. All-null dirs carry no entry for that column
-    * (and are never pruned by it). */
-  def ensureStats(spark: SparkSession, root: String, version: Long,
-                  cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
-    val existing = readSidecar(spark, root, version)
+  /** Per-dir bounds for the requested columns at `version`, computed
+    * once and cached in the version's stats sidecar. The stats job
+    * reads ONLY the dirs still lacking an entry for some requested
+    * column — an append-then-read computes stats for the one new dir,
+    * never the table. All-null / zero-row dirs get the NaN sentinel
+    * (present, never prunes, never rebuilds). */
+  private def ensureStatsTyped(spark: SparkSession, root: String, version: Long,
+                               numCols: Seq[String], strCols: Seq[String]
+                              ): Map[String, Map[String, Stat]] = {
+    var existing = readSidecar(spark, root, version)
     val rels = VersionedTable.dirsOf(spark, root, version)
-    val missing = cols.distinct.filterNot(c =>
-      rels.forall(r => existing.get(r).exists(_.contains(c))) && existing.nonEmpty)
-    if (missing.isEmpty) return existing
+    val cols = (numCols ++ strCols).distinct
+    def uncovered = rels.filterNot(r =>
+      existing.get(r).exists(cs => cols.forall(cs.contains)))
+    // seed from recent predecessors' sidecars first: an append chain
+    // SHARES dirs across versions, and a dir's bounds never change —
+    // so the new version inherits every already-computed dir for free
+    // and the build below reads only the genuinely new dirs. Bounded
+    // walk (sidecars may be vacuumed or never built); persists what it
+    // inherits so the walk happens once per version.
+    if (uncovered.nonEmpty && version > 0) {
+      val inherited = ((version - 1) to math.max(0L, version - 10L) by -1)
+        .map(w => readSidecar(spark, root, w))
+        .foldLeft(Map.empty[String, Map[String, Stat]]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).map(rel =>
+            rel -> (m.getOrElse(rel, Map.empty) ++ acc.getOrElse(rel, Map.empty))).toMap
+        }
+        .filter(kv => rels.contains(kv._1))
+      if (inherited.nonEmpty) {
+        existing = (existing.keySet ++ inherited.keySet).map { rel =>
+          rel -> (inherited.getOrElse(rel, Map.empty) ++ existing.getOrElse(rel, Map.empty))
+        }.toMap
+        writeSidecar(spark, root, version, existing)
+      }
+    }
+    val needRels = uncovered
+    if (needRels.isEmpty) return existing
     statsBuilds += 1
+    lastStatsDirsScanned = needRels.size
     val df = spark.read.option("mergeSchema", "true")
-      .parquet(rels.map(r => s"$root/$r"): _*)
+      .parquet(needRels.map(r => s"$root/$r"): _*)
       .withColumn("_dir", regexp_replace(input_file_name(), "/[^/]*$", ""))
-    val aggs = missing.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"min_$c"), max(col(c).cast("double")).as(s"max_$c")))
+    val aggs = numCols.distinct.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"nmin_$c"), max(col(c).cast("double")).as(s"nmax_$c"))) ++
+      strCols.distinct.flatMap(c => Seq(
+        min(col(c).cast("string")).as(s"smin_$c"), max(col(c).cast("string")).as(s"smax_$c")))
     val rows = df.groupBy(col("_dir")).agg(aggs.head, aggs.tail: _*).collect()
     def dirMatches(dir: String, rel: String): Boolean =
       dir.endsWith(s"/$rel") ||
@@ -106,22 +171,30 @@ object DataSkipping {
         java.net.URI.create(dir).getPath.endsWith(s"/$rel")
     val fromRows = rows.flatMap { r =>
       val dir = r.getString(0)
-      rels.find(rel => dirMatches(dir, rel)).map { rel =>
-        rel -> missing.map { c =>
-          val mn = r.getAs[Any](s"min_$c"); val mx = r.getAs[Any](s"max_$c")
-          // all-null dir: record a NaN sentinel (NaN comparisons are
-          // false, so the dir is never pruned) — an absent entry would
-          // look like a missing column and rebuild stats on EVERY call
-          if (mn == null || mx == null) c -> (Double.NaN, Double.NaN)
-          else c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
-        }.toMap
+      needRels.find(rel => dirMatches(dir, rel)).map { rel =>
+        val nums = numCols.distinct.map { c =>
+          val mn = r.getAs[Any](s"nmin_$c"); val mx = r.getAs[Any](s"nmax_$c")
+          if (mn == null || mx == null) c -> NoStat
+          else c -> NumStat(mn.asInstanceOf[Double], mx.asInstanceOf[Double])
+        }
+        val strs = strCols.distinct.map { c =>
+          val mn = r.getAs[String](s"smin_$c"); val mx = r.getAs[String](s"smax_$c")
+          if (mn == null || mx == null) c -> NoStat
+          // truncation keeps bounds VALID: a min prefix only lowers the
+          // lower bound; a truncated max gets U+FFFF appended so every
+          // string sharing the prefix stays under it
+          else c -> StrStat(mn.take(StringStatPrefix),
+            if (mx.length <= StringStatPrefix) mx
+            else mx.take(StringStatPrefix) + "￿")
+        }
+        rel -> (nums ++ strs).toMap
       }
     }.toMap
     // dirs with no aggregated row at all (zero-row dir, or a path the
     // suffix match missed) get the same NaN sentinel: never pruned,
     // never treated as a missing column that would force a rebuild
-    val computed = rels.map { rel =>
-      rel -> fromRows.getOrElse(rel, missing.map(c => c -> (Double.NaN, Double.NaN)).toMap)
+    val computed = needRels.map { rel =>
+      rel -> fromRows.getOrElse(rel, cols.map(c => c -> NoStat).toMap)
     }.toMap
     val merged = (existing.keySet ++ computed.keySet).map { rel =>
       rel -> (existing.getOrElse(rel, Map.empty) ++ computed.getOrElse(rel, Map.empty))
@@ -129,6 +202,16 @@ object DataSkipping {
     writeSidecar(spark, root, version, merged)
     merged
   }
+
+  /** Per-dir numeric min/max for `cols` at `version` (see
+    * [[ensureStatsTyped]]); kept for callers that want the raw
+    * bounds — string-stat entries for other columns are not visible
+    * through this projection. */
+  def ensureStats(spark: SparkSession, root: String, version: Long,
+                  cols: Seq[String]): Map[String, Map[String, (Double, Double)]] =
+    ensureStatsTyped(spark, root, version, cols, Nil).map { case (rel, cs) =>
+      rel -> cs.collect { case (c, NumStat(mn, mx)) => c -> (mn, mx) }
+    }
 
   /** The dirs of `version` a [lo, hi] predicate on `column` can touch
     * — the skipping decision itself, exposed so callers (and specs)
@@ -138,11 +221,32 @@ object DataSkipping {
                  lo: Double, hi: Double, version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(VersionedTable.currentVersion(spark, root)).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
-    val stats = ensureStats(spark, root, v, Seq(column))
+    val stats = ensureStatsTyped(spark, root, v, Seq(column), Nil)
     VersionedTable.dirsOf(spark, root, v).filter { rel =>
       stats.get(rel).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => !(mx < lo || mn > hi)
-        case None => true
+        case Some(NumStat(mn, mx)) => !(mx < lo || mn > hi)
+        case _ => true
+      }
+    }
+  }
+
+  /** [[prunedDirs]] for a STRING range predicate. Collation is
+    * binary: Spark computes the bounds in UTF8_BINARY order and the
+    * pruning compare here is Java UTF-16 order — identical for BMP
+    * text; strings with supplementary-plane characters near a bound
+    * can disagree between the two orders, so this path is documented
+    * for BMP data (keys, tickers, dates, record types — the corpus's
+    * string predicates), not emoji-boundary ranges. Truncation and
+    * sentinel rules are identical to the numeric path. */
+  def prunedDirsString(spark: SparkSession, root: String, column: String,
+                       lo: String, hi: String, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(VersionedTable.currentVersion(spark, root)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val stats = ensureStatsTyped(spark, root, v, Nil, Seq(column))
+    VersionedTable.dirsOf(spark, root, v).filter { rel =>
+      stats.get(rel).flatMap(_.get(column)) match {
+        case Some(StrStat(mn, mx)) => !(mx.compareTo(lo) < 0 || mn.compareTo(hi) > 0)
+        case _ => true
       }
     }
   }
@@ -207,6 +311,22 @@ object DataSkipping {
     v
   }
 
+  /** [[readWhere]] for a STRING range: opens only
+    * [[prunedDirsString]], then applies the row-level predicate — by
+    * construction equal to the unpruned filter (spec-asserted). */
+  def readWhereString(spark: SparkSession, root: String, column: String,
+                      lo: String, hi: String): DataFrame = {
+    val v = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val pred = col(column).cast("string").between(lo, hi)
+    val keep = prunedDirsString(spark, root, column, lo, hi, Some(v))
+    if (keep.isEmpty)
+      VersionedTable.readAsOf(spark, root, v).filter(pred).limit(0)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(r => s"$root/$r"): _*).filter(pred)
+  }
+
   /** Re-cluster the CURRENT version (OPTIMIZE): plain appends land as
     * dirs spanning the whole value space, so their stats prune
     * nothing and skipping effectiveness decays as they accumulate;
@@ -214,12 +334,61 @@ object DataSkipping {
     * version (history stays time-travelable until vacuum). Cost is a
     * full clustering rewrite — the periodic maintenance pass every
     * clustered lakehouse table runs, triggered when pruned-dir ratios
-    * degrade, not per append. */
+    * degrade, not per append. [[reclusterDelta]] is the O(appends)
+    * tier in between. */
   def recluster(spark: SparkSession, root: String,
                 c1: String, c2: String, nDirs: Int): Long = {
     val base = VersionedTable.currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     zOrderCommit(spark, root, VersionedTable.readAsOf(spark, root, base),
                  c1, c2, nDirs, base)
+  }
+
+  /** DELTA re-cluster (the partition-scoped OPTIMIZE): z-order ONLY
+    * the unclustered dirs — plain appends since the last clustering
+    * write, the ones whose stats span everything — into a fresh
+    * z-generation, carrying every already-clustered (partition-
+    * annotated) dir forward untouched, with its stats seeded into the
+    * new version's sidecar (dirs are immutable; bounds carry). Cost is
+    * O(appended data) in both the rewrite and the stats job, not
+    * O(table) — the tiered-compaction shape: each generation's dirs
+    * are tight, so range predicates prune across generations, and the
+    * full [[recluster]] remains the periodic deep pass that folds
+    * generations together. Delta generations are tagged
+    * `g<base>-<pid>` so their partition values never collide with the
+    * base grid's. A table with no unclustered dirs is a no-op (returns
+    * the current version, no commit churn). */
+  def reclusterDelta(spark: SparkSession, root: String,
+                     c1: String, c2: String, nDirs: Int): Long = {
+    val base = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val entries = VersionedTable.entryPairsOf(spark, root, base)
+    val loose = entries.filter(_._2.isEmpty).map(_._1)
+    if (loose.isEmpty) return base
+    val carried = entries.filter(_._2.isDefined)
+    val delta = spark.read.option("mergeSchema", "true")
+      .parquet(loose.map(r => s"$root/$r"): _*)
+    val b = delta.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"reclusterDelta: all-null clustering column ($c1/$c2) in the delta")
+    def rank(c: String, mn: Double, mx: Double): Column =
+      if (mx == mn) lit(0L)
+      else least(lit(65535L),
+        floor((col(c).cast("double") - mn) / (mx - mn) * 65536.0)).cast("long")
+    val z = interleave16(rank(c1, b.getDouble(0), b.getDouble(1)),
+                         rank(c2, b.getDouble(2), b.getDouble(3)))
+    val keyed = delta.withColumn("_z", z)
+      .repartitionByRange(nDirs, col("_z"))
+      .withColumn("zb", concat(lit(s"g$base-"), spark_partition_id().cast("string")))
+      .drop("_z")
+    val v = VersionedTable.commitPartitionedCarrying(
+      spark, root, keyed, "zb", base, carried)
+    // carried dirs' stats are INHERITED from the base sidecar (the
+    // prior-version seed in ensureStats) — this computes only the
+    // delta generation's dirs
+    ensureStats(spark, root, v, Seq(c1, c2))
+    v
   }
 }

