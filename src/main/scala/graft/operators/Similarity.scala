@@ -528,7 +528,8 @@ object Similarity {
     val dts = pqDistTables(embeddings, nQueries).localCheckpoint()
     val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
       s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
-    val ivfPqRows = probes.map { p =>
+    val resCodes = ivfPqCodes(embeddings, cents).localCheckpoint()
+    val ivfPqRows = probes.flatMap { p =>
       import org.apache.spark.sql.expressions.Window
       val qp = probeCells(embeddings, nQueries, p, cents)
         .select(col("q_id"), col("cell"))
@@ -542,8 +543,16 @@ object Similarity {
         .select(col("q_id"), col("c_id").as("neighbor_id"))
       val frac = qp.join(csizes, "cell")
         .groupBy(col("q_id")).agg(sum(col("cn")).as("probed"))
-        .agg((avg(col("probed")) / n).as("cand_frac"))
-      row(s"ivfpq[probe=$p,R=$ivfPqR]", approx, frac, baseline = exactL2)
+        .agg((avg(col("probed")) / n).as("cand_frac")).localCheckpoint(eager = false)
+      Seq(
+        row(s"ivfpq[probe=$p,R=$ivfPqR]", approx, frac, baseline = exactL2),
+        // the RESIDUAL variant (s10's encoding) at the same operating
+        // point — same cells, same cost axis, so the recall delta is
+        // exactly what the residual step buys at this code budget
+        row(s"ivfpq-res[probe=$p,R=$ivfPqR]",
+            ivfPqSearch(resCodes,
+              ivfPqDistTables(embeddings, nQueries, p, cents), ivfPqR),
+            frac, baseline = exactL2))
     }
     (lshRow +: (ivfRows ++ pqRows ++ ivfPqRows)).reduce(_.unionByName(_))
   }
@@ -819,6 +828,195 @@ object Similarity {
         Rounding.roundN(col("hits_short").cast("double") / col("k_eval"), 4))
       .select(col("q_id"), col("k_eval"), col("hits_short"), col("recall_short"))
       .orderBy(col("q_id"))
+  }
+
+  // ---- s10: IVF-PQ with per-cell residual codes -----------------------
+
+  /** Element-wise difference as a double list — the residual
+    * arithmetic, identical element order on both engines. */
+  private def residualExpr(d: Dialect, a: String, b: String): String =
+    if (d eq Dialect.spark)
+      s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    else
+      d.transform(d.range("1", Dims.toString),
+        s"i -> CAST(${d.elem(a, "i")} AS DOUBLE) - CAST(${d.elem(b, "i")} AS DOUBLE)")
+
+  /** Corpus/query residuals: each vector minus ITS cell's centroid
+    * (assignment from [[assignedCells]], so search and eval share the
+    * same Voronoi partition). */
+  private def residuals(embeddings: DataFrame,
+                        centIds: Seq[Long] = centroidIds): DataFrame = {
+    val cents = embeddings.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    assignedCells(embeddings, centIds)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+              expr(residualExpr(Dialect.spark, "embedding", "cemb")).as("res"))
+  }
+
+  /** TRUE IVF-PQ codes (Jégou et al. 2011, the billion-scale
+    * composition): every corpus vector is PQ-coded as its RESIDUAL
+    * from its IVF cell centroid. Residuals concentrate around the
+    * origin regardless of which cell a vector lives in, so one
+    * codebook quantizes every cell's local geometry — that is why
+    * IVF-PQ beats flat-PQ-plus-cells at the same code budget, and why
+    * the residual step exists at all. Codebook = the residuals of the
+    * pinned [[PqCodebookIds]] vectors (16 rows, broadcast; the
+    * corpus-independent-SQL convention — production trains per-
+    * subspace k-means on sampled residuals, same plan shape). One
+    * map-side pass: the scan side afterwards streams
+    * (cell, 4-byte codes) and never touches vectors again. */
+  private def ivfPqCodes(embeddings: DataFrame,
+                         centIds: Seq[Long] = centroidIds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = residuals(embeddings, centIds).localCheckpoint(eager = false)
+    val cbr = res.filter(col("vec_id").isin(PqCodebookIds: _*))
+      .select((col("vec_id") - lit(PqCodebookIds.head)).cast("int").as("cidx"),
+              col("res").as("cres"))
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("sd").asc, col("cidx").asc)
+    res.crossJoin(broadcast(cbr))
+      .select(col("vec_id"), col("cell"), col("cidx"),
+              explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("j"),
+              col("res"), col("cres"))
+      .withColumn("sd", expr(pqSubDist(Dialect.spark, "res", "cres", "j")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
+        .as("codes"))
+  }
+
+  /** Per-(query, probed cell) ADC distance tables: the query's
+    * residual AGAINST THAT CELL vs the residual codebook — nProbe x
+    * 128 doubles per query, the whole query-side payload. */
+  private def ivfPqDistTables(embeddings: DataFrame, maxQueryId: Long,
+                              nProbe: Int,
+                              centIds: Seq[Long] = centroidIds): DataFrame = {
+    val centsE = embeddings.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cbr = residuals(embeddings, centIds)
+      .filter(col("vec_id").isin(PqCodebookIds: _*))
+      .select((col("vec_id") - lit(PqCodebookIds.head)).cast("int").as("cidx"),
+              col("res").as("cres"))
+    probeCells(embeddings, maxQueryId, nProbe, centIds)
+      .join(broadcast(centsE), col("cell") === col("cent_id"))
+      .select(col("q_id"), col("cell"),
+              expr(residualExpr(Dialect.spark, "qe", "cemb")).as("qr"))
+      .crossJoin(broadcast(cbr))
+      .select(col("q_id"), col("cell"), col("cidx"),
+              explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("j"),
+              col("qr"), col("cres"))
+      .withColumn("sd", expr(pqSubDist(Dialect.spark, "qr", "cres", "j")))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx, sd))), s -> s.sd)")
+        .as("dt"))
+  }
+
+  /** IVF-PQ shortlist per query: code rows join the probed cells (the
+    * equi-join IS the cell pruning), ADC = 8 table lookups against
+    * the (query, cell) table, rank <= R. */
+  /** The ADC scan given prebuilt code rows and (query, cell) tables —
+    * split out so the recall sweep can amortize ONE code build across
+    * its probe operating points. */
+  private def ivfPqSearch(codes: DataFrame, dts: DataFrame, r: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
+      s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)
+    codes.select(col("vec_id").as("c_id"), col("cell"), col("codes"))
+      .join(broadcast(dts), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= r)
+      .select(col("q_id"), col("c_id").as("neighbor_id"))
+  }
+
+  private def ivfPqTopK(embeddings: DataFrame, maxQueryId: Long, r: Int,
+                        nProbe: Int,
+                        centIds: Seq[Long] = centroidIds): DataFrame =
+    ivfPqSearch(ivfPqCodes(embeddings, centIds),
+                ivfPqDistTables(embeddings, maxQueryId, nProbe, centIds), r)
+
+  /** s10: TRUE IVF-PQ (per-cell residual codes) shortlist recall —
+    * the s09 contract (exact-L2 top-k membership in the ADC top-R,
+    * because production IVF-PQ feeds an exact re-rank) over the
+    * s03/s05 cell structure: candidates are only the probed cells'
+    * members, each scored by 8 table lookups on its 4-byte residual
+    * code. The operating point every billion-vector index runs:
+    * cells bound the scan, residual codes bound the bytes per
+    * candidate, R bounds the re-rank. Full DuckDB replay of
+    * assignment, residuals, codes, per-cell tables and ranking.
+    */
+  def ivfPqRecall(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5,
+                  shortlist: Int = 50, nProbe: Int = 2): DataFrame = {
+    val exact = exactL2TopK(embeddings, maxQueryId, k)
+    val appx = ivfPqTopK(embeddings, maxQueryId, shortlist, nProbe)
+      .withColumn("hit", lit(1L))
+    exact.join(broadcast(appx), Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_eval"),
+           sum(coalesce(col("hit"), lit(0L))).as("hits_short"))
+      .withColumn("recall_short",
+        Rounding.roundN(col("hits_short").cast("double") / col("k_eval"), 4))
+      .select(col("q_id"), col("k_eval"), col("hits_short"), col("recall_short"))
+      .orderBy(col("q_id"))
+  }
+
+  def ivfPqRecallOracle(maxQueryId: Long = 8, k: Int = 5,
+                        shortlist: Int = 50, nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    val lo = PqCodebookIds.head
+    val hi = PqCodebookIds.last
+    s"""WITH $assignedCtes,
+       resid AS (SELECT a.vec_id, a.cell,
+           ${residualExpr(d, "a.embedding", "c.cemb")} AS res
+         FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       cbr AS (SELECT vec_id - $lo AS cidx, res AS cres
+         FROM resid WHERE vec_id BETWEEN $lo AND $hi),
+       rsub AS (SELECT r.vec_id, r.cell, b.cidx, t.j,
+           ${pqSubDist(d, "r.res", "b.cres", "t.j")} AS sd
+         FROM resid r CROSS JOIN cbr b
+         CROSS JOIN generate_series(0, ${PqSubspaces - 1}) t(j)),
+       codes AS (SELECT vec_id, cell, list(cidx ORDER BY j) AS codes
+         FROM (SELECT vec_id, cell, j, cidx, row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY sd, cidx) AS rn FROM rsub) x
+         WHERE rn = 1 GROUP BY vec_id, cell),
+       qprobe AS (SELECT vec_id AS q_id, cent_id AS cell, embedding AS qe
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc WHERE vec_id < $maxQueryId) t
+         WHERE crn <= $nProbe),
+       qres AS (SELECT q.q_id, q.cell,
+           ${residualExpr(d, "q.qe", "c.cemb")} AS qr
+         FROM qprobe q JOIN cents c ON q.cell = c.cent_id),
+       qsub AS (SELECT q.q_id, q.cell, b.cidx, t.j,
+           ${pqSubDist(d, "q.qr", "b.cres", "t.j")} AS sd
+         FROM qres q CROSS JOIN cbr b
+         CROSS JOIN generate_series(0, ${PqSubspaces - 1}) t(j)),
+       dt AS (SELECT q_id, cell, list(sd ORDER BY j, cidx) AS dt
+         FROM qsub GROUP BY q_id, cell),
+       scored AS (SELECT d.q_id, c.vec_id AS c_id,
+           list_reduce(list_transform(generate_series(0, ${PqSubspaces - 1}),
+             j -> dt[j * $PqK + codes[j + 1] + 1]), (a, b) -> a + b) AS adc
+         FROM codes c JOIN dt d ON c.cell = d.cell WHERE d.q_id <> c.vec_id),
+       appx AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+           FROM scored) r WHERE rank <= $shortlist),
+       exact AS (SELECT q_id, c_id AS neighbor_id FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${l2Expr(d, "q.embedding", "c.embedding")}, c.vec_id) AS rank
+           FROM embeddings c JOIN embeddings q
+             ON q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id) t
+         WHERE rank <= $k)
+       SELECT e.q_id, count(*) AS k_eval,
+         CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits_short,
+         round(CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / count(*), 4) AS recall_short
+       FROM exact e LEFT JOIN appx p
+         ON e.q_id = p.q_id AND e.neighbor_id = p.c_id
+       GROUP BY e.q_id ORDER BY e.q_id"""
   }
 
   def pqRecallOracle(maxQueryId: Long = 8, k: Int = 5,

@@ -182,6 +182,62 @@ object Demo {
     println(s"13. data skipping: custkey range opens $custDirs/$allDirs dirs, " +
       s"totalprice range opens $priceDirs/$allDirs — either column prunes under z-order")
 
+    // 14. OPTIMIZE TIERS: an append degrades skipping; the DELTA
+    //     recluster (O(appends)) folds only the loose dirs into a
+    //     fresh tight generation, carrying the clustered dirs — the
+    //     full recluster stays the periodic deep pass
+    val zAppend = rawOrders.select(
+      col("o_orderkey") + lit(10000000L), col("o_custkey"), col("o_totalprice"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    VersionedTable.append(spark, zRoot, zAppend, 0L)
+    val dv = DataSkipping.reclusterDelta(spark, zRoot, "o_custkey", "o_totalprice", nDirs = 4)
+    val dirsNow = VersionedTable.dirsOf(spark, zRoot, dv).size
+    val custDirs2 = DataSkipping.prunedDirs(spark, zRoot, "o_custkey", 0, 50, Some(dv)).size
+    println(s"14. optimize tiers: delta recluster v$dv scanned " +
+      s"${DataSkipping.lastStatsDirsScanned} new dir(s) for stats, " +
+      s"custkey range now opens $custDirs2/$dirsNow dirs across generations")
+
+    // 14b. STRING SKIPPING: an arrival-date append chain prunes
+    //      day-range reads on the STRING day column — the Landing
+    //      layout's read path
+    val sRoot = s"$work/versioned/bydate"
+    var sv = VersionedTable.commit(spark, sRoot,
+      rawOrders.limit(100).withColumn("day", lit("2024-01-01")), -1L)
+    sv = VersionedTable.append(spark, sRoot,
+      rawOrders.limit(100).withColumn("day", lit("2024-01-02")), sv)
+    sv = VersionedTable.append(spark, sRoot,
+      rawOrders.limit(100).withColumn("day", lit("2024-01-03")), sv)
+    val dayDirs = DataSkipping.prunedDirsString(spark, sRoot, "day",
+      "2024-01-02", "2024-01-02").size
+    println(s"14b. string skipping: one-day range opens $dayDirs/3 dirs " +
+      "(min/max string stats on the append chain)")
+
+    // 15. PARTITION-SCOPED SCD2: the type-2 dim merged per record_type
+    //     partition — a one-type refresh stages one partition dir and
+    //     carries the rest (history included) untouched
+    val sp = s"$work/versioned/dim_scd2_part"
+    val typed = unified.select(col("record_type"), col("suppkey"), col("qty"))
+    Scd2.mergeScd2Partitioned(spark, sp,
+      typed, Seq("record_type", "suppkey"), "record_type", "2024-01-01 00:00:00")
+    val ttmOnly = typed.filter(col("record_type") === "ttm")
+      .withColumn("qty", col("qty") + 1.0)
+    val spv = Scd2.mergeScd2Partitioned(spark, sp,
+      ttmOnly, Seq("record_type", "suppkey"), "record_type", "2024-02-01 00:00:00")
+    def spLines(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sp/_log/v${"%08d".format(v)}.commit")), "UTF-8").split("\n")
+    val spCarried = spLines(spv).toSet.intersect(spLines(spv - 1).toSet).size
+    val spHist = Scd2.asOf(spark, sp, "2024-01-15 00:00:00")
+      .filter(col("record_type") === "ttm").count()
+    println(s"15. scd2 partition-scoped: v$spv staged ${spLines(spv).length - spCarried} " +
+      s"dir(s), carried $spCarried; ttm as-of-January still serves $spHist rows")
+
+    // 15b. INDEX MAINTENANCE SIGNAL: the gram index tracks append
+    //      drift and says when the periodic rebuild is due
+    GramIndex.append(spark, gidx, docs.filter(col("doc_id") % 17 === 0))
+    println(s"15b. gram index rebuild due after batch appends: " +
+      s"${GramIndex.rebuildRecommended(spark, gidx)} " +
+      "(df-cap drift is tracked, not guessed)")
+
     println("== demo complete")
     spark.stop()
   }

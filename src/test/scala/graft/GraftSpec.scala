@@ -1738,7 +1738,7 @@ class GraftSpec extends AnyFunSuite {
     // nested pools, so their recalls cannot be wildly apart — plus
     // probe-widening sanity (also tolerance-banded: at fixed R a
     // wider pool can evict a sub-R true neighbor from the top-R).
-    val ivfpq = rows.keys.filter(_.startsWith("ivfpq")).toSeq.sortBy(
+    val ivfpq = rows.keys.filter(_.startsWith("ivfpq[")).toSeq.sortBy(
       k => k.split("probe=")(1).split(",")(0).toInt)
     assert(ivfpq.size == 3)
     ivfpq.sliding(2).foreach { case Seq(a, b) =>
@@ -1748,6 +1748,20 @@ class GraftSpec extends AnyFunSuite {
     rows.get(s"pq-l2[R=$flatR]").foreach { case (flatRec, _) =>
       ivfpq.foreach(m => assert(math.abs(rows(m)._1 - flatRec) <= 0.35,
         s"$m diverged from flat PQ at the same shortlist beyond tolerance: $rows"))
+    }
+    // the residual variant (s10's encoding) runs at the SAME operating
+    // points; same tolerance-band treatment (neither direction is an
+    // invariant), and its cost axis must equal the non-residual row's
+    // (identical probed cells)
+    val ivfpqRes = rows.keys.filter(_.startsWith("ivfpq-res[")).toSeq.sortBy(
+      k => k.split("probe=")(1).split(",")(0).toInt)
+    assert(ivfpqRes.size == 3)
+    ivfpqRes.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 >= rows(a)._1 - 0.15, s"ivfpq-res recall collapsed widening $a -> $b: $rows")
+    }
+    ivfpq.zip(ivfpqRes).foreach { case (m, mr) =>
+      assert(math.abs(rows(m)._2 - rows(mr)._2) <= 1e-9,
+        s"residual row's cand_frac drifted from the non-residual row: $m vs $mr")
     }
   }
 
@@ -2052,6 +2066,21 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("k_eval") == 5L))
     val mean = rows.map(_.getAs[Double]("recall_short")).sum / rows.length
     assert(mean >= 0.3, s"mean PQ shortlist recall $mean — codes carry no signal")
+  }
+
+  test("s10 IVF-PQ: residual-coded shortlist recall beats the random baseline") {
+    // true IVF-PQ: codes quantize RESIDUALS from the cell centroid.
+    // Cell restriction is an equi-join on cell id — structural, every
+    // candidate lives in a probed cell by construction (the property
+    // that IS deterministic, per round-5 ADVICE). What needs evidence
+    // is that residual codes carry ranking signal: a random
+    // shortlist over the probed cells' members would land well under
+    // the observed recall.
+    val rows = SparkEntry.queries("s10_ivfpq_recall")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("k_eval") == 5L))
+    val mean = rows.map(_.getAs[Double]("recall_short")).sum / rows.length
+    assert(mean >= 0.2, s"mean IVF-PQ shortlist recall $mean — residual codes carry no signal")
   }
 
   test("m04 CDC chunking: boundaries re-sync after a prefix edit; fixed framing loses all alignment") {
