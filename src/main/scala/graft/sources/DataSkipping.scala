@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * Skipping only pays when the layout CLUSTERS values — stats over a
   * random layout span everything and prune nothing. [[zOrderCommit]]
   * provides the layout: normalize the two clustering columns to
-  * 16-bit ranks, interleave bits (Morton / Z-order), range-partition
-  * on the z-key. Every dir then holds a tight range of BOTH columns,
-  * so range predicates on EITHER prune — where a linear sort clusters
-  * only its leading column (the spec pins exactly that difference).
+  * equal-frequency 8-bit ranks (approx-quantile cuts), interleave
+  * bits (Morton / Z-order), range-partition on the z-key. Every dir
+  * then holds a tight range of BOTH columns, so range predicates on
+  * EITHER prune — where a linear sort clusters only its leading
+  * column (the spec pins exactly that difference). String clustering
+  * keys ride through an order-preserving byte surrogate.
   *
   * Numeric stats cast to double; STRING stats are binary-collation
   * min/max truncated Delta-style to a [[StringStatPrefix]]-char
@@ -268,18 +270,82 @@ object DataSkipping {
         .parquet(keep.map(r => s"$root/$r"): _*).filter(pred)
   }
 
-  /** 16-bit Morton interleave of two rank columns (a gets the odd
+  /** Morton interleave of two `bits`-bit rank columns (a gets the odd
     * bits) — plain codegen'd integer arithmetic, no UDF. */
-  private def interleave16(a: Column, b: Column): Column =
-    (0 until 16).map { i =>
+  private def interleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
+  /** Order-preserving NUMERIC surrogate of a clustering column:
+    * numerics cast to double; STRINGS map to their first 8 bytes PAST
+    * the column's global min/max common prefix (dates, ids and keys
+    * share long constant prefixes — "2024-01-.." — which would
+    * otherwise collapse every value to one rank), zero-padded,
+    * read as an unsigned big-endian number into a double. One extra
+    * tiny min/max agg per string column. Prefix length is computed on
+    * CHARS and applied to UTF-8 BYTES, so the documented domain is
+    * ASCII keys (dates, tickers, record types) — the same BMP-honesty
+    * boundary as the string stats. Order collisions beyond byte 8
+    * only cost clustering tightness, never correctness (reads
+    * re-filter). */
+  private def surrogate(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val r = df.agg(min(col(c)), max(col(c))).head()
+        val mn = Option(r.getString(0)).getOrElse("")
+        val mx = Option(r.getString(1)).getOrElse("")
+        val p = mn.zip(mx).takeWhile { case (a, b) => a == b }.size
+        expr(s"CAST(conv(hex(rpad(substring(CAST($c AS BINARY), ${p + 1}, 8), " +
+             s"8, x'00')), 16, 10) AS DOUBLE)")
+      case _ => col(c).cast("double")
+    }
+
+  /** The shared z-key construction: surrogates -> EQUAL-FREQUENCY
+    * 8-bit ranks (one approx-quantile agg: 255 cut points per column,
+    * driver-bounded) -> Morton interleave -> range exchange into
+    * `nDirs` partitions tagged by `tag`(partition id). No global sort
+    * anywhere. Equal-frequency ranks, not affine value ranks: an
+    * affine map hands skewed data (or string byte surrogates, whose
+    * gaps follow ASCII encoding, not value order) a distorted grid
+    * where most rows collapse into a few rank cells and the curve
+    * separates nothing — quantile ranks give every cell the same row
+    * mass by construction, which is exactly what the space-filling
+    * curve needs (and what production OPTIMIZE ZORDER does). Rank
+    * cost per row is a codegen'd fold over the 255-cut literal
+    * array. */
+  private def zKeyed(df: DataFrame, c1: String, c2: String, nDirs: Int,
+                     tag: Column => Column): DataFrame = {
+    val surr = df.withColumn("_s1", surrogate(df, c1))
+      .withColumn("_s2", surrogate(df, c2))
+    val nCuts = 255
+    val ps = (1 to nCuts).map(i => i.toDouble / (nCuts + 1)).mkString(", ")
+    val r = surr.agg(
+      expr(s"approx_percentile(_s1, array($ps), 10000)"),
+      expr(s"approx_percentile(_s2, array($ps), 10000)")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"z-order: empty input or all-null clustering column ($c1/$c2)")
+    def rank(c: String, cuts: Seq[Double]): Column = expr(
+      s"aggregate(array(${cuts.mkString(", ")}), CAST(0 AS BIGINT), " +
+      s"(acc, ct) -> acc + IF($c > ct, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+    surr.withColumn("_z",
+        interleave(rank("_s1", r.getSeq[Double](0)),
+                   rank("_s2", r.getSeq[Double](1)), bits = 8))
+      .repartitionByRange(nDirs, col("_z"))
+      .withColumn("zb", tag(spark_partition_id()))
+      .drop("_z", "_s1", "_s2")
+  }
+
+  /** Whether a column gets string or numeric stats at write time. */
+  private def isString(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.StringType
+
   /** Z-ORDERED commit: cluster `df` so that range predicates on
-    * EITHER of (c1, c2) prune dirs. Both columns are affine-mapped to
-    * 16-bit ranks (one tiny min/max agg — 4 driver-side doubles), bit
-    * interleaved into the Morton key, and range-partitioned into
+    * EITHER of (c1, c2) prune dirs. Both columns map to
+    * equal-frequency ranks (numeric, or prefix-stripped byte
+    * surrogates for STRING keys — see [[surrogate]] and [[zKeyed]]),
+    * bit interleaved into the Morton key, and range-partitioned into
     * `nDirs` dirs (distributed range exchange with sampled bounds —
     * no global sort, no single-partition window). Published as a
     * partition-native version ([[VersionedTable.commitPartitioned]]
@@ -287,27 +353,28 @@ object DataSkipping {
     */
   def zOrderCommit(spark: SparkSession, root: String, df: DataFrame,
                    c1: String, c2: String, nDirs: Int, base: Long): Long = {
-    val b = df.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"zOrderCommit: empty input or all-null clustering column ($c1/$c2)")
-    def rank(c: String, mn: Double, mx: Double): Column =
-      if (mx == mn) lit(0L)
-      else least(lit(65535L),
-        floor((col(c).cast("double") - mn) / (mx - mn) * 65536.0)).cast("long")
-    val z = interleave16(rank(c1, b.getDouble(0), b.getDouble(1)),
-                         rank(c2, b.getDouble(2), b.getDouble(3)))
-    val keyed = df.withColumn("_z", z)
-      .repartitionByRange(nDirs, col("_z"))
-      .withColumn("zb", spark_partition_id().cast("string"))
-      .drop("_z")
+    val keyed = zKeyed(df, c1, c2, nDirs, pid => pid.cast("string"))
     val v = VersionedTable.commitPartitioned(spark, root, keyed, "zb", base)
     // stats AT WRITE TIME: the clustering write already knows its
     // columns, so publish the sidecar now — the first pruned read
     // pays no stats job (Delta writes per-file stats into the log the
-    // same way)
-    ensureStats(spark, root, v, Seq(c1, c2))
+    // same way); string clustering columns get string stats
+    val (sc, nc) = Seq(c1, c2).partition(isString(df, _))
+    ensureStatsTyped(spark, root, v, nc, sc)
+    v
+  }
+
+  /** [[VersionedTable.append]] + write-time stats: the new dir's
+    * bounds land in the sidecar at write time (the inheritance seed
+    * then makes every later version's first read job-free for these
+    * dirs too). The ingest-loop companion of [[zOrderCommit]]'s
+    * write-time stats. */
+  def appendWithStats(spark: SparkSession, root: String, df: DataFrame,
+                      numCols: Seq[String], strCols: Seq[String] = Nil): Long = {
+    val base = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val v = VersionedTable.append(spark, root, df, base)
+    ensureStatsTyped(spark, root, v, numCols, strCols)
     v
   }
 
@@ -368,27 +435,15 @@ object DataSkipping {
     val carried = entries.filter(_._2.isDefined)
     val delta = spark.read.option("mergeSchema", "true")
       .parquet(loose.map(r => s"$root/$r"): _*)
-    val b = delta.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"reclusterDelta: all-null clustering column ($c1/$c2) in the delta")
-    def rank(c: String, mn: Double, mx: Double): Column =
-      if (mx == mn) lit(0L)
-      else least(lit(65535L),
-        floor((col(c).cast("double") - mn) / (mx - mn) * 65536.0)).cast("long")
-    val z = interleave16(rank(c1, b.getDouble(0), b.getDouble(1)),
-                         rank(c2, b.getDouble(2), b.getDouble(3)))
-    val keyed = delta.withColumn("_z", z)
-      .repartitionByRange(nDirs, col("_z"))
-      .withColumn("zb", concat(lit(s"g$base-"), spark_partition_id().cast("string")))
-      .drop("_z")
+    val keyed = zKeyed(delta, c1, c2, nDirs,
+      pid => concat(lit(s"g$base-"), pid.cast("string")))
     val v = VersionedTable.commitPartitionedCarrying(
       spark, root, keyed, "zb", base, carried)
     // carried dirs' stats are INHERITED from the base sidecar (the
     // prior-version seed in ensureStats) — this computes only the
     // delta generation's dirs
-    ensureStats(spark, root, v, Seq(c1, c2))
+    val (sc, nc) = Seq(c1, c2).partition(isString(delta, _))
+    ensureStatsTyped(spark, root, v, nc, sc)
     v
   }
 }

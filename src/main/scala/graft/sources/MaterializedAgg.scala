@@ -52,6 +52,83 @@ object MaterializedAgg {
       .filter(col("n") > 0)
   }
 
+  /** Groups the most recent [[applyChangeFeedMax]] call had to rescan
+    * — spec evidence that the table re-read is confined to groups
+    * whose extremum was actually retracted, not the view. */
+  @volatile var lastMaxDirtyGroups: Long = 0L
+
+  /** The maintained extremum view: per-group row count and value max. */
+  def fullMax(df: DataFrame, groupCol: String, maxCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), max(col(maxCol)).as("mx"))
+
+  /** Feed-refresh for a MAX view — the aggregate [[applyChangeFeed]]'s
+    * scaladoc names as NOT decomposable under retraction, handled the
+    * way every incremental view maintainer handles it: inserts and
+    * raises fold in monotonically (greatest of view max and feed
+    * post-images — no table access), but a feed that RETRACTS a value
+    * >= its group's current max may have removed the extremum (or a
+    * duplicate of it — indistinguishable without data), so exactly
+    * those DIRTY groups recompute from the post-image `table`, semi-
+    * joined down to the dirty keys (prunable to their partitions at
+    * 100 TB). Refresh cost: O(feed) + O(dirty groups' rows) — and a
+    * workload that only ever raises maxima never touches the table.
+    * Counts are maintained decomposably as in [[applyChangeFeed]];
+    * groups reaching n == 0 drop out like a recompute's absent
+    * groups.
+    */
+  def applyChangeFeedMax(prevAgg: DataFrame, feed: DataFrame, table: DataFrame,
+                         groupCol: String, maxCol: String): DataFrame = {
+    def side(image: String, c: String): Column = {
+      val payload = feed.schema(image).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (payload.fieldNames.contains(c)) col(s"$image.$c") else col(c)
+    }
+    val prev = prevAgg.localCheckpoint(eager = false)
+    // count deltas: decomposable, same shape as applyChangeFeed
+    val dn = feed.select(
+      when(col("change_type") === "inserted", side("_new", groupCol))
+        .when(col("change_type") === "deleted", side("_old", groupCol))
+        .otherwise(side("_new", groupCol)).as("grp"), // updated: post group...
+      when(col("change_type") === "inserted", lit(1L))
+        .when(col("change_type") === "deleted", lit(-1L))
+        .otherwise(lit(0L)).as("dn"))
+    // ...unless the update MOVED groups: retract one, add the other
+    val moves = feed.filter(col("change_type") === "updated" &&
+        !(side("_old", groupCol) <=> side("_new", groupCol)))
+      .select(side("_old", groupCol).as("og"), side("_new", groupCol).as("ng"))
+      .localCheckpoint(eager = false)
+    val moveDeltas = moves.select(col("og").as("grp"), lit(-1L).as("dn"))
+      .unionByName(moves.select(col("ng").as("grp"), lit(1L).as("dn")))
+    val counts = prev.select(col("grp"), col("n").as("dn"))
+      .unionByName(dn).unionByName(moveDeltas)
+      .groupBy(col("grp")).agg(sum(col("dn")).as("n"))
+    // monotone raises: post-images of inserted/updated rows
+    val raises = feed.filter(col("change_type").isin("inserted", "updated"))
+      .groupBy(side("_new", groupCol).as("grp"))
+      .agg(max(side("_new", maxCol)).as("raise"))
+    // dirty: a retracted pre-image whose value could have BEEN the
+    // group's max (>= view max; null-safe — all-null groups stay
+    // clean because null retractions can't lower a max)
+    val retracts = feed.filter(col("change_type").isin("deleted", "updated"))
+      .select(side("_old", groupCol).as("grp"), side("_old", maxCol).as("rv"))
+    val dirty = retracts.join(prev, Seq("grp"))
+      .filter(col("rv").isNotNull && (col("mx").isNull || col("rv") >= col("mx")))
+      .select(col("grp")).distinct().localCheckpoint()
+    lastMaxDirtyGroups = dirty.count()
+    val rescanned = fullMax(
+      table.join(dirty, table(groupCol) === dirty("grp"), "left_semi"),
+      groupCol, maxCol).select(col("grp"), col("mx").as("re_mx"))
+    counts.filter(col("n") > 0)
+      .join(prev.select(col("grp"), col("mx")), Seq("grp"), "left")
+      .join(raises, Seq("grp"), "left")
+      .join(dirty.withColumn("is_dirty", lit(true)), Seq("grp"), "left")
+      .join(rescanned, Seq("grp"), "left")
+      .select(col("grp"), col("n"),
+        when(col("is_dirty"), col("re_mx"))
+          .otherwise(greatest(col("mx"), col("raise"))).as("mx"))
+  }
+
   /** Refresh the view from a CHANGE DATA FEED
     * ([[VersionedTable.changeFeed]]) instead of from the table — the
     * fully decoupled consumer: a deleted row retracts its (group,

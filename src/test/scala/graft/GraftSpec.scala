@@ -997,6 +997,100 @@ class GraftSpec extends AnyFunSuite {
     assert(got2 == Set(1L))
   }
 
+  test("DataSkipping.appendWithStats: the new dir's bounds land at write time — first read is job-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.DataSkipping
+    val root = java.nio.file.Files.createTempDirectory("graft_aws").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("x", col("id")).withColumn("day", lit("2024-01-0" + (lo / 1000 + 1)))
+    DataSkipping.zOrderCommit(spark, root, mk(0, 1000), "x", "day", nDirs = 4, base = -1L)
+    val v = DataSkipping.appendWithStats(spark, root, mk(1000, 2000),
+      numCols = Seq("x"), strCols = Seq("day"))
+    assert(DataSkipping.lastStatsDirsScanned == 1,
+      s"write-time stats scanned ${DataSkipping.lastStatsDirsScanned} dirs, expected 1")
+    // the read side then has everything: NO stats job on first use,
+    // numeric and string pruning both live
+    val builds = DataSkipping.statsBuilds
+    assert(DataSkipping.prunedDirs(spark, root, "x", 1200, 1300, Some(v)).size == 1)
+    assert(DataSkipping.prunedDirsString(spark, root, "day",
+      "2024-01-02", "2024-01-02", Some(v)).size == 1)
+    assert(DataSkipping.statsBuilds == builds, "pruned read rebuilt write-time stats")
+  }
+
+  test("zOrderCommit clusters STRING keys: prefix-stripped surrogates prune day ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.DataSkipping
+    // every day string shares the '2024-01-' prefix — without the
+    // common-prefix strip all values collapse to one rank and nothing
+    // prunes; with it, day ranges prune like numeric ranges
+    val rows = spark.range(0, 4000).toDF("id")
+      .withColumn("day", concat(lit("2024-01-"),
+        lpad(((col("id") % 16) + 1).cast("string"), 2, "0")))
+      .withColumn("amt", (col("id") * 2654435761L) % 10000)
+    val root = java.nio.file.Files.createTempDirectory("graft_zstr").toString + "/t"
+    val v = DataSkipping.zOrderCommit(spark, root, rows, "day", "amt", nDirs = 16, base = -1L)
+    val dayDirs = DataSkipping.prunedDirsString(spark, root, "day",
+      "2024-01-03", "2024-01-04", Some(v)).size
+    val amtDirs = DataSkipping.prunedDirs(spark, root, "amt", 0, 624, Some(v)).size
+    assert(dayDirs <= 8, s"day range opened $dayDirs/16 dirs — string surrogate not clustering")
+    assert(amtDirs <= 8, s"amt range opened $amtDirs/16 dirs")
+    val got = DataSkipping.readWhereString(spark, root, "day", "2024-01-03", "2024-01-04")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exp = rows.filter(col("day").between("2024-01-03", "2024-01-04"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("MaterializedAgg.applyChangeFeedMax: max maintained from the feed; only retracted-max groups rescan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{MaterializedAgg, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_mmx").toString + "/t"
+    def tbl(rows: (Long, String, Double)*) = rows.toSeq.toDF("id", "grp_c", "v")
+    val keys = Seq("id")
+    VersionedTable.merge(spark, root, tbl(
+      (1L, "a", 10.0), (2L, "a", 10.0), (3L, "a", 5.0), (4L, "b", 7.0)), keys)
+    var view = MaterializedAgg.fullMax(
+      VersionedTable.read(spark, root), "grp_c", "v").localCheckpoint()
+    var at = VersionedTable.currentVersion(spark, root).get
+    def step(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val to = VersionedTable.merge(spark, root, batch, keys)
+      val feed = VersionedTable.changeFeed(spark, root, at, to, keys)
+      view = MaterializedAgg.applyChangeFeedMax(
+        view, feed, VersionedTable.readAsOf(spark, root, to), "grp_c", "v")
+        .localCheckpoint()
+      at = to
+    }
+    def check(): Unit = {
+      val exp = MaterializedAgg.fullMax(VersionedTable.read(spark, root), "grp_c", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = view.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exp, s"view $got != recompute $exp")
+    }
+    // 1. monotone raise + new group: NO table rescan
+    step(tbl((5L, "a", 20.0), (6L, "c", 1.0)))
+    assert(MaterializedAgg.lastMaxDirtyGroups == 0, "a pure raise rescanned the table")
+    check()
+    // 2. retract the max of 'a' (row 5 drops to 2.0): exactly one
+    // dirty group — the duplicate-10.0 pair is what the rescan finds
+    step(tbl((5L, "a", 2.0)))
+    assert(MaterializedAgg.lastMaxDirtyGroups == 1)
+    check()
+    // 3. delete one of the duplicate maxima (update row 1 far down):
+    // max must STAY 10.0 via row 2 — the indistinguishability case
+    // that makes the rescan necessary at all
+    step(tbl((1L, "a", 0.5)))
+    assert(MaterializedAgg.lastMaxDirtyGroups == 1)
+    check()
+    assert(view.filter(col("grp") === "a").head.getDouble(2) == 10.0)
+    // 4. group MOVE of b's only row: b drops out, c raises
+    step(tbl((4L, "c", 9.0)))
+    check()
+    assert(view.collect().map(_.getString(0)).toSet == Set("a", "c"))
+  }
+
   test("Scd2.mergeScd2Partitioned: rewrites ONLY touched partitions; semantics match global merge") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
