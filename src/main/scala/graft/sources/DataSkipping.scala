@@ -76,6 +76,21 @@ object DataSkipping {
   private def encS(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def decS(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** A true upper bound for a possibly-truncated string max: the max
+    * itself when it fits the prefix budget; otherwise the prefix with
+    * its LAST INCREMENTABLE character bumped one code point (and the
+    * tail dropped) — strictly greater than every string sharing the
+    * prefix. None when every prefix char is U+FFFF (no representable
+    * bound). */
+  private def strUpperBound(mx: String): Option[String] =
+    if (mx.length <= StringStatPrefix) Some(mx)
+    else {
+      val p = mx.take(StringStatPrefix)
+      val i = p.lastIndexWhere(_ != '￿')
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p(i) + 1).toChar)
+    }
+
   // sidecar lines (rel/col carry no tabs):
   //   numeric: rel \t col \t min \t max            (doubles; legacy form)
   //   string:  rel \t col \t S \t encMin \t encMax (URL-encoded bounds)
@@ -182,12 +197,17 @@ object DataSkipping {
         val strs = strCols.distinct.map { c =>
           val mn = r.getAs[String](s"smin_$c"); val mx = r.getAs[String](s"smax_$c")
           if (mn == null || mx == null) c -> NoStat
-          // truncation keeps bounds VALID: a min prefix only lowers the
-          // lower bound; a truncated max gets U+FFFF appended so every
-          // string sharing the prefix stays under it
-          else c -> StrStat(mn.take(StringStatPrefix),
-            if (mx.length <= StringStatPrefix) mx
-            else mx.take(StringStatPrefix) + "￿")
+          // truncation keeps bounds VALID: a min prefix only lowers
+          // the lower bound; a truncated max INCREMENTS its last
+          // incrementable character (Delta's rule) so the bound is
+          // strictly above every string sharing the prefix — a mere
+          // prefix+U+FFFF is NOT an upper bound when the full max
+          // itself continues with U+FFFF. No incrementable char
+          // (all-U+FFFF prefix) => no representable bound => sentinel.
+          else strUpperBound(mx) match {
+            case Some(ub) => c -> StrStat(mn.take(StringStatPrefix), ub)
+            case None => c -> NoStat
+          }
         }
         rel -> (nums ++ strs).toMap
       }
@@ -278,29 +298,19 @@ object DataSkipping {
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
-  /** Order-preserving NUMERIC surrogate of a clustering column:
-    * numerics cast to double; STRINGS map to their first 8 bytes PAST
-    * the column's global min/max common prefix (dates, ids and keys
-    * share long constant prefixes — "2024-01-.." — which would
-    * otherwise collapse every value to one rank), zero-padded,
-    * read as an unsigned big-endian number into a double. One extra
-    * tiny min/max agg per string column. Prefix length is computed on
-    * CHARS and applied to UTF-8 BYTES, so the documented domain is
-    * ASCII keys (dates, tickers, record types) — the same BMP-honesty
-    * boundary as the string stats. Order collisions beyond byte 8
-    * only cost clustering tightness, never correctness (reads
-    * re-filter). */
-  private def surrogate(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        val r = df.agg(min(col(c)), max(col(c))).head()
-        val mn = Option(r.getString(0)).getOrElse("")
-        val mx = Option(r.getString(1)).getOrElse("")
-        val p = mn.zip(mx).takeWhile { case (a, b) => a == b }.size
-        expr(s"CAST(conv(hex(rpad(substring(CAST($c AS BINARY), ${p + 1}, 8), " +
-             s"8, x'00')), 16, 10) AS DOUBLE)")
-      case _ => col(c).cast("double")
-    }
+  /** Order-preserving NUMERIC surrogate of a STRING clustering
+    * column: its first 8 bytes PAST the column's global min/max
+    * common prefix (dates, ids and keys share long constant
+    * prefixes — "2024-01-.." — which would otherwise collapse every
+    * value to one rank), zero-padded, read as an unsigned big-endian
+    * number into a double. Prefix length is computed on CHARS and
+    * applied to UTF-8 BYTES, so the documented domain is ASCII keys
+    * (dates, tickers, record types) — the same BMP-honesty boundary
+    * as the string stats. Order collisions beyond byte 8 only cost
+    * clustering tightness, never correctness (reads re-filter). */
+  private def surrogateExpr(c: String, prefixLen: Int): String =
+    s"CAST(conv(hex(rpad(substring(CAST($c AS BINARY), ${prefixLen + 1}, 8), " +
+    s"8, x'00')), 16, 10) AS DOUBLE)"
 
   /** The shared z-key construction: surrogates -> EQUAL-FREQUENCY
     * 8-bit ranks (one approx-quantile agg: 255 cut points per column,
@@ -317,19 +327,45 @@ object DataSkipping {
     * array. */
   private def zKeyed(df: DataFrame, c1: String, c2: String, nDirs: Int,
                      tag: Column => Column): DataFrame = {
-    val surr = df.withColumn("_s1", surrogate(df, c1))
-      .withColumn("_s2", surrogate(df, c2))
+    // one computation feeds the prefix agg, the percentile agg and
+    // the final write (the persist-point rule: >1 consumer, one
+    // checkpoint) — callers pass arbitrary plans, not just scans
+    val src = df.localCheckpoint(eager = false)
+    val strCols = Seq(c1, c2).distinct.filter(isString(src, _))
+    val prefixLen: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.flatMap(c =>
+          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+        val r = src.agg(aggs.head, aggs.tail: _*).head()
+        strCols.map { c =>
+          val mn = Option(r.getAs[String](s"mn_$c")).getOrElse("")
+          val mx = Option(r.getAs[String](s"mx_$c")).getOrElse("")
+          c -> mn.zip(mx).takeWhile { case (a, b) => a == b }.size
+        }.toMap
+      }
+    def surr(c: String): Column = prefixLen.get(c)
+      .map(p => expr(surrogateExpr(c, p))).getOrElse(col(c).cast("double"))
+    val surred = src.withColumn("_s1", surr(c1)).withColumn("_s2", surr(c2))
     val nCuts = 255
     val ps = (1 to nCuts).map(i => i.toDouble / (nCuts + 1)).mkString(", ")
-    val r = surr.agg(
+    val r = surred.agg(
       expr(s"approx_percentile(_s1, array($ps), 10000)"),
       expr(s"approx_percentile(_s2, array($ps), 10000)")).head()
     require(!r.isNullAt(0) && !r.isNullAt(1),
       s"z-order: empty input or all-null clustering column ($c1/$c2)")
-    def rank(c: String, cuts: Seq[Double]): Column = expr(
-      s"aggregate(array(${cuts.mkString(", ")}), CAST(0 AS BIGINT), " +
-      s"(acc, ct) -> acc + IF($c > ct, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
-    surr.withColumn("_z",
+    // non-finite cuts (NaN/Infinity rows in a numeric column) are not
+    // SQL literals and cannot split anything meaningfully — drop them;
+    // NaN rows rank wherever their comparisons land (always false =>
+    // rank 0) and the read side re-filters, so correctness holds
+    def rank(c: String, cuts: Seq[Double]): Column = {
+      val finite = cuts.filter(java.lang.Double.isFinite)
+      if (finite.isEmpty) lit(0L)
+      else expr(
+        s"aggregate(array(${finite.mkString(", ")}), CAST(0 AS BIGINT), " +
+        s"(acc, ct) -> acc + IF($c > ct, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+    }
+    surred.withColumn("_z",
         interleave(rank("_s1", r.getSeq[Double](0)),
                    rank("_s2", r.getSeq[Double](1)), bits = 8))
       .repartitionByRange(nDirs, col("_z"))

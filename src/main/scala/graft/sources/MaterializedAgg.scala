@@ -109,21 +109,41 @@ object MaterializedAgg {
       .agg(max(side("_new", maxCol)).as("raise"))
     // dirty: a retracted pre-image whose value could have BEEN the
     // group's max (>= view max; null-safe — all-null groups stay
-    // clean because null retractions can't lower a max)
+    // clean because null retractions can't lower a max). An in-place
+    // update that does NOT lower its own value cannot lower the max
+    // either — without this exclusion every touch of the max row
+    // would rescan its group and the pure-raise-never-reads-the-table
+    // property below would be false.
     val retracts = feed.filter(col("change_type").isin("deleted", "updated"))
+      .filter(!(col("change_type") === "updated" &&
+        (side("_old", groupCol) <=> side("_new", groupCol)) &&
+        side("_new", maxCol).isNotNull &&
+        side("_new", maxCol) >= side("_old", maxCol)))
       .select(side("_old", groupCol).as("grp"), side("_old", maxCol).as("rv"))
-    val dirty = retracts.join(prev, Seq("grp"))
+    // every join below is NULL-SAFE on the group key: fullMax groups
+    // null like any other value, so a null group must flow through
+    // refresh like any other group — plain equi-joins would silently
+    // null its max and never mark it dirty. The right side's key is
+    // RENAMED first: several of these frames share attribute lineage
+    // (counts is built from prev), and frame-apply disambiguation
+    // would resolve both sides to the same attribute — a trivially
+    // true predicate.
+    def joinNs(l: DataFrame, r: DataFrame, how: String): DataFrame =
+      l.join(r.withColumnRenamed("grp", "_rgrp"),
+             col("grp") <=> col("_rgrp"), how).drop("_rgrp")
+    val dirty = joinNs(retracts, prev, "inner")
       .filter(col("rv").isNotNull && (col("mx").isNull || col("rv") >= col("mx")))
       .select(col("grp")).distinct().localCheckpoint()
     lastMaxDirtyGroups = dirty.count()
     val rescanned = fullMax(
-      table.join(dirty, table(groupCol) === dirty("grp"), "left_semi"),
+      table.join(dirty, table(groupCol) <=> dirty("grp"), "left_semi"),
       groupCol, maxCol).select(col("grp"), col("mx").as("re_mx"))
-    counts.filter(col("n") > 0)
-      .join(prev.select(col("grp"), col("mx")), Seq("grp"), "left")
-      .join(raises, Seq("grp"), "left")
-      .join(dirty.withColumn("is_dirty", lit(true)), Seq("grp"), "left")
-      .join(rescanned, Seq("grp"), "left")
+    joinNs(joinNs(joinNs(joinNs(
+      counts.filter(col("n") > 0),
+      prev.select(col("grp"), col("mx")), "left"),
+      raises, "left"),
+      dirty.withColumn("is_dirty", lit(true)), "left"),
+      rescanned, "left")
       .select(col("grp"), col("n"),
         when(col("is_dirty"), col("re_mx"))
           .otherwise(greatest(col("mx"), col("raise"))).as("mx"))

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * SCD2 merge is an upsert, not a sync — deletions are a tombstone
   * attribute, not a row removal).
   *
-  * Contracts, stated honestly: a batch carrying real changes must be
-  * strictly later than the table's newest valid_from (checked;
-  * out-of-order batches are rejected, not silently applied); a batch
+  * Contracts, stated honestly: a batch must be strictly later than
+  * the current valid_from of every key it CHANGES (checked; a batch
+  * that would close a window at a time at or before its open is
+  * rejected, not silently applied — while late NEW keys and
+  * backdated changes to long-stable keys are legal SCD2 late data,
+  * the streaming sink's normal cross-key event-time skew); a batch
   * whose every effect is already in the table — a REPLAY from the
   * Landing at-least-once crash window, or a no-op refresh — commits
   * nothing and returns the current version (idempotent); the source
@@ -97,8 +100,14 @@ object Scd2 {
       .localCheckpoint(eager = false)
     val newKeys = src.join(cur, keys, "left_anti")
     if (changedKeys.isEmpty && newKeys.isEmpty) return None
-    require(cur.filter(col(From) >= ets).isEmpty,
-      s"SCD2 merge at $effTs is not after the table's newest valid_from — " +
+    // monotonic-time contract, scoped to the keys this batch CLOSES:
+    // only a changed key gets its window closed at ets, so only those
+    // keys can corrupt a validity range. A batch inserting a brand-new
+    // key behind OTHER keys' valid_from is benign (normal cross-key
+    // event-time skew in the streaming sink) and must not be rejected.
+    require(cur.join(changedKeys, keys, "left_semi")
+        .filter(col(From) >= ets).isEmpty,
+      s"SCD2 merge at $effTs is not after a changed key's valid_from — " +
       "out-of-order batches would corrupt validity ranges")
     val closed = cur.join(changedKeys, keys, "left_semi")
       .withColumn(To, ets).withColumn(Current, lit(false))
@@ -154,6 +163,12 @@ object Scd2 {
       "(current and history) must never move between partitions")
     val ets = parsedTs(spark, effTs)
     val src = dedupedSource(source, keys)
+    // the same contract every partition-native write path enforces,
+    // checked HERE so the caller gets the explicit error instead of a
+    // bare NPE from sorting the collected partition values
+    require(src.filter(col(partitionCol).isNull).isEmpty,
+      s"null $partitionCol values cannot be partition-routed; " +
+      "coalesce them to a sentinel value before the merge")
     val base = VersionedTable.currentVersion(spark, root)
     if (base.isEmpty)
       return VersionedTable.commitPartitioned(
@@ -217,7 +232,7 @@ object Scd2 {
   /** The dimension as of time `ts` — a filter over validity ranges,
     * no replay: rows with valid_from <= ts < valid_to (open = ∞). */
   def asOf(spark: SparkSession, root: String, ts: String): DataFrame = {
-    val t = parsedTs(spark, ts) // unparseable => empty frame, silently
+    val t = parsedTs(spark, ts) // unparseable ts throws — never an empty frame
     VersionedTable.read(spark, root)
       .filter(col(From) <= t && (col(To).isNull || col(To) > t))
   }

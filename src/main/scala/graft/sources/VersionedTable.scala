@@ -524,16 +524,8 @@ object VersionedTable {
   }
 
   def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
-                        partitionCol: String, base: Long): Long = {
-    val f = fs(spark, root)
-    val next = base + 1
-    val src = df.localCheckpoint() // one computation feeds every slice
-    requireNoNullPartitions(src, partitionCol)
-    val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
-    publish(spark, root, next, entries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
-    next
-  }
+                        partitionCol: String, base: Long): Long =
+    commitPartitionedCarrying(spark, root, df, partitionCol, base, carried = Nil)
 
   /** The shared PARTITION-SCOPED REWRITE primitive: stage `df` one dir
     * per touched partition value, and publish `base + 1` with
@@ -547,7 +539,7 @@ object VersionedTable {
       base: Long, carried: Seq[(String, Option[String])]): Long = {
     val f = fs(spark, root)
     val next = base + 1
-    val src = df.localCheckpoint()
+    val src = df.localCheckpoint() // one computation feeds every slice
     requireNoNullPartitions(src, partitionCol)
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next,

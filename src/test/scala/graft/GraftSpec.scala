@@ -860,10 +860,13 @@ class GraftSpec extends AnyFunSuite {
     assert(at("2024-01-15 00:00:00") == Map("A" -> 1.0, "B" -> 2.0))
     assert(at("2024-02-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 3.0))
     assert(at("2024-03-15 00:00:00") == Map("A" -> 10.0, "B" -> 2.0, "C" -> 30.0))
-    // out-of-order batches with REAL changes are rejected, not
-    // silently corrupted
+    // out-of-order batches that would CORRUPT a validity range are
+    // rejected: changing A at/behind its own current valid_from would
+    // close a window at a time <= its open. (The guard is scoped
+    // per-key: a backdated change to a key whose own window opened
+    // earlier, or a late new key, is legal SCD2 late data.)
     intercept[IllegalArgumentException] {
-      Scd2.mergeScd2(spark, root, dim("A" -> 99.0), Seq("ticker"), "2024-02-15 00:00:00")
+      Scd2.mergeScd2(spark, root, dim("A" -> 99.0), Seq("ticker"), "2024-01-15 00:00:00")
     }
     // ...but a REPLAYED (already-applied) batch is an idempotent
     // no-op — no new version, no window churn (the Landing
@@ -995,6 +998,15 @@ class GraftSpec extends AnyFunSuite {
     val got2 = DataSkipping.readWhereString(spark, root2, "k", longA, longA)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got2 == Set(1L))
+    // the truncation killer: the real max CONTINUES with U+FFFF past
+    // the prefix, so prefix+U+FFFF would be a FALSE upper bound (it
+    // compares below the max) — the incremented bound keeps the dir
+    val root3 = java.nio.file.Files.createTempDirectory("graft_sstr3").toString + "/t"
+    val evil = "a" * 32 + "￿" + "x"
+    VersionedTable.commit(spark, root3, Seq((evil, 9L)).toDF("k", "id"), -1L)
+    val got3 = DataSkipping.readWhereString(spark, root3, "k", evil, evil)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got3 == Set(9L), "truncated max pruned a dir containing its own maximum")
   }
 
   test("DataSkipping.appendWithStats: the new dir's bounds land at write time — first read is job-free") {
@@ -1089,6 +1101,29 @@ class GraftSpec extends AnyFunSuite {
     step(tbl((4L, "c", 9.0)))
     check()
     assert(view.collect().map(_.getString(0)).toSet == Set("a", "c"))
+    // 5. raising the CURRENT max in place is not a retraction: no
+    // group may rescan (the pure-raise-never-reads-the-table claim)
+    step(tbl((2L, "a", 50.0)))
+    assert(MaterializedAgg.lastMaxDirtyGroups == 0,
+      "an in-place raise of the max rescanned its group")
+    check()
+    // 6. a NULL group is a group like any other: it must flow through
+    // refresh (raise, then max retraction) instead of silently
+    // nulling its max through the equi-joins
+    def checkN(): Unit = {
+      val exp = MaterializedAgg.fullMax(VersionedTable.read(spark, root), "grp_c", "v")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+      val got = view.collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exp, s"view $got != recompute $exp")
+    }
+    step(Seq[(Long, Option[String], Double)]((10L, None, 3.0), (11L, None, 8.0))
+      .toDF("id", "grp_c", "v"))
+    checkN()
+    step(Seq[(Long, Option[String], Double)]((11L, None, 1.0))
+      .toDF("id", "grp_c", "v")) // retract the null group's max
+    assert(MaterializedAgg.lastMaxDirtyGroups == 1)
+    checkN()
+    assert(view.filter(col("grp").isNull).head.getDouble(2) == 3.0)
   }
 
   test("Scd2.mergeScd2Partitioned: rewrites ONLY touched partitions; semantics match global merge") {
@@ -2010,6 +2045,19 @@ class GraftSpec extends AnyFunSuite {
     // the table is untouched: one version, one open row
     assert(VersionedTable.currentVersion(spark, root).contains(0L))
     assert(Scd2.asOf(spark, root, "2024-06-01 00:00:00").count() == 1)
+    // the monotonic guard is scoped to the keys a batch CLOSES: a
+    // brand-new key arriving with an event time behind OTHER keys'
+    // valid_from is normal cross-key skew in the streaming sink and
+    // must insert, not kill the query...
+    Scd2.mergeScd2(spark, root, Seq(("Z", 7.0)).toDF("ticker", "pe"),
+      Seq("ticker"), "2023-12-01 00:00:00")
+    assert(Scd2.asOf(spark, root, "2024-06-01 00:00:00").count() == 2)
+    // ...while CHANGING an existing key behind its own valid_from
+    // stays rejected (that batch would corrupt a validity range)
+    intercept[IllegalArgumentException] {
+      Scd2.mergeScd2(spark, root, Seq(("A", 99.0)).toDF("ticker", "pe"),
+        Seq("ticker"), "2023-12-15 00:00:00")
+    }
   }
 
   test("BandIndex.ingest on a LEGACY (unscoped) shingle store: tables advance together") {
