@@ -142,6 +142,7 @@ object SparkEntry {
     "s07_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
     "s09_pq_recall" -> ((s, d) => Similarity.pqRecall(Tables.embeddings(s, d))),
     "s10_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(Tables.embeddings(s, d))),
+    "s11_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedRecall(Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -437,6 +438,7 @@ object SparkEntry {
     "s08_quantized_recall" -> Similarity.quantizedRecallOracle(),
     "s09_pq_recall" -> Similarity.pqRecallOracle(),
     "s10_ivfpq_recall" -> Similarity.ivfPqRecallOracle(),
+    "s11_ivfpq_trained" -> Similarity.ivfPqTrainedRecallOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

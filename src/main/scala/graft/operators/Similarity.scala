@@ -529,6 +529,14 @@ object Similarity {
     val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
       s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
     val resCodes = ivfPqCodes(embeddings, cents).localCheckpoint()
+    // trained codebook at the production cell count — one training run
+    // + one encode pass shared across the probe operating points
+    val irSweep = intResiduals(embeddings, cents).localCheckpoint()
+    val cbTr = trainedCodebookFrom(irSweep).localCheckpoint()
+    val trCodes = pqTrainAssign(irSweep, cbTr)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
+        .as("codes")).localCheckpoint()
     val ivfPqRows = probes.flatMap { p =>
       import org.apache.spark.sql.expressions.Window
       val qp = probeCells(embeddings, nQueries, p, cents)
@@ -552,6 +560,14 @@ object Similarity {
         row(s"ivfpq-res[probe=$p,R=$ivfPqR]",
             ivfPqSearch(resCodes,
               ivfPqDistTables(embeddings, nQueries, p, cents), ivfPqR),
+            frac, baseline = exactL2),
+        // the TRAINED-codebook variant (s11): same cells, same cost
+        // axis, so the delta vs ivfpq-res is exactly what two Lloyd
+        // rounds on the residual distribution buy
+        row(s"ivfpq-tr[probe=$p,R=$ivfPqR]",
+            ivfPqSearch(trCodes,
+              trainedDistTables(embeddings, nQueries, p, cents, cbTr),
+              ivfPqR, acc = "BIGINT"),
             frac, baseline = exactL2))
     }
     (lshRow +: (ivfRows ++ pqRows ++ ivfPqRows)).reduce(_.unionByName(_))
@@ -918,9 +934,10 @@ object Similarity {
   /** The ADC scan given prebuilt code rows and (query, cell) tables —
     * split out so the recall sweep can amortize ONE code build across
     * its probe operating points. */
-  private def ivfPqSearch(codes: DataFrame, dts: DataFrame, r: Int): DataFrame = {
+  private def ivfPqSearch(codes: DataFrame, dts: DataFrame, r: Int,
+                          acc: String = "DOUBLE"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
+    val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS $acc), " +
       s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id").asc)
     codes.select(col("vec_id").as("c_id"), col("cell"), col("codes"))
@@ -1055,6 +1072,245 @@ object Similarity {
          round(CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
                / count(*), 4) AS recall_short
        FROM exact e LEFT JOIN pq p
+         ON e.q_id = p.q_id AND e.neighbor_id = p.c_id
+       GROUP BY e.q_id ORDER BY e.q_id"""
+  }
+
+  // ---- s11: TRAINED per-subspace PQ codebooks (integer Lloyd) ---------
+
+  /** Lloyd rounds for codebook training. Two rounds move the seed
+    * entries most of the way to the local optimum (k-means converges
+    * geometrically; production IVF-PQ trainers run 10-25 rounds on a
+    * sampled slice — the plan shape per round is identical, this is
+    * the unrolled-and-replayable count). */
+  val PqTrainIters = 2
+
+  /** Training-sample stride: the Lloyd loop reads vec_id % mod == 0
+    * residuals only. Training cost is O(sample * K * iters) however
+    * big the corpus gets — the encode pass (every vector, one
+    * assignment) is the only full-corpus stage, exactly how a
+    * billion-vector index trains (FAISS trains on 10^5-10^6 sampled
+    * vectors, encodes 10^9). */
+  val PqTrainSampleMod = 4L
+
+  /** 2^20: multiplying a double by a power of two is EXACT (exponent
+    * shift, no mantissa rounding), so floor(x * 2^20) is the same
+    * BIGINT on every engine — the property the whole trained pipeline
+    * leans on. From here every distance, sum and floor-mean is integer
+    * arithmetic: associative, order-free, bit-identical under Spark's
+    * nondeterministic partial-agg order AND DuckDB's serial order.
+    * (Contrast the double-valued s09/s10 path, which needs fold-order
+    * discipline; training's groupBy means would break it.) */
+  private val PqIntScale = "1048576.0"
+
+  /** res (double list) -> integer-grid residual (BIGINT list). */
+  private def intResExpr(d: Dialect, res: String): String =
+    d.transform(res, s"x -> CAST(floor(x * $PqIntScale) AS BIGINT)")
+
+  /** Integer subspace-j L2^2 between full-vector slice ri[j*8+1..j*8+8]
+    * and an 8-entry codebook slice cvec — pure BIGINT. `j` may be a
+    * column reference. */
+  private def pqSubDistInt(d: Dialect, ri: String, cvec: String, j: String): String = {
+    val diff = s"(${d.elem(ri, s"$j * $PqSubDim + i")} - ${d.elem(cvec, "i")})"
+    d.sumLong(d.transform(d.range("1", PqSubDim.toString), s"i -> $diff * $diff"))
+  }
+
+  /** Integer-grid corpus residuals (vec_id, cell, ri). */
+  private def intResiduals(embeddings: DataFrame,
+                           centIds: Seq[Long] = centroidIds): DataFrame =
+    residuals(embeddings, centIds)
+      .select(col("vec_id"), col("cell"),
+              expr(intResExpr(Dialect.spark, "res")).as("ri"))
+
+  /** One Lloyd ASSIGNMENT: each input vector's subspace-j slice to its
+    * nearest codebook entry (tie: lowest cidx). cb is (j, cidx, cvec)
+    * — K*subspaces = 128 rows, broadcast; the fan-out is the same
+    * 128x the untrained encoder already pays. */
+  private def pqTrainAssign(ri: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("sd").asc, col("cidx").asc)
+    ri.crossJoin(broadcast(cb))
+      .withColumn("sd", expr(pqSubDistInt(Dialect.spark, "ri", "cvec", "j")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("j"), col("cidx"), col("ri"))
+  }
+
+  /** One Lloyd UPDATE: entry (j, cidx) moves to the floor-mean of its
+    * members' subspace slices; empty entries keep their previous
+    * center (the standard empty-cluster rule, via left join +
+    * coalesce). floor(sum/count) is exact cross-engine: the integer
+    * sum is < 2^53 so the double division is correctly rounded, and
+    * the quotient is never within 2^-31 of a wrong integer boundary.
+    * The shuffle carries (j, cidx, i) partial sums — 1024 cells of
+    * BIGINT — never vectors: s04's Lloyd-step shape. */
+  private def pqTrainUpdate(assigned: DataFrame, cbPrev: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("j"), col("cidx"),
+              explode(expr(s"sequence(1, $PqSubDim)")).as("i"), col("ri"))
+      .withColumn("v", expr(s"element_at(ri, j * $PqSubDim + i)"))
+      .groupBy(col("j"), col("cidx"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)"))
+      .groupBy(col("j"), col("cidx"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), t -> t.m)")
+        .as("mvec"))
+    cbPrev.join(means, Seq("j", "cidx"), "left")
+      .select(col("j"), col("cidx"),
+              coalesce(col("mvec"), col("cvec")).as("cvec"))
+  }
+
+  /** Trained codebook from an integer-residual frame: seed with the
+    * pinned [[PqCodebookIds]] residual slices (what s10 uses as-is),
+    * then [[PqTrainIters]] Lloyd rounds over the stride sample. */
+  private def trainedCodebookFrom(ir: DataFrame): DataFrame = {
+    val sample = ir.filter(col("vec_id") % PqTrainSampleMod === 0)
+    val cb0 = ir.filter(col("vec_id").isin(PqCodebookIds: _*))
+      .select((col("vec_id") - lit(PqCodebookIds.head)).cast("int").as("cidx"),
+              col("ri"))
+      .select(col("cidx"),
+              explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("j"), col("ri"))
+      .withColumn("cvec", expr(
+        s"transform(sequence(1, $PqSubDim), i -> element_at(ri, j * $PqSubDim + i))"))
+      .select(col("j"), col("cidx"), col("cvec"))
+    (1 to PqTrainIters).foldLeft(cb0) { (cb, _) =>
+      pqTrainUpdate(pqTrainAssign(sample, cb), cb)
+    }
+  }
+
+  /** Query-side ADC tables against a TRAINED codebook: the query's
+    * integer residual per probed cell vs all 128 entries — BIGINT
+    * distances, so the later ADC sum is order-free. */
+  private def trainedDistTables(embeddings: DataFrame, maxQueryId: Long,
+                                nProbe: Int, centIds: Seq[Long],
+                                cb: DataFrame): DataFrame = {
+    val centsE = embeddings.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    probeCells(embeddings, maxQueryId, nProbe, centIds)
+      .join(broadcast(centsE), col("cell") === col("cent_id"))
+      .select(col("q_id"), col("cell"),
+              expr(residualExpr(Dialect.spark, "qe", "cemb")).as("qres"))
+      .withColumn("qi", expr(intResExpr(Dialect.spark, "qres")))
+      .crossJoin(broadcast(cb))
+      .withColumn("sd", expr(pqSubDistInt(Dialect.spark, "qi", "cvec", "j")))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx, sd))), s -> s.sd)")
+        .as("dt"))
+  }
+
+  /** s11: IVF-PQ recall with a TRAINED residual codebook — the
+    * production path the s10 scaladoc names. Round-5 measurement
+    * (RecallHarness) showed residual codes under the UNTRAINED stride
+    * codebook score below raw-position codes: a codebook sampled from
+    * vectors matches vector positions, not residuals. Training moves
+    * the entries onto the residual distribution — per-subspace
+    * k-means, the missing half of Jegou et al.'s recipe. Everything
+    * after the 2^20 snap is integer arithmetic, so the DuckDB oracle
+    * replays training, encoding and ADC bit-for-bit (no fold-order
+    * caveats). Same recall contract and output shape as s09/s10.
+    */
+  def ivfPqTrainedRecall(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5,
+                         shortlist: Int = 50, nProbe: Int = 2): DataFrame = {
+    val ir = intResiduals(embeddings, centroidIds).localCheckpoint(eager = false)
+    val cb = trainedCodebookFrom(ir).localCheckpoint(eager = false)
+    val codes = pqTrainAssign(ir, cb)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
+        .as("codes"))
+    val dts = trainedDistTables(embeddings, maxQueryId, nProbe, centroidIds, cb)
+    val appx = ivfPqSearch(codes, dts, shortlist, acc = "BIGINT")
+      .withColumn("hit", lit(1L))
+    exactL2TopK(embeddings, maxQueryId, k)
+      .join(broadcast(appx), Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_eval"),
+           sum(coalesce(col("hit"), lit(0L))).as("hits_short"))
+      .withColumn("recall_short",
+        Rounding.roundN(col("hits_short").cast("double") / col("k_eval"), 4))
+      .select(col("q_id"), col("k_eval"), col("hits_short"), col("recall_short"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The two oracle-side Lloyd CTE bodies, parameterized by source and
+    * codebook names so the unrolled rounds cannot drift from each
+    * other or from the Spark loop. */
+  private def trainAssignCte(src: String, cb: String): String = {
+    val d = Dialect.duck
+    s"""SELECT vec_id, cell, j, cidx, ri FROM (
+          SELECT s.vec_id, s.cell, c.j, c.cidx, s.ri,
+                 row_number() OVER (PARTITION BY s.vec_id, c.j
+                   ORDER BY ${pqSubDistInt(d, "s.ri", "c.cvec", "c.j")}, c.cidx) AS rn
+          FROM $src s CROSS JOIN $cb c) x WHERE rn = 1"""
+  }
+
+  private def trainUpdateCte(assigned: String, cbPrev: String): String =
+    s"""SELECT c.j, c.cidx, COALESCE(u.mvec, c.cvec) AS cvec
+        FROM $cbPrev c LEFT JOIN (
+          SELECT j, cidx, list(m ORDER BY i) AS mvec FROM (
+            SELECT a.j, a.cidx, t.i,
+                   CAST(floor(CAST(sum(a.ri[a.j * $PqSubDim + t.i]) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS m
+            FROM $assigned a CROSS JOIN generate_series(1, $PqSubDim) t(i)
+            GROUP BY a.j, a.cidx, t.i) g GROUP BY j, cidx) u
+        ON c.j = u.j AND c.cidx = u.cidx"""
+
+  def ivfPqTrainedRecallOracle(maxQueryId: Long = 8, k: Int = 5,
+                               shortlist: Int = 50, nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    val lo = PqCodebookIds.head
+    val hi = PqCodebookIds.last
+    val rounds = (1 to PqTrainIters).map { t =>
+      s"""a$t AS (${trainAssignCte("samp", s"cb${t - 1}")}),
+       cb$t AS (${trainUpdateCte(s"a$t", s"cb${t - 1}")})"""
+    }.mkString(",\n       ")
+    s"""WITH $assignedCtes,
+       resid AS (SELECT a.vec_id, a.cell,
+           ${residualExpr(d, "a.embedding", "c.cemb")} AS res
+         FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       iri AS (SELECT vec_id, cell, ${intResExpr(d, "res")} AS ri FROM resid),
+       samp AS (SELECT * FROM iri WHERE vec_id % $PqTrainSampleMod = 0),
+       cb0 AS (SELECT t.j, CAST(vec_id - $lo AS INTEGER) AS cidx,
+           list_transform(generate_series(1, $PqSubDim),
+             i -> ri[t.j * $PqSubDim + i]) AS cvec
+         FROM iri CROSS JOIN generate_series(0, ${PqSubspaces - 1}) t(j)
+         WHERE vec_id BETWEEN $lo AND $hi),
+       $rounds,
+       codes AS (SELECT vec_id, cell, list(cidx ORDER BY j) AS codes
+         FROM (${trainAssignCte("iri", s"cb$PqTrainIters")}) fa
+         GROUP BY vec_id, cell),
+       qprobe AS (SELECT vec_id AS q_id, cent_id AS cell, embedding AS qe
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc WHERE vec_id < $maxQueryId) t
+         WHERE crn <= $nProbe),
+       qiri AS (SELECT q.q_id, q.cell, ${intResExpr(d, "qr")} AS qi
+         FROM (SELECT q.q_id, q.cell,
+                 ${residualExpr(d, "q.qe", "c.cemb")} AS qr
+               FROM qprobe q JOIN cents c ON q.cell = c.cent_id) q),
+       qsub AS (SELECT q.q_id, q.cell, c.cidx, c.j,
+           ${pqSubDistInt(d, "q.qi", "c.cvec", "c.j")} AS sd
+         FROM qiri q CROSS JOIN cb$PqTrainIters c),
+       dt AS (SELECT q_id, cell, list(sd ORDER BY j, cidx) AS dt
+         FROM qsub GROUP BY q_id, cell),
+       scored AS (SELECT d.q_id, c.vec_id AS c_id,
+           list_reduce(list_transform(generate_series(0, ${PqSubspaces - 1}),
+             j -> dt[j * $PqK + codes[j + 1] + 1]), (a, b) -> a + b) AS adc
+         FROM codes c JOIN dt d ON c.cell = d.cell WHERE d.q_id <> c.vec_id),
+       appx AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+           FROM scored) r WHERE rank <= $shortlist),
+       exact AS (SELECT q_id, c_id AS neighbor_id FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${l2Expr(d, "q.embedding", "c.embedding")}, c.vec_id) AS rank
+           FROM embeddings c JOIN embeddings q
+             ON q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id) t
+         WHERE rank <= $k)
+       SELECT e.q_id, count(*) AS k_eval,
+         CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits_short,
+         round(CAST(sum(CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / count(*), 4) AS recall_short
+       FROM exact e LEFT JOIN appx p
          ON e.q_id = p.q_id AND e.neighbor_id = p.c_id
        GROUP BY e.q_id ORDER BY e.q_id"""
   }

@@ -1892,6 +1892,26 @@ class GraftSpec extends AnyFunSuite {
       assert(math.abs(rows(m)._2 - rows(mr)._2) <= 1e-9,
         s"residual row's cand_frac drifted from the non-residual row: $m vs $mr")
     }
+    // TRAINED codebook (s11) at the same operating points: identical
+    // cost axis (same probed cells — structural), and a REGRESSION
+    // band against the untrained-residual row. Improvement is the
+    // measured result (RecallHarness: +0.01..+0.03 at every probe),
+    // not an invariant — two Lloyd rounds on a pathological corpus
+    // could tread water — so the band says "training never makes
+    // residual codes much WORSE", which IS near-deterministic: the
+    // floor-mean centers minimize the same quantization objective the
+    // seed entries only sample.
+    val ivfpqTr = rows.keys.filter(_.startsWith("ivfpq-tr[")).toSeq.sortBy(
+      k => k.split("probe=")(1).split(",")(0).toInt)
+    assert(ivfpqTr.size == 3)
+    ivfpq.zip(ivfpqTr).foreach { case (m, mt) =>
+      assert(math.abs(rows(m)._2 - rows(mt)._2) <= 1e-9,
+        s"trained row's cand_frac drifted from the non-residual row: $m vs $mt")
+    }
+    ivfpqRes.zip(ivfpqTr).foreach { case (mr, mt) =>
+      assert(rows(mt)._1 >= rows(mr)._1 - 0.05,
+        s"training REGRESSED residual recall beyond tolerance: $mr -> $mt: $rows")
+    }
   }
 
   test("d11 minhash estimate: observed error within 3 sigma of the 16-perm estimator") {
@@ -2223,6 +2243,26 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("k_eval") == 5L))
     val mean = rows.map(_.getAs[Double]("recall_short")).sum / rows.length
     assert(mean >= 0.2, s"mean IVF-PQ shortlist recall $mean — residual codes carry no signal")
+  }
+
+  test("s11 trained IVF-PQ: integer Lloyd training preserves the recall contract") {
+    // The trained path re-derives the codebook with two k-means rounds
+    // over integer-snapped residuals — every post-snap operation is
+    // BIGINT arithmetic, which is what lets the DuckDB oracle replay
+    // training bit-for-bit (the hash-match IS the determinism spec).
+    // Here we pin the recall contract (same shape/bands as s10) and
+    // the band vs the untrained residual variant at the SAME pinned
+    // operating point — a regression guard, not an ordering invariant.
+    val rows = SparkEntry.queries("s11_ivfpq_trained")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("k_eval") == 5L))
+    val mean = rows.map(_.getAs[Double]("recall_short")).sum / rows.length
+    assert(mean >= 0.2, s"mean trained IVF-PQ recall $mean — trained codes carry no signal")
+    val untrained = SparkEntry.queries("s10_ivfpq_recall")(spark, sf).collect()
+      .map(_.getAs[Double]("recall_short"))
+    val meanU = untrained.sum / untrained.length
+    assert(mean >= meanU - 0.1,
+      s"training regressed recall beyond tolerance: trained $mean vs untrained $meanU")
   }
 
   test("m04 CDC chunking: boundaries re-sync after a prefix edit; fixed framing loses all alignment") {

@@ -274,6 +274,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s11: trained-codebook pipeline keeps the PQ join discipline under Lloyd rounds") {
+    // training adds two assignment fan-outs and two floor-mean aggs on
+    // top of s10's shape — all against the 128-row BROADCAST codebook;
+    // nothing in the loop may degrade to a sort-merge join or a
+    // cartesian product however many rounds unroll
+    val p = plan("s11_ivfpq_trained")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d15: span probe reads the PERSISTED gram index — no corpus re-tokenization") {
     val before = graft.operators.GramIndex.indexBuilds
     val df = SparkEntry.queries("d15_span_incremental")(spark, sf)
