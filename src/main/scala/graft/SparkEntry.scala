@@ -165,6 +165,8 @@ object SparkEntry {
       Dedup.dupSpansIncremental(Tables.documents(s, d))),
     "t15_approx_percentile" -> ((s, d) =>
       TextOps.approxPercentiles(Tables.documents(s, d))),
+    "t16_domain_mixture" -> ((s, d) =>
+      TextOps.domainMixture(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
   )
 
@@ -450,6 +452,7 @@ object SparkEntry {
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
     "d14_dup_spans" -> Dedup.dupSpansOracle(),
     "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
+    "t16_domain_mixture" -> TextOps.domainMixtureOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
   )
 }

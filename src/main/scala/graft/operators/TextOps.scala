@@ -679,4 +679,62 @@ object TextOps {
              FROM agg)
        SELECT doc_id, n_tokens, avg_nll, round(exp(avg_nll), 2) AS ppl
        FROM e ORDER BY doc_id"""
+
+  // ---- t16: temperature-weighted domain mixture -----------------------
+
+  /** t16: temperature-weighted domain mixture — the sampling-weight
+    * computation every multi-source training pipeline runs before
+    * packing (the mC4/XLM-R alpha-sampling recipe): per-source token
+    * mass t_d, alpha-damped share w_d = t_d^a / sum(t^a), and the
+    * expected epochs each source is read at a one-corpus-pass token
+    * budget (epochs_d = w_d * T / t_d; > 1 means the tail domain is
+    * upsampled — the whole point of the damping). alpha is pinned at
+    * 0.5 so damping is sqrt (bit-identical across libms, unlike
+    * pow(x, 0.5) which may route through exp/ln).
+    *
+    * Scale shape: ONE corpus scan, one shuffle on source (partial
+    * map-side counts), and everything after runs on the domain-bounded
+    * frame (sources are dozens, not billions). Integer token sums are
+    * exact and order-free; the single order-sensitive DOUBLE reduction
+    * — the damped denominator — is a sorted left fold over the
+    * source-bounded list (the t14 trick), so both engines add the same
+    * doubles in the same order.
+    */
+  def domainMixture(documents: DataFrame): DataFrame = {
+    val per = documents
+      .withColumn("ws_tokens", expr("size(split(trim(text), '\\\\s+'))").cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("tokens"))
+    val tot = per.agg(
+      sum(col("tokens")).as("total_tokens"),
+      expr("""aggregate(array_sort(collect_list(sqrt(CAST(tokens AS DOUBLE)))),
+               CAST(0 AS DOUBLE), (a, v) -> a + v)""").as("denom"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        Rounding.roundN(
+          col("tokens").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("raw_share"),
+        Rounding.roundN(expr("sqrt(CAST(tokens AS DOUBLE)) / denom"), 6)
+          .as("weight"),
+        Rounding.roundN(expr(
+          """(sqrt(CAST(tokens AS DOUBLE)) / denom)
+             * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)"""), 6)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixtureOracle: String =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+         FROM documents GROUP BY source),
+       tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           list_reduce(list_sort(list(sqrt(CAST(tokens AS DOUBLE)))),
+             (a, v) -> a + v) AS denom
+         FROM per)
+       SELECT source, n_docs, tokens,
+         round(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS raw_share,
+         round(sqrt(CAST(tokens AS DOUBLE)) / denom, 6) AS weight,
+         round((sqrt(CAST(tokens AS DOUBLE)) / denom)
+               * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS epochs
+       FROM per CROSS JOIN tot ORDER BY source"""
 }

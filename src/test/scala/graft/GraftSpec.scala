@@ -2265,6 +2265,31 @@ class GraftSpec extends AnyFunSuite {
       s"training regressed recall beyond tolerance: trained $mean vs untrained $meanU")
   }
 
+  test("t16 domain mixture: sqrt damping flattens shares toward the tail domains") {
+    // Temperature sampling theorems (alpha < 1), data-independent as
+    // long as domains differ in token mass: weights sum to 1; the
+    // weight/raw_share ratio is strictly decreasing in tokens, so the
+    // largest domain is downsampled (epochs < 1 impossible to assert
+    // only if all domains equal) and the smallest upsampled relative
+    // to it; epochs is monotone non-increasing in token mass.
+    val rows = SparkEntry.queries("t16_domain_mixture")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("tokens"))
+    assert(rows.length >= 2)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    val ssum = rows.map(_.getAs[Double]("raw_share")).sum
+    assert(math.abs(ssum - 1.0) < 1e-3, s"raw shares sum to $ssum")
+    // epochs non-increasing as token mass grows; smallest domain is
+    // upsampled at least as much as the largest
+    rows.map(_.getAs[Double]("epochs")).sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, s"epochs not monotone in token mass: $a then $b")
+    }
+    if (rows.head.getAs[Long]("tokens") < rows.last.getAs[Long]("tokens")) {
+      assert(rows.head.getAs[Double]("epochs") > rows.last.getAs[Double]("epochs"),
+        "sqrt damping failed to upsample the smallest domain relative to the largest")
+    }
+  }
+
   test("m04 CDC chunking: boundaries re-sync after a prefix edit; fixed framing loses all alignment") {
     import spark.implicits._
     // aperiodic but deterministic 240-char payload
