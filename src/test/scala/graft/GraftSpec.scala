@@ -2263,6 +2263,13 @@ class GraftSpec extends AnyFunSuite {
     val meanU = untrained.sum / untrained.length
     assert(mean >= meanU - 0.1,
       s"training regressed recall beyond tolerance: trained $mean vs untrained $meanU")
+    // the index build (train + encode) is a persist point: a second
+    // query against the same corpus must probe the cached artifacts,
+    // not retrain — the amortization production IVF-PQ lives on
+    val builds = graft.operators.Similarity.trainedPqBuilds
+    SparkEntry.queries("s11_ivfpq_trained")(spark, sf).count()
+    assert(graft.operators.Similarity.trainedPqBuilds == builds,
+      "repeat s11 query retrained the codebook instead of probing the cached index")
   }
 
   test("t16 domain mixture: sqrt damping flattens shares toward the tail domains") {
