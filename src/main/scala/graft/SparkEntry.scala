@@ -143,6 +143,7 @@ object SparkEntry {
     "s09_pq_recall" -> ((s, d) => Similarity.pqRecall(Tables.embeddings(s, d))),
     "s10_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(Tables.embeddings(s, d))),
     "s11_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedRecall(Tables.embeddings(s, d))),
+    "s12_ann_ingest" -> ((s, d) => Similarity.annIncremental(Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -167,6 +168,10 @@ object SparkEntry {
       TextOps.approxPercentiles(Tables.documents(s, d))),
     "t16_domain_mixture" -> ((s, d) =>
       TextOps.domainMixture(Tables.documents(s, d))),
+    "t17_mixture_materialize" -> ((s, d) =>
+      TextOps.mixtureMaterialize(Tables.documents(s, d))),
+    "t18_bigram_surprisal" -> ((s, d) =>
+      TextOps.bigramSurprisal(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
   )
 
@@ -441,6 +446,7 @@ object SparkEntry {
     "s09_pq_recall" -> Similarity.pqRecallOracle(),
     "s10_ivfpq_recall" -> Similarity.ivfPqRecallOracle(),
     "s11_ivfpq_trained" -> Similarity.ivfPqTrainedRecallOracle(),
+    "s12_ann_ingest" -> Similarity.annIncrementalOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
@@ -453,6 +459,8 @@ object SparkEntry {
     "d14_dup_spans" -> Dedup.dupSpansOracle(),
     "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
     "t16_domain_mixture" -> TextOps.domainMixtureOracle,
+    "t17_mixture_materialize" -> TextOps.mixtureMaterializeOracle,
+    "t18_bigram_surprisal" -> TextOps.bigramSurprisalOracle(),
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
   )
 }

@@ -1340,4 +1340,101 @@ object Similarity {
          ON e.q_id = p.q_id AND e.neighbor_id = p.c_id
        GROUP BY e.q_id ORDER BY e.q_id"""
   }
+
+  // ---- s12: incremental ANN over the persisted IVF index --------------
+
+  /** s12's per-corpus index roots (see [[VecIndex.indexBuilds]] for
+    * the build counter). Eviction DELETES the temp index dirs — the
+    * d12 indexCache contract: on-disk tables, not GC-tracked blocks. */
+  private val vecIndexCache =
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4,
+      onEvict = root =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        catch { case _: Exception => () })
+
+  /** s12: INCREMENTAL ANN — a new batch of vectors searched against
+    * the corpus's PERSISTED IVF index ([[VecIndex]]): centroids and
+    * cell-partitioned inverted lists live as
+    * [[graft.sources.VersionedTable]]s, built ONCE per corpus and
+    * probed per batch — no corpus re-assignment, and the probe's IO is
+    * dir-pruned to the probed cells (the inverted lists ARE partition
+    * dirs). The d12/d15 ingest shape for embeddings: at 100 TB the
+    * index is the long-lived asset, batches probe it and
+    * [[VecIndex.ingest]] appends them O(batch) so successive batches
+    * see each other (spec-pinned; the demo closes the loop).
+    *
+    * Batch split vec_id % 19 == 0 keeps the oracle-pinned centroid
+    * ids (100..107) on the corpus side. Results match s05's multiprobe
+    * semantics with queries restricted to the batch and candidates to
+    * the corpus — the oracle replays assignment, probing and ranking
+    * relationally.
+    */
+  def annIncremental(embeddings: DataFrame, k: Int = 3, nProbe: Int = 2,
+                     batchMod: Int = 19): DataFrame = {
+    val spark = embeddings.sparkSession
+    val isBatch = col("vec_id") % batchMod === 0
+    val batch = embeddings.filter(isBatch).select(col("vec_id"), col("embedding"))
+    val corpus = embeddings.filter(!isBatch).select(col("vec_id"), col("embedding"))
+    def buildTemp(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+      VecIndex.build(spark, root, corpus)
+      root
+    }
+    val (root, ephemeral) =
+      if (!Caching.bareScan(embeddings)) (buildTemp(), true)
+      else {
+        val stamp = Caching.stamp(embeddings)
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (vecIndexCache.getOrElseUpdate((spark, stamp, batchMod))(buildTemp()), false)
+      }
+    val res = VecIndex.probe(spark, root, batch, k, nProbe)
+      .orderBy(col("q_id"), col("rank"))
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => () }
+      out
+    } else res
+  }
+
+  /** Oracle: corpus assignment (top-1), query probing (top-nProbe) and
+    * cosine ranking replayed relationally over the same batch split —
+    * the persisted-index path must equal the from-scratch relational
+    * computation exactly. */
+  def annIncrementalOracle(k: Int = 3, nProbe: Int = 2,
+                           batchMod: Int = 19): String = {
+    val d = Dialect.duck
+    val ids = centroidIds.mkString(", ")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cemb
+           FROM embeddings WHERE vec_id IN ($ids)),
+       corp AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % $batchMod <> 0),
+       q AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % $batchMod = 0),
+       cscored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           ${dot(d, "e.embedding", "c.cemb")} AS csim
+         FROM corp e CROSS JOIN cents c),
+       cassign AS (SELECT vec_id, embedding, cent_id AS cell,
+           ${normExpr(d, "embedding")} AS nrm
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn FROM cscored) t
+         WHERE crn = 1),
+       qscored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           ${dot(d, "e.embedding", "c.cemb")} AS csim
+         FROM q e CROSS JOIN cents c),
+       qprobe AS (SELECT vec_id, embedding, cent_id AS cell,
+           ${normExpr(d, "embedding")} AS nrm
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn FROM qscored) t
+         WHERE crn <= $nProbe),
+       scored AS (SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+           ${dot(d, "p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cos
+         FROM cassign a JOIN qprobe p USING (cell)),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
 }

@@ -737,4 +737,208 @@ object TextOps {
          round((sqrt(CAST(tokens AS DOUBLE)) / denom)
                * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS epochs
        FROM per CROSS JOIN tot ORDER BY source"""
+
+  // ---- t17: mixture materialization (epoch-expansion sampling) --------
+
+  /** t17: MATERIALIZE the t16 mixture — turn each source's expected
+    * epochs into per-document repeat counts, deterministically: a doc
+    * in a source with epochs e is emitted floor(e) times plus one more
+    * iff its affine hash (the t07 split hash, uniform in [0,1)) falls
+    * below frac(e). This is the stage between weight computation and
+    * packing in every alpha-sampled training pipeline (mC4/XLM-R):
+    * t05 stats -> t16 weights -> t17 materialized repeats -> t07/t08.
+    * The Bernoulli step makes the REALIZED token share an unbiased,
+    * reproducible estimate of the target weight per source — the
+    * census emitted here is exactly the drift check (target vs
+    * realized epochs) a production run monitors.
+    *
+    * Scale shape: the per-source epoch frame is source-bounded (dozens
+    * of rows) and broadcasts back onto the doc scan — repeats are a
+    * narrow map-side projection, no doc ever shuffles; the census is
+    * one partial agg on source. Cross-engine parity: epochs stays
+    * UNROUNDED through floor/frac (both engines compute the identical
+    * IEEE double from integer token sums, a sorted-fold denominator
+    * and exact sqrt/mul/div, so the floor boundary cannot straddle);
+    * the hash-vs-frac comparison compares two bit-identical doubles.
+    */
+  def mixtureMaterialize(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = documents.select(col("doc_id"), col("source"),
+      expr("size(split(trim(text), '\\\\s+'))").cast("long").as("ws_tokens"))
+    val per = withTok.groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("tokens_in"))
+    val tot = per.agg(
+      sum(col("tokens_in")).as("total_tokens"),
+      expr("""aggregate(array_sort(collect_list(sqrt(CAST(tokens_in AS DOUBLE)))),
+               CAST(0 AS DOUBLE), (a, v) -> a + v)""").as("denom"))
+    val withEpochs = per.crossJoin(broadcast(tot))
+      .withColumn("epochs", expr(
+        """(sqrt(CAST(tokens_in AS DOUBLE)) / denom)
+           * CAST(total_tokens AS DOUBLE) / CAST(tokens_in AS DOUBLE)"""))
+      .select(col("source"), col("epochs"))
+    val u = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % P)
+      .cast("double") / lit(P.toDouble)
+    val perDoc = withTok
+      .join(broadcast(withEpochs), Seq("source"))
+      .withColumn("repeats", floor(col("epochs")) +
+        when(u < (col("epochs") - floor(col("epochs"))), lit(1L)).otherwise(lit(0L)))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("repeats")).as("n_out"),
+           sum(col("ws_tokens")).as("tokens_in"),
+           sum(col("repeats") * col("ws_tokens")).as("tokens_out"),
+           max(col("epochs")).as("te"))
+      .withColumn("total_out", sum(col("tokens_out")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_out"), col("tokens_in"),
+        col("tokens_out"),
+        Rounding.roundN(col("te"), 6).as("target_epochs"),
+        Rounding.roundN(
+          col("tokens_out").cast("double") / col("tokens_in").cast("double"), 6)
+          .as("realized_epochs"),
+        Rounding.roundN(
+          col("tokens_out").cast("double") / col("total_out").cast("double"), 6)
+          .as("realized_share"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureMaterializeOracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+         FROM documents),
+       per AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS tokens_in
+         FROM d GROUP BY source),
+       tot AS (SELECT CAST(sum(tokens_in) AS BIGINT) AS total_tokens,
+           list_reduce(list_sort(list(sqrt(CAST(tokens_in AS DOUBLE)))),
+             (a, v) -> a + v) AS denom
+         FROM per),
+       we AS (SELECT source,
+           (sqrt(CAST(tokens_in AS DOUBLE)) / denom)
+             * CAST(total_tokens AS DOUBLE) / CAST(tokens_in AS DOUBLE) AS epochs
+         FROM per CROSS JOIN tot),
+       pd AS (SELECT d.doc_id, d.source, d.ws_tokens, we.epochs,
+           CAST(floor(epochs) AS BIGINT)
+             + CASE WHEN CAST((doc_id * 1103515245 + 12345) % $P AS DOUBLE) / $P.0
+                         < epochs - floor(epochs)
+                    THEN 1 ELSE 0 END AS repeats
+         FROM d JOIN we USING (source)),
+       agg AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(repeats) AS BIGINT) AS n_out,
+           CAST(sum(ws_tokens) AS BIGINT) AS tokens_in,
+           CAST(sum(repeats * ws_tokens) AS BIGINT) AS tokens_out,
+           max(epochs) AS te
+         FROM pd GROUP BY source),
+       t2 AS (SELECT CAST(sum(tokens_out) AS BIGINT) AS total_out FROM agg)
+       SELECT source, n_docs, n_out, tokens_in, tokens_out,
+         round(te, 6) AS target_epochs,
+         round(CAST(tokens_out AS DOUBLE) / CAST(tokens_in AS DOUBLE), 6)
+           AS realized_epochs,
+         round(CAST(tokens_out AS DOUBLE) / CAST(total_out AS DOUBLE), 6)
+           AS realized_share
+       FROM agg CROSS JOIN t2 ORDER BY source"""
+
+  // ---- t18: bigram-LM surprisal with stupid backoff -------------------
+
+  /** t18: held-out perplexity under a count-based BIGRAM LM with
+    * stupid backoff — the context-conditional upgrade of t14's unigram
+    * surprisal, and the standard shape of an LM-based quality filter
+    * (CCNet/KenLM style: train a count model on a reference slice,
+    * score candidate docs; high perplexity = off-distribution text).
+    * Train slice = doc_id % trainMod == 0; every other doc is scored.
+    * Per held-out bigram (w1, w2):
+    * p = c2(w1,w2)/c1(w1) if the bigram was seen in training, else
+    * 0.4 * c1(w2)/N (unigram backoff), else 0.4/N (OOV floor) — the
+    * Brants et al. "stupid backoff" recipe, deterministic on counts
+    * (no tuned discounts), hence fully replayable in the oracle.
+    *
+    * Scale shape: bigram extraction is IN-ROW (zip_with over the
+    * token array against its own tail) — tokens NEVER shuffle; the
+    * positional lead-window alternative would shuffle every token on
+    * doc_id before emitting the same pairs. The count tables shuffle
+    * on bigram/unigram keys exactly once (map-side partials); scoring
+    * is equi-joins against count tables that are vocab-bounded
+    * (Heaps' law), which AQE broadcasts when they fit. Double
+    * summation is a sorted fold over each doc's (w1, w2)-keyed term
+    * list (the t14 trick) so both engines add identical doubles in
+    * identical order.
+    */
+  def bigramSurprisal(documents: DataFrame, trainMod: Int = 7): DataFrame = {
+    // adjacent-pair extraction without a window: ws zipped with its
+    // own tail (slice length 0 on a 1-token doc => no bigrams)
+    val big = documents
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+             (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val isTrain = col("doc_id") % trainMod === 0
+    val trainBig = big.filter(isTrain)
+    val c2 = trainBig.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = trainBig.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
+    val n = trainBig.agg(count(lit(1)).as("n"))
+    val held = big.filter(!isTrain)
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val scored = held
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("p",
+        when(col("c2").isNotNull, col("c2").cast("double") / col("c1w1"))
+          .when(col("c1w2").isNotNull,
+            lit(0.4) * col("c1w2").cast("double") / col("n"))
+          .otherwise(lit(0.4) / col("n")))
+      .withColumn("term", col("c") * -log(col("p")))
+      .withColumn("oov", when(col("c2").isNull, col("c")).otherwise(lit(0L)))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+           sum(col("oov")).as("oov_bigrams"),
+           collect_list(struct(col("w1"), col("w2"), col("term"))).as("ts"))
+      .withColumn("avg_nll", Rounding.roundN(
+        expr("""aggregate(array_sort(ts), CAST(0 AS DOUBLE),
+                 (acc, s) -> acc + s.term)""") / col("n_bigrams"), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"), col("avg_nll"),
+              Rounding.roundN(exp(col("avg_nll")), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical counts/backoff relationally; each doc's term
+    * list collected in (w1, w2) order so list_reduce folds the same
+    * doubles in the same order as array_sort's struct ordering
+    * ((w1, w2) is unique per doc after the group-by). */
+  def bigramSurprisalOracle(trainMod: Int = 7): String =
+    s"""WITH toks AS (
+         SELECT doc_id, g.i AS pos, g.tok
+         FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              LATERAL (SELECT unnest(ts) AS tok, generate_subscripts(ts, 1) AS i) g),
+       big AS (SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         FROM toks),
+       b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+       tr AS (SELECT w1, w2, count(*) AS c2 FROM b2
+         WHERE doc_id % $trainMod = 0 GROUP BY 1, 2),
+       un AS (SELECT w1 AS w, count(*) AS c1 FROM b2
+         WHERE doc_id % $trainMod = 0 GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM b2 WHERE doc_id % $trainMod = 0),
+       hd AS (SELECT doc_id, w1, w2, count(*) AS c FROM b2
+         WHERE doc_id % $trainMod <> 0 GROUP BY 1, 2, 3),
+       sc AS (SELECT h.doc_id, h.w1, h.w2, h.c,
+           CASE WHEN t.c2 IS NOT NULL THEN CAST(t.c2 AS DOUBLE) / u1.c1
+                WHEN u2.c1 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * CAST(u2.c1 AS DOUBLE) / n
+                ELSE CAST(0.4 AS DOUBLE) / n END AS p,
+           CASE WHEN t.c2 IS NULL THEN h.c ELSE 0 END AS oov
+         FROM hd h LEFT JOIN tr t USING (w1, w2)
+           LEFT JOIN un u1 ON h.w1 = u1.w
+           LEFT JOIN un u2 ON h.w2 = u2.w
+           CROSS JOIN nn),
+       ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+           list(c * -ln(p) ORDER BY w1, w2) AS ts
+         FROM sc GROUP BY doc_id),
+       e AS (SELECT doc_id, n_bigrams, oov_bigrams,
+           round(list_reduce(ts, (acc, v) -> acc + v) / n_bigrams, 4) AS avg_nll
+         FROM ag)
+       SELECT doc_id, n_bigrams, oov_bigrams, avg_nll,
+         round(exp(avg_nll), 2) AS ppl
+       FROM e ORDER BY doc_id"""
 }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** The PERSISTED IVF vector index — ANN search in the
+  * incremental-ingest shape [[BandIndex]] gives document dedup and
+  * [[GramIndex]] gives substring dedup (reference analogue: the
+  * queue-skip gate over already-landed records — new work probes
+  * persisted state, it never recomputes it). Two [[VersionedTable]]s
+  * under one root:
+  *
+  *  - `<root>/centroids`: (cent_id, cemb) — K ~ sqrt(n) rows, tiny
+  *  - `<root>/vectors`:   (vec_id, embedding, nrm, cell) —
+  *    partition-native on cell, so THE INVERTED LISTS ARE PARTITION
+  *    DIRS: a probe of nProbe cells opens nProbe dirs and reads
+  *    nothing else. This is the literal on-disk form of IVF — the
+  *    candidate restriction that s03/s05 express as a cell equi-join
+  *    becomes dir-pruned IO before any scan starts.
+  *
+  * The ingest cycle is probe -> append: [[probe]] assigns ONLY the
+  * query batch to its nProbe nearest cells via the broadcast persisted
+  * centroid table and ranks cosine inside the opened dirs; [[ingest]]
+  * assigns a new vector batch to its home cells and appends O(batch)
+  * add-file commits ([[VersionedTable.appendPartitioned]]) so the next
+  * probe sees them — the corpus is never re-assigned, never re-read.
+  *
+  * Appends reuse the BUILD-time centroids (an append must not move
+  * the Voronoi grid under existing lists); drift is the documented
+  * cost, [[rebuildRecommended]] is the signal (meta-sidecar vector
+  * counts, the [[GramIndex]] contract), and [[build]] — seeded by an
+  * s04 Lloyd refinement at production scale — is the re-level, the
+  * recluster analogue for vector space. Probe-side collects are
+  * bounded by queries x nProbe cell ids (never by corpus data).
+  */
+object VecIndex {
+
+  /** Times a vector index was actually BUILT (not probed) — the
+    * d12-style evidence that repeated s12 runs are probe-only. */
+  @volatile var indexBuilds: Long = 0L
+
+  /** Recommend a rebuild when appends have grown the corpus past this
+    * fraction of its size at the last [[build]] (stale centroids skew
+    * cell occupancy; the census is the verification). */
+  val RebuildFraction = 0.25
+
+  private def vecsRoot(root: String) = s"$root/vectors"
+  private def centsRoot(root: String) = s"$root/centroids"
+  private def metaPath(root: String) = s"$root/_vec_meta"
+
+  private def hfs(spark: SparkSession, root: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private def readMeta(spark: SparkSession, root: String): Option[(Long, Long)] =
+    try {
+      val f = hfs(spark, root)
+      val in = f.open(new org.apache.hadoop.fs.Path(metaPath(root)))
+      val kv = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }.toMap
+      finally in.close()
+      Some((kv("built_vecs"), kv("appended_vecs")))
+    } catch { case _: Exception => None }
+
+  private def writeMeta(spark: SparkSession, root: String,
+                        builtVecs: Long, appendedVecs: Long): Unit = {
+    val f = hfs(spark, root)
+    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
+      /* overwrite = */ true)
+    try out.write(s"built_vecs=$builtVecs\nappended_vecs=$appendedVecs\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Whether centroid re-training is DUE (same contract as
+    * [[GramIndex.rebuildRecommended]]): appends never move centroids,
+    * so cell occupancy drifts as the appended fraction grows; past
+    * [[RebuildFraction]] the index should be re-built from the grown
+    * corpus (with a Lloyd step, s04, at production scale). No meta =
+    * unknown drift = recommend conservatively. */
+  def rebuildRecommended(spark: SparkSession, root: String): Boolean =
+    readMeta(spark, root) match {
+      case Some((built, appended)) =>
+        appended > built.max(1L) * RebuildFraction
+      case None => true
+    }
+
+  /** Nearest-centroid (top-1) assignment of `vecs` against a centroid
+    * frame — identical ordering convention to s03's assignedCells
+    * (csim desc, cent_id tiebreak) so index and batch-mode search
+    * cannot drift on cell membership. */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"),
+              vec_norm(col("embedding")).as("nrm"),
+              col("cent_id").cast("string").as("cell"))
+  }
+
+  /** Build (or rebuild) the index from a corpus: centroids = the
+    * corpus vectors with ids `centIds` (the oracle-pinned stand-in
+    * for sampled k-means — production seeds these with an s04 Lloyd
+    * pass), then one assignment pass committed partition-native on
+    * cell. */
+  def build(spark: SparkSession, root: String, corpus: DataFrame,
+            centIds: Seq[Long] = Similarity.centroidIds): Unit = {
+    indexBuilds += 1
+    val cents = corpus.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cv = VersionedTable.currentVersion(spark, centsRoot(root)).getOrElse(-1L)
+    VersionedTable.commit(spark, centsRoot(root), cents, cv)
+    val vv = VersionedTable.currentVersion(spark, vecsRoot(root)).getOrElse(-1L)
+    VersionedTable.commitPartitioned(
+      spark, vecsRoot(root), assign(corpus, cents), "cell", vv)
+    writeMeta(spark, root, corpus.count(), 0L)
+  }
+
+  /** Top-k cosine neighbors of each query vector over ONLY the probed
+    * cells' partition dirs: queries fan out to their nProbe nearest
+    * cells (broadcast centroid table — K rows), the DISTINCT probed
+    * cell ids (bounded by queries x nProbe, never by data) drive a
+    * dir-pruned [[VersionedTable.readPartitions]], and ranking runs on
+    * the opened lists. A corpus vector lives in exactly one cell, so
+    * candidates are unique without a dedup stage. */
+  def probe(spark: SparkSession, root: String, queries: DataFrame,
+            k: Int = 3, nProbe: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val cents = VersionedTable.read(spark, centsRoot(root))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    // materialized once: the distinct-cell pass below drives the
+    // pruned read, then the join consumes the same frame
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              vec_norm(col("embedding")).as("qn"),
+              col("cent_id").cast("string").as("cell"))
+      .localCheckpoint(eager = false)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val empty = probes.select(col("q_id"), col("q_id").as("neighbor_id"),
+      lit(0L).as("rank"), lit(0.0).as("cos")).limit(0)
+    if (cells.isEmpty) return empty
+    // a probed cell with no corpus vectors has no dirs; readPartitions
+    // drops it — only an entirely-dirless probe set short-circuits
+    val corpus =
+      try VersionedTable.readPartitions(spark, vecsRoot(root), cells)
+      catch { case _: java.io.FileNotFoundException => return empty }
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    corpus
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"))
+      .join(probes.select(col("q_id"), col("qe"), col("qn"), col("cell")), Seq("cell"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"),
+              Rounding.roundN(col("cos"), 4).as("cos"))
+  }
+
+  /** Append a new vector batch into the index: assignment against the
+    * PERSISTED centroids (the grid must not move under existing
+    * lists), then O(batch) add-file commits into the batch's home-cell
+    * dirs. The next [[probe]] sees the batch with no corpus work. Meta
+    * tracks the appended count for [[rebuildRecommended]]. */
+  def ingest(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+    val cents = VersionedTable.read(spark, centsRoot(root))
+    val vv = VersionedTable.currentVersion(spark, vecsRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no index built at $root"))
+    VersionedTable.appendPartitioned(
+      spark, vecsRoot(root), assign(batch, cents), "cell", vv)
+    val (built, appended) = readMeta(spark, root).getOrElse((0L, 0L))
+    writeMeta(spark, root, built, appended + batch.count())
+  }
+}

@@ -294,6 +294,82 @@ object VersionedTable {
     stageAndCommit(spark, root, df, base,
       carryOver = if (base < 0) Nil else entriesOf(spark, root, base))
 
+  /** Append with AUTOMATIC conflict rebase — Delta's append-only
+    * conflict rule realized on this log: a pure add-file commit reads
+    * NOTHING from the snapshot it staged against, so losing the
+    * publish race never invalidates the staged data. The loser
+    * re-reads the new head's dir list and republishes the SAME staged
+    * dir against it — staging happens ONCE, only the O(1) publish
+    * retries (a [[merge]]/[[commit]] loser must instead re-run its
+    * logic against the new snapshot; that is merge's retry path, not
+    * this one). This is what lets many independent ingest writers land
+    * on one table without coordinating: appends commute. Bounded
+    * attempts guard a pathologically hot log; on give-up the staged
+    * dir is reclaimed and the conflict rethrown. */
+  def appendRebase(spark: SparkSession, root: String, df: DataFrame,
+                   maxAttempts: Int = 10): Long =
+    appendRebaseFrom(spark, root, df,
+      currentVersion(spark, root).getOrElse(-1L), maxAttempts)
+
+  /** [[appendRebase]] with the FIRST attempt pinned to a caller-read
+    * (possibly stale) base — the read-then-race window made explicit,
+    * and the seam the conflict spec drives deterministically. */
+  private[graft] def appendRebaseFrom(spark: SparkSession, root: String,
+                                      df: DataFrame, firstBase: Long,
+                                      maxAttempts: Int = 10): Long = {
+    val f = fs(spark, root)
+    val rel = s"data/append-${java.util.UUID.randomUUID()}"
+    val staged = s"$root/$rel"
+    try df.write.mode("errorifexists").parquet(staged)
+    catch { case e: Throwable => f.delete(p(staged), true); throw e }
+    var attempt = 0
+    var base = firstBase
+    while (true) {
+      attempt += 1
+      val carry = if (base < 0) Nil else entriesOf(spark, root, base)
+      try {
+        // no-op conflict cleanup: the staged dir survives a lost race
+        // for the rebase; it is reclaimed only on final give-up
+        publish(spark, root, base + 1, carry :+ Entry(rel, None),
+                onConflictCleanup = () => ())
+        return base + 1
+      } catch {
+        case e: VersionConflictException =>
+          if (attempt >= maxAttempts) { f.delete(p(staged), true); throw e }
+          base = currentVersion(spark, root).getOrElse(-1L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version whose commit file
+    * was published at or before `tsMillis` — commit-file modification
+    * time is the publication clock, exactly Delta's timestamp-travel
+    * rule (and with the same honest caveat: writer clock skew can move
+    * the boundary between adjacent versions, never the version order
+    * itself). One log listing; a resolved-but-vacuumed version fails
+    * on read like any expired version. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMillis: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val ld = p(s"$root/_log")
+    if (!f.exists(ld)) return None
+    val vs = f.listStatus(ld)
+      .filter(st => st.getPath.getName.matches("v\\d{8}\\.commit") &&
+              st.getLen > 0 && st.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".commit").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Time travel by wall clock: [[readAsOf]] at
+    * [[versionAtTimestamp]]'s resolution; throws when the table has no
+    * version that old (Delta's TIMESTAMP AS OF contract). */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMillis: Long): DataFrame =
+    readAsOf(spark, root, versionAtTimestamp(spark, root, tsMillis).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no version committed at or before $tsMillis at $root")))
+
   /** Fold the current version's dir list into a single full snapshot
     * — commits a NEW version (history stays time-travelable until
     * vacuum). The maintenance pass that bounds small-file growth

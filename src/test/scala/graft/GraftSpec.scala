@@ -2436,4 +2436,184 @@ class GraftSpec extends AnyFunSuite {
       assert(s.contains("[EMAIL]") && s.contains("[PHONE]") && s.contains("[NUM]"))
     }
   }
+
+  test("t17 mixture materialize: epoch-expansion theorems hold") {
+    val rows = SparkEntry.queries("t17_mixture_materialize")(spark, sf).collect()
+    // Bernoulli rounding bounds: every source emits between
+    // n_docs*floor(e) and n_docs*ceil(e) documents
+    rows.foreach { r =>
+      val te = r.getAs[Double]("target_epochs")
+      val nd = r.getAs[Long]("n_docs"); val nOut = r.getAs[Long]("n_out")
+      assert(nOut >= nd * math.floor(te).toLong,
+        s"${r.getAs[String]("source")}: n_out $nOut below floor bound")
+      assert(nOut <= nd * math.ceil(te).toLong,
+        s"${r.getAs[String]("source")}: n_out $nOut above ceil bound")
+    }
+    // realized token shares partition the materialized corpus
+    val shares = rows.map(_.getAs[Double]("realized_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"realized shares sum to $shares")
+    // sqrt damping upsamples the smallest domain RELATIVE to the
+    // largest (the whole point of temperature sampling)
+    val byTok = rows.sortBy(_.getAs[Long]("tokens_in"))
+    assert(byTok.head.getAs[Double]("target_epochs") >=
+           byTok.last.getAs[Double]("target_epochs"))
+    // an upsampled (epochs >= 1) source keeps every document at least once
+    rows.filter(_.getAs[Double]("target_epochs") >= 1.0).foreach { r =>
+      assert(r.getAs[Long]("n_out") >= r.getAs[Long]("n_docs"))
+    }
+    // both regimes are live on this corpus, or the bounds above are vacuous
+    assert(rows.exists(_.getAs[Double]("target_epochs") < 1.0))
+    assert(rows.exists(_.getAs[Double]("target_epochs") > 1.0))
+  }
+
+  test("t18 bigram surprisal: held-out scoring with a live backoff path") {
+    val rows = SparkEntry.queries("t18_bigram_surprisal")(spark, sf).collect()
+    // the train slice is never scored (scoring it would be resubstitution)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 7 != 0))
+    assert(rows.forall(r =>
+      r.getAs[Long]("oov_bigrams") <= r.getAs[Long]("n_bigrams")))
+    assert(rows.forall(_.getAs[Double]("avg_nll") > 0.0))
+    // stupid backoff actually fires on this corpus — without unseen
+    // bigrams the CASE chain's backoff arms are untested dead code
+    assert(rows.exists(_.getAs[Long]("oov_bigrams") > 0L),
+      "no held-out bigram was unseen in training; backoff path untested")
+    // ppl is exp(avg_nll) under the shared multiply-round convention
+    rows.foreach { r =>
+      val expect = math.round(math.exp(r.getAs[Double]("avg_nll")) * 100) / 100.0
+      assert(math.abs(r.getAs[Double]("ppl") - expect) < 1e-9)
+    }
+  }
+
+  test("VecIndex: closed ingest loop — a probed batch sees the previous batch's vectors") {
+    import spark.implicits._
+    import graft.operators.VecIndex
+    import graft.sources.VersionedTable
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    val corpus = Seq(
+      (100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)),
+      (1L, v(0.9, 0.1, 0, 0)), (2L, v(0.1, 0.9, 0, 0)))
+      .toDF("vec_id", "embedding")
+    VecIndex.build(spark, root, corpus, centIds = Seq(100L, 101L))
+    // batch 1 lands in cell 100; its neighbors are exactly that cell's
+    // corpus vectors, nearest first
+    val p1 = VecIndex.probe(spark, root,
+      Seq((200L, v(0.95, 0.05, 0, 0))).toDF("vec_id", "embedding"), k = 2, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(p1.toSet == Set((1L, 100L), (2L, 1L)), s"got ${p1.toSeq}")
+    VecIndex.ingest(spark, root,
+      Seq((200L, v(0.95, 0.05, 0, 0))).toDF("vec_id", "embedding"))
+    // batch 2 points exactly along batch 1's vector: rank-1 must be the
+    // vector ingested one batch ago — visible through the O(batch)
+    // append, no corpus recompute anywhere
+    val p2 = VecIndex.probe(spark, root,
+      Seq((300L, v(0.19, 0.01, 0, 0))).toDF("vec_id", "embedding"), k = 1, nProbe = 1)
+      .collect().map(r => r.getAs[Long]("neighbor_id"))
+    assert(p2.toSeq == Seq(200L), s"got ${p2.toSeq}")
+    // the ingest was ONE add-file commit on the vectors table
+    assert(VersionedTable.currentVersion(spark, s"$root/vectors").contains(1L))
+    assert(VersionedTable.currentVersion(spark, s"$root/centroids").contains(0L))
+  }
+
+  test("VecIndex: probe opens ONLY the probed cells' partition dirs (IO pruning)") {
+    import spark.implicits._
+    import graft.operators.VecIndex
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx_prune").toString
+    val corpus = Seq(
+      (100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)),
+      (1L, v(0.9, 0.1, 0, 0)), (2L, v(0.1, 0.9, 0, 0)))
+      .toDF("vec_id", "embedding")
+    VecIndex.build(spark, root, corpus, centIds = Seq(100L, 101L))
+    // a query near centroid 101 with nProbe=1 probes exactly one cell:
+    // the inverted-list read must open one of the two partition dirs
+    val res = VecIndex.probe(spark, root,
+      Seq((400L, v(0.05, 0.95, 0, 0))).toDF("vec_id", "embedding"), k = 2, nProbe = 1)
+    assert(res.collect().map(_.getAs[Long]("neighbor_id")).toSet == Set(101L, 2L))
+    val cellDirs = res.inputFiles.filter(_.contains("/vectors/"))
+      .flatMap(_.split("/").find(_.startsWith("p=")))
+      .toSet
+    assert(cellDirs == Set("p=101"),
+      s"probe opened cell partitions $cellDirs, expected only p=101")
+  }
+
+  test("VecIndex: append drift surfaces a rebuild-recommended signal; build clears it") {
+    import spark.implicits._
+    import graft.operators.VecIndex
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx_meta").toString
+    val corpus = Seq(
+      (100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)),
+      (1L, v(0.9, 0.1, 0, 0)), (2L, v(0.1, 0.9, 0, 0)))
+      .toDF("vec_id", "embedding")
+    VecIndex.build(spark, root, corpus, centIds = Seq(100L, 101L))
+    assert(!VecIndex.rebuildRecommended(spark, root))
+    // one appended vector = 25% of the built corpus — at the
+    // threshold, not past it
+    VecIndex.ingest(spark, root, Seq((200L, v(0.95, 0.05, 0, 0))).toDF("vec_id", "embedding"))
+    assert(!VecIndex.rebuildRecommended(spark, root))
+    // a second append pushes drift past RebuildFraction: the centroids
+    // are now stale enough that re-training is DUE
+    VecIndex.ingest(spark, root, Seq((201L, v(0.05, 0.95, 0, 0))).toDF("vec_id", "embedding"))
+    assert(VecIndex.rebuildRecommended(spark, root))
+    // rebuilding from the grown corpus resets the drift counter
+    VecIndex.build(spark, root,
+      corpus.unionByName(Seq((200L, v(0.95, 0.05, 0, 0)),
+        (201L, v(0.05, 0.95, 0, 0))).toDF("vec_id", "embedding")),
+      centIds = Seq(100L, 101L))
+    assert(!VecIndex.rebuildRecommended(spark, root))
+    // an index with NO meta (built before tracking) has unknown drift:
+    // recommend conservatively instead of silently degrading
+    val legacy = java.nio.file.Files.createTempDirectory("graft_vidx_leg").toString
+    assert(VecIndex.rebuildRecommended(spark, legacy))
+  }
+
+  test("VersionedTable: appendRebase republishes a staged append over a concurrent commit") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_rebase").toString + "/t"
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"), -1L)
+    // a concurrent writer lands v1 after our appender read base = v0
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // a plain append against the stale base loses the race and gives up
+    intercept[VersionedTable.VersionConflictException] {
+      VersionedTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"), 0L)
+    }
+    // appendRebase loses the SAME race, then republishes the SAME
+    // staged dir against the new head: appends commute, so no restage,
+    // no recompute, no data loss
+    val v = VersionedTable.appendRebaseFrom(spark, root,
+      Seq((4L, "d")).toDF("id", "v"), firstBase = 0L)
+    assert(v == 2L)
+    val rows = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (4L, "d")))
+    // stage-once, retry-publish: exactly ONE append dir was written
+    val dataDir = new java.io.File(s"$root/data")
+    assert(dataDir.listFiles().count(_.getName.startsWith("append-")) == 1)
+  }
+
+  test("VersionedTable: TIMESTAMP AS OF resolves by commit publication time") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_ts").toString + "/t"
+    VersionedTable.commit(spark, root, Seq((1L, "old")).toDF("id", "v"), -1L)
+    VersionedTable.append(spark, root, Seq((2L, "new")).toDF("id", "v"), 0L)
+    // pin publication times explicitly (adjacent test commits land
+    // within the local FS clock's resolution)
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    def pin(v: Long, t: Long): Unit = f.setTimes(
+      new org.apache.hadoop.fs.Path(root + "/_log/" + f"v$v%08d" + ".commit"), t, -1)
+    pin(0L, 1000L); pin(1L, 2000L)
+    assert(VersionedTable.versionAtTimestamp(spark, root, 500L).isEmpty)
+    assert(VersionedTable.versionAtTimestamp(spark, root, 1500L).contains(0L))
+    assert(VersionedTable.versionAtTimestamp(spark, root, 2000L).contains(1L))
+    assert(VersionedTable.readAsOfTimestamp(spark, root, 1500L).count() == 1L)
+    assert(VersionedTable.readAsOfTimestamp(spark, root, 9999L).count() == 2L)
+    intercept[java.io.FileNotFoundException] {
+      VersionedTable.readAsOfTimestamp(spark, root, 500L)
+    }
+  }
 }

@@ -422,4 +422,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // for this corpus, in which case zero builds is the success case
     assert(delta <= 1, s"LSH candidate stage built $delta times across the dedup suite")
   }
+
+  test("s12: probe reads the PERSISTED vector index — dir-pruned lists, no corpus re-assign") {
+    val before = graft.operators.VecIndex.indexBuilds
+    val df = SparkEntry.queries("s12_ann_ingest")(spark, sf)
+    df.collect()
+    // a second run on the same corpus must be probe-only (cached index)
+    SparkEntry.queries("s12_ann_ingest")(spark, sf).count()
+    assert(graft.operators.VecIndex.indexBuilds - before <= 1,
+      "vector index rebuilt instead of probed")
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    // the corpus side comes from the persisted index's cell dirs; only
+    // the BATCH query side (inside the checkpointed probe frame) may
+    // scan the embeddings table
+    assert(p.contains("graft-vecidx"), "probe is not reading the persisted index")
+    assert(count(p, "embeddings.parquet") == 0,
+      "probe re-read raw embeddings past the index")
+  }
 }
