@@ -164,6 +164,10 @@ object SparkEntry {
     "d14_dup_spans" -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
     "d15_span_incremental" -> ((s, d) =>
       Dedup.dupSpansIncremental(Tables.documents(s, d))),
+    "d16_dedup_best_keep" -> ((s, d) =>
+      Dedup.dedupBestKeep(Tables.documents(s, d))),
+    "t19_leakage_split" -> ((s, d) =>
+      Dedup.leakSafeSplit(Tables.documents(s, d))),
     "t15_approx_percentile" -> ((s, d) =>
       TextOps.approxPercentiles(Tables.documents(s, d))),
     "t16_domain_mixture" -> ((s, d) =>
@@ -458,6 +462,8 @@ object SparkEntry {
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
     "d14_dup_spans" -> Dedup.dupSpansOracle(),
     "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
+    "d16_dedup_best_keep" -> Dedup.dedupBestKeepOracle(),
+    "t19_leakage_split" -> Dedup.leakSafeSplitOracle(),
     "t16_domain_mixture" -> TextOps.domainMixtureOracle,
     "t17_mixture_materialize" -> TextOps.mixtureMaterializeOracle,
     "t18_bigram_surprisal" -> TextOps.bigramSurprisalOracle(),

@@ -246,6 +246,108 @@ object Dedup {
              FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id) t
        GROUP BY lang ORDER BY lang"""
 
+  // ---- d16: quality-aware canonical selection -------------------------
+
+  /** d16: choose each near-dup cluster's SURVIVOR BY QUALITY — d10
+    * keeps the minimum-id member (an arbitrary convention); a
+    * production pipeline keeps the BEST member (highest t02 quality
+    * score, ties broken by lowest id), because near-dup clusters mix
+    * clean originals with truncated/boilerplate-wrapped copies and
+    * min-id keeps whichever crawled first. One row per cluster with
+    * both policies side by side: `policy_differs` marks clusters
+    * where quality-keep picks a different survivor than min-id — the
+    * measurable evidence the policy matters on this corpus.
+    *
+    * Scale shape: the cluster map (pipeline persist point) joins the
+    * per-doc quality projection on doc_id — hint-free, AQE broadcasts
+    * the map when it fits (the d10 rule); the argmax window and the
+    * per-cluster agg share ONE partitioning on cluster_id (the agg is
+    * a partition refinement of the window — no second exchange).
+    * Contract: members with n_chars = 0 carry no quality score (t02
+    * drops them identically in both engines) and cannot win.
+    */
+  def dedupBestKeep(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = pipeline(documents, minJaccard).clusters
+    val q = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+           max(when(col("rn") === 1, col("quality"))).as("kept_quality"),
+           min(col("doc_id")).as("minid_doc"))
+      .withColumn("policy_differs", col("kept_doc") =!= col("minid_doc"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def dedupBestKeepOracle(minJaccard: Double = 0.3): String =
+    s"""WITH RECURSIVE ${clusterCtes(minJaccard)},
+       q AS (SELECT doc_id, quality FROM (${TextOps.qualityOracle})),
+       scored AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY quality DESC, cl.doc_id) AS rn
+         FROM cl JOIN q USING (doc_id))
+       SELECT cluster_id, count(*) AS n_members,
+         CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+         max(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+         CAST(min(doc_id) AS BIGINT) AS minid_doc,
+         max(CASE WHEN rn = 1 THEN doc_id END) <> min(doc_id) AS policy_differs
+       FROM scored GROUP BY cluster_id ORDER BY cluster_id"""
+
+  // ---- t19: leakage-safe train/val/test split -------------------------
+
+  /** t19: CONTAMINATION-SAFE split — t07 hashes each doc independently,
+    * so two near-duplicates can land in train and test and leak the
+    * evaluation (the classic dedup-then-split bug: eval scores inflate
+    * on memorized near-copies). Fix: hash the CLUSTER, not the doc —
+    * split key = cluster_id for clustered docs, doc_id otherwise, so a
+    * near-dup cluster moves as one unit and can never straddle splits
+    * BY CONSTRUCTION. Same affine hash and 800/100/100 buckets as t07.
+    * Output: per-split census (docs, clustered docs, whole clusters).
+    * The spec proves the guarantee and that the naive doc-hash split
+    * DOES leak on this corpus — the bug is real, not hypothetical.
+    *
+    * Scale shape: identical to d10 — the cluster map joins hint-free
+    * onto a doc-id projection (AQE broadcasts when it fits), routing
+    * is a map-side expression, census is one partial agg on the
+    * 3-value split key.
+    */
+  def leakSafeSplit(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    val clusters = pipeline(documents, minJaccard).clusters
+      .select(col("doc_id").as("m_doc"), col("cluster_id"))
+    val keyed = documents.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("m_doc"), "left")
+      .withColumn("skey", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = (col("skey") * lit(1103515245L) + lit(12345L)) % TextOps.P % 1000
+    keyed
+      .withColumn("split",
+        when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
+           countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  def leakSafeSplitOracle(minJaccard: Double = 0.3): String =
+    s"""WITH RECURSIVE ${clusterCtes(minJaccard)},
+       keyed AS (SELECT d.doc_id, cl.cluster_id,
+           coalesce(cl.cluster_id, d.doc_id) AS skey
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       b AS (SELECT doc_id, cluster_id,
+           (skey * 1103515245 + 12345) % ${TextOps.P} % 1000 AS bucket
+         FROM keyed)
+       SELECT CASE WHEN bucket < 800 THEN 'train'
+                   WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clustered_docs,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       FROM b GROUP BY 1 ORDER BY split"""
+
   // ---- d11: MinHash estimation accuracy -------------------------------
 
   /** d11: how good is the 16-permutation MinHash estimate? For every

@@ -2568,6 +2568,67 @@ class GraftSpec extends AnyFunSuite {
     assert(VecIndex.rebuildRecommended(spark, legacy))
   }
 
+  test("d16 best-keep: the survivor maximizes quality and the policy diverges from min-id") {
+    val t02 = SparkEntry.queries("t02_quality_score")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val members = SparkEntry.queries("d07_dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    val rows = SparkEntry.queries("d16_dedup_best_keep")(spark, sf).collect()
+    assert(rows.length == members.size)
+    rows.foreach { r =>
+      val mem = members(r.getAs[Long]("cluster_id"))
+      val kept = r.getAs[Long]("kept_doc")
+      assert(r.getAs[Long]("n_members") == mem.size)
+      // the survivor is the quality argmax (ties -> lowest id),
+      // re-derived independently from the t02 frame
+      val best = mem.toSeq.map(d => (t02(d), d)).sortBy { case (q, d) => (-q, d) }.head._2
+      assert(kept == best, s"cluster ${r.getAs[Long]("cluster_id")}: kept $kept, best $best")
+      assert(r.getAs[Long]("minid_doc") == mem.min)
+      assert(r.getAs[Boolean]("policy_differs") == (kept != mem.min))
+    }
+    // the policy MATTERS on this corpus — otherwise the column is vacuous
+    assert(rows.exists(_.getAs[Boolean]("policy_differs")),
+      "quality-keep never diverged from min-id")
+  }
+
+  test("t19 leakage-safe split: clusters move as units; the naive doc-hash split leaks") {
+    val clusterOf = SparkEntry.queries("d07_dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    val docIds = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    def bucket(k: Long) = ((k * 1103515245L + 12345L) % 2147483647L) % 1000L
+    def splitOf(k: Long) =
+      if (bucket(k) < 800) "train" else if (bucket(k) < 900) "val" else "test"
+    // independent reconstruction of the census
+    val assigned = docIds.map { d =>
+      val c = clusterOf.get(d)
+      (splitOf(c.getOrElse(d)), c)
+    }
+    val expect = assigned.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.count(_._2.isDefined).toLong,
+             xs.flatMap(_._2).distinct.length.toLong))
+    }
+    val rows = SparkEntry.queries("t19_leakage_split")(spark, sf).collect()
+    rows.foreach { r =>
+      val (nd, ncd, nc) = expect(r.getAs[String]("split"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_clustered_docs") == ncd)
+      assert(r.getAs[Long]("n_clusters") == nc)
+    }
+    // no cluster straddles splits: each cluster is counted in exactly
+    // ONE split, so the per-split cluster counts sum to the total
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
+           clusterOf.values.toSet.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docIds.length.toLong)
+    // and the t07-style PER-DOC hash split really does leak: at least
+    // one near-dup cluster straddles train/val/test under it — the bug
+    // this operator exists to remove is live on this corpus
+    val naiveLeaky = clusterOf.toSeq.groupBy(_._2)
+      .count { case (_, xs) => xs.map(x => splitOf(x._1)).distinct.length > 1 }
+    assert(naiveLeaky > 0, "naive per-doc split did not leak; spec corpus too clean")
+  }
+
   test("VersionedTable: appendRebase republishes a staged append over a concurrent commit") {
     import spark.implicits._
     import graft.sources.VersionedTable
