@@ -238,6 +238,53 @@ object Demo {
       s"${GramIndex.rebuildRecommended(spark, gidx)} " +
       "(df-cap drift is tracked, not guessed)")
 
+    // 16. ANN INGEST LOOP: persisted IVF index — the arriving vector
+    //     batch probes cell-partitioned inverted lists (a probe opens
+    //     only its probed cells' dirs), appends O(batch), and the next
+    //     arrivals find the just-ingested vectors
+    import graft.operators.VecIndex
+    val vRoot = s"$work/vecindex"
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    VecIndex.build(spark, vRoot, emb.filter(col("vec_id") % 19 =!= 0))
+    val vBatch = emb.filter(col("vec_id") % 19 === 0)
+    val vHits = VecIndex.probe(spark, vRoot, vBatch).count()
+    VecIndex.ingest(spark, vRoot, vBatch)
+    val reArrivals = vBatch.limit(3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val selfHits = VecIndex.probe(spark, vRoot, reArrivals, k = 1)
+      .filter(col("cos") >= 0.9999).count()
+    println(s"16. ann ingest loop: $vHits probe hits vs the persisted index; " +
+      s"batch appended O(batch); $selfHits/3 re-arrivals match their " +
+      "just-ingested originals at cos~1 (the loop is closed)")
+
+    // 16b. SURVIVOR POLICY + SPLIT GUARD: quality-keep vs min-id, and
+    //      the cluster-keyed split that cannot leak near-dups across
+    //      train/val/test
+    val bk = Dedup.dedupBestKeep(docs)
+    val bkDiffers = bk.filter(col("policy_differs")).count()
+    val splitCensus = Dedup.leakSafeSplit(docs).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    println(s"16b. survivor policy: $bkDiffers/${bk.count()} clusters keep a " +
+      s"better-than-min-id doc; leakage-safe split census: $splitCensus")
+
+    // 17. CONCURRENT WRITERS: two appends staged against the SAME base
+    //     — the loser's publish race is rebased (appends commute), so
+    //     independent ingest writers need no coordination
+    val cw = s"$work/versioned/multiwriter"
+    val b0 = VersionedTable.commit(spark, cw, rawOrders.limit(10), -1L)
+    val w1 = VersionedTable.appendRebaseFrom(spark, cw, rawOrders.limit(5), b0)
+    val w2 = VersionedTable.appendRebaseFrom(spark, cw, rawOrders.limit(7), b0)
+    println(s"17. concurrent writers: stale-base appends landed as v$w1 and v$w2 " +
+      s"(${VersionedTable.read(spark, cw).count()} rows — the lost race " +
+      "republished the staged dir, nothing recomputed)")
+
+    // 17b. TIME TRAVEL BY CLOCK: TIMESTAMP AS OF over commit mtimes
+    val w1Ts = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$cw/_log/v${"%08d".format(w1)}.commit")).toMillis
+    val pastRows = VersionedTable.readAsOfTimestamp(spark, cw, w1Ts).count()
+    println(s"17b. timestamp travel: as of v$w1's publication clock the table " +
+      s"reads $pastRows rows (now ${VersionedTable.read(spark, cw).count()})")
+
     println("== demo complete")
     spark.stop()
   }
