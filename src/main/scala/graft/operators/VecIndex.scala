@@ -185,4 +185,27 @@ object VecIndex {
     val (built, appended) = readMeta(spark, root).getOrElse((0L, 0L))
     writeMeta(spark, root, built, appended + batch.count())
   }
+
+  /** Admission-controlled ingest — the [[BandIndex.ingest]] contract
+    * for vectors: probe the batch against the index, ADMIT only
+    * vectors whose nearest indexed neighbor is below `maxCos`
+    * (embedding-level near-dup gating, d05's threshold semantics on
+    * the ingest path), append the admitted vectors O(batch). Returns
+    * (admitted, nearDupPairs). An admitted vector is visible to the
+    * very next probe; a near-dup is turned away at the gate and never
+    * enters the index. Rejections are judged against the index state
+    * at batch START (both frames materialize before the append). */
+  def ingestDedup(spark: SparkSession, root: String, batch: DataFrame,
+                  maxCos: Double = 0.999, nProbe: Int = 2): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val hits = probe(spark, root, batch, k = 1, nProbe = nProbe)
+      .filter(col("cos") >= maxCos)
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
+      .localCheckpoint()
+    val admitted = batch
+      .join(hits.select(col("q_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (!admitted.isEmpty) ingest(spark, root, admitted)
+    (admitted, hits)
+  }
 }

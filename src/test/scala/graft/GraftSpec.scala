@@ -2629,6 +2629,49 @@ class GraftSpec extends AnyFunSuite {
     assert(naiveLeaky > 0, "naive per-doc split did not leak; spec corpus too clean")
   }
 
+  test("streaming vector ingest: each micro-batch probes, admits and appends via the IVF index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.VecIndex
+    import graft.sources.VersionedTable
+    // the embedding twin of the streaming dedup-ingest capstone: every
+    // micro-batch probes the PERSISTED IVF index, only novel vectors
+    // enter (near-dups at cos >= 0.999 are turned away), and an
+    // admitted vector is visible to the very next micro-batch
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx_stream").toString
+    VecIndex.build(spark, root, Seq(
+      (100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)),
+      (1L, v(0.9, 0.1, 0, 0)), (2L, v(0.1, 0.9, 0, 0)))
+      .toDF("vec_id", "embedding"), centIds = Seq(100L, 101L))
+    var dupLog = List.empty[(Long, Long)]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (_, pairs) = VecIndex.ingestDedup(spark, root, batch)
+          dupLog = dupLog ++ pairs.select("q_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    try {
+      // batch 1: 200 points a novel direction (admitted); 201 exactly
+      // duplicates corpus vector 100 (rejected at the gate)
+      input.addData((200L, v(0, 0, 1, 0)), (201L, v(1, 0, 0, 0)))
+      q.processAllAvailable()
+      // batch 2: 300 duplicates the vector admitted ONE batch ago
+      // (rejected against 200 — the loop is closed); 301 is novel
+      input.addData((300L, v(0, 0, 2, 0)), (301L, v(0, 0, 0, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(dupLog.toSet == Set((201L, 100L), (300L, 200L)), s"got $dupLog")
+    // the index holds the seed corpus + admitted vectors only
+    assert(VersionedTable.read(spark, s"$root/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L, 101L, 1L, 2L, 200L, 301L))
+  }
+
   test("VersionedTable: appendRebase republishes a staged append over a concurrent commit") {
     import spark.implicits._
     import graft.sources.VersionedTable

@@ -423,6 +423,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(delta <= 1, s"LSH candidate stage built $delta times across the dedup suite")
   }
 
+  test("d16: one cluster_id exchange serves both the argmax window and the census agg") {
+    val df = SparkEntry.queries("d16_dedup_best_keep")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "cluster-map join must stay hint-free")
+    df.collect()
+    // AQE's toString appends an "Initial Plan" section duplicating the
+    // final plan — count exchanges in the FINAL section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    // the groupBy(cluster_id) is a partition refinement of the window's
+    // partitioning: exactly ONE shuffle on cluster_id in the whole plan
+    assert(count(p, "hashpartitioning(cluster_id") == 1,
+      "window and census agg no longer share the cluster_id exchange")
+  }
+
+  test("t19: cluster-keyed split routing is hint-free; AQE broadcasts the map when it fits") {
+    val df = SparkEntry.queries("t19_leakage_split")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"))
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE did not upgrade the small cluster map to a broadcast join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s12: probe reads the PERSISTED vector index — dir-pruned lists, no corpus re-assign") {
     val before = graft.operators.VecIndex.indexBuilds
     val df = SparkEntry.queries("s12_ann_ingest")(spark, sf)
