@@ -430,6 +430,91 @@ object DataSkipping {
         .parquet(keep.map(r => s"$root/$r"): _*).filter(pred)
   }
 
+  /** Dirs the most recent [[mergeSkipping]] rewrote / carried — spec
+    * evidence that the merge boundary is file-level: a narrow batch
+    * against a clustered table rewrites the intersecting dirs only. */
+  @volatile var lastMergeRewrote: Int = 0
+  @volatile var lastMergeCarried: Int = 0
+
+  /** FILE-LEVEL (stats-pruned) MERGE — the delta-rs merge boundary
+    * itself, the one tier between [[VersionedTable.merge]] (O(table)
+    * rewrite) and [[VersionedTable.mergePartitioned]] (needs a
+    * dedicated partition column): find the dirs whose `[min, max]`
+    * stats on `statKey` intersect the batch's key range, merge the
+    * batch into THOSE dirs' rows only, and publish one fresh dir plus
+    * every non-intersecting dir carried forward byte-for-byte (exactly
+    * how a Delta MERGE prunes its file list with per-file stats before
+    * rewriting, reference queue_for_delta.py:680-799). Cost is
+    * O(intersecting dirs) + O(batch); on a key-clustered layout
+    * ([[zOrderCommit]] / range-partitioned writes) a narrow batch
+    * touches a narrow slice of dirs — stats pruning is the merge's
+    * file boundary, not just the read path's.
+    *
+    * Contracts, stated honestly:
+    *  - `statKey` must be one of `keys` and numeric-comparable (the
+    *    pruning compare casts to double — the same domain rule as
+    *    [[prunedDirs]]).
+    *  - the table's dirs must be KEY-DISJOINT for the merge keys (each
+    *    key lives in one dir): true of tables built by merges,
+    *    clustering commits of merged snapshots, and appends of
+    *    genuinely new key ranges — the delta-rs invariant. A table
+    *    where plain appends duplicated keys across dirs would keep a
+    *    stale copy in a carried dir; that table needs [[recluster]] or
+    *    a full [[VersionedTable.merge]] first.
+    *  - pruning is by the batch's [lo, hi] RANGE: an intersecting dir
+    *    sharing no actual batch key is rewritten anyway (cost, never
+    *    correctness — tight exactly when the layout clusters the key).
+    *
+    * The fresh dir lands UNSCOPED with write-time stats for `statKey`,
+    * so the next merge prunes against it too; on a z-ordered table
+    * [[reclusterDelta]] later folds it back into the clustered layout
+    * (unscoped dirs are its delta set by construction). Optimistic
+    * concurrency matches [[VersionedTable.merge]]: a lost publish race
+    * recomputes against the fresh head. */
+  def mergeSkipping(spark: SparkSession, root: String, source: DataFrame,
+                    keys: Seq[String], statKey: String,
+                    tieBreak: Seq[String] = Nil, maxRetries: Int = 3): Long = {
+    require(keys.contains(statKey),
+      s"$statKey must be one of the merge keys — pruning on a non-key " +
+      "column cannot bound where matching rows live")
+    val src = source.localCheckpoint() // stable batch across retries
+    val tb = if (tieBreak.nonEmpty) tieBreak
+             else src.columns.filterNot(keys.contains).sorted.toSeq
+    val range = src.agg(min(col(statKey).cast("double")),
+                        max(col(statKey).cast("double"))).head()
+    require(!range.isNullAt(0) && !range.isNullAt(1),
+      s"batch has no non-null $statKey values to merge on")
+    val (lo, hi) = (range.getDouble(0), range.getDouble(1))
+    var attempt = 0
+    while (true) {
+      val base = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
+      try {
+        if (base < 0)
+          return VersionedTable.commit(spark, root,
+            graft.operators.Relational.mergeUpsert(src.limit(0), src, keys, tb),
+            base)
+        val touched = prunedDirs(spark, root, statKey, lo, hi, Some(base)).toSet
+        val carried = VersionedTable.entryPairsOf(spark, root, base)
+          .filterNot(e => touched.contains(e._1))
+        lastMergeRewrote = touched.size
+        lastMergeCarried = carried.size
+        val before =
+          if (touched.isEmpty) src.limit(0)
+          else spark.read.option("mergeSchema", "true")
+            .parquet(touched.toSeq.sorted.map(r => s"$root/$r"): _*)
+        val merged = graft.operators.Relational.mergeUpsert(before, src, keys, tb)
+        val v = VersionedTable.commitCarrying(spark, root, merged, base, carried)
+        // write-time stats for the fresh dir (carried dirs inherit)
+        ensureStatsTyped(spark, root, v, Seq(statKey), Nil)
+        return v
+      } catch {
+        case _: VersionedTable.VersionConflictException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Re-cluster the CURRENT version (OPTIMIZE): plain appends land as
     * dirs spanning the whole value space, so their stats prune
     * nothing and skipping effectiveness decays as they accumulate;

@@ -603,6 +603,19 @@ object VersionedTable {
                         partitionCol: String, base: Long): Long =
     commitPartitionedCarrying(spark, root, df, partitionCol, base, carried = Nil)
 
+  /** Stage `df` as ONE unscoped dir and publish `base + 1` carrying
+    * `carried` entry pairs (from [[entryPairsOf]]) forward
+    * byte-for-byte — the unscoped sibling of
+    * [[commitPartitionedCarrying]], and the publish primitive a
+    * file-level (stats-pruned) merge needs: the rewritten dirs'
+    * replacement is a single fresh dir, every untouched dir rides
+    * along with its annotation (partition-scoped or not) intact. */
+  private[graft] def commitCarrying(spark: SparkSession, root: String,
+                                    df: DataFrame, base: Long,
+                                    carried: Seq[(String, Option[String])]): Long =
+    stageAndCommit(spark, root, df, base,
+                   carryOver = carried.map { case (rel, pv) => Entry(rel, pv) })
+
   /** The shared PARTITION-SCOPED REWRITE primitive: stage `df` one dir
     * per touched partition value, and publish `base + 1` with
     * `carried` entry pairs (from [[entryPairsOf]], minus the touched

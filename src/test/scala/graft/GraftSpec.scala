@@ -945,6 +945,56 @@ class GraftSpec extends AnyFunSuite {
     assert(DataSkipping.reclusterDelta(spark, root, "x", "y", nDirs = 4) == v2)
   }
 
+  test("DataSkipping.mergeSkipping: file-level merge — only key-range-intersecting dirs rewritten") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_fmerge").toString + "/t"
+    def commitLines(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/v${"%08d".format(v)}.commit")), "UTF-8")
+      .split("\n").toSeq
+    // a key-clustered table: 10 dirs, each holding one disjoint key
+    // century (EVEN keys only, so inserts inside a century exist)
+    val base = spark.range(0, 1000, 2).toDF("k")
+      .withColumn("bucket", (col("k") / lit(100)).cast("long").cast("string"))
+      .withColumn("v", col("k") * 10)
+    VersionedTable.commitPartitioned(spark, root, base, "bucket", -1L)
+    val v0Lines = commitLines(0L)
+    assert(v0Lines.size == 10)
+    // narrow batch: updates 250/252, insert 251 — range [250, 252]
+    // intersects ONLY the bucket-2 dir
+    val batch = Seq((250L, "2", -1L), (251L, "2", -2L), (252L, "2", -3L))
+      .toDF("k", "bucket", "v")
+    val v1 = DataSkipping.mergeSkipping(spark, root, batch, Seq("k"), "k")
+    assert(v1 == 1L)
+    assert(DataSkipping.lastMergeRewrote == 1,
+      s"rewrote ${DataSkipping.lastMergeRewrote} dirs, expected 1")
+    assert(DataSkipping.lastMergeCarried == 9)
+    // the 9 non-intersecting dirs ride along byte-for-byte
+    val v1Lines = commitLines(1L)
+    assert(v1Lines.filter(v0Lines.contains).size == 9, s"$v1Lines")
+    assert(v1Lines.size == 10)
+    // content equals the global merge recompute
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = snap(graft.operators.Relational.mergeUpsert(
+      base, batch, Seq("k"), Seq("bucket", "v")))
+    assert(snap(VersionedTable.read(spark, root)) == expect)
+    assert(expect(250L) == -1L && expect(251L) == -2L)
+    // time travel across the file-level merge
+    assert(snap(VersionedTable.readAsOf(spark, root, 0L)) == snap(base))
+    // the fresh dir got write-time stats: a second narrow merge in a
+    // DIFFERENT century prunes against v1's 10 dirs (9 carried + the
+    // merged dir, whose [200, 298] bounds exclude it) — again 1 rewrite
+    val batch2 = Seq((700L, "7", -7L)).toDF("k", "bucket", "v")
+    val builds = DataSkipping.statsBuilds
+    assert(DataSkipping.mergeSkipping(spark, root, batch2, Seq("k"), "k") == 2L)
+    assert(DataSkipping.lastMergeRewrote == 1 && DataSkipping.lastMergeCarried == 9)
+    assert(DataSkipping.statsBuilds <= builds + 1,
+      "second merge re-scanned carried dirs for stats instead of inheriting")
+    assert(snap(VersionedTable.read(spark, root))(700L) == -7L)
+  }
+
   test("DataSkipping: an append's stats cost is O(new dirs) — prior versions' bounds are inherited") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
