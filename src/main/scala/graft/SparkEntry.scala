@@ -95,6 +95,8 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
     "st02_stream_sessionize" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
+    "st06_session_window" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionWindowBatch(Tables.events(s, d))),
     "q25_price_band_join" -> ((s, d) =>
       Relational.priceBandJoin(Tables.lineitem(s, d))),
     "q26_rolling_hourly" -> ((s, d) =>
@@ -144,6 +146,7 @@ object SparkEntry {
     "s10_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(Tables.embeddings(s, d))),
     "s11_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedRecall(Tables.embeddings(s, d))),
     "s12_ann_ingest" -> ((s, d) => Similarity.annIncremental(Tables.embeddings(s, d))),
+    "s13_range_search" -> ((s, d) => Similarity.ivfRangeSearch(Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -176,6 +179,8 @@ object SparkEntry {
       TextOps.mixtureMaterialize(Tables.documents(s, d))),
     "t18_bigram_surprisal" -> ((s, d) =>
       TextOps.bigramSurprisal(Tables.documents(s, d))),
+    "t20_filter_battery" -> ((s, d) =>
+      TextOps.filterBattery(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
   )
 
@@ -441,6 +446,7 @@ object SparkEntry {
     // engine-specific by construction; accuracy (relative error vs the
     // exact count) is asserted in GraftSpec; driver records rows-only.
     "st05_stream_static_join" -> graft.streaming.StreamOps.streamStaticJoinOracle,
+    "st06_session_window" -> graft.streaming.StreamOps.sessionWindowOracle(),
     "q36_merge_delete" -> Relational.mergeDeleteSummaryOracle,
     "q37_snapshot_diff" -> Relational.snapshotDiffOracle,
     "t13_token_entropy" -> TextOps.tokenEntropyOracle,
@@ -451,6 +457,7 @@ object SparkEntry {
     "s10_ivfpq_recall" -> Similarity.ivfPqRecallOracle(),
     "s11_ivfpq_trained" -> Similarity.ivfPqTrainedRecallOracle(),
     "s12_ann_ingest" -> Similarity.annIncrementalOracle(),
+    "s13_range_search" -> Similarity.ivfRangeSearchOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
@@ -467,6 +474,7 @@ object SparkEntry {
     "t16_domain_mixture" -> TextOps.domainMixtureOracle,
     "t17_mixture_materialize" -> TextOps.mixtureMaterializeOracle,
     "t18_bigram_surprisal" -> TextOps.bigramSurprisalOracle(),
+    "t20_filter_battery" -> TextOps.filterBatteryOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
   )
 }

@@ -332,6 +332,54 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s13: RANGE (radius) search — all corpus vectors within a cosine
+    * radius of each query, probed through the same IVF cell structure
+    * as s05 (the reference's similarity surface has both shapes:
+    * "top-k most similar" and "everything at least this similar" — a
+    * near-dup audit window, a RAG relevance cutoff). The difference
+    * from s05 is the REDUCTION: a threshold filter instead of a
+    * per-query rank window, so the whole search after the cell
+    * equi-join is a stateless codegen'd projection+filter — no
+    * per-query shuffle, no window state at any scale; result size is
+    * data-dependent (the caller's radius bounds it), not k-bounded.
+    * Same honest recall bound as every IVF path: only probed cells'
+    * members can be returned.
+    */
+  def ivfRangeSearch(embeddings: DataFrame, maxQueryId: Long = 8,
+                     minCos: Double = 0.2, nProbe: Int = 2,
+                     centIds: Seq[Long] = centroidIds): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val corpus = assignedCells(embeddings, centIds)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"))
+    val qprobe = probeCells(embeddings, maxQueryId, nProbe, centIds)
+    corpus.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              Rounding.roundN(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  def ivfRangeSearchOracle(maxQueryId: Long = 8, minCos: Double = 0.2,
+                           nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    s"""WITH $assignedCtes,
+       qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn, cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc WHERE vec_id < $maxQueryId) t
+         WHERE crn <= $nProbe)
+       SELECT q_id, c_id AS neighbor_id, round(cos, 4) AS cos
+       FROM (SELECT q.q_id, c.vec_id AS c_id,
+           ${dot(d, "q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         FROM assigned c JOIN qprobe q ON q.cell = c.cell
+         WHERE q.q_id <> c.vec_id) s
+       WHERE cos >= $minCos ORDER BY q_id, neighbor_id"""
+  }
+
   def ivfMultiProbeOracle(maxQueryId: Long = 8, k: Int = 3, nProbe: Int = 2): String = {
     val d = Dialect.duck
     s"""WITH $assignedCtes,

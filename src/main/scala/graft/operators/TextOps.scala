@@ -941,4 +941,76 @@ object TextOps {
        SELECT doc_id, n_bigrams, oov_bigrams, avg_nll,
          round(exp(avg_nll), 2) AS ppl
        FROM e ORDER BY doc_id"""
+
+  // ---- t20: quality-rule filter battery -------------------------------
+
+  /** Rule thresholds: the Gopher-style rule FAMILY (word-count bounds,
+    * mean-word-length bounds, repetition guard, stopword presence —
+    * Rae et al. 2021 §A.1.1), with bounds tuned to the synthetic
+    * corpus so EVERY rule has live pass and fail populations at
+    * sf0.001 (a rule no document can fail is untested code, the same
+    * honesty rule as t18's backoff arms). Production thresholds are a
+    * config choice; the operator shape is what scales. */
+  val RuleMinWords = 20L
+  val RuleMaxWords = 80L
+  val RuleMinMwl = 4.3
+  val RuleMaxMwl = 4.8
+  val RuleMinDistinct = 0.32
+  val RuleMinStops = 2L
+
+  /** t20: per-document quality-rule battery — each heuristic filter as
+    * an explicit boolean column plus the composite `keep` (the
+    * CCNet/Gopher filter stage as data, not a silent WHERE: a corpus
+    * pipeline audits per-rule rejection rates before committing to a
+    * filter, so the rules must be inspectable output). All metrics are
+    * exact integer ratios (len/count divisions are bit-identical IEEE
+    * in both engines), so the rule booleans cannot straddle engines.
+    *
+    * Scale shape: single-pass narrow projection, no shuffle until the
+    * oracle-determinism orderBy — map-side at scan speed at 100 TB;
+    * the downstream materialization is `filter(keep)` (or a
+    * per-rule census, which aggregates these booleans). */
+  def filterBattery(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("n_chars") > 0)
+      .withColumn("n_words", expr("size(split(trim(text), ' '))").cast("long"))
+      .withColumn("mwl",
+        length(regexp_replace(trim(col("text")), " ", "")).cast("double") / col("n_words"))
+      .withColumn("dr",
+        expr("size(array_distinct(split(trim(text), ' ')))").cast("double") / col("n_words"))
+      .withColumn("stop_hits", expr(hitsSpark("en")).cast("long"))
+      .withColumn("r_len",
+        col("n_words") >= RuleMinWords && col("n_words") <= RuleMaxWords)
+      .withColumn("r_wordlen", col("mwl") >= RuleMinMwl && col("mwl") <= RuleMaxMwl)
+      .withColumn("r_repeat", col("dr") >= RuleMinDistinct)
+      .withColumn("r_stop", col("stop_hits") >= RuleMinStops)
+      .withColumn("keep",
+        col("r_len") && col("r_wordlen") && col("r_repeat") && col("r_stop"))
+      .select(col("doc_id"), col("n_words"),
+        Rounding.roundN(col("mwl"), 4).as("mean_word_len"),
+        Rounding.roundN(col("dr"), 4).as("distinct_ratio"),
+        col("stop_hits"), col("r_len"), col("r_wordlen"), col("r_repeat"),
+        col("r_stop"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val filterBatteryOracle: String =
+    s"""WITH m AS (SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+         CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
+           / len(string_split(trim(text), ' ')) AS mwl,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+           / len(string_split(trim(text), ' ')) AS dr,
+         CAST(${hitsDuck("en")} AS BIGINT) AS stop_hits
+       FROM documents WHERE n_chars > 0),
+       r AS (SELECT doc_id, n_words, mwl, dr, stop_hits,
+         (n_words >= $RuleMinWords AND n_words <= $RuleMaxWords) AS r_len,
+         (mwl >= $RuleMinMwl AND mwl <= $RuleMaxMwl) AS r_wordlen,
+         (dr >= $RuleMinDistinct) AS r_repeat,
+         (stop_hits >= $RuleMinStops) AS r_stop
+       FROM m)
+       SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+         round(dr, 4) AS distinct_ratio, stop_hits,
+         r_len, r_wordlen, r_repeat, r_stop,
+         (r_len AND r_wordlen AND r_repeat AND r_stop) AS keep
+       FROM r ORDER BY doc_id"""
 }

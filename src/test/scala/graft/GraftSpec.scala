@@ -194,6 +194,56 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st06 native session_window stream: sessions emit once the watermark passes, matching batch cuts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minutes: Long, user: Long) =
+      StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+    val input = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionWindowStream(input.toDS(), gapMinutes = 20)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_st06_test").start()
+    try {
+      // user 1: 60/70 merge (10 < gap); 90 is EXACTLY gap after 70 and
+      // still merges (adjacent windows coalesce — the convention the
+      // oracle must encode as a strictly-greater island break); 111 is
+      // 21 min after 90 and starts a new session
+      input.addData(ev(1, 60, 1), ev(2, 70, 1), ev(3, 90, 1), ev(6, 111, 1))
+      q.processAllAvailable()
+      // watermark mover: a far-future event closes user 1's sessions
+      input.addData(ev(4, 1000, 2))
+      q.processAllAvailable()
+      input.addData(ev(5, 1001, 2))
+      q.processAllAvailable()
+      val out = spark.table("graft_st06_test")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1).getTime / 60000L,
+                   r.getTimestamp(2).getTime / 60000L, r.getLong(3)))
+        .sortBy(_._1)
+      assert(out.toSeq == Seq((60L, 90L, 3L), (111L, 111L, 1L)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("s13 range search: contains every s05 top-k hit above the radius; window-free reduction") {
+    val range = SparkEntry.queries("s13_range_search")(spark, sf)
+    val rRows = range.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rRows.nonEmpty)
+    // s05 at the same probe setting: every hit at or above the radius
+    // must appear in the range result (same cells, same scoring)
+    val topk = SparkEntry.queries("s05_ann_ivf_multiprobe")(spark, sf)
+      .filter("cos >= 0.2").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(topk.subsetOf(rRows), s"missing ${topk.diff(rRows)}")
+    // the reduction is a filter, not a rank: the only windows are the
+    // two cell-ASSIGNMENT top-1s (corpus + probe) — s05's third,
+    // per-query rank window is gone
+    val p = range.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val windows = p.sliding("Window [".length).count(_ == "Window [")
+    assert(windows == 2, s"expected 2 assignment windows, got $windows")
+  }
+
   test("st02 batch sessionizer session counts sum to event count") {
     val events = Tables.events(spark, sf)
     val sessions = StreamOps.sessionizeBatch(events)
@@ -2720,6 +2770,24 @@ class GraftSpec extends AnyFunSuite {
     // the index holds the seed corpus + admitted vectors only
     assert(VersionedTable.read(spark, s"$root/vectors").select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(100L, 101L, 1L, 2L, 200L, 301L))
+  }
+
+  test("t20 filter battery: every rule has live pass AND fail populations; keep is their conjunction") {
+    val rows = SparkEntry.queries("t20_filter_battery")(spark, sf).collect()
+    assert(rows.length > 0)
+    for (rule <- Seq("r_len", "r_wordlen", "r_repeat", "r_stop")) {
+      val pass = rows.count(_.getAs[Boolean](rule))
+      assert(pass > 0 && pass < rows.length,
+        s"$rule is a dead arm: $pass/${rows.length} pass — threshold no longer bites this corpus")
+    }
+    rows.foreach { r =>
+      val conj = Seq("r_len", "r_wordlen", "r_repeat", "r_stop")
+        .forall(r.getAs[Boolean](_))
+      assert(r.getAs[Boolean]("keep") == conj)
+    }
+    // the composite itself is live both ways
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length)
   }
 
   test("VersionedTable: appendRebase republishes a staged append over a concurrent commit") {
