@@ -467,4 +467,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "embeddings.parquet") == 0,
       "probe re-read raw embeddings past the index")
   }
+
+  test("bucketed tables: the fact-fact equi-join runs with ZERO shuffles; an unbucketed read pays two") {
+    import graft.sources.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(spark, "bk_orders", s"$dir/o", orders, "o_orderkey", 8)
+    Bucketing.writeBucketed(spark, "bk_lineitem", s"$dir/l", lineitem, "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, "bk_orders", "bk_lineitem", "o_orderkey")
+      val n = joined.count()
+      assert(n == lineitem.count(), "inner fact-fact join lost rows")
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(count(p, "Exchange") == 0,
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(count(p, "SelectedBucketsCount") == 2, "scan is not bucket-aware")
+      // the control: the same join over plain parquet reads shuffles BOTH sides
+      val plain = spark.read.parquet(s"$dir/o").join(
+        spark.read.parquet(s"$dir/l"), Seq("o_orderkey"))
+      plain.count()
+      val pp = plain.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(count(pp, "Exchange hashpartitioning") == 2,
+        "control join did not pay the two shuffles bucketing removes")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_orders")
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
 }
