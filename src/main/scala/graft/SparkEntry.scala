@@ -147,6 +147,7 @@ object SparkEntry {
     "s11_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedRecall(Tables.embeddings(s, d))),
     "s12_ann_ingest" -> ((s, d) => Similarity.annIncremental(Tables.embeddings(s, d))),
     "s13_range_search" -> ((s, d) => Similarity.ivfRangeSearch(Tables.embeddings(s, d))),
+    "s14_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -458,6 +459,7 @@ object SparkEntry {
     "s11_ivfpq_trained" -> Similarity.ivfPqTrainedRecallOracle(),
     "s12_ann_ingest" -> Similarity.annIncrementalOracle(),
     "s13_range_search" -> Similarity.ivfRangeSearchOracle(),
+    "s14_mmr_diversify" -> Similarity.mmrDiversifyOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

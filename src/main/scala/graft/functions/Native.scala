@@ -502,11 +502,41 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Hyperplane sign bucket. Codegen'd like [[VecDot]] (it sits in the
+  * same scan-side projections — s02's bucketing, d05's blocking — and
+  * does planes x dims arithmetic per row, the most work of any kernel
+  * here); the generated loops are the integer-for-integer image of
+  * [[TextKernels.planeBucket]], including the Int-arithmetic
+  * `j * n + i` inside the PRNG so the two paths cannot diverge. */
 case class PlaneBucket(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextKernels.planeBucket(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $v.numElements();
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $planes; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    long sign = 2L * ((1103515245L * ($j * $n + $i) + 12345L) >> 16 & 1L) - 1L;
+         |    $acc += ((double) $v.getFloat($i - 1)) * (double) sign;
+         |  }
+         |  if ($acc > 0) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): PlaneBucket = copy(child = c)
 }
 

@@ -332,6 +332,119 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s14: MMR result diversification (maximal marginal relevance,
+    * Carbonell & Goldstein 1998) — re-rank each query's exact top-`kShort`
+    * shortlist down to `kOut` picks that balance relevance against
+    * redundancy: pick_1 = argmax rel; pick_t = argmax over remaining of
+    * `lambda*rel - (1-lambda)*max_{s in picked} sim(c, s)`. The dedup
+    * stage of a retrieval pipeline (RAG context assembly, eval-set
+    * construction): a shortlist of near-identical passages collapses
+    * to one representative plus genuinely different material.
+    *
+    * Scale shape: the expensive part is the SHORTLIST (any of s01-s12
+    * produces it); MMR itself runs on queries x kShort rows and the
+    * kShort^2 pairwise-sim frame — bounded by the RESULT size, never
+    * the corpus, so the greedy selection unrolls as `kOut-1` joins
+    * over broadcast-size frames (both persist points checkpointed
+    * once). Determinism: rel/sim are the shared dot/norm fragments
+    * (unrounded until output), the argmax window ties on lowest id —
+    * the oracle unrolls the identical selection as generated CTEs.
+    */
+  def mmrDiversify(embeddings: DataFrame, maxQueryId: Long = 8,
+                   kShort: Int = 10, kOut: Int = 5,
+                   lambda: Double = 0.7): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .withColumn("cn", vec_norm(col("ce")))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm(col("qe")))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("c_id"))
+    val short = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("rel", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= kShort)
+      .select(col("q_id"), col("c_id"), col("rel"), col("ce"), col("cn"))
+      .localCheckpoint(eager = false)
+    val a = short.select(col("q_id"), col("c_id").as("a_id"),
+                         col("ce").as("ae"), col("cn").as("an"))
+    val b = short.select(col("q_id"), col("c_id").as("b_id"),
+                         col("ce").as("be"), col("cn").as("bn"))
+    val pair = a.join(b, Seq("q_id")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", vec_dot(col("ae"), col("be")) / (col("an") * col("bn")))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("sim"))
+      .localCheckpoint(eager = false)
+    val slim = short.select(col("q_id"), col("c_id"), col("rel"))
+    val wPick = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    var selected = slim.withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), col("rel"), lit(1L).as("step"))
+    for (t <- 2 to kOut) {
+      val rem = slim.join(selected.select(col("q_id"), col("c_id")),
+                          Seq("q_id", "c_id"), "left_anti")
+      val msim = pair
+        .join(selected.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("c_id")).agg(max(col("sim")).as("msim"))
+      val pick = rem.join(msim, Seq("q_id", "c_id"))
+        .withColumn("score", lit(lambda) * col("rel") - lit(1.0 - lambda) * col("msim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), col("rel"), lit(t.toLong).as("step"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select(col("q_id"), col("step"), col("c_id").as("neighbor_id"),
+              Rounding.roundN(col("rel"), 4).as("rel"))
+      .orderBy(col("q_id"), col("step"))
+  }
+
+  def mmrDiversifyOracle(maxQueryId: Long = 8, kShort: Int = 10,
+                         kOut: Int = 5, lambda: Double = 0.7): String = {
+    val d = Dialect.duck
+    val base =
+      s"""c AS (SELECT vec_id AS c_id, embedding AS ce,
+           ${normExpr(d, "embedding")} AS cn FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn FROM embeddings WHERE vec_id < $maxQueryId),
+       short AS (SELECT q_id, c_id, rel, ce, cn FROM (
+           SELECT q_id, c_id, ${dot(d, "qe", "ce")} / (qn * cn) AS rel, ce, cn,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ${dot(d, "qe", "ce")} / (qn * cn) DESC, c_id) AS rn
+           FROM c JOIN q ON q_id <> c_id) t
+         WHERE rn <= $kShort),
+       pair AS (SELECT s1.q_id, s1.c_id AS a_id, s2.c_id AS b_id,
+           ${dot(d, "s1.ce", "s2.ce")} / (s1.cn * s2.cn) AS sim
+         FROM short s1 JOIN short s2
+           ON s1.q_id = s2.q_id AND s1.c_id <> s2.c_id),
+       sel1 AS (SELECT q_id, c_id, rel, CAST(1 AS BIGINT) AS step FROM (
+           SELECT q_id, c_id, rel,
+             row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+           FROM short) t WHERE rn = 1)"""
+    val steps = (2 to kOut).map { t =>
+      val selUnion = (1 until t).map(i => s"SELECT q_id, c_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""picked$t AS ($selUnion),
+       ms$t AS (SELECT p.q_id, p.a_id AS c_id, max(p.sim) AS msim
+         FROM pair p JOIN picked$t s ON s.q_id = p.q_id AND s.c_id = p.b_id
+         GROUP BY 1, 2),
+       sel$t AS (SELECT q_id, c_id, rel, CAST($t AS BIGINT) AS step FROM (
+           SELECT r.q_id, r.c_id, r.rel,
+             row_number() OVER (PARTITION BY r.q_id
+               ORDER BY $lambda * r.rel - ${1.0 - lambda} * m.msim DESC, r.c_id) AS rn
+           FROM short r
+           JOIN ms$t m ON m.q_id = r.q_id AND m.c_id = r.c_id
+           WHERE NOT EXISTS (SELECT 1 FROM picked$t s
+             WHERE s.q_id = r.q_id AND s.c_id = r.c_id)) t
+         WHERE rn = 1)"""
+    }
+    val allSel = (1 to kOut).map(i =>
+      s"SELECT q_id, c_id, rel, step FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH $base,
+       ${steps.mkString(",\n       ")}
+       SELECT q_id, step, c_id AS neighbor_id, round(rel, 4) AS rel
+       FROM ($allSel) u ORDER BY q_id, step"""
+  }
+
   /** s13: RANGE (radius) search — all corpus vectors within a cosine
     * radius of each query, probed through the same IVF cell structure
     * as s05 (the reference's similarity surface has both shapes:

@@ -194,6 +194,47 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s14 MMR: step 1 is the relevance argmax, picks are distinct, and diversification is LIVE") {
+    val mmr = SparkEntry.queries("s14_mmr_diversify")(spark, sf).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    val top = SparkEntry.queries("s01_ann_bruteforce_topk")(spark, sf).collect()
+    val rank1 = top.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val top5 = top.filter(_.getAs[Long]("rank") <= 5L)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("step")).sorted.toSeq == (1L to 5L))
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(rows.find(_.getAs[Long]("step") == 1L).get
+        .getAs[Long]("neighbor_id") == rank1(q),
+        s"q$q step 1 is not the relevance argmax")
+    }
+    // redundancy actually repels: somewhere the MMR set differs from
+    // plain top-5 (measured 10/40 picks at sf0.001 before pinning)
+    val picks = mmr.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(picks.diff(top5).nonEmpty, "MMR never diverged from top-5 — diversification is dead")
+  }
+
+  test("PlaneBucket codegen: the generated loops compile and match the interpreted kernel bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions._
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), plane_bucket(col("embedding"), 16).as("b"))
+    def run(): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      // CODEGEN_ONLY turns a codegen bug into a thrown error instead of
+      // a silent interpreted fallback — the pin that doGenCode WORKS
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val generated = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = run()
+      assert(generated.nonEmpty && generated == interpreted)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("st06 native session_window stream: sessions emit once the watermark passes, matching batch cuts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
