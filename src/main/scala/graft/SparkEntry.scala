@@ -114,6 +114,8 @@ object SparkEntry {
       Relational.scd2History(Tables.events(s, d))),
     "st04_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.intervalJoinBatch(Tables.events(s, d))),
+    "st07_stream_left_join" -> ((s, d) =>
+      graft.streaming.StreamOps.intervalLeftJoinBatch(Tables.events(s, d))),
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
     "t08_sequence_pack" -> ((s, d) => TextOps.sequencePack(Tables.documents(s, d))),
     "t09_quality_filter" -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
@@ -148,6 +150,8 @@ object SparkEntry {
     "s12_ann_ingest" -> ((s, d) => Similarity.annIncremental(Tables.embeddings(s, d))),
     "s13_range_search" -> ((s, d) => Similarity.ivfRangeSearch(Tables.embeddings(s, d))),
     "s14_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(Tables.embeddings(s, d))),
+    "s15_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -159,6 +163,8 @@ object SparkEntry {
     "q42_gaps_islands" -> ((s, d) => Relational.gapsIslands(Tables.events(s, d))),
     "q43_cohort_retention" -> ((s, d) =>
       Relational.cohortRetention(Tables.events(s, d))),
+    "q44_asof_enrich" -> ((s, d) =>
+      Relational.asofEnrich(Tables.events(s, d))),
     "d11_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimate(Tables.documents(s, d))),
     "d12_dedup_incremental" -> ((s, d) =>
@@ -431,6 +437,7 @@ object SparkEntry {
     "q28_incremental_agg" -> Relational.incrementalAggOracle,
     "q29_scd2_history" -> Relational.scd2HistoryOracle,
     "st04_stream_join" -> graft.streaming.StreamOps.intervalJoinOracle(),
+    "st07_stream_left_join" -> graft.streaming.StreamOps.intervalLeftJoinOracle(),
     "t07_split_sample" -> TextOps.splitSampleOracle,
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),
     "t09_quality_filter" -> TextOps.qualityFilterOracle,
@@ -460,12 +467,14 @@ object SparkEntry {
     "s12_ann_ingest" -> Similarity.annIncrementalOracle(),
     "s13_range_search" -> Similarity.ivfRangeSearchOracle(),
     "s14_mmr_diversify" -> Similarity.mmrDiversifyOracle(),
+    "s15_hybrid_rrf" -> Similarity.hybridRrfOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
     "q41_time_weighted_avg" -> Relational.timeWeightedAvgOracle,
     "q42_gaps_islands" -> Relational.gapsIslandsOracle,
     "q43_cohort_retention" -> Relational.cohortRetentionOracle,
+    "q44_asof_enrich" -> Relational.asofEnrichOracle,
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),

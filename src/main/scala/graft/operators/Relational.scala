@@ -273,6 +273,109 @@ object Relational {
       .agg(max(col("o_orderdate")).as("asof_orderdate"))
       .orderBy(col("event_id"))
 
+  /** Generic AS-OF join — for every left row, the single right row
+    * with the greatest `rightTs <= leftTs` (backward; `forward` flips
+    * to least `rightTs >= leftTs`) per key, with an optional match
+    * tolerance (pandas merge_asof semantics; the reference's
+    * "latest record at-or-before" lookups — q14's asOfLatest is this
+    * with a max() reduction — generalized to carry the full payload).
+    *
+    * Scale shape — the part that matters: NOT the naive
+    * equi-join + inequality filter (which materializes every earlier
+    * right row per left row: O(left x right-per-key) intermediate,
+    * unbounded for hot keys). Instead left and right are UNIONED,
+    * tagged, and sorted once per key: a running `last(payload,
+    * ignoreNulls)` over (ts, tag, tie) gives each left row its
+    * predecessor right row in ONE shuffle of left+right on the key —
+    * linear in input, zero row amplification, no broadcast, at any
+    * scale. (The same merge-sorted sweep QuestDB/kdb execute
+    * natively; window state is one payload struct per partition
+    * sweep.) Ties at equal ts resolve right-before-left (inclusive
+    * at-or-before) then by `tieBreak` ascending, so the winner is the
+    * max (ts, tieBreak) — deterministic cross-engine.
+    *
+    * Tolerance: a match further than `toleranceSec` from the left ts
+    * is nulled out — correct for as-of, because any OTHER candidate
+    * is strictly further away than the one the sweep picked.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tieBreak: String, toleranceSec: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
+    val fields = (rightTs +: tieBreak +: payload).distinct
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(fields.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val keyCols = keys.map(col)
+    val lu = left.select(keyCols ++ Seq(
+      col(leftTs).cast("timestamp").as("_ats"), lit(1).as("_tag"),
+      lit(null).cast(right.schema(tieBreak).dataType).as("_tie"),
+      lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow")): _*)
+    val ru = right.select(keyCols ++ Seq(
+      col(rightTs).cast("timestamp").as("_ats"), lit(0).as("_tag"),
+      col(tieBreak).as("_tie"),
+      lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow")): _*)
+    val ord = if (forward) -unix_micros(col("_ats")) else unix_micros(col("_ats"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord.asc, col("_tag").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sweep = lu.unionByName(ru)
+      .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+    val inTol = toleranceSec match {
+      case None => col("_m").isNotNull
+      case Some(tol) =>
+        val gapUs = if (forward)
+          unix_micros(col("_m").getField(rightTs).cast("timestamp")) - unix_micros(col("_ats"))
+        else unix_micros(col("_ats")) -
+          unix_micros(col("_m").getField(rightTs).cast("timestamp"))
+        col("_m").isNotNull && gapUs <= tol * 1000000L
+    }
+    val matched = sweep.withColumn("_mt", when(inTol, col("_m")))
+    matched.select(
+      left.columns.map(c => col("_lrow").getField(c).as(c)) ++
+        payload.map(p => col("_mt").getField(p).as(s"asof_$p")): _*)
+  }
+
+  /** q44: [[asofJoin]] bound to the attribution lookup — every event
+    * enriched with the same user's latest PURCHASE event at-or-before
+    * its timestamp, within a 24-hour tolerance, carrying the full
+    * purchase payload (q14 generalized from "the max date" to "the
+    * row": the difference between an audit timestamp and an
+    * enrichment). Left-outer semantics: events with no in-tolerance
+    * purchase keep null payload columns (~2/3 of the corpus at test
+    * SF — both populations live). Inclusive at-or-before means a
+    * purchase event attributes to ITSELF — the fixpoint the spec
+    * pins.
+    */
+  def asofEnrich(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"), col("ts"),
+                           col("event_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    asofJoin(ev, purchases, keys = Seq("user_id"), leftTs = "ts",
+        rightTs = "ts", payload = Seq("event_id", "ts", "value"),
+        tieBreak = "event_id", toleranceSec = Some(86400L))
+      .orderBy(col("event_id"))
+  }
+
+  val asofEnrichOracle: String =
+    """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+       j AS (SELECT e.event_id, p.event_id AS p_eid, p.ts AS p_ts,
+           p.value AS p_val,
+           row_number() OVER (PARTITION BY e.event_id
+             ORDER BY p.ts DESC, p.event_id DESC) AS rn
+         FROM events e JOIN p ON e.user_id = p.user_id
+           AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 24 HOUR),
+       m AS (SELECT * FROM j WHERE rn = 1)
+       SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         m.p_eid AS asof_event_id, m.p_ts AS asof_ts,
+         m.p_val AS asof_value
+       FROM events e LEFT JOIN m USING (event_id)
+       ORDER BY e.event_id"""
+
   /** Daily state pivot (reference dashboard cards): conditional counts
     * per day x state. Explicit value list keeps the plan static (no
     * driver-side distinct pass) — required for both scale and oracle

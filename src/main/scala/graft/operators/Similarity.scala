@@ -445,6 +445,145 @@ object Similarity {
        FROM ($allSel) u ORDER BY q_id, step"""
   }
 
+  /** s15: HYBRID retrieval — lexical and vector ranks fused by
+    * reciprocal rank fusion (Cormack, Clarke & Buettcher 2009:
+    * `Σ_arms 1/(K + rank)`), the standard composition of a RAG
+    * retrieval stack (BM25-family inverted index + dense ANN, fused
+    * without score calibration because RRF only consumes RANKS).
+    * documents and embeddings share the id space (doc_id == vec_id),
+    * so each arm ranks the same corpus by its own modality:
+    *
+    *  - lexical: TF-IDF-weighted term overlap between the query doc
+    *    and every corpus doc — `Σ_{t shared} tf_q·tf_c·idf(t)²`, the
+    *    (q·d) inner product in TF-IDF space. Built on [[TextOps
+    *    .tfFrame]] (the t10 persist point): the query side's terms
+    *    probe the corpus postings on the term key — the INVERTED
+    *    INDEX shape, cost = queries × postings touched, never
+    *    corpus × corpus. The per-pair double sum is a term-sorted
+    *    fold and the ranking key is the 6-dp-ROUNDED score (the t10
+    *    ln-parity discipline).
+    *  - vector: exact cosine (the s01 baseline; any ANN row — s02,
+    *    s03, s05, s12 — slots in unchanged, since RRF only reads
+    *    ranks).
+    *
+    * Fusion runs on the two arms' top-`nArm` frames — result-bounded
+    * (queries × nArm rows), never corpus-bounded — full-outer-joined
+    * so an item surfaced by ONE modality keeps its contribution
+    * (that asymmetry is the whole point: null arm ranks in the
+    * output are the evidence each arm finds what the other misses).
+    * RRF doubles are sums of two exact IEEE divisions on integer
+    * ranks — bit-identical cross-engine, no rounding needed before
+    * the fused rank.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                rrfK: Int = 60): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    // lexical arm: query-term postings probe the tf persist point
+    val tf = TextOps.tfFrame(documents)
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val idf = dfr.crossJoin(broadcast(n))
+      .withColumn("idf", log(col("n_docs") / col("df")))
+      .select(col("term"), col("idf"))
+    val qtf = tf.filter(col("doc_id") < maxQueryId)
+      .select(col("doc_id").as("q_id"), col("term"), col("tf").as("tfq"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = tf.join(qtf, Seq("term")).filter(col("doc_id") =!= col("q_id"))
+      .join(idf, Seq("term"))
+      .withColumn("contrib",
+        (col("tfq") * col("tf")).cast("double") * col("idf") * col("idf"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("contrib"))).as("cs"))
+      .withColumn("score", Rounding.roundN(
+        expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
+                 (acc, s) -> acc + s.contrib)"""), 6))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= nArm)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    // vector arm: the s01 exact-cosine shape over the shared id space
+    val corpus = embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      .withColumn("cn", vec_norm(col("ce")))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm(col("qe")))
+    val wVec = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val vec = corpus.join(broadcast(queries), col("q_id") =!= col("doc_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= nArm)
+      .select(col("q_id"), col("doc_id"), col("vec_rank"))
+    // fusion: result-bounded full outer join; one-arm items keep their term
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= kOut)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("doc_id"),
+              Rounding.roundN(col("rrf"), 5).as("rrf"),
+              col("lex_rank").cast("long").as("lex_rank"),
+              col("vec_rank").cast("long").as("vec_rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def hybridRrfOracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                      rrfK: Int = 60): String = {
+    val d = Dialect.duck
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+       f AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       idf AS (SELECT term, ln(n_docs / CAST(df AS DOUBLE)) AS idf
+         FROM dfr CROSS JOIN n),
+       contrib AS (SELECT q.q_id, t.doc_id, t.term,
+           CAST(q.tfq * t.tf AS DOUBLE) * i.idf * i.idf AS contrib
+         FROM tf t
+         JOIN (SELECT doc_id AS q_id, term, tf AS tfq FROM tf
+               WHERE doc_id < $maxQueryId) q USING (term)
+         JOIN idf i USING (term)
+         WHERE t.doc_id <> q.q_id),
+       lexs AS (SELECT q_id, doc_id,
+           round(list_reduce(list(contrib ORDER BY term),
+             (acc, v) -> acc + v), 6) AS score
+         FROM contrib GROUP BY q_id, doc_id),
+       lex AS (SELECT q_id, doc_id, lex_rank FROM (
+           SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id) AS lex_rank FROM lexs) t
+         WHERE lex_rank <= $nArm),
+       c AS (SELECT vec_id AS doc_id, embedding AS ce,
+           ${normExpr(d, "embedding")} AS cn FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn FROM embeddings
+         WHERE vec_id < $maxQueryId),
+       vec AS (SELECT q_id, doc_id, vec_rank FROM (
+           SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY ${dot(d, "qe", "ce")} / (qn * cn) DESC, doc_id) AS vec_rank
+           FROM c JOIN q ON q_id <> doc_id) t
+         WHERE vec_rank <= $nArm),
+       fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+           coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+         FROM lex l FULL JOIN vec v
+           ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+       scored AS (SELECT q_id, doc_id, lex_rank, vec_rank,
+           coalesce(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), CAST(0 AS DOUBLE)) AS rrf
+         FROM fused),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY rrf DESC, doc_id) AS rank FROM scored)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         round(rrf, 5) AS rrf, CAST(lex_rank AS BIGINT) AS lex_rank,
+         CAST(vec_rank AS BIGINT) AS vec_rank
+       FROM ranked WHERE rank <= $kOut ORDER BY q_id, rank"""
+  }
+
   /** s13: RANGE (radius) search — all corpus vectors within a cosine
     * radius of each query, probed through the same IVF cell structure
     * as s05 (the reference's similarity surface has both shapes:

@@ -383,6 +383,27 @@ object VersionedTable {
     commit(spark, root, readAsOf(spark, root, base), base)
   }
 
+  /** RESTORE: roll the table back to `toVersion` by publishing that
+    * version's file entries as a NEW head commit (Delta's RESTORE
+    * semantic). Pure metadata — O(1), zero bytes staged or copied —
+    * and history-preserving: the undone versions stay time-travelable,
+    * their commits stay in the log, and [[vacuum]]'s reachability walk
+    * keeps the restored dirs alive because the new head references
+    * them. Roll-FORWARD is the same call with a later `toVersion`
+    * (undo the undo). Concurrency: the publish races like any commit —
+    * a concurrent writer landing first throws [[VersionConflictException]]
+    * and the caller re-resolves, so a restore can never silently drop
+    * a commit it didn't see. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    require(committed(fs(spark, root), root, toVersion),
+      s"cannot restore $root to uncommitted version $toVersion")
+    val next = cur + 1
+    publish(spark, root, next, entriesOf(spark, root, toVersion), () => ())
+    next
+  }
+
   /** Partition-scoped O(delta) APPEND: stage ONLY the new rows, one
     * dir per touched partition value, and carry every base entry
     * forward — the add-file action for a partition-native table.

@@ -217,6 +217,63 @@ object StreamOps {
               col("view_id"), col("view_ts"))
   }
 
+  /** st07 batch twin: [[intervalJoinBatch]] with LEFT-OUTER semantics —
+    * every click appears exactly as often as it has matching views,
+    * or ONCE with null view columns if it has none. The outer side is
+    * what turns a correlation query into an audit query ("which
+    * clicks had NO preceding view?" — the negative space the inner
+    * join silently drops).
+    */
+  def intervalLeftJoinBatch(events: DataFrame, minutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ts").as("view_ts"))
+    clicks
+      .join(views, col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $minutes MINUTES") &&
+        col("view_ts") <= col("click_ts"), "left")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+              col("view_id"), col("view_ts"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  def intervalLeftJoinOracle(minutes: Int = 30): String =
+    s"""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         v.event_id AS view_id, v.ts AS view_ts
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON c.user_id = v.user_id
+         AND v.ts BETWEEN c.ts - INTERVAL $minutes MINUTE AND c.ts
+       ORDER BY click_id, view_id"""
+
+  /** st07 streaming path: watermarked stream-stream LEFT OUTER join.
+    * The semantics the watermark BUYS here are stronger than st04's:
+    * an outer (null-extended) row can only be emitted once the
+    * watermark proves no matching view can still arrive, so unmatched
+    * clicks surface exactly once, LATE — after their join-state
+    * expiry — rather than eagerly and wrong. (Same state bound as the
+    * inner join: view state drops once the watermark passes
+    * view_ts + interval.) The spec drives this visible delay: the
+    * unmatched click is ABSENT from early micro-batches and appears
+    * with null view columns only after the watermark advances.
+    */
+  def intervalLeftJoinStream(clicks: Dataset[Ev], views: Dataset[Ev],
+                             minutes: Int = 30,
+                             watermark: String = "10 minutes"): DataFrame = {
+    val l = clicks.toDF().withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val r = views.toDF().withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ts").as("view_ts"))
+    l.join(r, col("user_id") === col("v_user") &&
+      col("view_ts") >= col("click_ts") - expr(s"INTERVAL $minutes MINUTES") &&
+      col("view_ts") <= col("click_ts"), "leftOuter")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+              col("view_id"), col("view_ts"))
+  }
+
   // ---- st05: stream-static enrichment join ----------------------------
 
   /** st05 batch twin: the event stream enriched against a STATIC dim

@@ -216,6 +216,83 @@ class GraftSpec extends AnyFunSuite {
     assert(picks.diff(top5).nonEmpty, "MMR never diverged from top-5 — diversification is dead")
   }
 
+  test("q44 asofJoin: inclusive backward pick, max-tie at equal ts, tolerance nulls, forward flip — and agrees with q14") {
+    import spark.implicits._
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.expr
+    def tsf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, expr(s"timestamp_seconds($c)"))
+    val left = tsf(Seq((1L, 100L), (1L, 200L), (2L, 100L)).toDF("k", "lts"), "lts")
+    val right = tsf(Seq((1L, 90L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 100L, 3L, "c"),
+                        (1L, 150L, 4L, "d"), (2L, 999L, 5L, "e"))
+      .toDF("k", "rts", "rid", "v"), "rts")
+    def run(tol: Option[Long], fwd: Boolean): Map[(Long, Long), Option[Long]] =
+      Relational.asofJoin(left, right, Seq("k"), "lts", "rts",
+          payload = Seq("rid", "v"), tieBreak = "rid",
+          toleranceSec = tol, forward = fwd)
+        .collect().map { r =>
+          (r.getAs[Long]("k"),
+           r.getAs[java.sql.Timestamp]("lts").toInstant.getEpochSecond) ->
+            Option(r.getAs[Any]("asof_rid")).map(_.asInstanceOf[Long])
+        }.toMap
+    val back = run(None, fwd = false)
+    assert(back((1L, 100L)).contains(3L), "inclusive at-or-before + max tie")
+    assert(back((1L, 200L)).contains(4L))
+    assert(back((2L, 100L)).isEmpty, "right row strictly after must not match backward")
+    val tol40 = run(Some(40L), fwd = false)
+    assert(tol40((1L, 200L)).isEmpty, "50s gap beyond 40s tolerance must null out")
+    assert(tol40((1L, 100L)).contains(3L), "0s gap survives tolerance")
+    val fwd = run(None, fwd = true)
+    assert(fwd((1L, 100L)).contains(3L), "inclusive at-or-after")
+    assert(fwd((1L, 200L)).isEmpty, "nothing at-or-after must not match forward")
+    assert(fwd((2L, 100L)).contains(5L))
+    // the bound row: every purchase event attributes to ITSELF
+    // (inclusive at-or-before fixpoint), both matched and null
+    // populations are live, and no match is ever a FUTURE event
+    val q44 = SparkEntry.queries("q44_asof_enrich")(spark, sf).collect()
+    assert(q44.exists(r => !r.isNullAt(r.fieldIndex("asof_event_id"))))
+    assert(q44.exists(r => r.isNullAt(r.fieldIndex("asof_event_id"))))
+    q44.foreach { r =>
+      if (r.getAs[String]("event_type") == "purchase")
+        assert(r.getAs[Long]("asof_event_id") == r.getAs[Long]("event_id"),
+          s"purchase event must attribute to itself: $r")
+      if (!r.isNullAt(r.fieldIndex("asof_ts"))) {
+        val gap = r.getAs[java.sql.Timestamp]("ts").getTime -
+          r.getAs[java.sql.Timestamp]("asof_ts").getTime
+        assert(gap >= 0 && gap <= 86400L * 1000, s"match outside window: $r")
+      }
+    }
+  }
+
+  test("s15 hybrid RRF: both arms contribute, rrf is consistent with the arm ranks, fusion diverges from each single arm") {
+    val rows = SparkEntry.queries("s15_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def optRank(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    rows.foreach { r =>
+      val lex = optRank(r, "lex_rank"); val vec = optRank(r, "vec_rank")
+      assert(lex.isDefined || vec.isDefined)
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-5,
+        s"rrf inconsistent with arm ranks at $r")
+    }
+    // each modality surfaces picks the other's top-nArm missed — the
+    // one-arm rows full_outer exists for (measured live at sf0.001)
+    assert(rows.exists(r => optRank(r, "lex_rank").isEmpty),
+      "no vector-only pick — lexical arm dominated everything")
+    assert(rows.exists(r => optRank(r, "vec_rank").isEmpty),
+      "no lexical-only pick — vector arm dominated everything")
+    // fusion is LIVE: the fused top-k is neither arm's own ordering
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.exists { case (_, rs) =>
+      val fusedOrder = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+      val lexOrder = rs.filter(!_.isNullAt(rs.head.fieldIndex("lex_rank")))
+        .sortBy(_.getAs[Long]("lex_rank")).map(_.getAs[Long]("doc_id")).toSeq
+      fusedOrder != lexOrder
+    })
+  }
+
   test("PlaneBucket codegen: the generated loops compile and match the interpreted kernel bit-for-bit") {
     import org.apache.spark.sql.functions.col
     import graft.functions.GraftFunctions._
@@ -263,6 +340,43 @@ class GraftSpec extends AnyFunSuite {
                    r.getTimestamp(2).getTime / 60000L, r.getLong(3)))
         .sortBy(_._1)
       assert(out.toSeq == Seq((60L, 90L, 3L), (111L, 111L, 1L)), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("st07 left-outer stream-stream join: matches emit eagerly, null-extended rows only after watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, minutes: Long, user: Long) =
+      StreamOps.Ev(id, new java.sql.Timestamp(minutes * 60000L), user)
+    val clicks = MemoryStream[StreamOps.Ev]
+    val views = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.intervalLeftJoinStream(clicks.toDS(), views.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_st07_test").start()
+    try {
+      def rows() = spark.table("graft_st07_test")
+        .collect().map(r => (r.getAs[Long]("click_id"),
+          Option(r.getAs[Any]("view_id")).map(_.asInstanceOf[Long]))).toSet
+      // user 1's click at t=100 has a view at t=90 (inside 30 min);
+      // user 2's click at t=100 has NO view — the outer candidate
+      clicks.addData(ev(1, 100, 1), ev(2, 100, 2))
+      views.addData(ev(10, 90, 1))
+      q.processAllAvailable()
+      val early = rows()
+      assert(early.contains((1L, Some(10L))), s"matched row must emit eagerly: $early")
+      assert(!early.exists(_._1 == 2L),
+        s"outer row emitted BEFORE the watermark could prove no match: $early")
+      // watermark movers on BOTH sides push past 100 + 30min interval
+      // + 10min watermark; two batches so the new watermark then
+      // evicts + emits
+      clicks.addData(ev(3, 500, 9)); views.addData(ev(11, 500, 9))
+      q.processAllAvailable()
+      clicks.addData(ev(4, 600, 9)); views.addData(ev(12, 600, 9))
+      q.processAllAvailable()
+      val late = rows()
+      assert(late.contains((2L, None)),
+        s"unmatched click must surface null-extended after expiry: $late")
+      assert(late.count(_._1 == 2L) == 1, "outer row must emit exactly once")
     } finally q.stop()
   }
 
@@ -714,6 +828,43 @@ class GraftSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(replayed == VersionedTable.readAsOf(spark, root, 1L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("VersionedTable: RESTORE republishes an old version as the head — metadata-only, history intact, vacuum-safe") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtres").toString + "/t"
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    def snap(v: Option[Long] = None) =
+      (v match { case Some(x) => VersionedTable.readAsOf(spark, root, x)
+                 case None => VersionedTable.read(spark, root) })
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    VersionedTable.commit(spark, root, tbl(1L -> 10.0), base = -1L)      // v0
+    VersionedTable.append(spark, root, tbl(2L -> 20.0), base = 0L)       // v1
+    VersionedTable.commit(spark, root, tbl(9L -> 90.0), base = 1L)       // v2: bad overwrite
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val rv = VersionedTable.restore(spark, root, 1L)                     // v3 == v1 content
+    assert(rv == 3L && VersionedTable.currentVersion(spark, root).contains(3L))
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(after == before, "restore must stage ZERO data files (metadata-only)")
+    assert(snap() == Map(1L -> 10.0, 2L -> 20.0))
+    // history preserved: the undone version is still travelable
+    assert(snap(Some(2L)) == Map(9L -> 90.0))
+    // restore target out of uncommitted space fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, root, 7L)
+    }
+    // roll-forward is the same primitive: restore to the undone v2...
+    assert(VersionedTable.restore(spark, root, 2L) == 4L)
+    assert(snap() == Map(9L -> 90.0))
+    // ...and back; vacuum then keeps the restored dirs — the head
+    // REACHES them even though their staging version is ancient
+    assert(VersionedTable.restore(spark, root, 1L) == 5L)
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    assert(snap() == Map(1L -> 10.0, 2L -> 20.0),
+      "vacuum reclaimed dirs the restored head still references")
   }
 
   test("VersionedTable: O(delta) appends, compaction, and reachability-aware vacuum") {

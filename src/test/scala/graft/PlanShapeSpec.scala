@@ -502,4 +502,19 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bk_lineitem")
     }
   }
+
+  test("q44: the as-of sweep is JOIN-FREE — one key shuffle plus the output sort, zero row amplification") {
+    val p = plan("q44_asof_enrich")
+    assert(!p.contains("Join"),
+      "as-of must be the union+window sweep, not a join that explodes per-key history")
+    assert(count(p, "Exchange") == 2,
+      s"expected hash(user_id) + output range partitioning only:\n$p")
+  }
+
+  test("s15: hybrid fusion never goes cartesian; the RRF stage joins result-bounded arm frames") {
+    val p = plan("s15_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"))
+    // the vector arm's query side broadcasts (the s01 discipline)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
