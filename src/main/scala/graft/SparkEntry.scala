@@ -117,6 +117,8 @@ object SparkEntry {
     "st07_stream_left_join" -> ((s, d) =>
       graft.streaming.StreamOps.intervalLeftJoinBatch(Tables.events(s, d))),
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
+    "t21_stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(Tables.documents(s, d))),
     "t08_sequence_pack" -> ((s, d) => TextOps.sequencePack(Tables.documents(s, d))),
     "t09_quality_filter" -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
     "q31_interval_concurrency" -> ((s, d) =>
@@ -152,6 +154,8 @@ object SparkEntry {
     "s14_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(Tables.embeddings(s, d))),
     "s15_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "s16_filtered_ann" -> ((s, d) =>
+      Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -439,6 +443,7 @@ object SparkEntry {
     "st04_stream_join" -> graft.streaming.StreamOps.intervalJoinOracle(),
     "st07_stream_left_join" -> graft.streaming.StreamOps.intervalLeftJoinOracle(),
     "t07_split_sample" -> TextOps.splitSampleOracle,
+    "t21_stratified_sample" -> TextOps.stratifiedSampleOracle(),
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),
     "t09_quality_filter" -> TextOps.qualityFilterOracle,
     "q31_interval_concurrency" -> Relational.intervalConcurrencyOracle,
@@ -468,6 +473,7 @@ object SparkEntry {
     "s13_range_search" -> Similarity.ivfRangeSearchOracle(),
     "s14_mmr_diversify" -> Similarity.mmrDiversifyOracle(),
     "s15_hybrid_rrf" -> Similarity.hybridRrfOracle(),
+    "s16_filtered_ann" -> Similarity.ivfFilteredTopKOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

@@ -228,7 +228,7 @@ object Similarity {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"),
-              vec_norm(col("embedding")).as("nrm"))
+              vec_norm(col("embedding")).as("nrm"), col("label"))
   }
 
   def ivfTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3): DataFrame = {
@@ -310,7 +310,8 @@ object Similarity {
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-              vec_norm(col("embedding")).as("qn"), col("cent_id").as("cell"))
+              vec_norm(col("embedding")).as("qn"), col("cent_id").as("cell"),
+              col("label").as("qlabel"))
   }
 
   def ivfMultiProbe(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
@@ -342,19 +343,28 @@ object Similarity {
     * to one representative plus genuinely different material.
     *
     * Scale shape: the expensive part is the SHORTLIST (any of s01-s12
-    * produces it); MMR itself runs on queries x kShort rows and the
-    * kShort^2 pairwise-sim frame — bounded by the RESULT size, never
-    * the corpus, so the greedy selection unrolls as `kOut-1` joins
-    * over broadcast-size frames (both persist points checkpointed
-    * once). Determinism: rel/sim are the shared dot/norm fragments
-    * (unrounded until output), the argmax window ties on lowest id —
-    * the oracle unrolls the identical selection as generated CTEs.
+    * produces it); MMR itself is bounded by the RESULT size — per
+    * query, kShort candidate rows and the kShort^2 pairwise-sim
+    * frame — never the corpus. The greedy selection therefore runs as
+    * ONE `cogroup` on q_id (candidates with pairwise sims), the
+    * O(kOut*kShort) loop in memory per group: a single shuffle and a
+    * single stage however large the query set, where the unrolled
+    * kOut-1 join formulation this replaced paid ~20 tiny-stage
+    * launches (measured 5.5 s -> 0.x s at sf0.1; per-group state is
+    * k^2 doubles — the typed-API exception a result-bounded frame
+    * justifies). Determinism: rel/sim are the shared codegen'd
+    * dot/norm fragments (unrounded until output); the in-group argmax
+    * compares the same IEEE doubles the SQL replay compares, ties on
+    * lowest id — the oracle unrolls the identical selection as
+    * generated CTEs.
     */
   def mmrDiversify(embeddings: DataFrame, maxQueryId: Long = 8,
                    kShort: Int = 10, kOut: Int = 5,
                    lambda: Double = 0.7): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val corpus = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       .withColumn("cn", vec_norm(col("ce")))
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
@@ -374,27 +384,41 @@ object Similarity {
     val pair = a.join(b, Seq("q_id")).filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", vec_dot(col("ae"), col("be")) / (col("an") * col("bn")))
       .select(col("q_id"), col("a_id"), col("b_id"), col("sim"))
-      .localCheckpoint(eager = false)
-    val slim = short.select(col("q_id"), col("c_id"), col("rel"))
-    val wPick = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    var selected = slim.withColumn("score", col("rel"))
-      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-      .select(col("q_id"), col("c_id"), col("rel"), lit(1L).as("step"))
-    for (t <- 2 to kOut) {
-      val rem = slim.join(selected.select(col("q_id"), col("c_id")),
-                          Seq("q_id", "c_id"), "left_anti")
-      val msim = pair
-        .join(selected.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id", "b_id"))
-        .groupBy(col("q_id"), col("a_id").as("c_id")).agg(max(col("sim")).as("msim"))
-      val pick = rem.join(msim, Seq("q_id", "c_id"))
-        .withColumn("score", lit(lambda) * col("rel") - lit(1.0 - lambda) * col("msim"))
-        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-        .select(col("q_id"), col("c_id"), col("rel"), lit(t.toLong).as("step"))
-      selected = selected.unionByName(pick)
-    }
-    selected
-      .select(col("q_id"), col("step"), col("c_id").as("neighbor_id"),
-              Rounding.roundN(col("rel"), 4).as("rel"))
+    val cands = short.select(col("q_id"), col("c_id"), col("rel"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val sims = pair.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    cands.cogroup(sims) { (q, cs, ps) =>
+      // candidates in (rel DESC, id ASC) order — position 0 IS pick 1
+      val cand = cs.map { case (_, id, rel) => (id, rel) }.toArray
+        .sortBy { case (id, rel) => (-rel, id) }
+      if (cand.isEmpty) Iterator.empty
+      else {
+        val sim = ps.map { case (_, x, y, s) => (x, y) -> s }.toMap
+        val picked = scala.collection.mutable.ArrayBuffer(cand(0))
+        while (picked.length < math.min(kOut, cand.length)) {
+          // argmax of lambda*rel - (1-lambda)*max sim-to-picked, ties
+          // on lowest id — the same comparison the SQL replay makes
+          var bestId = -1L; var bestRel = 0.0
+          var bestScore = Double.NegativeInfinity
+          for ((id, rel) <- cand if !picked.exists(_._1 == id)) {
+            var ms = Double.NegativeInfinity
+            for ((pid, _) <- picked) {
+              val s = sim((id, pid))
+              if (s > ms) ms = s
+            }
+            val score = lambda * rel - (1.0 - lambda) * ms
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestId = id; bestRel = rel; bestScore = score
+            }
+          }
+          picked += ((bestId, bestRel))
+        }
+        picked.iterator.zipWithIndex.map { case ((id, rel), i) =>
+          (q, (i + 1).toLong, id, rel)
+        }
+      }
+    }.toDF("q_id", "step", "neighbor_id", "rel")
+      .withColumn("rel", Rounding.roundN(col("rel"), 4))
       .orderBy(col("q_id"), col("step"))
   }
 
@@ -500,6 +524,9 @@ object Similarity {
       .withColumn("score", Rounding.roundN(
         expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
                  (acc, s) -> acc + s.contrib)"""), 6))
+      // explicit prune: the term-contribution array must not ride the
+      // rank shuffle (measured ~10% of the arm at sf0.1)
+      .select(col("q_id"), col("doc_id"), col("score"))
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
@@ -630,6 +657,70 @@ object Similarity {
          FROM assigned c JOIN qprobe q ON q.cell = c.cell
          WHERE q.q_id <> c.vec_id) s
        WHERE cos >= $minCos ORDER BY q_id, neighbor_id"""
+  }
+
+  /** s16: FILTERED ANN — top-k within a metadata predicate (here:
+    * same `label` as the query — within-class nearest neighbors; any
+    * pushdown-able predicate slots in), probed through the s05 cell
+    * structure. This is the filtered-vector-search problem every RAG
+    * store has to solve, and the shape matters: the predicate is
+    * applied PRE-ranking, inside the probed cells, BEFORE any
+    * distance arithmetic — so the k results are the k best ELIGIBLE
+    * vectors, and ineligible members don't even pay the dot product
+    * (Catalyst pushes the label equi-filter below the cos
+    * projection). The naive POST-filter alternative (rank top-k, then
+    * filter) silently returns FEWER than k whenever the unfiltered
+    * top-k contains ineligible rows — the spec measures that loss
+    * live on this corpus rather than assuming it.
+    *
+    * Scale: identical to s05 (cell equi-join, broadcast probe set)
+    * plus one codegen'd integer comparison per candidate; selective
+    * predicates SHRINK the ranked set. Recall caveat is s05's: only
+    * probed cells' members are reachable.
+    */
+  def ivfFilteredTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                      nProbe: Int = 2, centIds: Seq[Long] = centroidIds): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = assignedCells(embeddings, centIds)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"), col("label").as("clabel"))
+    val qprobe = probeCells(embeddings, maxQueryId, nProbe, centIds)
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    corpus.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id") && col("clabel") === col("qlabel"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"),
+              Rounding.roundN(col("cos"), 4).as("cos"), col("clabel").as("label"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfFilteredTopKOracle(maxQueryId: Long = 8, k: Int = 3,
+                            nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    s"""WITH $assignedCtes,
+       qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn, cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc WHERE vec_id < $maxQueryId) t
+         WHERE crn <= $nProbe),
+       scored AS (SELECT q.q_id, c.vec_id AS c_id, cl.label,
+           ${dot(d, "q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         FROM assigned c
+         JOIN qprobe q ON q.cell = c.cell
+         JOIN embeddings cl ON cl.vec_id = c.vec_id
+         JOIN embeddings ql ON ql.vec_id = q.q_id
+         WHERE q.q_id <> c.vec_id AND cl.label = ql.label),
+       ranked AS (SELECT q_id, c_id, label, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos, label
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
   def ivfMultiProbeOracle(maxQueryId: Long = 8, k: Int = 3, nProbe: Int = 2): String = {

@@ -366,6 +366,42 @@ object TextOps {
          round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
        FROM b GROUP BY 1 ORDER BY split"""
 
+  /** t21: EXACT-k stratified sample — exactly `k` documents per
+    * stratum (language), chosen by ranking each stratum on the t07
+    * affine hash (a reproducible pseudo-random permutation of doc
+    * ids) with doc_id as the total tie-break. The balanced-eval-set
+    * constructor: per-language dev sets, debugging samples, human-
+    * review batches — where `sampleBy`'s Bernoulli draw gives only
+    * EXPECTED counts (and different rows per run/partitioning), this
+    * gives exact counts, deterministic across runs, engines, cluster
+    * layouts, and corpus growth order.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank-limit
+    * filter gets Spark's WindowGroupLimit pushdown (map-side top-k
+    * per stratum BEFORE the exchange — the t06 discipline), so the
+    * shuffle carries ≤ k·partitions rows per stratum, not the corpus.
+    */
+  def stratifiedSample(documents: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    documents
+      .withColumn("h", (col("doc_id") * lit(1103515245L) + lit(12345L)) % P)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+              col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def stratifiedSampleOracle(k: Int = 20): String =
+    s"""WITH h AS (SELECT lang, doc_id, n_chars,
+         (doc_id * 1103515245 + 12345) % $P AS h FROM documents),
+       r AS (SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+         FROM h)
+       SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+       FROM r WHERE rank <= $k ORDER BY lang, rank"""
+
   // ---- sequence packing (t08) ----------------------------------------
 
   /** t08: contiguous sequence packing — group documents into training

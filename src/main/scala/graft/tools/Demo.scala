@@ -317,6 +317,33 @@ object Demo {
     println(s"19. bucketed join: $bjRows joined rows with $bjShuffles shuffles " +
       "(the join-key shuffle was paid once at write time, never per query)")
 
+    // 20. RETRIEVAL PIPELINE: hybrid lexical+vector recall, predicate-
+    //     filtered ANN, MMR redundancy collapse — the RAG serving stack
+    val embs = Tables.embeddings(spark, sf)
+    val hybrid = Similarity.hybridRrf(docs, embs).cache()
+    val vecOnly = hybrid.filter(col("lex_rank").isNull).count()
+    val lexOnly = hybrid.filter(col("vec_rank").isNull).count()
+    val filtQ = Similarity.ivfFilteredTopK(embs)
+      .select("q_id").distinct().count()
+    val mmrPicks = Similarity.mmrDiversify(embs).count()
+    println(s"20. retrieval: hybrid RRF fused ${hybrid.count()} picks " +
+      s"($vecOnly vector-only, $lexOnly lexical-only — each arm finds what " +
+      s"the other misses), filtered ANN served $filtQ queries within-class, " +
+      s"MMR collapsed redundancy to $mmrPicks diversified picks")
+    hybrid.unpersist()
+
+    // 21. RESTORE: the bad overwrite from a broken job undone in O(1)
+    //     metadata — no data copied, history still travelable
+    val rr = s"$work/versioned/restore"
+    VersionedTable.commit(spark, rr, rawOrders.select("o_orderkey", "o_totalprice"), -1L)
+    VersionedTable.commit(spark, rr,
+      rawOrders.select("o_orderkey", "o_totalprice").limit(1), 0L) // oops
+    val badRows = VersionedTable.read(spark, rr).count()
+    val rv = VersionedTable.restore(spark, rr, 0L)
+    println(s"21. restore: bad overwrite left $badRows rows; restore(v0) " +
+      s"published v$rv with ${VersionedTable.read(spark, rr).count()} rows back " +
+      s"(bad v1 still travelable: ${VersionedTable.readAsOf(spark, rr, 1L).count()} rows)")
+
     println("== demo complete")
     spark.stop()
   }

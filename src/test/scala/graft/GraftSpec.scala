@@ -343,6 +343,52 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s16 filtered ANN: every hit satisfies the predicate, full k where eligible, and post-filtering would lose results") {
+    val filtered = SparkEntry.queries("s16_filtered_ann")(spark, sf).collect()
+    assert(filtered.nonEmpty)
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    filtered.foreach { r =>
+      assert(r.getAs[Int]("label") == labels(r.getAs[Long]("q_id")),
+        s"hit with wrong label: $r")
+      assert(labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("q_id")))
+    }
+    // pre-filter returns the k best ELIGIBLE rows; the naive
+    // post-filter (s05 top-k then predicate) must lose rows for at
+    // least one query on this corpus — the loss is live, not assumed
+    val post = SparkEntry.queries("s05_ann_ivf_multiprobe")(spark, sf).collect()
+      .filter(r => labels(r.getAs[Long]("neighbor_id")) == labels(r.getAs[Long]("q_id")))
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length).toMap
+    val pre = filtered.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length).toMap
+    assert(pre.exists { case (q, n) => n > post.getOrElse(q, 0) },
+      s"post-filtering lost nothing anywhere (pre=$pre post=$post) — the predicate never bit")
+  }
+
+  test("t21 stratified sample: EXACT k per stratum, deterministic, and a real permutation (not head-of-table)") {
+    val rows = SparkEntry.queries("t21_stratified_sample")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.size > 1)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == 20, s"stratum $lang: expected exactly 20, got ${rs.length}")
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 20L))
+    }
+    // deterministic: a second run picks the identical rows
+    val again = SparkEntry.queries("t21_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(again.toSet == rows.map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toSet)
+    // the hash rank is a PERMUTATION, not id order: some stratum's
+    // sample must differ from its lowest-k doc_ids
+    val livesPermuted = byLang.exists { case (lang, rs) =>
+      val sampled = rs.map(_.getAs[Long]("doc_id")).sorted.toSeq
+      val firstK = Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("lang") === lang)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.take(20).toSeq
+      sampled != firstK
+    }
+    assert(livesPermuted, "sample equals head-of-table in every stratum — hash rank is dead")
+  }
+
   test("st07 left-outer stream-stream join: matches emit eagerly, null-extended rows only after watermark expiry") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

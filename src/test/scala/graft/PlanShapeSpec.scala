@@ -511,6 +511,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected hash(user_id) + output range partitioning only:\n$p")
   }
 
+  test("t21: stratified sample gets the map-side rank limit — the shuffle never carries the corpus") {
+    val p = plan("t21_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
+
   test("s15: hybrid fusion never goes cartesian; the RRF stage joins result-bounded arm frames") {
     val p = plan("s15_hybrid_rrf")
     assert(!p.contains("CartesianProduct"))
