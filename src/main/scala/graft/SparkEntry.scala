@@ -169,6 +169,8 @@ object SparkEntry {
       Relational.cohortRetention(Tables.events(s, d))),
     "q44_asof_enrich" -> ((s, d) =>
       Relational.asofEnrich(Tables.events(s, d))),
+    "q45_group_quantiles" -> ((s, d) =>
+      Relational.groupQuantiles(Tables.events(s, d))),
     "d11_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimate(Tables.documents(s, d))),
     "d12_dedup_incremental" -> ((s, d) =>
@@ -481,6 +483,7 @@ object SparkEntry {
     "q42_gaps_islands" -> Relational.gapsIslandsOracle,
     "q43_cohort_retention" -> Relational.cohortRetentionOracle,
     "q44_asof_enrich" -> Relational.asofEnrichOracle,
+    "q45_group_quantiles" -> Relational.groupQuantilesOracle,
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),

@@ -1245,4 +1245,39 @@ object Relational {
          CAST(day - cohort_day AS INTEGER) AS day_offset,
          CAST(count(*) AS BIGINT) AS n_users
        FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q45: exact group quantiles -------------------------------------
+
+  /** q45: EXACT per-group quantiles (p50/p90/p99 of event value per
+    * type) — the latency/size-distribution readout every ops
+    * dashboard serves. Exactness is the point AND the cost: an exact
+    * quantile needs the group's full value multiset (Spark's
+    * `percentile` buffers a value->count map per group — bounded by
+    * DISTINCT values, fine for bounded-cardinality metrics, unbounded
+    * for continuous ones), where t15's `approx_percentile` sketch is
+    * the fixed-memory 100 TB path. The two rows are the same pairing
+    * as q23 (exact distinct) vs q35 (HLL): exact when the group fits,
+    * sketch when it can't — this row pins the exact side so the
+    * sketch has a measurable reference.
+    *
+    * Cross-engine: both engines implement SQL-standard
+    * percentile_cont (index p*(n-1), linear interpolation between
+    * adjacent order statistics); 4-dp rounding absorbs the
+    * interpolation-arithmetic ulp.
+    */
+  def groupQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           Rounding.roundN(expr("percentile(value, 0.5D)"), 4).as("p50"),
+           Rounding.roundN(expr("percentile(value, 0.9D)"), 4).as("p90"),
+           Rounding.roundN(expr("percentile(value, 0.99D)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  val groupQuantilesOracle: String =
+    """SELECT event_type, count(*) AS n,
+       round(quantile_cont("value", 0.5), 4) AS p50,
+       round(quantile_cont("value", 0.9), 4) AS p90,
+       round(quantile_cont("value", 0.99), 4) AS p99
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }

@@ -79,6 +79,9 @@ object VersionedTable {
   final class VersionConflictException(val version: Long)
     extends RuntimeException(s"version $version was committed concurrently")
 
+  final class ConstraintViolationException(val name: String, msg: String)
+    extends RuntimeException(msg)
+
   /** Write a log checkpoint every N commits. */
   val CheckpointInterval = 10
 
@@ -460,8 +463,81 @@ object VersionedTable {
     next
   }
 
+  // ---- CHECK constraints (Delta's table constraints) -------------------
+
+  /** Registered CHECK constraints: (name, SQL predicate) pairs from the
+    * `_constraints` sidecar. Empty when the file is absent. */
+  def constraints(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val f = fs(spark, root)
+    val path = p(s"$root/_constraints")
+    if (!f.exists(path)) Nil
+    else {
+      val in = f.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, pr) = l.split("\t", 2); (n, pr)
+        }
+      finally in.close()
+    }
+  }
+
+  /** Register a CHECK constraint: every FUTURE staged batch must
+    * satisfy `predicate` (a boolean SQL expression over the table's
+    * columns) or the write throws [[ConstraintViolationException]]
+    * BEFORE anything is staged — the table never holds a violating
+    * version. Like Delta's `ALTER TABLE ADD CONSTRAINT`, the EXISTING
+    * snapshot is scanned first and a constraint the current data
+    * already violates is rejected — a gate that starts out broken
+    * guards nothing. Same single-writer sidecar contract as the index
+    * meta files (concurrent addConstraint calls race the file, not
+    * the log). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    predicate: String): Unit = {
+    require(!name.contains("\t") && !predicate.contains("\t") &&
+      !name.contains("\n") && !predicate.contains("\n"),
+      "constraint names/predicates must not contain tabs or newlines")
+    import org.apache.spark.sql.functions.{expr, not, coalesce, lit}
+    currentVersion(spark, root).foreach { v =>
+      val bad = readAsOf(spark, root, v)
+        .filter(not(coalesce(expr(predicate), lit(false)))).count()
+      if (bad > 0) throw new ConstraintViolationException(name,
+        s"cannot add constraint '$name' ($predicate): $bad existing rows " +
+          s"in $root@v$v already violate it")
+    }
+    val all = constraints(spark, root) :+ (name -> predicate)
+    val out = fs(spark, root).create(p(s"$root/_constraints"), /* overwrite */ true)
+    try out.write(all.map { case (n, pr) => s"$n\t$pr" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Commit-time gate, called by every staging funnel BEFORE bytes are
+    * written: one combined-predicate pass over the batch in the common
+    * (clean) case, a per-constraint pass to NAME the violated gate
+    * only on failure. A null predicate result counts as a violation
+    * (the Delta rule: CHECK must evaluate to true). Cost is one scan
+    * of the staged batch — callers staging an expensive plan should
+    * checkpoint first (the ingest paths already do). */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr, not, coalesce, lit}
+    val cs = constraints(spark, root)
+    if (cs.nonEmpty) {
+      def holds(pred: String) = coalesce(expr(pred), lit(false))
+      val combined = cs.map(_._2).map(pr => s"($pr)").mkString(" AND ")
+      if (!df.filter(not(holds(combined))).isEmpty) {
+        val (name, pred) = cs.find { case (_, pr) =>
+          !df.filter(not(holds(pr))).isEmpty
+        }.get
+        val sample = df.filter(not(holds(pred))).head()
+        throw new ConstraintViolationException(name,
+          s"constraint '$name' ($pred) violated by staged batch, e.g. $sample")
+      }
+    }
+  }
+
   private def stageAndCommit(spark: SparkSession, root: String, df: DataFrame,
                              base: Long, carryOver: Seq[Entry]): Long = {
+    enforceConstraints(spark, root, df)
     val f = fs(spark, root)
     val next = base + 1
     val rel = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
@@ -604,6 +680,7 @@ object VersionedTable {
   private def stagePartitions(spark: SparkSession, root: String, src: DataFrame,
                               partitionCol: String, next: Long): (String, Seq[Entry]) = {
     import org.apache.spark.sql.functions.col
+    enforceConstraints(spark, root, src)
     val f = fs(spark, root)
     val values = src.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).sorted

@@ -343,6 +343,42 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoin: randomized brute-force equivalence across direction x tolerance (seeded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2; fwd <- Seq(false, true); tol <- Seq(None, Some(50L))) {
+      val lefts = (1L to 60L).map(lid => (lid, rnd.nextInt(5).toLong, rnd.nextInt(300).toLong))
+      val rights = (1L to 80L).map(rid => (rnd.nextInt(5).toLong, rnd.nextInt(300).toLong, rid))
+      val l = lefts.toDF("lid", "k", "lts")
+        .withColumn("lts", expr("timestamp_seconds(lts)"))
+      val r = rights.toDF("k", "rts", "rid")
+        .withColumn("rts", expr("timestamp_seconds(rts)"))
+      val got = Relational.asofJoin(l, r, Seq("k"), "lts", "rts",
+          payload = Seq("rid"), tieBreak = "rid", toleranceSec = tol, forward = fwd)
+        .collect().map(row => row.getAs[Long]("lid") ->
+          Option(row.getAs[Any]("asof_rid")).map(_.asInstanceOf[Long])).toMap
+      lefts.foreach { case (lid, k, lts) =>
+        val cands = rights.filter { case (rk, rts, _) =>
+          rk == k && (if (fwd) rts >= lts else rts <= lts) &&
+            tol.forall(t => math.abs(rts - lts) <= t)
+        }
+        val want =
+          if (cands.isEmpty) None
+          else if (fwd) {
+            val m = cands.map(_._2).min
+            Some(cands.filter(_._2 == m).map(_._3).max)
+          } else {
+            val m = cands.map(_._2).max
+            Some(cands.filter(_._2 == m).map(_._3).max)
+          }
+        assert(got(lid) == want,
+          s"trial=$trial fwd=$fwd tol=$tol lid=$lid k=$k lts=$lts: got ${got(lid)}, want $want")
+      }
+    }
+  }
+
   test("s16 filtered ANN: every hit satisfies the predicate, full k where eligible, and post-filtering would lose results") {
     val filtered = SparkEntry.queries("s16_filtered_ann")(spark, sf).collect()
     assert(filtered.nonEmpty)
@@ -874,6 +910,50 @@ class GraftSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(replayed == VersionedTable.readAsOf(spark, root, 1L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("VersionedTable: CHECK constraints gate every write path BEFORE staging; broken-at-birth constraints are rejected") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import VersionedTable.ConstraintViolationException
+    val root = java.nio.file.Files.createTempDirectory("graft_vtck").toString + "/t"
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    VersionedTable.commit(spark, root, tbl(1L -> 10.0, 2L -> 20.0), base = -1L)
+    VersionedTable.addConstraint(spark, root, "qty_nonneg",
+      "qty IS NOT NULL AND qty >= 0")
+    // violating append throws NAMING the constraint; nothing staged,
+    // version unchanged
+    val e = intercept[ConstraintViolationException] {
+      VersionedTable.append(spark, root, tbl(3L -> -5.0), base = 0L)
+    }
+    assert(e.name == "qty_nonneg")
+    assert(VersionedTable.currentVersion(spark, root).contains(0L))
+    val dataDirs = new java.io.File(s"$root/data").listFiles().length
+    assert(dataDirs == 1, "violating batch must not leave a staged dir")
+    // a null qty is a violation too (CHECK must evaluate TRUE)
+    intercept[ConstraintViolationException] {
+      VersionedTable.append(spark, root,
+        Seq((4L, Option.empty[Double])).toDF("suppkey", "qty"), base = 0L)
+    }
+    // clean writes pass on BOTH funnels (unscoped + partitioned table)
+    assert(VersionedTable.append(spark, root, tbl(3L -> 30.0), base = 0L) == 1L)
+    // a constraint the existing data already violates is rejected and
+    // NOT registered
+    val e2 = intercept[ConstraintViolationException] {
+      VersionedTable.addConstraint(spark, root, "qty_small", "qty < 25")
+    }
+    assert(e2.name == "qty_small")
+    assert(VersionedTable.constraints(spark, root).map(_._1) == Seq("qty_nonneg"))
+    // partitioned path: the same gate fires in stagePartitions
+    val proot = java.nio.file.Files.createTempDirectory("graft_vtckp").toString + "/t"
+    val pdf = Seq((1L, 5.0, "a"), (2L, 6.0, "b")).toDF("suppkey", "qty", "pb")
+    VersionedTable.commitPartitioned(spark, proot, pdf, "pb", -1L)
+    VersionedTable.addConstraint(spark, proot, "qty_pos", "qty > 0")
+    intercept[ConstraintViolationException] {
+      VersionedTable.appendPartitioned(spark, proot,
+        Seq((3L, 0.0, "a")).toDF("suppkey", "qty", "pb"), "pb", 0L)
+    }
+    assert(VersionedTable.currentVersion(spark, proot).contains(0L))
   }
 
   test("VersionedTable: RESTORE republishes an old version as the head — metadata-only, history intact, vacuum-safe") {
