@@ -751,19 +751,38 @@ object VersionedTable {
     * retry as [[merge]]; winner determinism follows the same
     * [[effectiveTieBreak]] contract.
     */
+  /** True when the most recent [[mergePartitioned]] landed its staged
+    * dirs through the DISJOINT-partition rebase (no restaging) — the
+    * spec's evidence that the stage-once path actually ran. */
+  @volatile var lastMergeRebased: Boolean = false
+
   def mergePartitioned(spark: SparkSession, root: String, source: DataFrame,
                        keys: Seq[String], partitionCol: String,
-                       tieBreak: Seq[String] = Nil, maxRetries: Int = 3): Long = {
+                       tieBreak: Seq[String] = Nil, maxRetries: Int = 3): Long =
+    mergePartitionedFrom(spark, root, source, keys, partitionCol, tieBreak,
+                         maxRetries, firstBase = None)
+
+  /** [[mergePartitioned]] with the first attempt pinned to a
+    * caller-read (possibly stale) base — the deterministic seam the
+    * concurrency specs drive, mirroring [[appendRebaseFrom]]. */
+  private[graft] def mergePartitionedFrom(
+      spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], partitionCol: String, tieBreak: Seq[String],
+      maxRetries: Int, firstBase: Option[Long]): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, root)
     val tb = effectiveTieBreak(source, keys, tieBreak)
     val src = source.localCheckpoint() // stable slices across retries
     requireNoNullPartitions(src, partitionCol)
+    enforceConstraints(spark, root, src) // merge updates come from src
     val touched = src.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).sorted
+    lastMergeRebased = false
     var attempt = 0
+    var pinned = firstBase
     while (true) {
-      val base = currentVersion(spark, root).getOrElse(-1L)
+      val base = pinned.getOrElse(currentVersion(spark, root).getOrElse(-1L))
+      pinned = None // only the first attempt is pinned
       if (base < 0) {
         // creating: dedupe the batch itself with merge semantics; a
         // creation RACE is a conflict like any other — retry against
@@ -797,14 +816,39 @@ object VersionedTable {
           Entry(rel, Some(ev))
         }
         catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
-      val carried = baseEntries.filterNot(e => e.part.exists(pv => touched.map(enc).contains(pv)))
-      try {
-        publish(spark, root, next, carried ++ staged,
-                onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
-        return next
-      } catch {
-        case _: VersionConflictException if attempt < maxRetries =>
-          attempt += 1 // staged dirs already cleaned; recompute vs fresh base
+      val touchedEnc = touched.map(enc).toSet
+      // publish loop: on conflict, REBASE the same staged dirs if the
+      // winners' commits left every touched partition untouched
+      // (Delta's disjoint-file conflict rule at partition granularity:
+      // our merge read only the touched partitions, so a head that
+      // changed none of them cannot invalidate the staged result —
+      // republish against it, staging exactly once). Overlap, or an
+      // unscoped head we cannot reason about, falls back to the
+      // recompute path.
+      var pubBase = base
+      var pubEntries = baseEntries
+      var recompute = false
+      while (!recompute) {
+        val carried = pubEntries.filterNot(e => e.part.exists(touchedEnc.contains))
+        try {
+          publish(spark, root, pubBase + 1, carried ++ staged,
+                  onConflictCleanup = () => ())
+          lastMergeRebased = pubBase != base
+          return pubBase + 1
+        } catch {
+          case e: VersionConflictException =>
+            if (attempt >= maxRetries) { f.delete(p(s"$root/$parent"), true); throw e }
+            attempt += 1
+            val newBase = currentVersion(spark, root).getOrElse(-1L)
+            val newEntries = entriesOf(spark, root, newBase)
+            val disjoint = newEntries.forall(_.part.isDefined) && {
+              def slice(es: Seq[Entry], pv: String) =
+                es.filter(_.part.contains(pv)).map(_.rel).toSet
+              touchedEnc.forall(pv => slice(newEntries, pv) == slice(baseEntries, pv))
+            }
+            if (disjoint) { pubBase = newBase; pubEntries = newEntries }
+            else { f.delete(p(s"$root/$parent"), true); recompute = true }
+        }
       }
       }
     }

@@ -912,6 +912,36 @@ class GraftSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
   }
 
+  test("VersionedTable: DISJOINT-partition merges rebase staged dirs (stage once); overlapping merges recompute and stay correct") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtmr").toString + "/t"
+    def tbl(rows: (Long, Double, String)*) = rows.toSeq.toDF("suppkey", "qty", "pb")
+    def snap() = VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    VersionedTable.commitPartitioned(spark, root,
+      tbl((1L, 10.0, "a"), (2L, 20.0, "b")), "pb", -1L)          // v0
+    VersionedTable.mergePartitioned(spark, root, tbl((1L, 11.0, "a")),
+      Seq("suppkey"), "pb")                                       // v1: A updates a
+    assert(!VersionedTable.lastMergeRebased)
+    // writer B staged against the STALE v0, touching only b: the
+    // conflict with A resolves by REBASE — same staged dir republished
+    val vb = VersionedTable.mergePartitionedFrom(spark, root,
+      tbl((3L, 30.0, "b")), Seq("suppkey"), "pb", Nil, 3, firstBase = Some(0L))
+    assert(vb == 2L && VersionedTable.lastMergeRebased,
+      "disjoint-partition conflict must land via rebase, not recompute")
+    assert(snap() == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    // writer C staged against v0 but touching a — OVERLAPS A's write:
+    // its stale staged merge (a = {1->10.0, 4->40.0}) would LOSE A's
+    // update if rebased; the overlap check forces the recompute path
+    val vc = VersionedTable.mergePartitionedFrom(spark, root,
+      tbl((4L, 40.0, "a")), Seq("suppkey"), "pb", Nil, 3, firstBase = Some(0L))
+    assert(vc == 3L && !VersionedTable.lastMergeRebased,
+      "overlapping-partition conflict must recompute")
+    assert(snap() == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0),
+      "recompute must merge against the HEAD's partition state, preserving A's update")
+  }
+
   test("VersionedTable: CHECK constraints gate every write path BEFORE staging; broken-at-birth constraints are rejected") {
     import spark.implicits._
     import graft.sources.VersionedTable
