@@ -116,6 +116,8 @@ object SparkEntry {
       graft.streaming.StreamOps.intervalJoinBatch(Tables.events(s, d))),
     "st07_stream_left_join" -> ((s, d) =>
       graft.streaming.StreamOps.intervalLeftJoinBatch(Tables.events(s, d))),
+    "st08_stream_update_agg" -> ((s, d) =>
+      graft.streaming.StreamOps.typeTotalsBatch(Tables.events(s, d))),
     "t07_split_sample" -> ((s, d) => TextOps.splitSample(Tables.documents(s, d))),
     "t21_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(Tables.documents(s, d))),
@@ -171,6 +173,7 @@ object SparkEntry {
       Relational.asofEnrich(Tables.events(s, d))),
     "q45_group_quantiles" -> ((s, d) =>
       Relational.groupQuantiles(Tables.events(s, d))),
+    "q46_sql_api" -> ((s, d) => Dedup.sqlApi(Tables.documents(s, d))),
     "d11_minhash_estimate" -> ((s, d) =>
       Dedup.minhashEstimate(Tables.documents(s, d))),
     "d12_dedup_incremental" -> ((s, d) =>
@@ -444,6 +447,7 @@ object SparkEntry {
     "q29_scd2_history" -> Relational.scd2HistoryOracle,
     "st04_stream_join" -> graft.streaming.StreamOps.intervalJoinOracle(),
     "st07_stream_left_join" -> graft.streaming.StreamOps.intervalLeftJoinOracle(),
+    "st08_stream_update_agg" -> graft.streaming.StreamOps.typeTotalsOracle,
     "t07_split_sample" -> TextOps.splitSampleOracle,
     "t21_stratified_sample" -> TextOps.stratifiedSampleOracle(),
     "t08_sequence_pack" -> TextOps.sequencePackOracle(),
@@ -484,6 +488,7 @@ object SparkEntry {
     "q43_cohort_retention" -> Relational.cohortRetentionOracle,
     "q44_asof_enrich" -> Relational.asofEnrichOracle,
     "q45_group_quantiles" -> Relational.groupQuantilesOracle,
+    "q46_sql_api" -> Dedup.sqlApiOracle(),
     "d11_minhash_estimate" -> Dedup.minhashEstimateOracle(),
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),

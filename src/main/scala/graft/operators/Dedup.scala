@@ -622,6 +622,48 @@ object Dedup {
     s"(CASE WHEN ${d.size(toks)} < 2 THEN $empty ELSE $grams END)"
   }
 
+  /** q46: the PURE-SQL surface — the identical engine reached the way
+    * a SQL user reaches it: a registered view + the `graft_*`
+    * function names ([[graft.functions.GraftFunctions.registerAll]]
+    * programmatically, or `spark.sql.extensions=graft.GraftExtensions`
+    * config-only), with the query text written as a SQL user would
+    * write it. Within-language candidate pairs scored by word-bigram
+    * Jaccard on the native kernels. The row pins API-surface
+    * completeness twice over: the spec asserts the SQL result is
+    * row-identical to the same computation through the DataFrame API
+    * (one engine, two front doors), and the DuckDB oracle replays it
+    * independently like every other row. The id cap keeps the demo
+    * pair set bounded; the production near-dup path is d02/d04's
+    * LSH-candidate restriction, not an all-pairs join.
+    *
+    * Rounding is written as `round(x * 1e4) / 1e4` INLINE — the
+    * portable form [[Rounding.roundN]] expands to, spelled out
+    * because raw SQL bypasses the Column helper. */
+  def sqlApi(documents: DataFrame, maxDoc: Long = 40): DataFrame = {
+    val spark = documents.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark, minhashA, minhashB)
+    documents.createOrReplaceTempView("graft_docs_sql")
+    spark.sql(s"""
+      SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        round(graft_arr_jaccard(graft_word_bigrams(d1.text),
+                                graft_word_bigrams(d2.text)) * 1e4) / 1e4 AS jac
+      FROM graft_docs_sql d1
+      JOIN graft_docs_sql d2
+        ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+      WHERE d1.doc_id < $maxDoc AND d2.doc_id < $maxDoc
+      ORDER BY doc_a, doc_b""")
+  }
+
+  def sqlApiOracle(maxDoc: Long = 40): String = {
+    val d = Dialect.duck
+    s"""WITH b AS (SELECT doc_id, lang, ${bigramsExpr(d)} AS bg
+           FROM documents WHERE doc_id < $maxDoc)
+       SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b,
+         round(${jaccardExpr(d, "b1.bg", "b2.bg")}, 4) AS jac
+       FROM b b1 JOIN b b2 ON b1.lang = b2.lang AND b1.doc_id < b2.doc_id
+       ORDER BY doc_a, doc_b"""
+  }
+
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
     // hashed-bigram sets: 8-byte elements instead of strings, so the
     // pairwise merge-Jaccard and the join shuffle both shrink ~3x.

@@ -639,7 +639,7 @@ object VersionedTable {
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String], tieBreak: Seq[String] = Nil,
-            maxRetries: Int = 3): Long = {
+            maxRetries: Int = 3, allowSchemaEvolution: Boolean = false): Long = {
     val tb = effectiveTieBreak(source, keys, tieBreak)
     var attempt = 0
     while (true) {
@@ -651,8 +651,13 @@ object VersionedTable {
         // from v0 diverges from recompute on the first update
         if (base < 0)
           graft.operators.Relational.mergeUpsert(source.limit(0), source, keys, tb)
-        else graft.operators.Relational.mergeUpsert(
-          readAsOf(spark, root, base), source, keys, tb)
+        else {
+          val target = readAsOf(spark, root, base)
+          val (t2, s2) =
+            if (allowSchemaEvolution) alignSchemas(target, source)
+            else (target, source) // mismatched schemas fail LOUDLY in unionByName
+          graft.operators.Relational.mergeUpsert(t2, s2, keys, tb)
+        }
       try return commit(spark, root, merged, base)
       catch {
         case _: VersionConflictException if attempt < maxRetries =>
@@ -660,6 +665,34 @@ object VersionedTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** Schema evolution for [[merge]] (Delta's autoMerge, opt-in): both
+    * frames widened to the UNION of their columns, absent columns as
+    * typed nulls; a column present on both sides with DIFFERENT types
+    * is rejected loudly (silent cast would corrupt). Semantics caveat,
+    * stated plainly: this merge is WHOLE-ROW replace — a source batch
+    * narrower than the table overwrites its keys' rows with nulls in
+    * the columns it does not carry (Delta's column-level `UPDATE SET
+    * source.*` keeps target values instead). The spec pins the
+    * narrow-batch behavior so the divergence is a documented contract,
+    * not a surprise. */
+  private def alignSchemas(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    shared.foreach { c =>
+      require(a.schema(c).dataType == b.schema(c).dataType,
+        s"schema evolution cannot reconcile column '$c': " +
+          s"${a.schema(c).dataType} vs ${b.schema(c).dataType}")
+    }
+    val all = (a.columns ++ b.columns.filterNot(a.columns.contains)).toSeq
+    def widen(df: DataFrame, other: DataFrame) = {
+      val have = df.columns.toSet
+      df.select(all.map { c =>
+        if (have(c)) col(c) else lit(null).cast(other.schema(c).dataType).as(c)
+      }: _*)
+    }
+    (widen(a, b), widen(b, a))
   }
 
   /** Publish `df` as a PARTITION-NATIVE snapshot: one immutable dir

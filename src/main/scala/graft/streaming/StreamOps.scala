@@ -312,6 +312,41 @@ object StreamOps {
            graft.operators.Rounding.roundN(sum(col("value")), 2).as("total_value"))
       .select(col("c_mktsegment").as("segment"), col("n_events"), col("total_value"))
 
+  /** st08 batch twin: lifetime per-type totals — the running KPI card
+    * (count + value mass per event class) a dashboard serves. */
+  def typeTotalsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           graft.operators.Rounding.roundN(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+
+  val typeTotalsOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum("value"), 2) AS total
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** st08 streaming path: the same aggregation in UPDATE output mode —
+    * the third output-mode contract (st01 covers append-with-
+    * watermark; complete mode is a memory-bounded dead end at scale):
+    * each micro-batch re-emits ONLY the groups the batch changed,
+    * with their revised totals. That delta-of-groups stream is what
+    * feeds an upsert sink (the foreachBatch → [[graft.sources
+    * .MaterializedAgg]] loop): downstream state converges to the
+    * batch answer without ever replaying unchanged groups — and
+    * because emission is change-driven, no watermark is needed and
+    * the state store holds exactly one row per live group. The spec
+    * pins both halves of the contract: a changed group re-emits with
+    * its new total, an unchanged group does NOT re-emit.
+    */
+  def typeTotalsStream(events: Dataset[EvT]): DataFrame =
+    events.toDF()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           graft.operators.Rounding.roundN(sum(col("value")), 2).as("total"))
+
+  case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
   case class EvV(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
 
   // ---- st02 streaming path (flatMapGroupsWithState) -------------------

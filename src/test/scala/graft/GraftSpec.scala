@@ -343,6 +343,27 @@ class GraftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q46 SQL surface: the spark.sql path is row-identical to the DataFrame path — one engine, two front doors") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val viaSql = SparkEntry.queries("q46_sql_api")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jac")))
+    assert(viaSql.nonEmpty)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("lang"), word_bigrams(col("text")).as("bg"))
+    val viaDf = docs.select(col("doc_id").as("doc_a"), col("lang"), col("bg").as("bg_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("lang"), col("bg").as("bg_b")),
+            Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              graft.operators.Rounding.roundN(
+                arr_jaccard(col("bg_a"), col("bg_b")), 4).as("jac"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jac")))
+    assert(viaSql.toSet == viaDf.toSet,
+      s"SQL and DataFrame paths diverged: ${viaSql.toSet.diff(viaDf.toSet).take(3)}")
+  }
+
   test("asofJoin: randomized brute-force equivalence across direction x tolerance (seeded)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
@@ -423,6 +444,34 @@ class GraftSpec extends AnyFunSuite {
       sampled != firstK
     }
     assert(livesPermuted, "sample equals head-of-table in every stratum — hash rank is dead")
+  }
+
+  test("st08 update-mode agg: changed groups re-emit revised totals, unchanged groups stay silent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      StreamOps.EvT(id, new java.sql.Timestamp(id * 60000L), 1L, t, v)
+    val input = MemoryStream[StreamOps.EvT]
+    val q = StreamOps.typeTotalsStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_st08_test").start()
+    try {
+      def rows() = spark.table("graft_st08_test").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+                   r.getAs[Double]("total")))
+      input.addData(ev(1, "click", 1.5), ev(2, "click", 2.5), ev(3, "view", 4.0))
+      q.processAllAvailable()
+      val b1 = rows()
+      assert(b1.toSet == Set(("click", 2L, 4.0), ("view", 1L, 4.0)))
+      // batch 2 touches only click: view must NOT re-emit; click
+      // re-emits with the REVISED lifetime total
+      input.addData(ev(4, "click", 6.0))
+      q.processAllAvailable()
+      val b2 = rows()
+      assert(b2.count(_._1 == "view") == 1, "unchanged group re-emitted in update mode")
+      assert(b2.toSet.contains(("click", 3L, 10.0)),
+        s"revised click total missing: ${b2.toSet}")
+    } finally q.stop()
   }
 
   test("st07 left-outer stream-stream join: matches emit eagerly, null-extended rows only after watermark expiry") {
@@ -910,6 +959,43 @@ class GraftSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(replayed == VersionedTable.readAsOf(spark, root, 1L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("VersionedTable: merge schema evolution is opt-in, widens with typed nulls, and whole-row semantics are pinned") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtse").toString + "/t"
+    VersionedTable.merge(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("suppkey", "qty"), Seq("suppkey"))   // v0
+    // widening batch WITHOUT the flag fails loudly, table unchanged
+    intercept[Exception] {
+      VersionedTable.merge(spark, root,
+        Seq((2L, 25.0, "EU")).toDF("suppkey", "qty", "region"), Seq("suppkey"))
+    }
+    assert(VersionedTable.currentVersion(spark, root).contains(0L))
+    // with the flag: schema widens, untouched rows get typed nulls
+    VersionedTable.merge(spark, root,
+      Seq((2L, 25.0, "EU")).toDF("suppkey", "qty", "region"), Seq("suppkey"),
+      allowSchemaEvolution = true)                                           // v1
+    val v1 = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), Option(r.getString(2)))).toMap
+    assert(v1 == Map(1L -> (10.0, None), 2L -> (25.0, Some("EU"))))
+    // change feed across the evolution stays green (documented claim)
+    val feed = VersionedTable.changeFeed(spark, root, 0L, 1L, Seq("suppkey"))
+      .collect().map(_.getAs[String]("change_type"))
+    assert(feed.toSeq == Seq("updated"))
+    // whole-row contract: a NARROW batch under evolution overwrites its
+    // key's row with null in the columns it does not carry
+    VersionedTable.merge(spark, root, Seq((2L, 26.0)).toDF("suppkey", "qty"),
+      Seq("suppkey"), allowSchemaEvolution = true)                           // v2
+    val v2 = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), Option(r.getString(2)))).toMap
+    assert(v2(2L) == (26.0, None), "whole-row replace must null uncarried columns")
+    // conflicting types for a shared column are rejected, not cast
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, Seq((3L, "oops")).toDF("suppkey", "qty"),
+        Seq("suppkey"), allowSchemaEvolution = true)
+    }
   }
 
   test("VersionedTable: DISJOINT-partition merges rebase staged dirs (stage once); overlapping merges recompute and stay correct") {
