@@ -158,6 +158,7 @@ object SparkEntry {
       Similarity.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s16_filtered_ann" -> ((s, d) =>
       Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
+    "s17_pq_rerank" -> ((s, d) => Similarity.pqRerank(Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -185,6 +186,7 @@ object SparkEntry {
       Dedup.dupSpansIncremental(Tables.documents(s, d))),
     "d16_dedup_best_keep" -> ((s, d) =>
       Dedup.dedupBestKeep(Tables.documents(s, d))),
+    "d17_semdedup" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
     "t19_leakage_split" -> ((s, d) =>
       Dedup.leakSafeSplit(Tables.documents(s, d))),
     "t15_approx_percentile" -> ((s, d) =>
@@ -197,7 +199,12 @@ object SparkEntry {
       TextOps.bigramSurprisal(Tables.documents(s, d))),
     "t20_filter_battery" -> ((s, d) =>
       TextOps.filterBattery(Tables.documents(s, d))),
+    "t22_perplexity_bucket" -> ((s, d) =>
+      TextOps.perplexityBuckets(Tables.documents(s, d))),
+    "q47_rank_corr" -> ((s, d) =>
+      Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
+    "m05_shard_pack" -> ((s, d) => Multimodal.shardPack(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -480,6 +487,7 @@ object SparkEntry {
     "s14_mmr_diversify" -> Similarity.mmrDiversifyOracle(),
     "s15_hybrid_rrf" -> Similarity.hybridRrfOracle(),
     "s16_filtered_ann" -> Similarity.ivfFilteredTopKOracle(),
+    "s17_pq_rerank" -> Similarity.pqRerankOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
@@ -495,11 +503,15 @@ object SparkEntry {
     "d14_dup_spans" -> Dedup.dupSpansOracle(),
     "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
     "d16_dedup_best_keep" -> Dedup.dedupBestKeepOracle(),
+    "d17_semdedup" -> Similarity.semDedupOracle(),
     "t19_leakage_split" -> Dedup.leakSafeSplitOracle(),
     "t16_domain_mixture" -> TextOps.domainMixtureOracle,
     "t17_mixture_materialize" -> TextOps.mixtureMaterializeOracle,
     "t18_bigram_surprisal" -> TextOps.bigramSurprisalOracle(),
     "t20_filter_battery" -> TextOps.filterBatteryOracle,
+    "t22_perplexity_bucket" -> TextOps.perplexityBucketsOracle(),
+    "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
+    "m05_shard_pack" -> Multimodal.shardPackOracle(),
   )
 }

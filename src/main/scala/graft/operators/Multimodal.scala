@@ -188,8 +188,9 @@ object Multimodal {
     * digests are all oracle-pinned. Narrow per-row explode, no
     * shuffle before the census window on (digest)-partials.
     */
-  def cdcChunks(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The CDC chunk manifest (one row per chunk, no census) — shared by
+    * m04's dedup census and m05's shard assembly. */
+  private def chunkFrame(documents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.cdc_boundaries
     // boundary scan runs in the native kernel (CdcBoundaries) — the
     // equivalent HOF-lambda fold (cdcWinHash, which the ORACLE still
@@ -207,14 +208,22 @@ object Multimodal {
         (col("ch.en") - col("ch.st")).as("n_bytes"),
         sha2(expr("substring(text, CAST(ch.st + 1 AS INT), CAST(ch.en - ch.st AS INT))"), 256)
           .as("digest"))
+  }
+
+  def cdcChunks(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    chunkFrame(documents)
       .withColumn("n_shared",
         count(lit(1)).over(Window.partitionBy(col("digest"))))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  def cdcChunksOracle: String = {
+  /** The `b`/`c`/`m` CTE chain producing the oracle-side chunk
+    * manifest `m(doc_id, chunk_idx, start, n_bytes, digest)` — shared
+    * by the m04 and m05 oracles so the chunk definition cannot drift. */
+  private def chunkCtes: String = {
     val (w, div) = (CdcWindow, CdcDivisor)
-    s"""WITH b AS (
+    s"""b AS (
          SELECT doc_id, text,
            list_concat(
              list_filter(generate_series($w, greatest(length(text) - 1, $w)),
@@ -231,9 +240,74 @@ object Multimodal {
          SELECT doc_id, ch.idx AS chunk_idx, ch.st AS start,
            CAST(ch.en - ch.st AS BIGINT) AS n_bytes,
            sha256(substring(text, CAST(ch.st + 1 AS INTEGER), CAST(ch.en - ch.st AS INTEGER))) AS digest
-         FROM c)
+         FROM c)"""
+  }
+
+  def cdcChunksOracle: String =
+    s"""WITH $chunkCtes
        SELECT doc_id, chunk_idx, start, n_bytes, digest,
          CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS n_shared
        FROM m ORDER BY doc_id, chunk_idx"""
+
+  // ---- m05: shard assembly over the deduped chunk store ---------------
+
+  /** Writer-stream count for shard assembly — the parallelism of the
+    * pack stage (each stream packs independently; the d15 "pb =
+    * doc_id mod 16" convention). */
+  val ShardStreams = 16L
+
+  /** m05: SHARD ASSEMBLY — pack the DEDUPLICATED chunk store into
+    * byte-budget shards, the WebDataset/tar-shard layout step every
+    * multimodal training pipeline ends with: training readers stream
+    * fixed-size shards, not millions of small objects. Composes m04
+    * (content-defined chunks) with the store-once rule (only a
+    * digest's FIRST occurrence — lowest (doc_id, chunk_idx) — ships
+    * bytes; later occurrences are manifest pointers) and t08's
+    * prefix-sum greedy packing.
+    *
+    * Scale shape: dedup is one shuffle on digest (32-byte keys, not
+    * payloads); packing partitions by writer stream `pb = doc_id %
+    * ShardStreams` — `ShardStreams` independent running sums, no
+    * global window (t08's per-lang discipline), each stream emitting
+    * shards sequentially exactly like a shard-writer task would. The
+    * census output (one row per shard) is what the writer manifest
+    * records; payload bytes would stream through the same plan with
+    * the digest column carrying the store key.
+    */
+  def shardPack(documents: DataFrame, budget: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col("digest"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    val keep = chunkFrame(documents)
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+      .withColumn("pb", col("doc_id") % ShardStreams)
+    val wp = Window.partitionBy(col("pb"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keep
+      .withColumn("prefix", coalesce(sum(col("n_bytes")).over(wp), lit(0L)))
+      .withColumn("shard_id", floor(col("prefix") / budget))
+      .groupBy(col("pb"), col("shard_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("n_bytes")).as("shard_bytes"),
+           countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("pb"), col("shard_id"))
   }
+
+  def shardPackOracle(budget: Long = 4096): String =
+    s"""WITH $chunkCtes,
+       keep AS (SELECT doc_id, chunk_idx, n_bytes,
+           CAST(doc_id % $ShardStreams AS BIGINT) AS pb
+         FROM (SELECT *, row_number() OVER (PARTITION BY digest
+                 ORDER BY doc_id, chunk_idx) AS rn FROM m) x
+         WHERE rn = 1),
+       p AS (SELECT pb, doc_id, chunk_idx, n_bytes,
+           coalesce(CAST(sum(n_bytes) OVER (PARTITION BY pb
+             ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+         FROM keep)
+       SELECT pb, CAST(floor(prefix / $budget) AS BIGINT) AS shard_id,
+         count(*) AS n_chunks, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM p GROUP BY pb, shard_id ORDER BY pb, shard_id"""
 }

@@ -1280,4 +1280,59 @@ object Relational {
        round(quantile_cont("value", 0.9), 4) AS p90,
        round(quantile_cont("value", 0.99), 4) AS p99
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q47: Spearman rank correlation between two document metrics
+    * (chars vs whitespace tokens) — the dependence profile a data
+    * audit reports when Pearson on raw doubles would not replay
+    * cross-engine (double co-moment sums are partial-agg-order
+    * dependent and catastrophically cancel at large magnitudes).
+    *
+    * Parity design: ranks are row_number over (metric, doc_id) — a
+    * deterministic PERMUTATION (ties broken by id, the documented
+    * divergence from tie-averaged Spearman), so d = rx - ry and
+    * sum(d^2) are pure BIGINT: associative, order-free, bit-identical
+    * under Spark's partial aggs and DuckDB's serial fold. The only
+    * double op is the final 1 - 6*S/(n*(n^2-1)), correctly rounded
+    * from exact integers. Bounds: n <= 2^21 keeps 6*S < 2^63.
+    *
+    * Scale shape: two sorts (one per metric) + one integer agg.
+    * Exact global ranks at 100 TB use range-partitioned sort + per-
+    * partition offset (what row_number over an empty-partition window
+    * compiles to is a single-partition sort — the accepted cost here,
+    * documented like q31's calendar window); the production variant
+    * runs on a uniform sample, which bounds n while preserving rho's
+    * estimate (rank statistics converge at O(1/sqrt(n))).
+    */
+  def rankCorrelation(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = documents.select(col("doc_id"),
+      col("n_chars").cast("long").as("x"),
+      expr("size(split(trim(text), ' '))").cast("long").as("y"))
+    val wx = Window.orderBy(col("x").asc, col("doc_id").asc)
+    val wy = Window.orderBy(col("y").asc, col("doc_id").asc)
+    m.withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .withColumn("d", col("rx") - col("ry"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        Rounding.roundN(lit(1.0) -
+          lit(6.0) * col("sum_d2").cast("double") /
+            (col("n").cast("double") * (col("n") * col("n") - lit(1L)).cast("double")),
+          6).as("rho"))
+  }
+
+  val rankCorrelationOracle: String =
+    """WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS y
+       FROM documents),
+       r AS (SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS rx,
+         CAST(row_number() OVER (ORDER BY y, doc_id) AS BIGINT) AS ry
+       FROM m),
+       s AS (SELECT count(*) AS n,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM r)
+       SELECT n, sum_d2,
+         round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n * n - 1 AS DOUBLE)), 6) AS rho
+       FROM s"""
 }

@@ -800,6 +800,60 @@ object Similarity {
        ORDER BY id_a, id_b"""
   }
 
+  // ---- d17: cluster-scoped semantic dedup (SemDeDup) ------------------
+
+  /** d17: SEMANTIC dedup via k-means cells — the SemDeDup recipe
+    * (Abbas et al. 2023): cluster the embedding space, compare ONLY
+    * within a cluster, prune every vector that has a lower-id
+    * in-cell neighbor at cos >= minCos (keep-first, the d05/d09
+    * survivor rule; the keeper reported is the LOWEST such neighbor
+    * so the output is a function of the data, not of join order).
+    *
+    * This is the third embedding-dedup blocking scheme beside d05's
+    * hyperplane LSH (pair-listing) and VecIndex.ingestDedup
+    * (admission control): k-means cells bound the quadratic term at
+    * N*c (c = cell occupancy ~ N/K, K ~ sqrt(N) via centroidIdsFor)
+    * instead of N^2 — the economics that let SemDeDup run on
+    * billion-document corpora. Cell restriction is an EQUI-JOIN on
+    * cell id (shuffle on cell key, never all-pairs); the spec proves
+    * the recall boundary honestly: a cross-cell near-dup pair exists
+    * at sf0.001 that this operator, by design, does not see.
+    */
+  def semDedup(embeddings: DataFrame, minCos: Double = 0.3,
+               centIds: Seq[Long] = centroidIds): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val f = assignedCells(embeddings, centIds)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val a = f.select(col("vec_id").as("keeper_id"), col("embedding").as("ea"),
+                     col("nrm").as("na"), col("cell"))
+    val b = f.select(col("vec_id"), col("embedding").as("eb"),
+                     col("nrm").as("nb"), col("cell"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("keeper_id").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("keeper_id") < col("vec_id"))
+      .withColumn("cos", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("keeper_id"),
+              Rounding.roundN(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semDedupOracle(minCos: Double = 0.3): String = {
+    val d = Dialect.duck
+    s"""WITH $assignedCtes,
+       pairs AS (SELECT b.vec_id, b.cell, a.vec_id AS keeper_id,
+           ${dot(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE ${dot(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $minCos)
+       SELECT vec_id, cell, keeper_id, round(cos, 4) AS cos
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY keeper_id) AS rn FROM pairs) t
+       WHERE rn = 1 ORDER BY vec_id"""
+  }
+
   // ---- s06: ANN recall evaluation -------------------------------------
 
   /** s06: recall@k of the LSH-bucketed ANN against the exact
@@ -1179,7 +1233,7 @@ object Similarity {
     * is 8 table lookups per (query, vector) — no vector arithmetic in
     * the scan at all. This is the PQ bandwidth win made visible in
     * the plan: the scan side's projection is (vec_id, codes). */
-  private def pqTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+  private[graft] def pqTopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adc = expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
       s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
@@ -1195,7 +1249,7 @@ object Similarity {
   /** Exact L2^2 top-k — the ground truth PQ approximates (PQ codes
     * quantize Euclidean cells, so the honest baseline is L2, not the
     * cosine of s01). */
-  private def exactL2TopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+  private[graft] def exactL2TopK(embeddings: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
@@ -1827,5 +1881,84 @@ object Similarity {
        SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
          round(cos, 4) AS cos
        FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  // ---- s17: two-stage retrieval — PQ shortlist + exact re-rank --------
+
+  /** s17: the COMPLETE two-stage query s09's contract describes but
+    * stops short of: PQ ADC produces a top-R shortlist from 4-byte
+    * codes, then the R candidate VECTORS are fetched and re-ranked by
+    * exact L2 — the answer a production PQ index actually returns
+    * (FAISS's refine step; Jegou et al. 2011 §V). Reference analogue:
+    * the reference serves ranked results, not candidate pools
+    * (services/workers/tasks/queue_for_delta.py's ordered reads).
+    *
+    * Scale shape: stage 1 streams code rows (4 B/vector) against
+    * broadcast distance tables; the shortlist is RESULT-BOUNDED
+    * (queries x R) and re-joins the corpus ONCE on vec_id to fetch
+    * candidate vectors — at 100 TB that join broadcasts the shortlist
+    * id set onto the vector scan (AQE picks it from the real size; no
+    * hint, the q40/d10 rule), so exact distance arithmetic runs on
+    * queries x R rows, never N. The final window is per-query over
+    * <= R rows. Exact re-rank of a fixed candidate set is the optimal
+    * ordering of that set, so recall@k >= the ADC ordering's recall@k
+    * at the same R — pinned as a set-theoretic invariant in GraftSpec
+    * (NOT a data-dependent tolerance), with liveness (re-rank visibly
+    * corrects ADC's order at sf0.001) asserted alongside.
+    */
+  def pqRerank(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 5,
+               shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqTopK(embeddings, maxQueryId, shortlist)
+    val vecs = embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    cand.join(vecs, cand("neighbor_id") === vecs("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("dist", expr(l2Expr(Dialect.spark, "qe", "ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id"), Rounding.roundN(col("dist"), 4).as("l2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: the s09 code/table/shortlist replay plus the re-rank CTE
+    * — exact L2 over the shortlist, rank <= k. */
+  def pqRerankOracle(maxQueryId: Long = 8, k: Int = 5,
+                     shortlist: Int = 50): String = {
+    val d = Dialect.duck
+    val lo = PqCodebookIds.head
+    val hi = PqCodebookIds.last
+    s"""WITH cb AS (SELECT vec_id - $lo AS cidx, embedding AS cemb
+           FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
+       sub AS (SELECT e.vec_id, c.cidx, t.j,
+           ${pqSubDist(d, "e.embedding", "c.cemb", "t.j")} AS sd
+         FROM embeddings e CROSS JOIN cb c
+         CROSS JOIN generate_series(0, ${PqSubspaces - 1}) t(j)),
+       codes AS (SELECT vec_id, list(cidx ORDER BY j) AS codes
+         FROM (SELECT vec_id, j, cidx, row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY sd, cidx) AS rn FROM sub) x
+         WHERE rn = 1 GROUP BY vec_id),
+       dt AS (SELECT vec_id AS q_id, list(sd ORDER BY j, cidx) AS dt
+         FROM sub WHERE vec_id < $maxQueryId GROUP BY vec_id),
+       scored AS (SELECT q.q_id, c.vec_id AS c_id,
+           list_reduce(list_transform(generate_series(0, ${PqSubspaces - 1}),
+             j -> dt[j * $PqK + codes[j + 1] + 1]), (a, b) -> a + b) AS adc
+         FROM codes c CROSS JOIN dt q WHERE q.q_id <> c.vec_id),
+       short AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+           FROM scored) r WHERE rank <= $shortlist),
+       rr AS (SELECT s.q_id, s.c_id,
+           ${l2Expr(d, "q.embedding", "c.embedding")} AS dist
+         FROM short s
+         JOIN embeddings c ON s.c_id = c.vec_id
+         JOIN embeddings q ON s.q_id = q.vec_id)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id AS neighbor_id,
+         round(dist, 4) AS l2
+       FROM (SELECT q_id, c_id, dist, row_number() OVER (
+               PARTITION BY q_id ORDER BY dist, c_id) AS rank FROM rr) t
+       WHERE rank <= $k ORDER BY q_id, rank"""
   }
 }

@@ -978,6 +978,54 @@ object TextOps {
          round(exp(avg_nll), 2) AS ppl
        FROM e ORDER BY doc_id"""
 
+  // ---- t22: CCNet perplexity buckets ----------------------------------
+
+  /** t22: head/middle/tail perplexity partition PER SOURCE — the
+    * CCNet curation step (Wenzek et al. 2020 §4.3): score every
+    * held-out document under the t18 bigram LM, then split each
+    * domain into perplexity terciles; "head" (lowest perplexity,
+    * most in-distribution) is what CCNet keeps for pretraining and
+    * "tail" is what it drops or down-weights.
+    *
+    * Parity design: bucket boundaries are RANK-based (ntile over the
+    * already-rounded avg_nll with doc_id tie-break — a deterministic
+    * permutation both engines order identically), NOT value-based
+    * percentile thresholds, whose interpolation arithmetic differs
+    * between engines and could straddle a boundary.
+    *
+    * Scale shape: the LM scoring is t18 (tokens never shuffle; count
+    * tables vocab-bounded); the tercile window partitions by SOURCE —
+    * the per-language sharding CCNet itself uses — so no global sort:
+    * the shuffle key is the domain, the same key the mixture stages
+    * (t16/t17) already partition on. At 100 TB the scored frame is
+    * one row per doc; ntile within a domain is the standard
+    * window-on-key shape (q04's plan).
+    */
+  def perplexityBuckets(documents: DataFrame, trainMod: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramSurprisal(documents, trainMod)
+    val src = documents.select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("avg_nll").asc, col("doc_id").asc)
+    scored.join(src, Seq("doc_id"))
+      .withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"), col("source"), col("ppl"),
+        when(col("nt") === 1, lit("head"))
+          .when(col("nt") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  def perplexityBucketsOracle(trainMod: Int = 7): String =
+    s"""WITH base AS (${bigramSurprisalOracle(trainMod)}),
+       b AS (SELECT base.doc_id, d.source, base.ppl, base.avg_nll,
+           ntile(3) OVER (PARTITION BY d.source
+             ORDER BY base.avg_nll, base.doc_id) AS nt
+         FROM base JOIN documents d ON base.doc_id = d.doc_id)
+       SELECT doc_id, source, ppl,
+         CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       FROM b ORDER BY doc_id"""
+
   // ---- t20: quality-rule filter battery -------------------------------
 
   /** Rule thresholds: the Gopher-style rule FAMILY (word-count bounds,

@@ -515,6 +515,148 @@ object DataSkipping {
     -1L // unreachable
   }
 
+  // ---- bloom skipping tier --------------------------------------------
+
+  /** Times a bloom sidecar was actually computed — spec evidence that
+    * repeat point-lookups and append chains reuse per-dir filters. */
+  @volatile var bloomBuilds: Long = 0L
+
+  /** Dirs the most recent bloom build actually scanned. */
+  @volatile var lastBloomDirsScanned: Int = 0
+
+  /** Per-dir false-positive target. 1% at ~10 bits/key — the Delta
+    * bloom-filter-index default neighborhood. */
+  val BloomFpp = 0.01
+
+  /** Capacity floor so tiny dirs don't get degenerate filters. */
+  val BloomMinItems = 1024L
+
+  private def bloomPath(root: String, v: Long, column: String) =
+    s"$root/_log/${verName(v)}.bloom.${encS(column)}"
+
+  private def readBloomSidecar(spark: SparkSession, root: String, v: Long,
+                               column: String
+                              ): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fs(spark, root)
+    if (!f.exists(hp(bloomPath(root, v, column)))) return Map.empty
+    val in = f.open(hp(bloomPath(root, v, column)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split("\n").map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(rel, b64) = line.split("\t", -1)
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      rel -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }.toMap
+  }
+
+  private def writeBloomSidecar(spark: SparkSession, root: String, v: Long,
+                                column: String,
+                                blooms: Map[String, org.apache.spark.util.sketch.BloomFilter]
+                               ): Unit = {
+    val f = fs(spark, root)
+    val tmp = hp(s"$root/_log/.bloom-tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try {
+      val text = blooms.toSeq.sortBy(_._1).map { case (rel, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        s"$rel\t${java.util.Base64.getEncoder.encodeToString(bos.toByteArray)}"
+      }.mkString("\n")
+      out.write(text.getBytes("UTF-8"))
+    } finally out.close()
+    f.delete(hp(bloomPath(root, v, column)), false)
+    if (!f.rename(tmp, hp(bloomPath(root, v, column)))) f.delete(tmp, false)
+  }
+
+  /** Per-dir bloom filters for `column` at `version` — the EQUALITY
+    * skipping tier (Delta's bloom filter index): min/max stats prune
+    * RANGE predicates on clustered layouts, but a point lookup on a
+    * high-cardinality, unclustered key (doc id, content digest,
+    * order key in arrival order) finds every dir's [min, max]
+    * straddling the probe value and prunes nothing. A per-dir bloom
+    * answers "can this dir contain v?" in O(bits) with no IO: a
+    * needle read opens ~1 dir + fpp * N instead of N. Same lifecycle
+    * as [[ensureStats]]: computed once per (dir, column) — dirs are
+    * immutable, so filters inherit across versions via the
+    * predecessor-sidecar seed, and an append's bloom job scans only
+    * the new dirs (spec-pinned by [[lastBloomDirsScanned]]). A
+    * filter never drops a dir that holds the value (bloom guarantee:
+    * no false negatives — pruning stays CORRECT, fpp only costs
+    * extra opened dirs).
+    */
+  def ensureBloom(spark: SparkSession, root: String, version: Long,
+                  column: String
+                 ): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    var existing = readBloomSidecar(spark, root, version, column)
+    val rels = VersionedTable.dirsOf(spark, root, version)
+    def uncovered = rels.filterNot(existing.contains)
+    if (uncovered.nonEmpty && version > 0) {
+      val inherited = ((version - 1) to math.max(0L, version - 10L) by -1)
+        .map(w => readBloomSidecar(spark, root, w, column))
+        .foldLeft(Map.empty[String, org.apache.spark.util.sketch.BloomFilter]) {
+          (acc, m) => m ++ acc
+        }
+        .filter(kv => rels.contains(kv._1))
+      if (inherited.nonEmpty) {
+        existing = inherited ++ existing
+        writeBloomSidecar(spark, root, version, column, existing)
+      }
+    }
+    val need = uncovered
+    if (need.isEmpty) return existing
+    bloomBuilds += 1
+    lastBloomDirsScanned = need.size
+    val computed = need.map { rel =>
+      val df = spark.read.parquet(s"$root/$rel").select(col(column))
+      val n = math.max(df.count(), BloomMinItems)
+      rel -> df.stat.bloomFilter(column, n, BloomFpp)
+    }.toMap
+    val merged = existing ++ computed
+    writeBloomSidecar(spark, root, version, column, merged)
+    merged
+  }
+
+  /** The dirs of `version` an equality probe `column = value` can
+    * touch, by bloom membership. Dirs without a filter are kept (the
+    * no-stats-never-means-no-data rule). */
+  def prunedDirsBloom(spark: SparkSession, root: String, column: String,
+                      value: Any, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(VersionedTable.currentVersion(spark, root)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val blooms = ensureBloom(spark, root, v, column)
+    VersionedTable.dirsOf(spark, root, v).filter { rel =>
+      blooms.get(rel) match {
+        case Some(bf) => value match {
+          case s: String => bf.mightContainString(s)
+          case n: Long => bf.mightContainLong(n)
+          case n: Int => bf.mightContainLong(n.toLong)
+          case n: Short => bf.mightContainLong(n.toLong)
+          case n: Byte => bf.mightContainLong(n.toLong)
+          case other => bf.mightContain(other)
+        }
+        case None => true
+      }
+    }
+  }
+
+  /** Point-lookup read with bloom skipping: opens only
+    * [[prunedDirsBloom]], then applies the row predicate — equal to
+    * `read(root).filter(column = value)` by the no-false-negative
+    * guarantee (spec-asserted). */
+  def readWhereEquals(spark: SparkSession, root: String, column: String,
+                      value: Any): DataFrame = {
+    val v = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val pred = col(column) === lit(value)
+    val keep = prunedDirsBloom(spark, root, column, value, Some(v))
+    if (keep.isEmpty)
+      VersionedTable.readAsOf(spark, root, v).filter(pred).limit(0)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(r => s"$root/$r"): _*).filter(pred)
+  }
+
   /** Re-cluster the CURRENT version (OPTIMIZE): plain appends land as
     * dirs spanning the whole value space, so their stats prune
     * nothing and skipping effectiveness decays as they accumulate;

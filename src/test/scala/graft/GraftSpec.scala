@@ -1360,6 +1360,52 @@ class GraftSpec extends AnyFunSuite {
     assert(VersionedTable.currentVersion(spark, root).contains(2L))
   }
 
+  test("DataSkipping bloom tier: equality probes prune where min/max cannot") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // every dir holds keys k % 8 == i over 0..7999: each dir's
+    // [min, max] spans ~the whole domain, the layout range stats
+    // cannot prune — the bloom tier's exact target (point lookups on
+    // an unclustered high-cardinality key)
+    def mk(i: Int) = spark.range(0, 8000).toDF("k")
+      .filter(col("k") % 8 === i).withColumn("payload", col("k") * 7)
+    var v = VersionedTable.commit(spark, root, mk(0), -1L)
+    (1 until 8).foreach { i => v = VersionedTable.append(spark, root, mk(i), v) }
+    val nDirs = VersionedTable.dirsOf(spark, root, v).size
+    val probe = 4437L // lives in exactly one dir (4437 % 8 == 5)
+    assert(DataSkipping.prunedDirs(spark, root, "k", 4437, 4437).size == nDirs,
+      "range stats pruned an interleaved layout — test premise broken")
+    val kept = DataSkipping.prunedDirsBloom(spark, root, "k", probe, Some(v))
+    // no false negative: the holding dir is kept; and the filter
+    // actually prunes (at 1% fpp over 8 dirs, spurious keeps are
+    // possible but 8 would mean the filters carry no signal)
+    assert(kept.size < nDirs, s"bloom kept all $nDirs dirs")
+    val viaBloom = DataSkipping.readWhereEquals(spark, root, "k", probe).collect()
+    val full = VersionedTable.readAsOf(spark, root, v)
+      .filter(col("k") === probe).collect()
+    assert(viaBloom.map(_.toString).sorted.sameElements(full.map(_.toString).sorted))
+    assert(viaBloom.length == 1 && viaBloom.head.getAs[Long]("payload") == probe * 7)
+    // absent key: still zero rows through whatever dirs fpp keeps
+    assert(DataSkipping.readWhereEquals(spark, root, "k", 123456789L).collect().isEmpty)
+    // filters are per-dir artifacts: an append builds ONLY the new
+    // dir's filter (inheritance seeds the rest), and a repeat probe
+    // builds nothing
+    val builds0 = DataSkipping.bloomBuilds
+    DataSkipping.prunedDirsBloom(spark, root, "k", probe, Some(v))
+    assert(DataSkipping.bloomBuilds == builds0, "repeat probe rebuilt bloom filters")
+    v = VersionedTable.append(spark, root,
+      spark.range(8000, 8100).toDF("k").withColumn("payload", col("k") * 7), v)
+    DataSkipping.prunedDirsBloom(spark, root, "k", 8050L, Some(v))
+    assert(DataSkipping.bloomBuilds == builds0 + 1)
+    assert(DataSkipping.lastBloomDirsScanned == 1,
+      s"append bloom job scanned ${DataSkipping.lastBloomDirsScanned} dirs, want 1")
+    val kept2 = DataSkipping.prunedDirsBloom(spark, root, "k", 8050L, Some(v))
+    assert(kept2.nonEmpty && kept2.size < nDirs + 1)
+    assert(DataSkipping.readWhereEquals(spark, root, "k", 8050L)
+      .collect().map(_.getAs[Long]("payload")).toSeq == Seq(8050L * 7))
+  }
+
   test("DataSkipping.recluster: appends degrade pruning; OPTIMIZE restores it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -2804,6 +2850,133 @@ class GraftSpec extends AnyFunSuite {
     SparkEntry.queries("s11_ivfpq_trained")(spark, sf).count()
     assert(graft.operators.Similarity.trainedPqBuilds == builds,
       "repeat s11 query retrained the codebook instead of probing the cached index")
+  }
+
+  test("s17 rerank: exact re-rank of the shortlist is its optimal ordering, and the correction is live") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = sets(Similarity.exactL2TopK(emb, 8, k))
+    val adc = sets(Similarity.pqTopK(emb, 8, k))
+    val rerank = sets(SparkEntry.queries("s17_pq_rerank")(spark, sf))
+    assert(rerank.keySet == exact.keySet && adc.keySet == exact.keySet)
+    // SET-THEORETIC invariant (not a tolerance): the re-ranked top-k
+    // contains EVERY exact-top-k member present in the R-shortlist,
+    // which is the maximum any ordering of that shortlist can achieve
+    // — so per-query recall can never be below the ADC ordering's.
+    exact.keys.foreach { q =>
+      val rr = (rerank(q) & exact(q)).size
+      val ad = (adc(q) & exact(q)).size
+      assert(rr >= ad, s"query $q: rerank recall $rr/$k < ADC $ad/$k")
+    }
+    // liveness: at sf0.001 the re-rank visibly corrects ADC's top-k
+    // for at least one query (else the stage under test is dead code)
+    assert(exact.keys.exists(q => rerank(q) != adc(q)),
+      "re-rank never changed any query's top-k — stage is not exercised")
+    // output is ordered by true distance: l2 non-decreasing in rank
+    val rows = SparkEntry.queries("s17_pq_rerank")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    rows.values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("l2"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("d17 semdedup: keep-first within cells, and the cross-cell recall boundary is real") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("d17_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "no within-cell near-dups at sf0.001 — threshold dead")
+    // survivor rule: keeper is strictly lower id and cos above threshold
+    assert(rows.forall(r => r.getAs[Long]("keeper_id") < r.getAs[Long]("vec_id")))
+    assert(rows.forall(r => r.getAs[Double]("cos") >= 0.3 - 1e-9))
+    // keepers are never themselves pruned BY A LOWER keeper in the same
+    // output only if they had no lower near-dup — i.e. pruned set and
+    // global min-id survivors are consistent: a keeper may appear as a
+    // pruned vec_id only with a strictly lower keeper of its own
+    val pruned = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(pruned.forall { case (v, k) => !pruned.contains(k) || pruned(k) < k })
+    // the SemDeDup trade stated honestly: at least one near-dup pair
+    // straddles a Voronoi boundary and is invisible to the operator
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", vec_norm(col("embedding")))
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val allPairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("cos", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("ia"), col("ib")).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    val seen = rows.map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(allPairs.nonEmpty && (allPairs -- seen).nonEmpty,
+      "every global near-dup pair was within-cell — the boundary honesty check is vacuous here")
+  }
+
+  test("t22 perplexity buckets: per-source terciles are balanced and ordered by perplexity") {
+    val rows = SparkEntry.queries("t22_perplexity_bucket")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(r => Option(r.getAs[String]("source")))
+    bySrc.foreach { case (srcName, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length).toMap
+      if (rs.length >= 3) {
+        // ntile balance: bucket sizes differ by at most 1 within a source
+        assert(sizes.size == 3, s"source $srcName missing a bucket: $sizes")
+        assert(sizes.values.max - sizes.values.min <= 1, s"source $srcName unbalanced: $sizes")
+        // ordering: head never has higher perplexity than tail
+        val head = rs.filter(_.getAs[String]("bucket") == "head").map(_.getAs[Double]("ppl"))
+        val tail = rs.filter(_.getAs[String]("bucket") == "tail").map(_.getAs[Double]("ppl"))
+        assert(head.max <= tail.min + 1e-9,
+          s"source $srcName: head max ppl ${head.max} above tail min ${tail.min}")
+      }
+    }
+    // train slice must be absent: scored docs are held-out only
+    assert(rows.forall(_.getAs[Long]("doc_id") % 7 != 0))
+  }
+
+  test("q47 rank correlation: BIGINT Spearman matches an independent recompute") {
+    val row = SparkEntry.queries("q47_rank_corr")(spark, sf).collect().head
+    val n = row.getAs[Long]("n")
+    val sumD2 = row.getAs[Long]("sum_d2")
+    val rho = row.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // chars and whitespace tokens must correlate strongly positively
+    assert(rho > 0.5, s"rho $rho — length metrics decorrelated, ranks are wrong")
+    // independent in-memory recompute of the permutation ranks
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) x",
+        "CAST(size(split(trim(text), ' ')) AS LONG) y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rx = docs.sortBy(t => (t._2, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val ry = docs.sortBy(t => (t._3, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val expected = docs.map(t => { val d = rx(t._1) - ry(t._1); d * d }).sum
+    assert(n == docs.length && sumD2 == expected,
+      s"sum_d2 $sumD2 != recomputed $expected (n=$n vs ${docs.length})")
+  }
+
+  test("m05 shard pack: store-once accounting and the byte budget hold") {
+    val shards = SparkEntry.queries("m05_shard_pack")(spark, sf).collect()
+    assert(shards.nonEmpty)
+    // store-once: total packed chunks == distinct digests in the m04
+    // manifest (duplicates become pointers, not payload)
+    val m04 = SparkEntry.queries("m04_cdc_chunks")(spark, sf)
+    val distinctDigests = m04.select("digest").distinct().count()
+    val packedChunks = shards.map(_.getAs[Long]("n_chunks")).sum
+    assert(packedChunks == distinctDigests,
+      s"packed $packedChunks chunks != $distinctDigests unique digests")
+    val dupes = m04.count() - distinctDigests
+    assert(dupes > 0, "no shared chunks at sf0.001 — the dedup arm is untested")
+    // greedy budget rule: a shard only exceeds the budget by its final
+    // chunk (first prefix >= budget closes it), so shard_bytes <
+    // budget + max single chunk; every non-final shard in a stream
+    // reaches the budget's neighborhood (> 0 is all ntile guarantees;
+    // assert non-degenerate: at least one stream packs multiple shards)
+    val maxChunk = m04.agg(org.apache.spark.sql.functions.max("n_bytes")).head.getLong(0)
+    assert(shards.forall(_.getAs[Long]("shard_bytes") < 4096 + maxChunk))
+    assert(shards.groupBy(_.getAs[Long]("pb")).values.exists(_.length > 1),
+      "every stream fit in one shard — budget not exercised")
   }
 
   test("t16 domain mixture: sqrt damping flattens shares toward the tail domains") {
