@@ -380,6 +380,44 @@ object VersionedTable {
     * snapshot — on a partition-native table use
     * [[compactPartitioned]] instead, or the partition annotations
     * (and with them [[mergePartitioned]]) are lost. */
+  /** STREAMING reads from an append-only table — the Delta-streaming-
+    * source capability (a versioned table doubles as a stream of its
+    * appends), realized Spark-first by pointing the built-in FILE
+    * streaming source at the table's data dirs: the file source's own
+    * seen-files log gives exactly-once delivery per file, and this
+    * table's append protocol makes that sufficient —
+    *
+    *  - data dirs are IMMUTABLE (no file is ever rewritten in place),
+    *  - an append's staged dir is never orphaned: a lost publish race
+    *    republishes the SAME staged dir ([[appendRebase]]), so every
+    *    data file an append writes belongs to exactly one eventual
+    *    commit.
+    *
+    * Contract, stated honestly (Delta's streaming source has the same
+    * default restriction): the table must be APPEND-ONLY from the
+    * stream's start point. [[merge]]/[[compact]]/[[restore]] publish
+    * new dirs holding already-delivered rows (re-delivery), and a
+    * plain [[append]] (not [[appendRebase]]) that LOSES a race deletes
+    * its staged dir — a listing in that window could deliver phantom
+    * rows. Non-append workloads should consume the CHANGE FEED through
+    * [[MaterializedAgg.applyChangeFeed]]'s loop instead. Readers also
+    * see a dir's files marginally before its commit publishes (bounded
+    * by the staging-to-publish window) — acceptable for feeds, not for
+    * time-travel semantics.
+    *
+    * At 100 TB this is the ingest fan-out shape: one landed table,
+    * many downstream streaming consumers, each tracking its own file
+    * offset in its own checkpoint — no coordination with writers. */
+  def streamAppends(spark: SparkSession, root: String): DataFrame = {
+    val head = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val schema = readAsOf(spark, root, head).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$root/data/*")
+  }
+
   def compact(spark: SparkSession, root: String): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))

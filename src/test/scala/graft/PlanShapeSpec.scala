@@ -522,4 +522,75 @@ class PlanShapeSpec extends AnyFunSuite {
     // the vector arm's query side broadcasts (the s01 discipline)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("s17: the rerank fetch is an equi-join of the bounded shortlist — never cartesian") {
+    val p = plan("s17_pq_rerank")
+    assert(!p.contains("CartesianProduct"),
+      "candidate fetch went cartesian — the shortlist must equi-join the corpus on vec_id")
+    // query vectors ride a broadcast onto the bounded candidate frame
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in the rerank stage:\n$p")
+  }
+
+  test("d17: semantic dedup pairs only through the cell equi-join — the quadratic term is bounded by cells") {
+    val p = plan("d17_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing went cartesian — must be an equi-join on cell id")
+    // the only nested-loop is the 8-row centroid broadcast (assignment)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2)
+  }
+
+  test("m05: the store-once gate gets the map-side rank limit; packing windows stay on the stream key") {
+    val p = plan("m05_shard_pack")
+    // row_number-over-digest + rn=1 compiles to WindowGroupLimit: the
+    // shuffle to the dedup window carries at most one candidate row
+    // per (digest, map partition), not every duplicate occurrence
+    assert(p.contains("WindowGroupLimit"), s"store-once gate missing rank-limit pushdown:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t22: the tercile window partitions by source — no single-partition global sort window") {
+    val p = plan("t22_perplexity_bucket")
+    val ntileSpec = p.linesIterator.find(_.contains("ntile(3)")).getOrElse(
+      fail("ntile window not found in plan"))
+    assert(ntileSpec.contains("windowspecdefinition(source"),
+      s"ntile window is not partitioned by source:\n$ntileSpec")
+  }
+
+  test("AQE splits a skewed join partition at runtime — the automatic tier before manual salting") {
+    // Relational.saltedJoin is the explicit skew lever; this pins the
+    // AUTOMATIC one: a shuffle join whose largest partition dwarfs the
+    // median is split by OptimizeSkewedJoin (SMJ(skew=true)) with the
+    // same result — the property that keeps a 100 TB hot-key join from
+    // wedging one executor while 999 idle.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 90% of the left side lands on key 0; the rest is uniform. The
+      // payload must be incompressible (shuffle blocks are lz4'd and
+      // the skew detector sees COMPRESSED sizes) — hash text, not a
+      // repeated constant
+      val left = spark.range(0, 100000).toDF("i")
+        .withColumn("k", when(col("i") % 10 =!= 0, lit(0L)).otherwise(col("i")))
+        .withColumn("pay", sha2(concat(lit("p"), col("i").cast("string")), 256))
+      val right = spark.range(0, 2000).toDF("k2").withColumn("rv", col("k2") * 3)
+      val joined = left.join(right, col("k") === col("k2"))
+      // execute THIS query execution (a count() would plan separately
+      // and leave joined's own adaptive plan unexecuted)
+      val n = joined.collect().length
+      // k=0 rows: 90000 (i%10!=0) + i=0 itself => 90001 matches of k2=0;
+      // remaining i%10==0 rows match iff i<2000: i in {10..1990} => 199
+      assert(n == 90001 + 199, s"skew-join row count wrong: $n")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
