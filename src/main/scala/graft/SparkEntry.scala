@@ -187,6 +187,8 @@ object SparkEntry {
     "d16_dedup_best_keep" -> ((s, d) =>
       Dedup.dedupBestKeep(Tables.documents(s, d))),
     "d17_semdedup" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
+    "d18_dedup_bloom_gate" -> ((s, d) =>
+      Dedup.dedupBloomGate(Tables.documents(s, d))),
     "t19_leakage_split" -> ((s, d) =>
       Dedup.leakSafeSplit(Tables.documents(s, d))),
     "t15_approx_percentile" -> ((s, d) =>
@@ -504,6 +506,7 @@ object SparkEntry {
     "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
     "d16_dedup_best_keep" -> Dedup.dedupBestKeepOracle(),
     "d17_semdedup" -> Similarity.semDedupOracle(),
+    "d18_dedup_bloom_gate" -> Dedup.dedupBloomGateOracle(),
     "t19_leakage_split" -> Dedup.leakSafeSplitOracle(),
     "t16_domain_mixture" -> TextOps.domainMixtureOracle,
     "t17_mixture_materialize" -> TextOps.mixtureMaterializeOracle,

@@ -207,6 +207,26 @@ object TextKernels {
   }
 }
 
+/** Membership probe of a STRING column against a serialized
+  * spark-sketch bloom filter shipped with the plan (the broadcast-
+  * bloom prefilter pattern Spark's own runtime row-group filters
+  * use). Deserialized once per executor thread (transient lazy), the
+  * per-row cost is k hash probes — no join, no shuffle. UTF-8 bytes
+  * probe via mightContainBinary, matching how
+  * DataFrameStatFunctions.bloomFilter inserts string values.
+  * CodegenFallback is fine: one virtual call around Murmur3 probes. */
+case class BloomContainsStr(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildInternal(c: Expression): BloomContainsStr =
+    copy(child = c)
+}
+
 case class ShingleSet(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -563,6 +583,8 @@ object GraftFunctions {
     c(org.apache.spark.sql.catalyst.expressions.Sqrt(VecDot(e, e)))
   }
   def plane_bucket(a: Column, planes: Int): Column = c(PlaneBucket(x(a), planes))
+  def bloom_contains(a: Column, bloomBytes: Array[Byte]): Column =
+    c(BloomContainsStr(x(a), bloomBytes))
 
   /** Register SQL names (graft_shingle_set etc.) on a session so pure
     * SQL users get the same kernels. */

@@ -822,6 +822,71 @@ object Dedup {
        FROM x WHERE greatest(inter / la, inter / lb) >= $minContain
        ORDER BY doc_a, doc_b"""
 
+  // ---- d18: bloom-gated exact-dedup admission -------------------------
+
+  /** d18: BLOOM-GATED admission — exact-digest dedup of an arriving
+    * batch against the corpus with a two-tier membership test: a
+    * corpus-digest bloom filter broadcasts with the plan and each
+    * batch row probes it MAP-SIDE ([[graft.functions.BloomContainsStr]],
+    * k hash probes, no join); rows the filter rejects are DEFINITELY
+    * new (bloom guarantee: no false negative) and admit immediately,
+    * and only the "possibly seen" remainder — true duplicates plus
+    * the fpp sliver — pays the exact confirmation anti-join. The
+    * RESULT is exactly the plain anti-join (spec-asserted equal, and
+    * the oracle IS the anti-join — the bloom changes cost, never
+    * semantics), which is what makes this oracle-able where sketch
+    * VALUES (q35/t15) are not.
+    *
+    * The batch is the Landing replay mixture: genuinely new docs
+    * (doc_id % batchMod == 0) plus RE-SUBMITTED corpus docs
+    * (corpus ∩ doc_id % replayMod == 0) — at-least-once delivery's
+    * duplicate arm, live by construction at every SF.
+    *
+    * Scale shape: at 100 TB the corpus digest set is the persisted
+    * index (BandIndex's argument) and the bloom is its cheap summary
+    * — ~10 bits/key means a 10^10-doc corpus's filter fits in
+    * executor memory while the digest table does not. The gate
+    * bounds the anti-join's LEFT side to dup_rate + fpp of the
+    * batch; the right side stays the bucketed digest index. For the
+    * typical mostly-new batch that removes almost the whole shuffle.
+    */
+  def dedupBloomGate(documents: DataFrame, batchMod: Int = 17,
+                     replayMod: Int = 13): DataFrame = {
+    import graft.functions.GraftFunctions.bloom_contains
+    val dig = documents.select(col("doc_id"),
+      sha2(lower(trim(col("text"))), 256).as("digest"))
+    val isNew = col("doc_id") % batchMod === 0
+    val corpus = dig.filter(!isNew)
+    val batch = dig.filter(isNew)
+      .unionByName(corpus.filter(col("doc_id") % replayMod === 0))
+    val nc = corpus.count()
+    val bloom = corpus.stat.bloomFilter("digest", math.max(nc, 1024L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val might = bloom_contains(col("digest"), bos.toByteArray)
+    val definite = batch.filter(!might)
+    val possible = batch.filter(might)
+    val confirmedNew = possible.join(
+      corpus.select(col("digest")).distinct(), Seq("digest"), "left_anti")
+    definite.select(col("doc_id"), col("digest"))
+      .unionByName(confirmedNew.select(col("doc_id"), col("digest")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the exact anti-join over the same batch construction —
+    * bloom-free by design (the gate is a cost optimization whose
+    * output must be indistinguishable from exact membership). */
+  def dedupBloomGateOracle(batchMod: Int = 17, replayMod: Int = 13): String =
+    s"""WITH dig AS (SELECT doc_id, sha256(lower(trim(text))) AS digest
+           FROM documents),
+       corpus AS (SELECT doc_id, digest FROM dig WHERE doc_id % $batchMod <> 0),
+       batch AS (SELECT doc_id, digest FROM dig WHERE doc_id % $batchMod = 0
+         UNION ALL
+         SELECT doc_id, digest FROM corpus WHERE doc_id % $replayMod = 0)
+       SELECT doc_id, digest FROM batch b
+       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)
+       ORDER BY doc_id"""
+
   /** Oracle: the full-corpus verified pairs restricted to pairs with
     * exactly one batch member — a (batch, corpus) pair shares a band
     * iff the unordered pair does, so the incremental probe must equal

@@ -415,6 +415,11 @@ object VersionedTable {
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "*.parquet")
+      // partition-scoped appends nest one level deeper
+      // (data/<parent>/p=<val>/...); partition values are also stored
+      // IN the files (stagePartitions writes full rows), so recursive
+      // lookup loses nothing
+      .option("recursiveFileLookup", "true")
       .parquet(s"$root/data/*")
   }
 

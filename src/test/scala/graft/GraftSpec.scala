@@ -615,6 +615,26 @@ class GraftSpec extends AnyFunSuite {
     val before = got.size
     drain()
     assert(got.size == before && got.values.forall(_ == 1L))
+    // partition-scoped appends nest one dir level deeper — the feed
+    // must still see them (recursive lookup), with the partition
+    // column intact from the file bytes
+    val proot = java.nio.file.Files.createTempDirectory("graft_feedp").toString
+    val pck = java.nio.file.Files.createTempDirectory("graft_feedp_ck").toString
+    val pdf = mk(0, 4).withColumn("pv", (col("id") % 2).cast("string"))
+    val pv0 = VersionedTable.commitPartitioned(spark, proot, pdf, "pv", -1L)
+    VersionedTable.appendPartitioned(spark, proot,
+      mk(4, 6).withColumn("pv", (col("id") % 2).cast("string")), "pv", pv0)
+    val prows = new scala.collection.concurrent.TrieMap[Long, String]()
+    val q2 = VersionedTable.streamAppends(spark, proot)
+      .writeStream.option("checkpointLocation", pck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => prows.put(r.getAs[Long]("id"), r.getAs[String]("pv"))); ()
+      }.start()
+    q2.awaitTermination()
+    assert(prows.keySet == (0L until 6L).toSet,
+      s"partition-scoped dirs not delivered: $prows")
+    assert(prows.forall { case (id, pv) => pv == (id % 2).toString })
   }
 
   test("streaming ingest lands in the lakehouse via foreachBatch merge") {
@@ -3019,6 +3039,36 @@ class GraftSpec extends AnyFunSuite {
     assert(shards.forall(_.getAs[Long]("shard_bytes") < 4096 + maxChunk))
     assert(shards.groupBy(_.getAs[Long]("pb")).values.exists(_.length > 1),
       "every stream fit in one shard — budget not exercised")
+  }
+
+  test("d18 bloom gate: result equals exact membership, both gate arms are live, replays never slip") {
+    import org.apache.spark.sql.functions._
+    val admitted = SparkEntry.queries("d18_dedup_bloom_gate")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // exact recompute without any bloom: admitted == batch ∖ corpus digests
+    val dig = Tables.documents(spark, sf)
+      .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("digest"))
+    val corpus = dig.filter(col("doc_id") % 17 =!= 0)
+    val batch = dig.filter(col("doc_id") % 17 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 13 === 0))
+    val exact = batch.join(corpus.select("digest").distinct(), Seq("digest"), "left_anti")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted == exact, "bloom gate changed the admitted set — semantics leak")
+    // the gate's arms: rebuild the same deterministic filter and count
+    val nc = corpus.count()
+    val bloom = corpus.stat.bloomFilter("digest", math.max(nc, 1024L), 0.01)
+    val flags = batch.collect().map { r =>
+      (r.getAs[Long]("doc_id"), bloom.mightContainString(r.getAs[String]("digest")))
+    }
+    val replayIds = corpus.filter(col("doc_id") % 13 === 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flags.exists(!_._2), "definite-new arm dead: bloom flagged every batch row")
+    assert(flags.exists(_._2), "confirm arm dead: bloom flagged nothing")
+    // no false negative: every replayed corpus doc MUST be flagged
+    assert(flags.filter(f => replayIds.contains(f._1)).forall(_._2),
+      "a replayed (seen) digest passed the bloom as definitely-new")
+    // and no replay was admitted
+    assert(admitted.intersect(replayIds).isEmpty)
   }
 
   test("t16 domain mixture: sqrt damping flattens shares toward the tail domains") {
