@@ -21,20 +21,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw long ns and convert with integer
-    * division (floor) to micros — the same truncation DuckDB applies,
-    * so oracle timestamps agree. Division must be integral (`div`):
-    * a double roundtrip would lose precision at 1.7e18 ns.
+  /** events.ts normalization — the driver has generated this column
+    * as both parquet TIMESTAMP(NANOS) (rounds ≤6) and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (round 7+), so branch on the type Spark
+    * actually read:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session — GraftSession/Bench/Verify all set it at construction
-    * (deliberately NOT mutated here: a table loader silently flipping
-    * session config would change unrelated parquet reads).
+    *  - LongType (nanos via `spark.sql.legacy.parquet.nanosAsLong=true`,
+    *    which GraftSession/Bench/Verify all set — Spark's vectorized
+    *    reader rejects NANOS otherwise): convert with integer division
+    *    (floor) to micros — the same truncation DuckDB applies, so
+    *    oracle timestamps agree. Division must be integral (`div`): a
+    *    double roundtrip would lose precision at 1.7e18 ns.
+    *  - TimestampNTZType (micros, not UTC-adjusted): cast to the
+    *    session-local TIMESTAMP — the session tz is pinned UTC
+    *    everywhere, so the cast is instant-preserving and downstream
+    *    date/hour extraction is unchanged.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1281,38 +1281,81 @@ object Relational {
        round(quantile_cont("value", 0.99), 4) AS p99
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Exact global rank of every row under a total order
+    * (valueCol asc, idCol asc) — DISTRIBUTED, no single-partition
+    * sort anywhere over the data.
+    *
+    * Shape: range-partition on the order key (partitions hold
+    * disjoint, ordered key ranges) → sortWithinPartitions →
+    * `monotonically_increasing_id` assigns pid<<33 + local position
+    * in post-sort row order, so local rank falls out of a narrow
+    * projection with NO window and NO second shuffle. Per-partition
+    * row counts (cardinality = #partitions, metadata-scale) are
+    * cumulated into start offsets and broadcast-joined back:
+    * global rank = offset(pid) + local. The only single-partition
+    * exchange in the plan carries the ~#partitions-row offset table,
+    * the same class as a dir-listing collect. Bounds (documented
+    * Spark id layout): < 2^31 partitions, < 2^33 rows/partition —
+    * both satisfied by any sane 100 TB partition sizing.
+    *
+    * Determinism: range boundaries are sampled deterministically for
+    * a given input, and the exchange feeding the counts branch and
+    * the rank branch is deduplicated by ReuseExchange, so both see
+    * identical partitions; ids are assigned post-sort, so the rank is
+    * the exact row_number over (valueCol, idCol) — bit-identical to
+    * the serial definition because the order key is unique.
+    */
+  private def withGlobalRank(in: DataFrame, valueCol: String,
+                             idCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val localMask = (1L << 33) - 1
+    val sorted = in
+      .repartitionByRange(col(valueCol).asc, col(idCol).asc)
+      .sortWithinPartitions(col(valueCol).asc, col(idCol).asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__local", col("__mid").bitwiseAND(lit(localMask)) + lit(1L))
+    val offsets = sorted
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    sorted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__mid", "__local", "__off")
+  }
+
   /** q47: Spearman rank correlation between two document metrics
     * (chars vs whitespace tokens) — the dependence profile a data
     * audit reports when Pearson on raw doubles would not replay
     * cross-engine (double co-moment sums are partial-agg-order
     * dependent and catastrophically cancel at large magnitudes).
     *
-    * Parity design: ranks are row_number over (metric, doc_id) — a
-    * deterministic PERMUTATION (ties broken by id, the documented
-    * divergence from tie-averaged Spearman), so d = rx - ry and
-    * sum(d^2) are pure BIGINT: associative, order-free, bit-identical
-    * under Spark's partial aggs and DuckDB's serial fold. The only
-    * double op is the final 1 - 6*S/(n*(n^2-1)), correctly rounded
-    * from exact integers. Bounds: n <= 2^21 keeps 6*S < 2^63.
+    * Parity design: ranks are the exact row_number permutation over
+    * (metric, doc_id) — ties broken by id, the documented divergence
+    * from tie-averaged Spearman — so d = rx - ry and sum(d^2) are
+    * pure BIGINT: associative, order-free, bit-identical under
+    * Spark's partial aggs and DuckDB's serial fold. The only double
+    * op is the final 1 - 6*S/(n*(n^2-1)), correctly rounded from
+    * exact integers. Bounds: n <= 2^21 keeps 6*S < 2^63.
     *
-    * Scale shape: two sorts (one per metric) + one integer agg.
-    * Exact global ranks at 100 TB use range-partitioned sort + per-
-    * partition offset (what row_number over an empty-partition window
-    * compiles to is a single-partition sort — the accepted cost here,
-    * documented like q31's calendar window); the production variant
-    * runs on a uniform sample, which bounds n while preserving rho's
-    * estimate (rank statistics converge at O(1/sqrt(n))).
+    * Scale shape: two range-partitioned rank passes ([[withGlobalRank]]
+    * — distributed sort + per-partition offset broadcast, NO
+    * single-partition sort over the data) + one integer agg. The
+    * production variant may still run on a uniform sample (rank
+    * statistics converge at O(1/sqrt(n))), but the exact form now
+    * scales too.
     */
   def rankCorrelation(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = documents.select(col("doc_id"),
       col("n_chars").cast("long").as("x"),
       expr("size(split(trim(text), ' '))").cast("long").as("y"))
-    val wx = Window.orderBy(col("x").asc, col("doc_id").asc)
-    val wy = Window.orderBy(col("y").asc, col("doc_id").asc)
-    m.withColumn("rx", row_number().over(wx).cast("long"))
-      .withColumn("ry", row_number().over(wy).cast("long"))
-      .withColumn("d", col("rx") - col("ry"))
+    val rx = withGlobalRank(m, "x", "doc_id", "rx")
+    val rxy = withGlobalRank(rx, "y", "doc_id", "ry")
+    rxy.withColumn("d", col("rx") - col("ry"))
       .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
       .select(col("n"), col("sum_d2"),
         Rounding.roundN(lit(1.0) -

@@ -486,6 +486,26 @@ object Similarity {
     *    corpus × corpus. The per-pair double sum is a term-sorted
     *    fold and the ranking key is the 6-dp-ROUNDED score (the t10
     *    ln-parity discipline).
+    *
+    *    IMPACT PRUNING (`probeDfBudgetFrac`): each query's terms are
+    *    ordered by ascending df (most selective first — impact
+    *    order) and kept only while the CUMULATIVE df stays within
+    *    budget·n_docs — d14's dfCap discipline upgraded to the
+    *    WAND-family budgeted probe. This guards the unbounded-hot-
+    *    term hazard: without it a stopword-ish query term makes the
+    *    probe corpus-sized (Σ_t df(t) has no bound), the one shape
+    *    that cannot ride to 100 TB. A budget (vs a plain df cap) is
+    *    the right guard for ANY corpus shape: it bounds postings
+    *    touched per query at budget·n_docs EXACTLY, yet always
+    *    admits the query's most selective terms — on a dense-vocab
+    *    corpus (this testdata: 30 of 31 terms sit in ~78% of docs) a
+    *    biting df cap would zero the arm, while the budget keeps it
+    *    live. The prune is part of the operator's SEMANTICS (the
+    *    oracle mirrors the same cumulative window), and the pruned-
+    *    vs-unpruned fused-rank delta is measured LIVE in the spec,
+    *    not assumed. idf weights join the (queries × terms)-sized
+    *    probe side BEFORE the postings join, so the big join carries
+    *    one pass, not two.
     *  - vector: exact cosine (the s01 baseline; any ANN row — s02,
     *    s03, s05, s12 — slots in unchanged, since RRF only reads
     *    ranks).
@@ -501,22 +521,29 @@ object Similarity {
     */
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
                 maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
-                rrfK: Int = 60): DataFrame = {
+                rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    // lexical arm: query-term postings probe the tf persist point
+    // lexical arm: query-term postings probe the tf persist point,
+    // budget-pruned (impact order) and idf-weighted on the SMALL side
     val tf = TextOps.tfFrame(documents)
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    val idf = dfr.crossJoin(broadcast(n))
-      .withColumn("idf", log(col("n_docs") / col("df")))
-      .select(col("term"), col("idf"))
-    val qtf = tf.filter(col("doc_id") < maxQueryId)
+    val wBudget = Window.partitionBy(col("q_id"))
+      .orderBy(col("df").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qw = tf.filter(col("doc_id") < maxQueryId)
       .select(col("doc_id").as("q_id"), col("term"), col("tf").as("tfq"))
+      .join(dfr, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("cum_df", sum(col("df")).over(wBudget))
+      .filter(col("cum_df").cast("double") <=
+        lit(probeDfBudgetFrac) * col("n_docs").cast("double"))
+      .withColumn("idf", log(col("n_docs") / col("df")))
+      .select(col("q_id"), col("term"), col("tfq"), col("idf"))
     val wLex = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = tf.join(qtf, Seq("term")).filter(col("doc_id") =!= col("q_id"))
-      .join(idf, Seq("term"))
+    val lex = tf.join(qw, Seq("term")).filter(col("doc_id") =!= col("q_id"))
       .withColumn("contrib",
         (col("tfq") * col("tf")).cast("double") * col("idf") * col("idf"))
       .groupBy(col("q_id"), col("doc_id"))
@@ -560,7 +587,7 @@ object Similarity {
   }
 
   def hybridRrfOracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
-                      rrfK: Int = 60): String = {
+                      rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): String = {
     val d = Dialect.duck
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
            FROM documents),
@@ -568,14 +595,20 @@ object Similarity {
        tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term),
        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        n AS (SELECT count(*) AS n_docs FROM documents),
-       idf AS (SELECT term, ln(n_docs / CAST(df AS DOUBLE)) AS idf
-         FROM dfr CROSS JOIN n),
+       qsel AS (SELECT q_id, term, tfq, df, n_docs,
+           sum(df) OVER (PARTITION BY q_id ORDER BY df, term
+             ROWS UNBOUNDED PRECEDING) AS cum_df
+         FROM (SELECT doc_id AS q_id, term, tf AS tfq FROM tf
+               WHERE doc_id < $maxQueryId) q
+         JOIN dfr USING (term) CROSS JOIN n),
+       qw AS (SELECT q_id, term, tfq,
+           ln(n_docs / CAST(df AS DOUBLE)) AS idf
+         FROM qsel
+         WHERE CAST(cum_df AS DOUBLE) <= $probeDfBudgetFrac * CAST(n_docs AS DOUBLE)),
        contrib AS (SELECT q.q_id, t.doc_id, t.term,
-           CAST(q.tfq * t.tf AS DOUBLE) * i.idf * i.idf AS contrib
+           CAST(q.tfq * t.tf AS DOUBLE) * q.idf * q.idf AS contrib
          FROM tf t
-         JOIN (SELECT doc_id AS q_id, term, tf AS tfq FROM tf
-               WHERE doc_id < $maxQueryId) q USING (term)
-         JOIN idf i USING (term)
+         JOIN qw q USING (term)
          WHERE t.doc_id <> q.q_id),
        lexs AS (SELECT q_id, doc_id,
            round(list_reduce(list(contrib ORDER BY term),

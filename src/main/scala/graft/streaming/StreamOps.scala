@@ -31,12 +31,27 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Raw events schema with ts as long (parquet TIMESTAMP_NANOS read
-    * via nanosAsLong; see graft.Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming source over the events table with ts normalized to
+    * session-local TIMESTAMP, mirroring [[graft.Tables.events]]'s
+    * two-generator branch (nanos-as-long rounds ≤6, micros NTZ
+    * round 7+). File-stream sources need an explicit schema, so the
+    * ACTUAL footer schema is taken from a one-off batch read — a
+    * metadata-only operation — rather than hard-coding a ts type the
+    * generator may have moved away from. */
+  def eventsStreamSource(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    // file-stream sources want a directory; filter to the events table
+    val src = spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw("ts").dataType match {
+      case LongType => src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
+  }
 
   /** st01 streaming path: file-source stream -> 5-minute tumbling
     * window counts -> memory sink, drained synchronously. Returns the
@@ -45,11 +60,7 @@ object StreamOps {
     * makes the batch-vs-stream equivalence assertable.
     */
   def windowedCountsStream(spark: SparkSession, dir: String): DataFrame = {
-    // file-stream sources want a directory; filter to the events table
-    val src = spark.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = eventsStreamSource(spark, dir)
     val agg = src
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))

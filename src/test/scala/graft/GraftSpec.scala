@@ -293,6 +293,37 @@ class GraftSpec extends AnyFunSuite {
     })
   }
 
+  test("s15 impact pruning is LIVE: budgeted probe touches fewer postings, recall delta measured not assumed") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    // default budget (2.0·n_docs) vs an effectively-unbounded budget:
+    // same operator, only the WAND-style prune differs
+    val pruned = graft.operators.Similarity.hybridRrf(docs, embs).collect()
+    val full = graft.operators.Similarity.hybridRrf(docs, embs, probeDfBudgetFrac = 1e9).collect()
+    def topk(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val p = topk(pruned); val f = topk(full)
+    // the prune actually dropped terms on THIS corpus (30 of 31 terms
+    // sit in ~78% of docs; a 2.0·n budget keeps only the most
+    // selective few) — the fused output must differ somewhere, or the
+    // guard is dead code at test scale
+    assert(p != f, "budgeted probe produced identical fusion — prune not live at this SF")
+    // ...but the recall effect is bounded: RRF still fuses the intact
+    // vector arm, so per-query top-k overlap stays majority
+    val overlaps = p.keys.map { q =>
+      val a = p(q); val b = f.getOrElse(q, Set.empty[Long])
+      a.intersect(b).size.toDouble / math.max(a.size, 1)
+    }.toSeq
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.5, s"pruned-vs-full fused overlap collapsed: mean=$mean")
+    // the lexical arm survives the prune (budget admits each query's
+    // most selective terms — the reason a budget beats a df cap here)
+    assert(pruned.exists(r => !r.isNullAt(r.fieldIndex("lex_rank"))),
+      "lexical arm died under the probe budget")
+  }
+
   test("PlaneBucket codegen: the generated loops compile and match the interpreted kernel bit-for-bit") {
     import org.apache.spark.sql.functions.col
     import graft.functions.GraftFunctions._
@@ -2184,9 +2215,7 @@ class GraftSpec extends AnyFunSuite {
     val events = Tables.events(spark, sf)
     // drive a real file-source -> file-sink stream over the events table
     // (nanosAsLong comes from GraftSession's builder)
-    val src = spark.readStream.schema(StreamOps.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = StreamOps.eventsStreamSource(spark, sf)
     val q = src.select(col("event_id"), col("event_type"), col("ts"))
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")

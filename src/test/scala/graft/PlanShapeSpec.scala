@@ -593,4 +593,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("q47: ranks are distributed — no row_number window, range-partitioned passes") {
+    // The old shape was two row_number windows over an UNPARTITIONED
+    // ordering — two single-partition sorts of the whole table. The
+    // distributed form (withGlobalRank) must show: zero row_number
+    // windows anywhere, and two rangepartitioning exchanges (one per
+    // rank pass). The only remaining windows cumulate per-partition
+    // counts (~#partitions rows, metadata-scale).
+    val df = SparkEntry.queries("q47_rank_corr")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("row_number"),
+      s"q47 regressed to a row_number window (single-partition sort):\n$p")
+    assert(count(p, "rangepartitioning") >= 2,
+      s"expected two range-partitioned rank passes:\n$p")
+  }
 }
