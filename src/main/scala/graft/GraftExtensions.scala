@@ -42,5 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_plane_bucket"),
       info("graft_plane_bucket", "random-hyperplane LSH sign bucket of a float vector"),
       (es: Seq[Expression]) => PlaneBucket(es.head, graft.operators.Similarity.NumPlanes)))
+    // SQL time travel over VersionedTable (VERSION AS OF / TIMESTAMP
+    // AS OF as TVFs) — the lake's uniform SQL front door
+    e.injectTableFunction((FunctionIdentifier("graft_table"),
+      info("graft_table", "latest snapshot of a graft VersionedTable at the given path"),
+      (es: Seq[Expression]) => graft.sources.VersionedTable.tableFn(es)))
+    e.injectTableFunction((FunctionIdentifier("graft_table_at_version"),
+      info("graft_table_at_version", "snapshot of a graft VersionedTable at a version (VERSION AS OF)"),
+      (es: Seq[Expression]) => graft.sources.VersionedTable.tableAtVersionFn(es)))
+    e.injectTableFunction((FunctionIdentifier("graft_table_at_timestamp"),
+      info("graft_table_at_timestamp", "snapshot of a graft VersionedTable at a wall-clock time (TIMESTAMP AS OF)"),
+      (es: Seq[Expression]) => graft.sources.VersionedTable.tableAtTimestampFn(es)))
   }
 }

@@ -863,9 +863,14 @@ object Dedup {
     val bloom = corpus.stat.bloomFilter("digest", math.max(nc, 1024L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
+    // NULL text -> NULL digest: such a row can never equal any corpus
+    // digest (SQL equality), so it is DEFINITELY new — routed around
+    // the bloom probe, whose three-valued NULL result would otherwise
+    // drop the row from BOTH arms while the oracle's NOT EXISTS
+    // admits it (ternary-logic divergence, not a bloom property).
     val might = bloom_contains(col("digest"), bos.toByteArray)
-    val definite = batch.filter(!might)
-    val possible = batch.filter(might)
+    val definite = batch.filter(col("digest").isNull || !might)
+    val possible = batch.filter(col("digest").isNotNull && might)
     val confirmedNew = possible.join(
       corpus.select(col("digest")).distinct(), Seq("digest"), "left_anti")
     definite.select(col("doc_id"), col("digest"))

@@ -140,6 +140,46 @@ object Relational {
       .drop("_prio", "_rn")
   }
 
+  /** COLUMN-LEVEL merge update — delta-rs `whenMatchedUpdate` /
+    * Delta `UPDATE SET source.*` semantics (reference:
+    * services/workers/tasks/queue_for_delta.py:741-799): matched keys
+    * take the source's values for the columns the BATCH CARRIES
+    * (including explicit nulls — UPDATE SET, not coalesce) and keep
+    * the target's values for every other column; unmatched source
+    * keys insert with typed nulls in the uncarried columns; unmatched
+    * target rows ride through untouched. Contrast [[mergeUpsert]],
+    * which is whole-row replace.
+    *
+    * Shape: the batch dedupes to one winner per key (same
+    * deterministic-tiebreak discipline as [[mergeUpsert]]), then ONE
+    * full-outer shuffle join on the merge key — the batch-side window
+    * and the join share the key partitioning. Source columns absent
+    * from the target append as new columns (the caller gates that on
+    * its schema-evolution policy).
+    */
+  def mergeUpdateColumns(target: DataFrame, source: DataFrame,
+                         keys: Seq[String],
+                         tieBreak: Seq[String] = Nil): DataFrame = {
+    val updateCols = source.columns.filterNot(keys.contains).toSeq
+    val ord = (if (tieBreak.nonEmpty) tieBreak else updateCols.sorted)
+      .map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val s1 = source
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(keys.map(col) ++
+        updateCols.map(c => col(c).as(s"_src_$c")) :+
+        lit(1).as("_matched"): _*)
+    val joined = target.join(s1, keys, "full_outer")
+    val carried = target.columns.toSeq.map { c =>
+      if (!keys.contains(c) && updateCols.contains(c))
+        when(col("_matched") === 1, col(s"_src_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    val appended = updateCols.filterNot(target.columns.contains)
+      .map(c => col(s"_src_$c").as(c))
+    joined.select(carried ++ appended: _*)
+  }
+
   /** The bound merge demo used by the verify gate: updates = R-flagged
     * lines with bumped quantity; result summarized per returnflag.
     * (A min_by-over-ordering-struct merge was measured as an

@@ -607,10 +607,19 @@ object DataSkipping {
     if (need.isEmpty) return existing
     bloomBuilds += 1
     lastBloomDirsScanned = need.size
-    val computed = need.map { rel =>
-      val df = spark.read.parquet(s"$root/$rel").select(col(column))
-      val n = math.max(df.count(), BloomMinItems)
-      rel -> df.stat.bloomFilter(column, n, BloomFpp)
+    val computed = need.flatMap { rel =>
+      // a dir can predate `column` under opt-in merge-schema
+      // evolution; it then gets NO filter and stays unpruned (the
+      // no-stats-never-means-no-data rule) instead of throwing. The
+      // schema peek is a footer read, so re-checking such dirs on
+      // later calls costs metadata, not data.
+      val df = spark.read.parquet(s"$root/$rel")
+      if (!df.columns.contains(column)) None
+      else {
+        val sel = df.select(col(column))
+        val n = math.max(sel.count(), BloomMinItems)
+        Some(rel -> sel.stat.bloomFilter(column, n, BloomFpp))
+      }
     }.toMap
     val merged = existing ++ computed
     writeBloomSidecar(spark, root, version, column, merged)

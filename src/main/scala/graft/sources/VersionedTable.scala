@@ -408,9 +408,35 @@ object VersionedTable {
     * At 100 TB this is the ingest fan-out shape: one landed table,
     * many downstream streaming consumers, each tracking its own file
     * offset in its own checkpoint — no coordination with writers. */
+  /** True iff every commit in the table's log carries every entry of
+    * its predecessor forward — the append-only property
+    * [[streamAppends]]'s delivery contract depends on. Merge, compact
+    * and restore all publish heads that DROP (or re-reference) prior
+    * entries, so they fail this containment check; appends (scoped or
+    * not, rebased or not) always pass. Cost: one log walk, entry
+    * lists are metadata-sized. */
+  def appendOnlyHistory(spark: SparkSession, root: String): Boolean = {
+    val head = currentVersion(spark, root).getOrElse(return true)
+    (1L to head).forall { v =>
+      val prev = entriesOf(spark, root, v - 1).map(_.line).toSet
+      prev.subsetOf(entriesOf(spark, root, v).map(_.line).toSet)
+    }
+  }
+
   def streamAppends(spark: SparkSession, root: String): DataFrame = {
     val head = currentVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    // the docstring's append-only restriction, DETECTED at stream
+    // construction rather than trusted: a table whose history already
+    // violates it gets a loud warning (delivery may duplicate; a
+    // lost plain-append race in flight can surface phantom rows) —
+    // such workloads should consume the change feed instead
+    if (!appendOnlyHistory(spark, root))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"streamAppends($root): table history contains non-append " +
+          "commits (merge/compact/restore); streaming delivery may " +
+          "re-deliver rows — consume the change feed for non-append " +
+          "workloads")
     val schema = readAsOf(spark, root, head).schema
     spark.readStream
       .schema(schema)
@@ -679,10 +705,21 @@ object VersionedTable {
     * latest-wins), mirroring the reference's retried Celery merges.
     * Rewrites the FULL snapshot — use [[mergePartitioned]] when a
     * stable partition column exists.
+    *
+    * `columnUpdate = true` switches matched-row semantics from
+    * whole-row replace to COLUMN-LEVEL update (delta-rs
+    * `whenMatchedUpdate`, queue_for_delta.py:741-799): only the
+    * columns the batch carries are written; every other target column
+    * is carried from the matched row. A batch column the table does
+    * not have yet still requires `allowSchemaEvolution` (it widens
+    * the table; unmatched rows get typed nulls) — but a NARROW batch
+    * under columnUpdate needs no flag and loses nothing, which is the
+    * partial-column upsert the reference's workers do.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String], tieBreak: Seq[String] = Nil,
-            maxRetries: Int = 3, allowSchemaEvolution: Boolean = false): Long = {
+            maxRetries: Int = 3, allowSchemaEvolution: Boolean = false,
+            columnUpdate: Boolean = false): Long = {
     val tb = effectiveTieBreak(source, keys, tieBreak)
     var attempt = 0
     while (true) {
@@ -694,7 +731,22 @@ object VersionedTable {
         // from v0 diverges from recompute on the first update
         if (base < 0)
           graft.operators.Relational.mergeUpsert(source.limit(0), source, keys, tb)
-        else {
+        else if (columnUpdate) {
+          val target = readAsOf(spark, root, base)
+          val shared = target.columns.toSet.intersect(source.columns.toSet)
+          shared.foreach { c =>
+            require(target.schema(c).dataType == source.schema(c).dataType,
+              s"column-level merge cannot reconcile column '$c': " +
+                s"${target.schema(c).dataType} vs ${source.schema(c).dataType}")
+          }
+          val newCols = source.columns.filterNot(target.columns.contains)
+          require(allowSchemaEvolution || newCols.isEmpty,
+            s"batch carries new columns ${newCols.mkString(", ")} — " +
+              "pass allowSchemaEvolution=true to widen the table")
+          require(keys.forall(source.columns.contains),
+            s"batch must carry every merge key (${keys.mkString(", ")})")
+          graft.operators.Relational.mergeUpdateColumns(target, source, keys, tb)
+        } else {
           val target = readAsOf(spark, root, base)
           val (t2, s2) =
             if (allowSchemaEvolution) alignSchemas(target, source)
@@ -1031,5 +1083,97 @@ object VersionedTable {
         .filter(v => v != newestCp && v != cur)
         .foreach(v => f.delete(p(s"$root/_log/${verName(v)}.checkpoint"), false))
     }
+  }
+
+  // ---- SQL front door: time travel as table-valued functions ----------
+
+  /** The SQL reachability layer the path-based Scala API lacks (the
+    * reference serves its lake through one uniform query surface,
+    * services/api/views/): three TVFs that make a graft table — at
+    * HEAD, `VERSION AS OF`, or `TIMESTAMP AS OF` — addressable from
+    * pure SQL, composing with any downstream SQL (joins, filters,
+    * aggregates):
+    *
+    *   SELECT * FROM graft_table('/path/to/t')
+    *   SELECT * FROM graft_table_at_version('/path/to/t', 3)
+    *   SELECT * FROM graft_table_at_timestamp('/path/to/t', '2026-08-13 14:00:00')
+    *
+    * Arguments must be literals (the builder runs at analysis time —
+    * the same restriction Spark's own `range(...)` TVF has). The
+    * returned plan is the ANALYZED plan of the corresponding
+    * [[read]]/[[readAsOf]]/[[readAsOfTimestamp]] frame, so SQL and
+    * Scala readers cannot drift. Registration: programmatic via
+    * [[registerSqlTimeTravel]], or config-based via
+    * `spark.sql.extensions=graft.GraftExtensions` for spark-sql /
+    * Thrift / notebook sessions.
+    */
+  private def litString(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                        what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
+  private def litMillis(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                        what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) => dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        v.asInstanceOf[Long] / 1000L // stored micros -> millis
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        v.asInstanceOf[Number].longValue()
+      case org.apache.spark.sql.types.StringType =>
+        // 'yyyy-MM-dd HH:mm:ss[.S]' interpreted in UTC — the pinned
+        // session zone, so SQL text and versionAtTimestamp agree
+        java.time.LocalDateTime
+          .parse(v.toString.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a timestamp/long/string literal, got type $dt")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got: $other")
+  }
+
+  private def analyzed(df: DataFrame) = df.queryExecution.analyzed
+
+  private[graft] def tableFn(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(es.length == 1, "graft_table(path) takes exactly 1 argument")
+    analyzed(read(SparkSession.active, litString(es.head, "path")))
+  }
+
+  private[graft] def tableAtVersionFn(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(es.length == 2,
+      "graft_table_at_version(path, version) takes exactly 2 arguments")
+    val v = es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
+        n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"version must be an integer literal, got: $other")
+    }
+    analyzed(readAsOf(SparkSession.active, litString(es.head, "path"), v))
+  }
+
+  private[graft] def tableAtTimestampFn(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(es.length == 2,
+      "graft_table_at_timestamp(path, ts) takes exactly 2 arguments")
+    analyzed(readAsOfTimestamp(SparkSession.active,
+      litString(es.head, "path"), litMillis(es(1), "ts")))
+  }
+
+  /** Programmatic registration of the time-travel TVFs on a live
+    * session (the extensions class covers config-based sessions). */
+  def registerSqlTimeTravel(spark: SparkSession): Unit = {
+    val r = spark.sessionState.tableFunctionRegistry
+    r.createOrReplaceTempFunction("graft_table", tableFn _, "built-in")
+    r.createOrReplaceTempFunction("graft_table_at_version", tableAtVersionFn _, "built-in")
+    r.createOrReplaceTempFunction("graft_table_at_timestamp", tableAtTimestampFn _, "built-in")
   }
 }

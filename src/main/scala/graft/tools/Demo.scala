@@ -375,8 +375,16 @@ object Demo {
     //     exactly once through its own checkpoint
     val fr = s"$work/versioned/feed"
     val fck = s"$work/feed_ck"
-    VersionedTable.commit(spark, fr, rawOrders.limit(100)
-      .select("o_orderkey", "o_totalprice"), -1L)
+    // deterministic row sets: unordered limit() re-evaluates per action
+    // and may pick different rows, which would overlap the append with
+    // the committed snapshot and break the "second drain = only the
+    // append" claim. o_orderkey is unique in orders, so sorted limits
+    // are stable across evaluations.
+    val feedFirst = rawOrders.orderBy("o_orderkey").limit(100)
+      .select("o_orderkey", "o_totalprice")
+    val feedSecond = rawOrders.orderBy("o_orderkey").limit(150)
+      .select("o_orderkey", "o_totalprice").except(feedFirst)
+    VersionedTable.commit(spark, fr, feedFirst, -1L)
     val drained = new java.util.concurrent.atomic.AtomicLong()
     def drainFeed(): Unit = {
       val q = VersionedTable.streamAppends(spark, fr)
@@ -389,9 +397,7 @@ object Demo {
     }
     drainFeed()
     val afterFirst = drained.get()
-    VersionedTable.appendRebase(spark, fr, rawOrders.limit(150)
-      .select("o_orderkey", "o_totalprice").except(
-        rawOrders.limit(100).select("o_orderkey", "o_totalprice")))
+    VersionedTable.appendRebase(spark, fr, feedSecond)
     drainFeed()
     println(s"23. streaming feed: first drain $afterFirst rows, second drain " +
       s"${drained.get() - afterFirst} (only the append's rows — the consumer's " +

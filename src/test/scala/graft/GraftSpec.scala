@@ -606,6 +606,67 @@ class GraftSpec extends AnyFunSuite {
     assert(all.filter(col("id") === 1L).head.isNullAt(all.columns.indexOf("score")))
   }
 
+  test("d18 bloom gate: NULL-text rows are definitely-new, matching the oracle's ternary logic") {
+    import spark.implicits._
+    // NULL text -> NULL digest. The oracle's NOT EXISTS admits such a
+    // row (NULL = x is never true); the bloom probe's NULL would have
+    // silently dropped it from both arms before the fix.
+    val docs = Seq[(Long, String)]((0L, null), (17L, "aa bb"), (34L, "cc dd"),
+        (1L, "cc dd"), (2L, "aa bb"), (3L, "ee ff"))
+      .toDF("doc_id", "text")
+    val ids = graft.operators.Dedup.dedupBloomGate(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L), "NULL-text batch row must be admitted as definitely new")
+    assert(!ids.contains(17L), "batch row duplicating corpus text must be dropped")
+    assert(!ids.contains(34L), "batch row duplicating corpus text must be dropped")
+  }
+
+  test("VersionedTable: streamAppends' append-only contract is detected, not just documented") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_aoh").toString + "/t"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+    val v0 = VersionedTable.commit(spark, root, mk(0, 5), -1L)
+    VersionedTable.append(spark, root, mk(5, 8), v0)
+    assert(VersionedTable.appendOnlyHistory(spark, root),
+      "commit + append history must pass the containment check")
+    VersionedTable.compact(spark, root)
+    assert(!VersionedTable.appendOnlyHistory(spark, root),
+      "a compact drops prior entries and must fail the check")
+    // streamAppends still constructs (warning, not error) — re-delivery
+    // is the documented behavior for non-append histories
+    VersionedTable.streamAppends(spark, root)
+  }
+
+  test("bloom skipping: a dir predating the column (merge-schema evolution) stays unpruned, not an error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_bse").toString + "/t"
+    val v0 = VersionedTable.commit(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "qty"), -1L)
+    // the appended dir carries a NEW column; the v0 dir does not
+    VersionedTable.append(spark, root,
+      Seq((3L, 30.0, "eu-1"), (4L, 40.0, "us-9")).toDF("k", "qty", "region"), v0)
+    val head = VersionedTable.currentVersion(spark, root).get
+    // before the fix this threw AnalysisException on the v0 dir
+    val blooms = DataSkipping.ensureBloom(spark, root, head, "region")
+    val dirs = VersionedTable.dirsOf(spark, root, head)
+    assert(blooms.size == 1, "only the dir carrying the column gets a filter")
+    // pruning keeps the filterless old dir (no-stats-never-means-no-data)
+    val kept = DataSkipping.prunedDirsBloom(spark, root, "region", "eu-1", Some(head))
+    assert(kept.toSet.size == 2 && kept.toSet == dirs.toSet,
+      "the pre-evolution dir must always be kept")
+    // a miss still prunes the dir that HAS the filter
+    val missed = DataSkipping.prunedDirsBloom(spark, root, "region", "zz-0", Some(head))
+    assert(missed.size == 1 && !blooms.contains(missed.head),
+      "bloom must prune the covered dir on a miss while keeping the uncovered one")
+    // and the skipped read still returns the right rows
+    val got = DataSkipping.readWhereEquals(spark, root, "region", "eu-1")
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+  }
+
   test("VersionedTable.streamAppends: committed appends reach a streaming consumer exactly once") {
     import org.apache.spark.sql.functions._
     import graft.sources.VersionedTable
@@ -1089,6 +1150,89 @@ class GraftSpec extends AnyFunSuite {
       VersionedTable.merge(spark, root, Seq((3L, "oops")).toDF("suppkey", "qty"),
         Seq("suppkey"), allowSchemaEvolution = true)
     }
+  }
+
+  test("VersionedTable: SQL time travel TVFs match the Scala readers exactly") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtsql").toString + "/t"
+    VersionedTable.merge(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("suppkey", "qty"), Seq("suppkey"))   // v0
+    VersionedTable.merge(spark, root,
+      Seq((2L, 25.0), (3L, 30.0)).toDF("suppkey", "qty"), Seq("suppkey"))   // v1
+    VersionedTable.registerSqlTimeTravel(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("suppkey"), r.getAs[Double]("qty"))).toSet
+    // VERSION AS OF — both versions, equal to readAsOf
+    assert(rows(spark.sql(s"SELECT * FROM graft_table_at_version('$root', 0)")) ==
+           rows(VersionedTable.readAsOf(spark, root, 0L)))
+    assert(rows(spark.sql(s"SELECT * FROM graft_table_at_version('$root', 1)")) ==
+           rows(VersionedTable.readAsOf(spark, root, 1L)))
+    // HEAD
+    assert(rows(spark.sql(s"SELECT * FROM graft_table('$root')")) ==
+           rows(VersionedTable.read(spark, root)))
+    // TIMESTAMP AS OF: now resolves to the latest version (commit-file
+    // mtime clock, same rule as versionAtTimestamp)
+    val now = System.currentTimeMillis() + 60000
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_table_at_timestamp('$root', $now)")) ==
+      rows(VersionedTable.readAsOfTimestamp(spark, root, now)))
+    // the TVF is a real relation: composes with SQL filters/aggregates
+    val agg = spark.sql(
+      s"""SELECT count(*) AS n, sum(qty) AS s
+          FROM graft_table_at_version('$root', 1) WHERE qty > 15""").head
+    assert(agg.getLong(0) == 2 && math.abs(agg.getDouble(1) - 55.0) < 1e-9)
+    // a pre-table timestamp fails loudly (Delta's TIMESTAMP AS OF contract)
+    intercept[java.io.FileNotFoundException] {
+      spark.sql(s"SELECT * FROM graft_table_at_timestamp('$root', 1000)").collect()
+    }
+  }
+
+  test("VersionedTable: columnUpdate merge carries uncarried columns (delta-rs whenMatchedUpdate semantics)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtcu").toString + "/t"
+    VersionedTable.merge(spark, root,
+      Seq((1L, 10.0, "EU"), (2L, 20.0, "US")).toDF("suppkey", "qty", "region"),
+      Seq("suppkey"))                                                        // v0
+    // NARROW batch, columnUpdate: matched row updates ONLY qty and keeps
+    // region; the new key inserts with a typed null region. No
+    // schema-evolution flag needed — nothing widens.
+    VersionedTable.merge(spark, root,
+      Seq((2L, 25.0), (3L, 30.0)).toDF("suppkey", "qty"),
+      Seq("suppkey"), columnUpdate = true)                                   // v1
+    def snap() = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("qty"))).map(_.asInstanceOf[Double]),
+         Option(r.getString(r.fieldIndex("region"))))).toMap
+    assert(snap() == Map(
+      1L -> (Some(10.0), Some("EU")),
+      2L -> (Some(25.0), Some("US")), // region carried — the whole point
+      3L -> (Some(30.0), None)))
+    // UPDATE SET, not coalesce: an explicit null in a carried column WRITES
+    VersionedTable.merge(spark, root,
+      Seq((1L, Option.empty[Double])).toDF("suppkey", "qty"),
+      Seq("suppkey"), columnUpdate = true)                                   // v2
+    assert(snap()(1L) == (None, Some("EU")),
+      "explicit null must overwrite qty but region must survive")
+    // a batch column the table lacks still needs the evolution flag
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((2L, 0.9)).toDF("suppkey", "score"),
+        Seq("suppkey"), columnUpdate = true)
+    }
+    // with the flag: the table widens, matched row keeps EVERYTHING else
+    VersionedTable.merge(spark, root,
+      Seq((2L, 0.9)).toDF("suppkey", "score"),
+      Seq("suppkey"), columnUpdate = true, allowSchemaEvolution = true)      // v3
+    val v3 = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("qty"))),
+         Option(r.getString(r.fieldIndex("region"))),
+         Option(r.get(r.fieldIndex("score"))))).toMap
+    assert(v3(2L) == (Some(25.0), Some("US"), Some(0.9)))
+    assert(v3(1L) == (None, Some("EU"), None))
+    assert(v3(3L) == (Some(30.0), None, None))
   }
 
   test("VersionedTable: DISJOINT-partition merges rebase staged dirs (stage once); overlapping merges recompute and stay correct") {
