@@ -159,6 +159,8 @@ object SparkEntry {
     "s16_filtered_ann" -> ((s, d) =>
       Similarity.ivfFilteredTopK(Tables.embeddings(s, d))),
     "s17_pq_rerank" -> ((s, d) => Similarity.pqRerank(Tables.embeddings(s, d))),
+    "s18_hybrid_indexed" -> ((s, d) =>
+      Similarity.hybridRrfIndexedAuto(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -490,6 +492,7 @@ object SparkEntry {
     "s15_hybrid_rrf" -> Similarity.hybridRrfOracle(),
     "s16_filtered_ann" -> Similarity.ivfFilteredTopKOracle(),
     "s17_pq_rerank" -> Similarity.pqRerankOracle(),
+    "s18_hybrid_indexed" -> Similarity.hybridRrfIndexedOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

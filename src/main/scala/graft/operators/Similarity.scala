@@ -519,13 +519,12 @@ object Similarity {
     * ranks — bit-identical cross-engine, no rounding needed before
     * the fused rank.
     */
-  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
-                maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
-                rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): DataFrame = {
-    import graft.functions.GraftFunctions._
+  /** The budget-pruned TF-IDF lexical arm (see [[hybridRrf]]'s
+    * Scaladoc) — shared verbatim by the exact-arm and index-backed
+    * hybrid forms so arm semantics cannot drift between them. */
+  private def lexicalArm(documents: DataFrame, maxQueryId: Long,
+                         nArm: Int, probeDfBudgetFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // lexical arm: query-term postings probe the tf persist point,
-    // budget-pruned (impact order) and idf-weighted on the SMALL side
     val tf = TextOps.tfFrame(documents)
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
@@ -543,7 +542,7 @@ object Similarity {
       .select(col("q_id"), col("term"), col("tfq"), col("idf"))
     val wLex = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = tf.join(qw, Seq("term")).filter(col("doc_id") =!= col("q_id"))
+    tf.join(qw, Seq("term")).filter(col("doc_id") =!= col("q_id"))
       .withColumn("contrib",
         (col("tfq") * col("tf")).cast("double") * col("idf") * col("idf"))
       .groupBy(col("q_id"), col("doc_id"))
@@ -557,6 +556,16 @@ object Similarity {
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    // lexical arm: query-term postings probe the tf persist point,
+    // budget-pruned (impact order) and idf-weighted on the SMALL side
+    val lex = lexicalArm(documents, maxQueryId, nArm, probeDfBudgetFrac)
     // vector arm: the s01 exact-cosine shape over the shared id space
     val corpus = embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
       .withColumn("cn", vec_norm(col("ce")))
@@ -570,7 +579,17 @@ object Similarity {
       .withColumn("vec_rank", row_number().over(wVec))
       .filter(col("vec_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("vec_rank"))
-    // fusion: result-bounded full outer join; one-arm items keep their term
+    rrfFusion(lex, vec, kOut, rrfK)
+  }
+
+  /** RRF fusion core shared by every vector-arm provider: both arms
+    * are (q_id, doc_id, rank) frames bounded at queries × nArm, so
+    * the full-outer join and final rank are result-bounded regardless
+    * of which retrieval produced them — which is precisely why any
+    * ANN row can slot in for the exact arm. */
+  private def rrfFusion(lex: DataFrame, vec: DataFrame,
+                        kOut: Int, rrfK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wF = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
@@ -586,10 +605,52 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def hybridRrfOracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
-                      rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): String = {
-    val d = Dialect.duck
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  /** Hybrid RRF with the vector arm served by a PERSISTED
+    * [[VecIndex]] — the RAG stack composed end-to-end on the index
+    * (build once, probe per query batch) instead of the exact
+    * O(N·Q) broadcast scan. The lexical arm, probe budget, and
+    * fusion are byte-identical to [[hybridRrf]]; only the vector
+    * arm's provider changes, and RRF consumes nothing but its RANKS,
+    * so the fused schema and bounds are unchanged. The exact-arm
+    * form stays the `queries`/oracle row (ANN recall is an operating
+    * point, not an oracle); the spec measures the fused overlap
+    * between the two forms live.
+    *
+    * At 100 TB this is the shape that actually runs: the probe opens
+    * nProbe cell dirs per query (dir-pruned IO against the persisted
+    * layout) while the lexical arm probes df-budgeted postings — two
+    * index lookups and a result-bounded fusion, no corpus scan
+    * anywhere. */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+                       embeddings: DataFrame, indexRoot: String,
+                       maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                       rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0,
+                       nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("embedding"))
+    // the query vector lives in the index too — probe one deeper,
+    // drop self, close the rank gap
+    val probed = VecIndex.probe(spark, indexRoot, queries,
+        k = nArm + 1, nProbe = nProbe)
+      .filter(col("neighbor_id") =!= col("q_id"))
+    val wRerank = Window.partitionBy(col("q_id")).orderBy(col("rank").asc)
+    val vecArm = probed
+      .withColumn("vec_rank", row_number().over(wRerank))
+      .filter(col("vec_rank") <= nArm)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"), col("vec_rank"))
+    val lex = lexicalArm(documents, maxQueryId, nArm, probeDfBudgetFrac)
+    rrfFusion(lex, vecArm, kOut, rrfK)
+  }
+
+  /** The s15 lexical-arm CTE chain (tokenize → tf → df → budgeted
+    * probe-term selection → TF-IDF pair scores → top-nArm rank),
+    * ending in `lex(q_id, doc_id, lex_rank)` — shared by the
+    * exact-arm (s15) and index-backed (s18) hybrid oracles so the
+    * arm's SQL replay cannot drift between them. */
+  private def lexicalArmCtes(maxQueryId: Long, nArm: Int,
+                             probeDfBudgetFrac: Double): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
            FROM documents),
        f AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
        tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term),
@@ -617,7 +678,31 @@ object Similarity {
        lex AS (SELECT q_id, doc_id, lex_rank FROM (
            SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
              ORDER BY score DESC, doc_id) AS lex_rank FROM lexs) t
-         WHERE lex_rank <= $nArm),
+         WHERE lex_rank <= $nArm)"""
+
+  /** The RRF fusion + output CTE tail shared by the s15 and s18
+    * oracles — consumes `lex(q_id, doc_id, lex_rank)` and
+    * `vec(q_id, doc_id, vec_rank)`. */
+  private def rrfFusionSql(kOut: Int, rrfK: Int): String =
+    s"""fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+           coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+         FROM lex l FULL JOIN vec v
+           ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+       rrfscored AS (SELECT q_id, doc_id, lex_rank, vec_rank,
+           coalesce(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), CAST(0 AS DOUBLE)) AS rrf
+         FROM fused),
+       rrfranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           ORDER BY rrf DESC, doc_id) AS rank FROM rrfscored)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         round(rrf, 5) AS rrf, CAST(lex_rank AS BIGINT) AS lex_rank,
+         CAST(vec_rank AS BIGINT) AS vec_rank
+       FROM rrfranked WHERE rank <= $kOut ORDER BY q_id, rank"""
+
+  def hybridRrfOracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                      rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): String = {
+    val d = Dialect.duck
+    s"""WITH ${lexicalArmCtes(maxQueryId, nArm, probeDfBudgetFrac)},
        c AS (SELECT vec_id AS doc_id, embedding AS ce,
            ${normExpr(d, "embedding")} AS cn FROM embeddings),
        q AS (SELECT vec_id AS q_id, embedding AS qe,
@@ -628,20 +713,79 @@ object Similarity {
              ORDER BY ${dot(d, "qe", "ce")} / (qn * cn) DESC, doc_id) AS vec_rank
            FROM c JOIN q ON q_id <> doc_id) t
          WHERE vec_rank <= $nArm),
-       fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
-           coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
-         FROM lex l FULL JOIN vec v
-           ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
-       scored AS (SELECT q_id, doc_id, lex_rank, vec_rank,
-           coalesce(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), CAST(0 AS DOUBLE))
-             + coalesce(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), CAST(0 AS DOUBLE)) AS rrf
-         FROM fused),
-       ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-           ORDER BY rrf DESC, doc_id) AS rank FROM scored)
-       SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
-         round(rrf, 5) AS rrf, CAST(lex_rank AS BIGINT) AS lex_rank,
-         CAST(vec_rank AS BIGINT) AS vec_rank
-       FROM ranked WHERE rank <= $kOut ORDER BY q_id, rank"""
+       ${rrfFusionSql(kOut, rrfK)}"""
+  }
+
+  /** s18: [[hybridRrfIndexed]] with the index lifecycle managed the
+    * s12 way — the IVF index is built ONCE per corpus into a temp
+    * root (bounded cache keyed on the scan stamp; uncacheable frames
+    * get an ephemeral index torn down after materialization) and the
+    * fused retrieval probes it. This is the hybrid row a user
+    * actually runs: both arms are index probes (df-budgeted postings
+    * + dir-pruned cells), no corpus scan in the query path, and the
+    * whole composition is DuckDB-oracle-checked
+    * ([[hybridRrfIndexedOracle]] replays assignment, probing,
+    * ranking and fusion relationally). */
+  def hybridRrfIndexedAuto(documents: DataFrame, embeddings: DataFrame,
+                           maxQueryId: Long = 8, nArm: Int = 20,
+                           kOut: Int = 10, rrfK: Int = 60,
+                           probeDfBudgetFrac: Double = 2.0,
+                           nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    def buildTemp(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-vecidx-s18").toString
+      VecIndex.build(spark, root,
+        embeddings.select(col("vec_id"), col("embedding")))
+      root
+    }
+    // cache key component -1 = "full-corpus index" (s12's keys carry
+    // its batchMod, so the two families can never collide)
+    val (root, ephemeral) =
+      if (!Caching.bareScan(embeddings)) (buildTemp(), true)
+      else {
+        val stamp = Caching.stamp(embeddings)
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (vecIndexCache.getOrElseUpdate((spark, stamp, -1))(buildTemp()), false)
+      }
+    val res = hybridRrfIndexed(spark, documents, embeddings, root,
+      maxQueryId, nArm, kOut, rrfK, probeDfBudgetFrac, nProbe)
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => () }
+      out
+    } else res
+  }
+
+  /** s18 oracle: the same lexical arm + fusion as s15's, with the
+    * vector arm replayed through the IVF index relationally —
+    * corpus top-1 cell assignment, query top-nProbe probing, cosine
+    * rank over the probed cells' members (self excluded). The
+    * persisted-index path must equal this from-scratch relational
+    * computation exactly (the s12 discipline applied to the fused
+    * query). */
+  def hybridRrfIndexedOracle(maxQueryId: Long = 8, nArm: Int = 20,
+                             kOut: Int = 10, rrfK: Int = 60,
+                             probeDfBudgetFrac: Double = 2.0,
+                             nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    s"""WITH ${lexicalArmCtes(maxQueryId, nArm, probeDfBudgetFrac)},
+       $assignedCtes,
+       qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn, cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc WHERE vec_id < $maxQueryId) t
+         WHERE crn <= $nProbe),
+       vscored AS (SELECT q.q_id, c.vec_id AS doc_id,
+           ${dot(d, "q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         FROM assigned c JOIN qprobe q ON q.cell = c.cell
+         WHERE q.q_id <> c.vec_id),
+       vec AS (SELECT q_id, doc_id, vec_rank FROM (
+           SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, doc_id) AS vec_rank FROM vscored) t
+         WHERE vec_rank <= $nArm),
+       ${rrfFusionSql(kOut, rrfK)}"""
   }
 
   /** s13: RANGE (radius) search — all corpus vectors within a cosine

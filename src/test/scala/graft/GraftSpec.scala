@@ -324,6 +324,40 @@ class GraftSpec extends AnyFunSuite {
       "lexical arm died under the probe budget")
   }
 
+  test("s15 RAG composition: a persisted VecIndex serves the vector arm, fused output tracks the exact form") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_s15idx").toString + "/vidx"
+    graft.operators.VecIndex.build(spark, root, embs)
+    val indexed = graft.operators.Similarity
+      .hybridRrfIndexed(spark, docs, embs, root).collect()
+    val exact = graft.operators.Similarity.hybridRrf(docs, embs).collect()
+    assert(indexed.nonEmpty)
+    // same contract: schema, per-query bound, rank consistency
+    assert(indexed.head.schema.fieldNames.toSeq ==
+           exact.head.schema.fieldNames.toSeq)
+    indexed.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // fused top-k overlap vs the exact arm, measured live: IVF probe
+    // at nProbe=2 over the oracle-pinned centroid grid recalls most
+    // of the exact top-20, and RRF's lexical arm is identical, so the
+    // fused sets stay majority-overlapping per query
+    val byQ = exact.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val overlaps = indexed.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+      val got = rs.map(_.getAs[Long]("doc_id")).toSet
+      val want = byQ.getOrElse(q, Set.empty)
+      got.intersect(want).size.toDouble / math.max(want.size, 1)
+    }.toSeq
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.5, s"indexed-vs-exact fused overlap collapsed: mean=$mean")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
+
   test("PlaneBucket codegen: the generated loops compile and match the interpreted kernel bit-for-bit") {
     import org.apache.spark.sql.functions.col
     import graft.functions.GraftFunctions._
