@@ -53,5 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("graft_table_at_timestamp"),
       info("graft_table_at_timestamp", "snapshot of a graft VersionedTable at a wall-clock time (TIMESTAMP AS OF)"),
       (es: Seq[Expression]) => graft.sources.VersionedTable.tableAtTimestampFn(es)))
+    e.injectTableFunction((FunctionIdentifier("graft_table_changes"),
+      info("graft_table_changes", "change feed of a graft VersionedTable between two versions (keys = comma-separated merge-key list)"),
+      (es: Seq[Expression]) => graft.sources.VersionedTable.tableChangesFn(es)))
   }
 }

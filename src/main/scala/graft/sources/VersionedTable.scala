@@ -1168,12 +1168,36 @@ object VersionedTable {
       litString(es.head, "path"), litMillis(es(1), "ts")))
   }
 
-  /** Programmatic registration of the time-travel TVFs on a live
-    * session (the extensions class covers config-based sessions). */
+  /** `graft_table_changes(path, fromVersion, toVersion, keys)` — the
+    * CHANGE FEED through the SQL front door. `keys` is a
+    * comma-separated merge-key list (SQL has no string-array literal
+    * that reaches a TVF builder cleanly); output is [[changeFeed]]'s
+    * frame: key columns + `_old`/`_new` row images + `change_type`. */
+  private[graft] def tableChangesFn(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(es.length == 4,
+      "graft_table_changes(path, fromVersion, toVersion, keys) takes exactly 4 arguments")
+    def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                what: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
+        n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got: $other")
+    }
+    val keys = litString(es(3), "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "keys must name at least one merge-key column")
+    analyzed(changeFeed(SparkSession.active, litString(es.head, "path"),
+      longLit(es(1), "fromVersion"), longLit(es(2), "toVersion"), keys))
+  }
+
+  /** Programmatic registration of the time-travel + change-feed TVFs
+    * on a live session (the extensions class covers config-based
+    * sessions). */
   def registerSqlTimeTravel(spark: SparkSession): Unit = {
     val r = spark.sessionState.tableFunctionRegistry
     r.createOrReplaceTempFunction("graft_table", tableFn _, "built-in")
     r.createOrReplaceTempFunction("graft_table_at_version", tableAtVersionFn _, "built-in")
     r.createOrReplaceTempFunction("graft_table_at_timestamp", tableAtTimestampFn _, "built-in")
+    r.createOrReplaceTempFunction("graft_table_changes", tableChangesFn _, "built-in")
   }
 }

@@ -1220,6 +1220,13 @@ class GraftSpec extends AnyFunSuite {
     intercept[java.io.FileNotFoundException] {
       spark.sql(s"SELECT * FROM graft_table_at_timestamp('$root', 1000)").collect()
     }
+    // change feed through SQL == the Scala changeFeed, and it composes
+    val feed = spark.sql(
+      s"""SELECT suppkey, change_type
+          FROM graft_table_changes('$root', 0, 1, 'suppkey')
+          ORDER BY suppkey""").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == Seq((2L, "updated"), (3L, "inserted")))
   }
 
   test("VersionedTable: columnUpdate merge carries uncarried columns (delta-rs whenMatchedUpdate semantics)") {
