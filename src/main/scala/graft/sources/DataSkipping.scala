@@ -67,9 +67,9 @@ object DataSkipping {
     * "present but never prunes" sentinel (all-null / zero-row dirs of
     * EITHER type use it — NaN comparisons are false, and presence is
     * what stops the per-call rebuild). */
-  sealed private trait Stat
-  private final case class NumStat(mn: Double, mx: Double) extends Stat
-  private final case class StrStat(mn: String, mx: String) extends Stat
+  sealed private[sources] trait Stat
+  private[sources] final case class NumStat(mn: Double, mx: Double) extends Stat
+  private[sources] final case class StrStat(mn: String, mx: String) extends Stat
 
   private val NoStat: Stat = NumStat(Double.NaN, Double.NaN)
 
@@ -717,5 +717,50 @@ object DataSkipping {
     val (sc, nc) = Seq(c1, c2).partition(isString(delta, _))
     ensureStatsTyped(spark, root, v, nc, sc)
     v
+  }
+
+  // ── read-only sidecar views for the scan path ───────────────────
+  // GraftFileIndex (the `format("graft")` relation) prunes dirs from
+  // whatever stats the WRITERS left behind — a read must never mutate
+  // the table's log, so these views return what exists and build
+  // nothing. Delta's rule: stats are a write-time product; a scan
+  // consumes them or scans unpruned.
+
+  /** The stats sidecar of `version`, as written — no build. */
+  private[sources] def sidecarStatsView(spark: SparkSession, root: String,
+                                        v: Long): Map[String, Map[String, Stat]] =
+    readSidecar(spark, root, v)
+
+  /** The bloom sidecar of `version` for `column`, as written — no
+    * build. Empty map when the column has no bloom tier. */
+  private[sources] def bloomSidecarView(
+      spark: SparkSession, root: String, v: Long, column: String
+     ): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    readBloomSidecar(spark, root, v, column)
+
+  /** The columns with a bloom sidecar at `version` (one log listing). */
+  private[sources] def bloomColumnsView(spark: SparkSession, root: String,
+                                        v: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val ld = hp(s"$root/_log")
+    if (!f.exists(ld)) return Nil
+    val prefix = s"${verName(v)}.bloom."
+    f.listStatus(ld).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(n => decS(n.stripPrefix(prefix))).toSeq
+  }
+
+  /** [[ensureStats]] over a MIXED column list, split numeric/string by
+    * `schema` — the build entry point the `format("graft")` writer-side
+    * options use. Non-numeric non-string columns get the sentinel
+    * (present, never prunes). */
+  def ensureStatsAuto(spark: SparkSession, root: String, version: Long,
+                      cols: Seq[String],
+                      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (strs, nums) = cols.partition(c =>
+      schema.fields.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    ensureStatsTyped(spark, root, version, nums, strs)
+    ()
   }
 }

@@ -1,0 +1,237 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.SqlShim
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the versioned table as a first-class Spark
+  * data source, batch + streaming, read + write:
+  *
+  * {{{
+  * spark.read.format("graft").load(root)                          // head snapshot
+  * spark.read.format("graft").option("versionAsOf", 3).load(root) // time travel
+  * spark.read.format("graft").option("timestampAsOf", millis).load(root)
+  * spark.readStream.format("graft").load(root)                    // appends as a stream
+  * df.writeStream.format("graft").option("checkpointLocation", cp).start(root)
+  * }}}
+  *
+  * The batch relation is a `HadoopFsRelation` over [[GraftFileIndex]]:
+  * Catalyst plans it exactly like a parquet table (whole-stage
+  * codegen'd columnar scan, filters pushed to the parquet reader,
+  * column pruning), EXCEPT the file listing consults the table's
+  * stats/bloom sidecars against the pushed predicates — automatic
+  * file-level skipping inside any query shape, no explicit
+  * `DataSkipping.readWhere` call. This is the architecture Delta
+  * Lake ships on Spark (log-backed file index under an ordinary
+  * relation), rebuilt on this repo's commit log.
+  *
+  * The streaming source reads the COMMIT LOG, not the directory tree
+  * (version offsets, committed dirs only) — closing the staged-dir
+  * races the docstring of [[VersionedTable.streamAppends]] has to
+  * disclaim: an uncommitted or lost-race dir is simply never listed,
+  * and a batch is reproducible from its (start, end] version range
+  * alone. The sink appends each micro-batch with a `#txn` marker in
+  * the same atomic commit (Delta's txnAppId/txnVersion), so a
+  * restarted query skips replayed batches instead of double-writing.
+  *
+  * Options — batch read: `versionAsOf` (long), `timestampAsOf`
+  * (epoch millis), plus write-side stats opt-ins `ensureStats` /
+  * `ensureBloom` (comma-separated columns — builds the sidecars the
+  * index prunes with, same write-side lifecycle as
+  * `appendWithStats`). Streaming read: `startingVersion` (first
+  * version whose adds are delivered; default 0 = full history),
+  * `skipChangeCommits` (skip rewriting commits instead of failing —
+  * Delta's semantics). Streaming write: `txnAppId` (idempotence key;
+  * defaults to the query's checkpoint location).
+  */
+final class GraftDataSource extends RelationProvider with DataSourceRegister
+  with StreamSourceProvider with StreamSinkProvider {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source needs a table root: .load(\"/path/to/table\")"))
+
+  private def resolveVersion(spark: SparkSession, root: String,
+                             parameters: Map[String, String]): Long =
+    parameters.get("versionAsOf").map(_.trim.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        VersionedTable.versionAtTimestamp(spark, root, ts.trim.toLong).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"no version committed at or before $ts at $root"))
+      })
+      .getOrElse(VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed version at $root")))
+
+  // ── batch ─────────────────────────────────────────────────────────
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val v = resolveVersion(spark, root, parameters)
+    val schema = VersionedTable.readAsOf(spark, root, v).schema
+    // opt-in sidecar builds (write-side lifecycle, exposed here for
+    // convenience): compute once, cached in the log, inherited by
+    // future versions
+    parameters.get("ensureStats").foreach { cols =>
+      DataSkipping.ensureStatsAuto(spark, root, v,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, schema)
+    }
+    parameters.get("ensureBloom").foreach { cols =>
+      cols.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(c => DataSkipping.ensureBloom(spark, root, v, c))
+    }
+    HadoopFsRelation(
+      location = new GraftFileIndex(spark, root, v),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map("mergeSchema" -> "true"))(spark)
+  }
+
+  // ── streaming read ────────────────────────────────────────────────
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    (shortName(),
+      schema.getOrElse(VersionedTable.read(spark, root).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    new GraftStreamSource(spark, root,
+      schema.getOrElse(VersionedTable.read(spark, root).schema),
+      startingVersion = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
+  }
+
+  // ── streaming write ───────────────────────────────────────────────
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink is append-only (got $outputMode): a versioned " +
+        "table's streaming write is an append per micro-batch; use " +
+        "foreachBatch + merge for update semantics")
+    val root = rootOf(parameters)
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("checkpointLocation", s"graft-sink-$root"))
+    new GraftSink(sqlContext.sparkSession, root, appId)
+  }
+}
+
+/** Version-offset streaming source over the commit log. Offsets are
+  * COMMITTED VERSIONS (LongOffset of the head), so a micro-batch is
+  * "the dirs the commits in (startV, endV] added" — pure metadata to
+  * plan, reproducible on recovery from the offset range alone, and
+  * immune to the staged-dir races directory listing is exposed to: a
+  * dir that never committed is never delivered.
+  *
+  * Non-append commits (merge/compact/restore drop or re-reference
+  * prior entries) fail the stream by default — their adds hold
+  * already-delivered rows. With `skipChangeCommits` the whole commit
+  * is skipped (Delta's option of the same name): correct for
+  * compaction (the folded dir holds only delivered rows) and the
+  * documented at-most-once caveat for merge (rewritten rows are not
+  * re-delivered; consume the change feed for CDC).
+  *
+  * At 100 TB: per-trigger planning cost is O(commits since last
+  * trigger) commit-file reads — independent of table size — and each
+  * delivered batch reads exactly the appended bytes. */
+final class GraftStreamSource(spark: SparkSession, root: String,
+                              override val schema: StructType,
+                              startingVersion: Long,
+                              skipChangeCommits: Boolean) extends Source {
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.currentVersion(spark, root).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startV = start.map(versionOf).getOrElse(startingVersion - 1L)
+    val endV = versionOf(end)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var v = math.max(0L, startV + 1L)
+    while (v <= endV) {
+      val prev =
+        if (v == 0) Set.empty[String]
+        else VersionedTable.entryPairsOf(spark, root, v - 1).map(_._1).toSet
+      val cur = VersionedTable.entryPairsOf(spark, root, v).map(_._1)
+      val removed = prev -- cur.toSet
+      if (removed.nonEmpty) {
+        if (!skipChangeCommits) throw new IllegalStateException(
+          s"graft stream over $root: version $v rewrites or removes " +
+            s"data (${removed.size} dropped dirs — merge/compact/" +
+            "restore). Set skipChangeCommits=true to skip such " +
+            "commits (later appends still stream), or consume the " +
+            "change feed (graft_table_changes) for CDC semantics.")
+        // skip the commit's adds too: they re-package delivered rows
+      } else {
+        adds ++= cur.filterNot(prev.contains)
+      }
+      v += 1
+    }
+    if (adds.isEmpty) SqlShim.emptyStreamingFrame(spark, schema)
+    else {
+      val index = new GraftFileIndex(spark, root, endV, onlyRels = Some(adds.toSeq))
+      SqlShim.streamingFrame(spark, HadoopFsRelation(
+        location = index,
+        partitionSchema = new StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map("mergeSchema" -> "true"))(spark))
+    }
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[$root]"
+}
+
+/** Append-per-micro-batch sink with exactly-once replay protection:
+  * each batch lands through [[VersionedTable.appendRebaseTxn]], whose
+  * `#txn appId batchId` marker commits in the SAME atomic rename as
+  * the data entries. On restart the engine replays the last batch;
+  * [[VersionedTable.lastTxnBatch]] sees the marker and the sink skips
+  * — no double rows, no out-of-band state. Appends from other writers
+  * interleave freely (append-only commits commute; the rebase loop
+  * republishes the same staged dir). */
+final class GraftSink(spark: SparkSession, root: String, appId: String)
+  extends Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    if (VersionedTable.lastTxnBatch(spark, root, appId).exists(_ >= batchId)) return
+    // the incoming frame's plan carries the streaming source and
+    // refuses batch execution — re-wrap its computed rows (one
+    // incremental execution, standard v1-sink shape)
+    val rows = SqlShim.internalRows(data.asInstanceOf[DataFrame])
+    val batch = SqlShim.batchFrame(spark, rows, data.schema)
+    VersionedTable.appendRebaseTxn(spark, root, batch, appId, batchId)
+    ()
+  }
+
+  override def toString: String = s"GraftSink[$root]"
+}

@@ -211,13 +211,56 @@ object VersionedTable {
     * against entry pairs. */
   private[graft] def encodePartition(v: String): String = enc(v)
 
-  /** The entries a version's commit file publishes. */
+  /** The entries a version's commit file publishes. Lines starting
+    * with `#` are commit METADATA (e.g. the `#txn` idempotence marker
+    * the streaming sink writes), not data entries — skipped here, and
+    * never copied into checkpoints or carried entry lists. */
   private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] = {
     val f = fs(spark, root)
     val in = f.open(commitPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq.map(parseEntry)
+      .split("\n").map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSeq.map(parseEntry)
     finally in.close()
+  }
+
+  /** The `#txn` markers a version's commit file carries:
+    * (appId, batchId) pairs, committed ATOMICALLY with the version's
+    * entry list (same rename) — the exactly-once hook the streaming
+    * sink's replay check reads. */
+  private[graft] def txnOf(spark: SparkSession, root: String,
+                           v: Long): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    val in = f.open(commitPath(root, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      .split("\n").map(_.trim).filter(_.startsWith("#txn\t")).toSeq
+      .map { l =>
+        val parts = l.split("\t", -1)
+        (java.net.URLDecoder.decode(parts(1), "UTF-8"), parts(2).toLong)
+      }
+    finally in.close()
+  }
+
+  /** The most recent batchId `appId` committed, walking the log head
+    * → 0 and stopping at the first marker. O(versions since the
+    * app's last commit) commit-file reads — at a sink's restart, the
+    * distance is "commits by OTHER writers since our last batch",
+    * typically small; vacuumed log prefixes end the walk (a marker
+    * older than retention is unfindable, stated honestly — Delta's
+    * txn retention has the same bound). */
+  private[graft] def lastTxnBatch(spark: SparkSession, root: String,
+                                  appId: String): Option[Long] = {
+    val head = currentVersion(spark, root).getOrElse(return None)
+    val f = fs(spark, root)
+    var v = head
+    while (v >= 0) {
+      if (committed(f, root, v)) {
+        val hit = txnOf(spark, root, v).collect { case (a, b) if a == appId => b }
+        if (hit.nonEmpty) return Some(hit.max)
+        v -= 1
+      } else return None // vacuumed prefix — nothing older survives
+    }
+    None
   }
 
   /** Time travel: the immutable snapshot a given version published.
@@ -314,12 +357,26 @@ object VersionedTable {
     appendRebaseFrom(spark, root, df,
       currentVersion(spark, root).getOrElse(-1L), maxAttempts)
 
+  /** [[appendRebase]] carrying a `#txn appId batchId` marker in the
+    * SAME atomic commit — Delta's `txnAppId`/`txnVersion` idempotent
+    * write: a re-executed batch (streaming sink restart, retried
+    * foreachBatch) checks [[lastTxnBatch]] and skips instead of
+    * double-appending. The marker rides the commit file's rename, so
+    * there is no window where data landed but the marker did not. */
+  def appendRebaseTxn(spark: SparkSession, root: String, df: DataFrame,
+                      appId: String, batchId: Long,
+                      maxAttempts: Int = 10): Long =
+    appendRebaseFrom(spark, root, df,
+      currentVersion(spark, root).getOrElse(-1L), maxAttempts,
+      meta = Seq(s"#txn\t${java.net.URLEncoder.encode(appId, "UTF-8")}\t$batchId"))
+
   /** [[appendRebase]] with the FIRST attempt pinned to a caller-read
     * (possibly stale) base — the read-then-race window made explicit,
     * and the seam the conflict spec drives deterministically. */
   private[graft] def appendRebaseFrom(spark: SparkSession, root: String,
                                       df: DataFrame, firstBase: Long,
-                                      maxAttempts: Int = 10): Long = {
+                                      maxAttempts: Int = 10,
+                                      meta: Seq[String] = Nil): Long = {
     val f = fs(spark, root)
     val rel = s"data/append-${java.util.UUID.randomUUID()}"
     val staged = s"$root/$rel"
@@ -334,7 +391,7 @@ object VersionedTable {
         // no-op conflict cleanup: the staged dir survives a lost race
         // for the rebase; it is reclaimed only on final give-up
         publish(spark, root, base + 1, carry :+ Entry(rel, None),
-                onConflictCleanup = () => ())
+                onConflictCleanup = () => (), meta = meta)
         return base + 1
       } catch {
         case e: VersionConflictException =>
@@ -622,12 +679,13 @@ object VersionedTable {
     * file, then rename-no-replace onto the commit name. Also writes
     * the periodic log checkpoint after winning. */
   private def publish(spark: SparkSession, root: String, next: Long,
-                      entries: Seq[Entry], onConflictCleanup: () => Unit): Unit = {
+                      entries: Seq[Entry], onConflictCleanup: () => Unit,
+                      meta: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
     f.mkdirs(p(s"$root/_log"))
     val tmp = p(s"$root/_log/.tmp-${verName(next)}-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, /* overwrite = */ false)
-    try out.write(entries.map(_.line).mkString("\n").getBytes("UTF-8"))
+    try out.write((entries.map(_.line) ++ meta).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = commitPath(root, next)
     // defensive pre-check + no-replace rename: on HDFS the rename is

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DataSkipping, GraftFileIndex, VersionedTable}
+
+/** `format("graft")` — the versioned table as a first-class Spark
+  * source/sink: snapshot + time-travel batch reads whose file listing
+  * prunes from sidecar stats against Catalyst's pushed filters, a
+  * commit-log streaming source (committed dirs only, version
+  * offsets), and an idempotent streaming sink (`#txn` markers). */
+class GraftSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("graft-source-test", cores = 4)
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  // ── batch relation ────────────────────────────────────────────────
+
+  test("format(graft): head read equals VersionedTable.read; versionAsOf equals readAsOf") {
+    val root = tmp("src_head")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 5).toDF("id"), -1L)
+    VersionedTable.append(spark, root, spark.range(5, 9).toDF("id"), v0)
+
+    assert(ids(spark.read.format("graft").load(root)) == (0L until 9L).toSet)
+    assert(ids(spark.read.format("graft").option("versionAsOf", "0").load(root))
+      == (0L until 5L).toSet)
+    // a far-future timestamp resolves to the head; a prehistoric one fails loudly
+    assert(ids(spark.read.format("graft")
+      .option("timestampAsOf", (System.currentTimeMillis() + 3600L * 1000).toString)
+      .load(root)) == (0L until 9L).toSet)
+    intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft").option("timestampAsOf", "1000").load(root)
+    }
+  }
+
+  test("format(graft): pushed filters prune dirs via min/max stats, result stays exact") {
+    import org.apache.spark.sql.functions._
+    val root = tmp("src_prune")
+    // three dirs with DISJOINT id ranges, stats written at append time
+    // (the final ensureStats covers the v0 dir too)
+    VersionedTable.commit(spark, root, spark.range(0, 100).toDF("id"), -1L)
+    DataSkipping.appendWithStats(spark, root,
+      spark.range(100, 200).toDF("id"), Seq("id"))
+    DataSkipping.appendWithStats(spark, root,
+      spark.range(200, 300).toDF("id"), Seq("id"))
+
+    val hit = spark.read.format("graft").load(root).filter(col("id") === 250L)
+    assert(ids(hit) == Set(250L))
+    assert(GraftFileIndex.lastDirsTotal == 3 && GraftFileIndex.lastDirsKept == 1,
+      s"point probe must open 1/3 dirs, opened ${GraftFileIndex.lastDirsKept}")
+
+    val range = spark.read.format("graft").load(root)
+      .filter(col("id") >= 150L && col("id") < 220L)
+    assert(range.count() == 70)
+    assert(GraftFileIndex.lastDirsKept == 2,
+      "range straddling two dirs must open exactly those two")
+
+    val or = spark.read.format("graft").load(root)
+      .filter(col("id") === 10L || col("id") === 290L)
+    assert(ids(or) == Set(10L, 290L))
+    assert(GraftFileIndex.lastDirsKept == 2, "disjunction keeps the union of arms")
+
+    val miss = spark.read.format("graft").load(root).filter(col("id") === 999L)
+    assert(miss.count() == 0)
+    assert(GraftFileIndex.lastDirsKept == 0, "provably-empty probe opens no dir")
+
+    // the same filters reach the parquet reader too (row-group tier)
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,250)"),
+      s"filter must push to the parquet scan:\n$plan")
+  }
+
+  test("format(graft): a stats-less table never prunes (no stats never means no data)") {
+    import org.apache.spark.sql.functions._
+    val root = tmp("src_nostats")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 50).toDF("id"), -1L)
+    VersionedTable.append(spark, root, spark.range(50, 100).toDF("id"), v0)
+    val got = spark.read.format("graft").load(root).filter(col("id") === 75L)
+    assert(ids(got) == Set(75L))
+    assert(GraftFileIndex.lastDirsKept == GraftFileIndex.lastDirsTotal)
+  }
+
+  test("format(graft): bloom tier prunes point probes on unclustered string keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmp("src_bloom")
+    // high-cardinality digests in arrival order: min/max ranges all
+    // overlap, only the bloom can prune
+    def batch(seed: Int) = (0 until 200)
+      .map(i => (s"sha-${(i * 2654435761L + seed * 40503L) % 100000}%05d", seed))
+      .toDF("digest", "gen")
+    val v0 = VersionedTable.commit(spark, root, batch(1), -1L)
+    val v1 = VersionedTable.append(spark, root, batch(2), v0)
+    VersionedTable.append(spark, root, batch(3), v1)
+
+    val probe = batch(3).select("digest").as[String].head()
+    val got = spark.read.format("graft")
+      .option("ensureBloom", "digest").load(root)
+      .filter(col("digest") === probe)
+    assert(got.count() >= 1)
+    assert(GraftFileIndex.lastDirsKept < GraftFileIndex.lastDirsTotal,
+      s"bloom must prune some of the ${GraftFileIndex.lastDirsTotal} dirs " +
+        s"on a point probe (kept ${GraftFileIndex.lastDirsKept})")
+  }
+
+  test("format(graft): merge-schema evolution serves the union schema with nulls") {
+    import spark.implicits._
+    val root = tmp("src_evo")
+    val v0 = VersionedTable.commit(spark, root,
+      Seq((1L, "a")).toDF("id", "s"), -1L)
+    VersionedTable.append(spark, root,
+      Seq((2L, "b", 9.5)).toDF("id", "s", "score"), v0)
+    val df = spark.read.format("graft").load(root)
+    assert(df.columns.toSet == Set("id", "s", "score"))
+    assert(df.filter("id = 1").select("score").collect().head.isNullAt(0))
+  }
+
+  // ── streaming source ──────────────────────────────────────────────
+
+  test("graft stream: appends deliver exactly once from the commit log") {
+    val root = tmp("src_stream")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 3).toDF("id"), -1L)
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("graft_src_s1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(ids(spark.table("graft_src_s1")) == (0L until 3L).toSet)
+      VersionedTable.append(spark, root, spark.range(3, 7).toDF("id"), v0)
+      q.processAllAvailable()
+      val got = spark.table("graft_src_s1")
+      assert(ids(got) == (0L until 7L).toSet)
+      assert(got.count() == 7, "no duplicate delivery")
+      // quiet trigger delivers nothing new
+      q.processAllAvailable()
+      assert(spark.table("graft_src_s1").count() == 7)
+    } finally q.stop()
+  }
+
+  test("graft stream: change commits fail by default, skipChangeCommits skips them") {
+    val root = tmp("src_stream_chg")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 4).toDF("id"), -1L)
+    VersionedTable.append(spark, root, spark.range(4, 6).toDF("id"), v0)
+    VersionedTable.compact(spark, root)
+    val head = VersionedTable.currentVersion(spark, root).get
+    VersionedTable.append(spark, root, spark.range(6, 9).toDF("id"), head)
+
+    // default: the compact in the replayed history is a loud failure
+    val strict = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("graft_src_s2")
+      .outputMode("append").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        strict.processAllAvailable()
+      }
+      assert(e.getMessage.contains("skipChangeCommits") ||
+             Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+    } finally strict.stop()
+
+    // skipChangeCommits: every row exactly once (the compacted dir is
+    // skipped precisely because its rows streamed from the originals)
+    val lenient = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName("graft_src_s3")
+      .outputMode("append").start()
+    try {
+      lenient.processAllAvailable()
+      val got = spark.table("graft_src_s3")
+      assert(ids(got) == (0L until 9L).toSet)
+      assert(got.count() == 9, "compaction must not re-deliver rows")
+    } finally lenient.stop()
+  }
+
+  test("graft stream: startingVersion bounds the replay") {
+    val root = tmp("src_stream_sv")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 5).toDF("id"), -1L)
+    VersionedTable.append(spark, root, spark.range(5, 8).toDF("id"), v0)
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName("graft_src_s4")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(ids(spark.table("graft_src_s4")) == (5L until 8L).toSet)
+    } finally q.stop()
+  }
+
+  // ── streaming sink ────────────────────────────────────────────────
+
+  test("graft sink: a replayed batch id is skipped, not double-appended") {
+    val root = tmp("sink_txn")
+    val sink = new graft.sources.GraftSink(spark, root, "app-A")
+    sink.addBatch(0, spark.range(0, 4).toDF("id"))
+    sink.addBatch(0, spark.range(0, 4).toDF("id")) // restart replay
+    assert(ids(VersionedTable.read(spark, root)) == (0L until 4L).toSet)
+    assert(VersionedTable.read(spark, root).count() == 4)
+    sink.addBatch(1, spark.range(4, 6).toDF("id"))
+    assert(VersionedTable.read(spark, root).count() == 6)
+    assert(VersionedTable.lastTxnBatch(spark, root, "app-A").contains(1L))
+    // a DIFFERENT app's marker namespace is independent
+    assert(VersionedTable.lastTxnBatch(spark, root, "app-B").isEmpty)
+    // interleaved foreign appends do not confuse the walk
+    VersionedTable.appendRebase(spark, root, spark.range(6, 7).toDF("id"))
+    assert(VersionedTable.lastTxnBatch(spark, root, "app-A").contains(1L))
+  }
+
+  test("graft end-to-end: stream one versioned table into another") {
+    import org.apache.spark.sql.functions._
+    val src = tmp("pipe_src")
+    val dst = tmp("pipe_dst")
+    val cp = java.nio.file.Files.createTempDirectory("graft_pipe_cp").toString
+    val v0 = VersionedTable.commit(spark, src, spark.range(0, 5).toDF("id"), -1L)
+    val q = spark.readStream.format("graft").load(src)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp)
+      .option("txnAppId", "pipe-1")
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      VersionedTable.append(spark, src, spark.range(5, 8).toDF("id"), v0)
+      q.processAllAvailable()
+      val got = VersionedTable.read(spark, dst)
+      assert(ids(got) == (0L until 8L).toSet)
+      assert(got.count() == 8)
+      assert(got.filter("doubled != id * 2").isEmpty)
+    } finally q.stop()
+
+    // restart from the same checkpoint: nothing re-delivered
+    val q2 = spark.readStream.format("graft").load(src)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp)
+      .option("txnAppId", "pipe-1")
+      .start(dst)
+    try {
+      q2.processAllAvailable()
+      assert(VersionedTable.read(spark, dst).count() == 8,
+        "checkpoint restart must not duplicate rows")
+    } finally q2.stop()
+  }
+}
