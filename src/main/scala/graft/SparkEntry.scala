@@ -209,6 +209,10 @@ object SparkEntry {
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
     "m05_shard_pack" -> ((s, d) => Multimodal.shardPack(Tables.documents(s, d))),
+    "q48_lake_scan_pruned" -> ((s, d) =>
+      Relational.lakeScanPruned(Tables.lineitem(s, d))),
+    "st09_lake_stream" -> ((s, d) =>
+      graft.streaming.StreamOps.lakeStreamDrain(Tables.orders(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -519,5 +523,7 @@ object SparkEntry {
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),
+    "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
+    "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
   )
 }

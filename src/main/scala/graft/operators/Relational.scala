@@ -1418,4 +1418,43 @@ object Relational {
          round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
            / (CAST(n AS DOUBLE) * CAST(n * n - 1 AS DOUBLE)), 6) AS rho
        FROM s"""
+
+  /** q48: an analytics query through the `format("graft")` DATA SOURCE
+    * — the lake scan as Catalyst sees it in production. The table is
+    * landed as three stat-covered generations split by quantity band;
+    * the query is then ordinary DataFrame code over
+    * `spark.read.format("graft")`: the pushed-down `l_quantity >= 40`
+    * reaches [[graft.sources.GraftFileIndex]], which opens 1 of the 3
+    * dirs (min/max sidecar pruning, asserted in GraftSourceSpec), and
+    * the parquet reader gets the same filter for row-group pruning.
+    * Every earlier skipping row (q02-style readWhere) calls the
+    * pruning API explicitly; this row proves the AUTOMATIC path — at
+    * 100 TB the difference between an engine feature and a library
+    * convention users must remember to invoke. */
+  def lakeScanPruned(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-lake-q48").toString + "/t"
+    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_returnflag"), col("l_extendedprice"))
+    graft.sources.VersionedTable.commit(spark, root,
+      base.filter(col("l_quantity") < 20), -1L)
+    graft.sources.DataSkipping.appendWithStats(spark, root,
+      base.filter(col("l_quantity") >= 20 && col("l_quantity") < 35),
+      Seq("l_quantity"))
+    graft.sources.DataSkipping.appendWithStats(spark, root,
+      base.filter(col("l_quantity") >= 35), Seq("l_quantity"))
+    spark.read.format("graft").load(root)
+      .filter(col("l_quantity") >= 40)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           Rounding.roundN(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val lakeScanPrunedOracle: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         round(sum(l_extendedprice), 2) AS revenue
+       FROM lineitem WHERE l_quantity >= 40
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
 }

@@ -491,4 +491,49 @@ object StreamOps {
            count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"),
               col("n_events"))
+
+  // ---- st09: the versioned table AS a stream (format("graft")) --------
+
+  /** st09: a LIVE run of the commit-log streaming source — unlike the
+    * other st rows (batch twins; streams spec-tested), this row runs
+    * the real `readStream.format("graft")` end-to-end inside the
+    * oracle gate, because the graft source makes it deterministic: a
+    * micro-batch is "the dirs commits (startV, endV] added", so
+    * draining the stream delivers the three landed generations
+    * exactly once regardless of trigger timing. The aggregate over
+    * the sink then hash-matches plain SQL over `orders` ONLY if no
+    * row was dropped, duplicated, or phantom-read — delivery
+    * correctness checked by an external engine. At 100 TB this is the
+    * ingest fan-out shape: landed table → many streaming consumers,
+    * each planning O(new commits) per trigger, reading only appended
+    * bytes. */
+  def lakeStreamDrain(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-lake-st09").toString + "/t"
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val v0 = graft.sources.VersionedTable.commit(spark, root,
+      base.filter(pmod(col("o_orderkey"), lit(3)) === 0), -1L)
+    val v1 = graft.sources.VersionedTable.append(spark, root,
+      base.filter(pmod(col("o_orderkey"), lit(3)) === 1), v0)
+    graft.sources.VersionedTable.append(spark, root,
+      base.filter(pmod(col("o_orderkey"), lit(3)) === 2), v1)
+    val sink = "st09_lake_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           graft.operators.Rounding.roundN(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val lakeStreamOracle: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }
