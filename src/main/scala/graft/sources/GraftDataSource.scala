@@ -6,9 +6,10 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.SqlShim
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.SaveMode
 
 /** `format("graft")` — the versioned table as a first-class Spark
   * data source, batch + streaming, read + write:
@@ -51,7 +52,7 @@ import org.apache.spark.sql.types.StructType
   * defaults to the query's checkpoint location).
   */
 final class GraftDataSource extends RelationProvider with DataSourceRegister
-  with StreamSourceProvider with StreamSinkProvider {
+  with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -96,6 +97,35 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map("mergeSchema" -> "true"))(spark)
+  }
+
+  /** `df.write.format("graft").mode(...).save(root)` — the batch
+    * write path, each mode mapped to the commit protocol it means:
+    * Append → [[VersionedTable.appendRebase]] (O(batch) add-file
+    * commit, auto-rebased under concurrent appenders; creates the
+    * table when absent), Overwrite → [[VersionedTable.commit]] (a
+    * NEW version whose entry list is just the batch — history stays
+    * time-travelable, nothing is deleted), ErrorIfExists/Ignore →
+    * their SQL contracts against table existence. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val existing = VersionedTable.currentVersion(spark, root)
+    mode match {
+      case SaveMode.Append =>
+        VersionedTable.appendRebase(spark, root, data)
+      case SaveMode.Overwrite =>
+        VersionedTable.commit(spark, root, data, existing.getOrElse(-1L))
+      case SaveMode.ErrorIfExists =>
+        if (existing.isDefined) throw new IllegalStateException(
+          s"graft table already exists at $root (mode ErrorIfExists)")
+        VersionedTable.commit(spark, root, data, -1L)
+      case SaveMode.Ignore =>
+        if (existing.isEmpty) VersionedTable.commit(spark, root, data, -1L)
+    }
+    createRelation(sqlContext, parameters)
   }
 
   // ── streaming read ────────────────────────────────────────────────

@@ -119,6 +119,38 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(df.filter("id = 1").select("score").collect().head.isNullAt(0))
   }
 
+  test("format(graft) write path: save modes map to the commit protocol") {
+    val root = tmp("src_write")
+    spark.range(0, 3).toDF("id").write.format("graft").save(root) // ErrorIfExists default
+    assert(ids(spark.read.format("graft").load(root)) == (0L until 3L).toSet)
+    intercept[IllegalStateException] {
+      spark.range(0, 3).toDF("id").write.format("graft").save(root)
+    }
+    spark.range(3, 6).toDF("id").write.format("graft").mode("append").save(root)
+    assert(ids(spark.read.format("graft").load(root)) == (0L until 6L).toSet)
+    spark.range(9, 11).toDF("id").write.format("graft").mode("overwrite").save(root)
+    assert(ids(spark.read.format("graft").load(root)) == Set(9L, 10L))
+    spark.range(0, 99).toDF("id").write.format("graft").mode("ignore").save(root)
+    assert(ids(spark.read.format("graft").load(root)) == Set(9L, 10L),
+      "ignore mode must leave an existing table untouched")
+    // overwrite was a NEW version — history stays travelable
+    assert(ids(spark.read.format("graft").option("versionAsOf", "1").load(root))
+      == (0L until 6L).toSet)
+  }
+
+  test("SQL front door: CREATE TABLE ... USING graft, then plain SELECT") {
+    val root = tmp("src_ddl")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 7).toDF("id"), -1L)
+    VersionedTable.append(spark, root, spark.range(7, 10).toDF("id"), v0)
+    spark.sql(s"CREATE TABLE graft_ddl_t USING graft OPTIONS (path '$root')")
+    try {
+      val got = spark.sql(
+        "SELECT count(*) AS n, sum(id) AS s FROM graft_ddl_t WHERE id >= 5")
+        .collect().head
+      assert(got.getLong(0) == 5 && got.getLong(1) == (5 to 9).sum)
+    } finally spark.sql("DROP TABLE graft_ddl_t")
+  }
+
   // ── streaming source ──────────────────────────────────────────────
 
   test("graft stream: appends deliver exactly once from the commit log") {
