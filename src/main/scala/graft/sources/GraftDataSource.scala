@@ -130,14 +130,33 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
 
   // ── streaming read ────────────────────────────────────────────────
 
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+
+  private def cdcKeys(parameters: Map[String, String]): Seq[String] =
+    parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "readChangeFeed mode needs option(\"keys\", \"k1,k2\") — the row " +
+        "identity the change feed diffs on"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def cdcSchema(spark: SparkSession, root: String,
+                        keys: Seq[String]): StructType = {
+    val head = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    // a self-diff never executes — it is only the schema carrier
+    VersionedTable.changeFeed(spark, root, head, head, keys).schema
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    (shortName(),
-      schema.getOrElse(VersionedTable.read(spark, root).schema))
+    val inferred =
+      if (isCdc(parameters)) cdcSchema(spark, root, cdcKeys(parameters))
+      else VersionedTable.read(spark, root).schema
+    (shortName(), schema.getOrElse(inferred))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -145,9 +164,15 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    new GraftStreamSource(spark, root,
+    val startingVersion =
+      parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
+    if (isCdc(parameters)) {
+      val keys = cdcKeys(parameters)
+      new GraftChangeFeedSource(spark, root,
+        schema.getOrElse(cdcSchema(spark, root, keys)), keys, startingVersion)
+    } else new GraftStreamSource(spark, root,
       schema.getOrElse(VersionedTable.read(spark, root).schema),
-      startingVersion = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L),
+      startingVersion = startingVersion,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
   }
 
@@ -239,6 +264,59 @@ final class GraftStreamSource(spark: SparkSession, root: String,
 
   override def stop(): Unit = ()
   override def toString: String = s"GraftStreamSource[$root]"
+}
+
+/** CDC streaming — `option("readChangeFeed", "true")`: each
+  * micro-batch is [[VersionedTable.changeFeed]] over the batch's
+  * version range (startV → endV), so merges, deletes and overwrites
+  * stream as keyed `inserted`/`updated`/`deleted` rows with full
+  * old/new images instead of failing the append-only source — the
+  * declarative form of the MaterializedAgg.applyChangeFeed loop, and
+  * what a downstream upsert sink (foreachBatch → merge) consumes.
+  *
+  * Delta's CDF contract on offsets too: `startingVersion` is the BASE
+  * snapshot — changes of commits AFTER it stream; the base's own rows
+  * do not (seed the consumer with a batch read at that version).
+  *
+  * Cost, stated honestly: this log stores dir lists, not row-level
+  * change actions (Delta writes CDF files at commit time), so a
+  * trigger window prices one snapshot diff — a co-located full-outer
+  * join on the keys, cheap for the narrow trigger windows CDC runs
+  * with but O(snapshot), not O(delta). Multi-commit windows COALESCE
+  * to net changes by construction (a key updated twice emits once).
+  * The append-only fast path stays with [[GraftStreamSource]]. */
+final class GraftChangeFeedSource(spark: SparkSession, root: String,
+                                  override val schema: StructType,
+                                  keys: Seq[String],
+                                  startingVersion: Long) extends Source {
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.currentVersion(spark, root).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startV = math.max(0L, start.map(versionOf).getOrElse(startingVersion))
+    val endV = versionOf(end)
+    if (endV <= startV) SqlShim.emptyStreamingFrame(spark, schema)
+    else {
+      // cast to the stream's pinned schema: a table whose columns
+      // evolved mid-stream fails the cast LOUDLY (restart the stream
+      // to adopt the new shape — Delta CDF's contract) instead of
+      // mislabeling InternalRow layouts
+      val feed = VersionedTable.changeFeed(spark, root, startV, endV, keys)
+        .select(schema.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      SqlShim.streamingRowsFrame(spark, SqlShim.internalRows(feed), schema)
+    }
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftChangeFeedSource[$root]"
 }
 
 /** Append-per-micro-batch sink with exactly-once replay protection:

@@ -39,6 +39,14 @@ object SqlShim {
       s.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
   }
 
+  /** A streaming frame over a computed InternalRow RDD (lazy — the
+    * RDD executes when the trigger runs) — the `getBatch` shape for
+    * sources whose batch is a derived computation rather than a file
+    * listing (the CDC mode's snapshot diff). */
+  def streamingRowsFrame(spark: SparkSession, rows: RDD[InternalRow],
+                         schema: StructType): DataFrame =
+    classic(spark).internalCreateDataFrame(rows, schema, isStreaming = true)
+
   /** A plain BATCH frame over already-computed InternalRows — how a
     * v1 `Sink.addBatch` re-wraps the incremental result for a batch
     * writer (the incoming frame's plan still carries the streaming

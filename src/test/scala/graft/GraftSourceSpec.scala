@@ -221,6 +221,66 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft CDC stream: merges and overwrites arrive as keyed change rows") {
+    import spark.implicits._
+    val root = tmp("src_cdc")
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "s", "v"), -1L)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", "id").load(root)
+      .writeStream.format("memory").queryName("graft_cdc_s1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_cdc_s1").count() == 0,
+        "startingVersion is the base snapshot — its rows do not stream")
+      // one merge: update id=2, insert id=4 (merge = non-append commit)
+      VersionedTable.merge(spark, root,
+        Seq((2L, "b2", 22.0), (4L, "d", 40.0)).toDF("id", "s", "v"), Seq("id"))
+      q.processAllAvailable()
+      val afterMerge = spark.table("graft_cdc_s1")
+        .select("id", "change_type").as[(Long, String)].collect().toSet
+      assert(afterMerge == Set((2L, "updated"), (4L, "inserted")),
+        s"got $afterMerge")
+      // an overwrite that drops id=1 streams a delete
+      val head = VersionedTable.currentVersion(spark, root).get
+      VersionedTable.commit(spark, root,
+        VersionedTable.read(spark, root).filter("id != 1"), head)
+      q.processAllAvailable()
+      val all = spark.table("graft_cdc_s1")
+        .select("id", "change_type").as[(Long, String)].collect().toSet
+      assert(all == Set((2L, "updated"), (4L, "inserted"), (1L, "deleted")),
+        s"got $all")
+      // images carry the payloads
+      val upd = spark.table("graft_cdc_s1").filter("id = 2")
+        .selectExpr("_old.s", "_new.s").as[(String, String)].head()
+      assert(upd == ("b", "b2"))
+    } finally q.stop()
+  }
+
+  test("graft CDC stream: a multi-commit trigger window coalesces to net changes") {
+    import spark.implicits._
+    val root = tmp("src_cdc_net")
+    val v0 = VersionedTable.commit(spark, root,
+      Seq((1L, 10.0)).toDF("id", "v"), -1L)
+    // two commits BEFORE the stream drains: insert then update id=2
+    VersionedTable.merge(spark, root, Seq((2L, 5.0)).toDF("id", "v"), Seq("id"))
+    VersionedTable.merge(spark, root, Seq((2L, 7.0)).toDF("id", "v"), Seq("id"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", v0.toString).load(root)
+      .writeStream.format("memory").queryName("graft_cdc_s2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_cdc_s2")
+        .selectExpr("id", "change_type", "_new.v").as[(Long, String, Double)]
+        .collect().toSet
+      assert(got == Set((2L, "inserted", 7.0)),
+        s"two commits on one key must coalesce to the net change, got $got")
+    } finally q.stop()
+  }
+
   // ── streaming sink ────────────────────────────────────────────────
 
   test("graft sink: a replayed batch id is skipped, not double-appended") {
