@@ -45,8 +45,21 @@ final class GraftFileIndex(spark: SparkSession, root: String,
                            onlyRels: Option[Seq[String]] = None)
   extends FileIndex {
 
-  private val rels: Seq[String] =
-    onlyRels.getOrElse(VersionedTable.dirsOf(spark, root, version))
+  private val entryPairs: Seq[(String, Option[String])] =
+    onlyRels.map(_.map(r => (r, Option.empty[String])))
+      .getOrElse(VersionedTable.entryPairsOf(spark, root, version))
+  private val rels: Seq[String] = entryPairs.map(_._1)
+
+  // partition-native pruning: entry annotations are EXACT (a dir holds
+  // one partition value), so a predicate on the partition column
+  // prunes without any stats at all; the column name comes from the
+  // commit's #partcol marker
+  private val partByRel: Map[String, String] = entryPairs.collect {
+    case (r, Some(pv)) => r -> java.net.URLDecoder.decode(pv, "UTF-8")
+  }.toMap
+  private lazy val partCol: Option[String] =
+    if (partByRel.isEmpty) None
+    else VersionedTable.partitionColumnOf(spark, root, version)
 
   private def fsys: FileSystem =
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -166,6 +179,30 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   private def statFor(rel: String, c: String): Option[DataSkipping.Stat] =
     stats.get(rel).flatMap(_.get(c))
 
+  /** The dir's partition value when `c` IS the partition column. The
+    * stored value is Spark's string cast of the column (what
+    * stagePartitions wrote), so numeric literals compare through a
+    * double parse and string literals compare directly; any other
+    * literal type keeps the dir. */
+  private def partValueOf(rel: String, c: String): Option[String] =
+    if (partCol.contains(c)) partByRel.get(rel) else None
+
+  /** partition-value check for attr = lit: false only on PROOF of
+    * mismatch. */
+  private def partEqMayMatch(pv: String, l: Literal): Boolean =
+    strOf(l).map(_ == pv)
+      .orElse(numOf(l).map(v => pv.toDoubleOption.forall(_ == v)))
+      .getOrElse(true)
+
+  /** partition-value check for the ordered comparisons. */
+  private def partRangeMayMatch(pv: String, l: Literal,
+                                attrAbove: Boolean): Boolean =
+    numOf(l).flatMap(v => pv.toDoubleOption.map(p =>
+      if (attrAbove) !(p < v) else !(p > v)))
+      .orElse(strOf(l).map(v =>
+        if (attrAbove) !(pv.compareTo(v) < 0) else !(pv.compareTo(v) > 0)))
+      .getOrElse(true)
+
   private def numOf(l: Literal): Option[Double] = l.value match {
     case null => None
     case b: Byte => Some(b.toDouble)
@@ -189,8 +226,8 @@ final class GraftFileIndex(spark: SparkSession, root: String,
     * `>=`) — it can only keep an excludable boundary dir, never drop
     * a matching one. */
   private def rangeMayMatch(rel: String, c: String, l: Literal,
-                            attrAbove: Boolean): Boolean =
-    statFor(rel, c) match {
+                            attrAbove: Boolean): Boolean = {
+    val byStat = statFor(rel, c) match {
       case Some(DataSkipping.NumStat(mn, mx)) =>
         numOf(l).forall(v => if (attrAbove) !(mx < v) else !(mn > v))
       case Some(DataSkipping.StrStat(mn, mx)) =>
@@ -198,11 +235,14 @@ final class GraftFileIndex(spark: SparkSession, root: String,
           if (attrAbove) !(mx.compareTo(v) < 0) else !(mn.compareTo(v) > 0))
       case _ => true
     }
+    byStat && partValueOf(rel, c).forall(pv => partRangeMayMatch(pv, l, attrAbove))
+  }
 
   /** attr = lit: range test, then (when the column has a bloom tier)
     * the membership test — bloom's no-false-negative guarantee keeps
     * this CORRECT, fpp only costs an extra opened dir. */
   private def eqMayMatch(rel: String, c: String, l: Literal): Boolean = {
+    if (!partValueOf(rel, c).forall(pv => partEqMayMatch(pv, l))) return false
     val inRange = statFor(rel, c) match {
       case Some(DataSkipping.NumStat(mn, mx)) =>
         numOf(l).forall(v => !(mx < v || mn > v))

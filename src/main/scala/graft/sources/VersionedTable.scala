@@ -241,6 +241,33 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** `#partcol` metadata line: partition-native commits record WHICH
+    * column their entry annotations partition by, so a reader
+    * (GraftFileIndex) can prune dirs on partition predicates without
+    * being told the column out of band. Maintenance commits that
+    * preserve the annotations (compact/restore/carrying writes)
+    * inherit the marker from the version they derive from. */
+  private def partColMetaLine(c: String) = s"#partcol\t${enc(c)}"
+
+  /** The partition column a version's commit recorded, if any. */
+  private[graft] def partitionColumnOf(spark: SparkSession, root: String,
+                                       v: Long): Option[String] = {
+    val f = fs(spark, root)
+    if (!committed(f, root, v)) return None
+    val in = f.open(commitPath(root, v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.split("\n").map(_.trim).find(_.startsWith("#partcol\t"))
+      .map(l => java.net.URLDecoder.decode(l.split("\t", -1)(1), "UTF-8"))
+  }
+
+  /** The meta lines a derived commit should carry forward from `base`
+    * (currently: the partition-column marker). */
+  private def inheritMeta(spark: SparkSession, root: String,
+                          base: Long): Seq[String] =
+    if (base < 0) Nil
+    else partitionColumnOf(spark, root, base).map(partColMetaLine).toSeq
+
   /** The most recent batchId `appId` committed, walking the log head
     * → 0 and stopping at the first marker. O(versions since the
     * app's last commit) commit-file reads — at a sink's restart, the
@@ -529,7 +556,8 @@ object VersionedTable {
     require(committed(fs(spark, root), root, toVersion),
       s"cannot restore $root to uncommitted version $toVersion")
     val next = cur + 1
-    publish(spark, root, next, entriesOf(spark, root, toVersion), () => ())
+    publish(spark, root, next, entriesOf(spark, root, toVersion), () => (),
+            meta = inheritMeta(spark, root, toVersion))
     next
   }
 
@@ -552,7 +580,8 @@ object VersionedTable {
       s"appendPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next, carry ++ entries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+            meta = Seq(partColMetaLine(partitionCol)))
     next
   }
 
@@ -585,7 +614,8 @@ object VersionedTable {
       }
       catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
     publish(spark, root, next, newEntries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+            meta = inheritMeta(spark, root, base))
     next
   }
 
@@ -662,7 +692,8 @@ object VersionedTable {
   }
 
   private def stageAndCommit(spark: SparkSession, root: String, df: DataFrame,
-                             base: Long, carryOver: Seq[Entry]): Long = {
+                             base: Long, carryOver: Seq[Entry],
+                             meta: Seq[String] = Nil): Long = {
     enforceConstraints(spark, root, df)
     val f = fs(spark, root)
     val next = base + 1
@@ -671,7 +702,7 @@ object VersionedTable {
     try df.write.mode("errorifexists").parquet(staged)
     catch { case e: Throwable => f.delete(p(staged), true); throw e }
     publish(spark, root, next, carryOver :+ Entry(rel, None),
-            onConflictCleanup = () => f.delete(p(staged), true))
+            onConflictCleanup = () => f.delete(p(staged), true), meta = meta)
     next
   }
 
@@ -898,7 +929,8 @@ object VersionedTable {
                                     df: DataFrame, base: Long,
                                     carried: Seq[(String, Option[String])]): Long =
     stageAndCommit(spark, root, df, base,
-                   carryOver = carried.map { case (rel, pv) => Entry(rel, pv) })
+                   carryOver = carried.map { case (rel, pv) => Entry(rel, pv) },
+                   meta = inheritMeta(spark, root, base))
 
   /** The shared PARTITION-SCOPED REWRITE primitive: stage `df` one dir
     * per touched partition value, and publish `base + 1` with
@@ -917,7 +949,8 @@ object VersionedTable {
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next,
             carried.map { case (rel, pv) => Entry(rel, pv) } ++ entries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true))
+            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+            meta = Seq(partColMetaLine(partitionCol)))
     next
   }
 
@@ -1018,7 +1051,8 @@ object VersionedTable {
         val carried = pubEntries.filterNot(e => e.part.exists(touchedEnc.contains))
         try {
           publish(spark, root, pubBase + 1, carried ++ staged,
-                  onConflictCleanup = () => ())
+                  onConflictCleanup = () => (),
+                  meta = Seq(partColMetaLine(partitionCol)))
           lastMergeRebased = pubBase != base
           return pubBase + 1
         } catch {

@@ -107,6 +107,61 @@ class GraftSourceSpec extends AnyFunSuite {
         s"on a point probe (kept ${GraftFileIndex.lastDirsKept})")
   }
 
+  test("format(graft): partition-native tables prune exactly on the partition column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmp("src_part")
+    def day(d: Int, lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"2024-01-0$d")).toDF("id", "day")
+    val v0 = VersionedTable.commitPartitioned(spark, root, day(1, 0, 10), "day", -1L)
+    VersionedTable.appendPartitioned(spark, root,
+      day(2, 10, 20).union(day(3, 20, 30)), "day", v0)
+
+    val hit = spark.read.format("graft").load(root)
+      .filter(col("day") === "2024-01-02")
+    assert(hit.select("id").collect().map(_.getLong(0)).toSet == (10L until 20L).toSet)
+    assert(GraftFileIndex.lastDirsKept == 1 && GraftFileIndex.lastDirsTotal == 3,
+      s"partition probe must open 1/3 dirs, opened ${GraftFileIndex.lastDirsKept}")
+
+    val in2 = spark.read.format("graft").load(root)
+      .filter(col("day").isin("2024-01-01", "2024-01-03"))
+    assert(in2.count() == 20)
+    assert(GraftFileIndex.lastDirsKept == 2)
+
+    val range = spark.read.format("graft").load(root)
+      .filter(col("day") >= "2024-01-03")
+    assert(range.count() == 10)
+    assert(GraftFileIndex.lastDirsKept == 1)
+
+    // maintenance preserves the marker: compaction then a partition
+    // merge, pruning must still work at the new head
+    VersionedTable.compactPartitioned(spark, root)
+    VersionedTable.mergePartitioned(spark, root,
+      Seq((25L, "2024-01-03")).toDF("id", "day"), Seq("id"), "day")
+    val afterMaint = spark.read.format("graft").load(root)
+      .filter(col("day") === "2024-01-03")
+    assert(afterMaint.count() == 10)
+    assert(GraftFileIndex.lastDirsKept == 1 && GraftFileIndex.lastDirsTotal == 3,
+      "compact + merge must carry the #partcol marker forward")
+  }
+
+  test("format(graft): numeric partition values compare numerically, not lexically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmp("src_part_num")
+    val v0 = VersionedTable.commitPartitioned(spark, root,
+      (0 until 5).map(i => (i, 2)).toDF("id", "bucket"), "bucket", -1L)
+    VersionedTable.appendPartitioned(spark, root,
+      (5 until 10).map(i => (i, 10)).toDF("id", "bucket"), "bucket", v0)
+    // lexically "10" < "2" — a string compare would prune the wrong dir
+    val got = spark.read.format("graft").load(root).filter(col("bucket") >= 10)
+    assert(got.count() == 5)
+    assert(GraftFileIndex.lastDirsKept == 1)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("bucket") === 2).count() == 5)
+    assert(GraftFileIndex.lastDirsKept == 1)
+  }
+
   test("format(graft): merge-schema evolution serves the union schema with nulls") {
     import spark.implicits._
     val root = tmp("src_evo")

@@ -1430,9 +1430,11 @@ class GraftSpec extends AnyFunSuite {
     val keys = Seq("suppkey", "record_type") // partition col is part of the key => stable
     def tbl(rows: (Long, String, Double)*) =
       rows.toSeq.toDF("suppkey", "record_type", "qty")
+    // entry lines only: '#'-prefixed lines are commit metadata
+    // (#partcol / #txn), not dir entries — same rule the reader applies
     def commitLines(v: Long) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/_log/v${"%08d".format(v)}.commit")), "UTF-8")
-      .split("\n").toSeq
+      .split("\n").toSeq.filterNot(_.startsWith("#"))
     // v0: three partitions A/B/C, one dir each
     assert(VersionedTable.mergePartitioned(spark, root,
       tbl((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "C", 40.0)),
@@ -1758,9 +1760,11 @@ class GraftSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.sources.{DataSkipping, VersionedTable}
     val root = java.nio.file.Files.createTempDirectory("graft_fmerge").toString + "/t"
+    // entry lines only: '#'-prefixed lines are commit metadata
+    // (#partcol / #txn), not dir entries — same rule the reader applies
     def commitLines(v: Long) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/_log/v${"%08d".format(v)}.commit")), "UTF-8")
-      .split("\n").toSeq
+      .split("\n").toSeq.filterNot(_.startsWith("#"))
     // a key-clustered table: 10 dirs, each holding one disjoint key
     // century (EVEN keys only, so inserts inside a century exist)
     val base = spark.range(0, 1000, 2).toDF("k")
