@@ -162,6 +162,41 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftFileIndex.lastDirsKept == 1)
   }
 
+  test("format(graft): a long append chain lists distributed, reads exact") {
+    import org.apache.spark.sql.functions._
+    val root = tmp("src_many")
+    var v = VersionedTable.commit(spark, root, spark.range(0, 10).toDF("id"), -1L)
+    (1 until 40).foreach { g =>
+      v = VersionedTable.append(spark, root,
+        spark.range(g * 10L, g * 10L + 10).toDF("id"), v)
+    }
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == 400)
+    assert(GraftFileIndex.lastListingDistributed,
+      "40 dirs must take the distributed listing path")
+    assert(ids(df.filter(col("id") === 250L)) == Set(250L))
+  }
+
+  test("format(graft): z-ordered tables prune range filters on either cluster column") {
+    import org.apache.spark.sql.functions._
+    val root = tmp("src_zord")
+    val data = spark.range(0, 4000).toDF("id")
+      .withColumn("x", col("id") % 64)
+      .withColumn("y", (col("id") / lit(64)).cast("long"))
+    DataSkipping.zOrderCommit(spark, root, data, "x", "y", nDirs = 16, base = -1L)
+    val onX = spark.read.format("graft").load(root)
+      .filter(col("x") >= 0 && col("x") <= 3)
+    assert(onX.count() == data.filter(col("x") <= 3).count())
+    val keptX = GraftFileIndex.lastDirsKept
+    assert(keptX < GraftFileIndex.lastDirsTotal,
+      s"x-range must prune a z-ordered layout (kept $keptX)")
+    val onY = spark.read.format("graft").load(root)
+      .filter(col("y") >= 0 && col("y") <= 3)
+    assert(onY.count() == data.filter(col("y") <= 3).count())
+    assert(GraftFileIndex.lastDirsKept < GraftFileIndex.lastDirsTotal,
+      "y-range must prune too — that is what the z-curve buys over linear sort")
+  }
+
   test("format(graft): merge-schema evolution serves the union schema with nulls") {
     import spark.implicits._
     val root = tmp("src_evo")
