@@ -166,14 +166,18 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     val root = rootOf(parameters)
     val startingVersion =
       parameters.get("startingVersion").map(_.trim.toLong).getOrElse(0L)
+    val maxVersions =
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
     if (isCdc(parameters)) {
       val keys = cdcKeys(parameters)
       new GraftChangeFeedSource(spark, root,
-        schema.getOrElse(cdcSchema(spark, root, keys)), keys, startingVersion)
+        schema.getOrElse(cdcSchema(spark, root, keys)), keys, startingVersion,
+        maxVersionsPerTrigger = maxVersions)
     } else new GraftStreamSource(spark, root,
       schema.getOrElse(VersionedTable.read(spark, root).schema),
       startingVersion = startingVersion,
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
+      maxVersionsPerTrigger = maxVersions)
   }
 
   // ── streaming write ───────────────────────────────────────────────
@@ -191,6 +195,26 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       parameters.getOrElse("checkpointLocation", s"graft-sink-$root"))
     new GraftSink(sqlContext.sparkSession, root, appId)
   }
+}
+
+/** Catch-up rate limiting for the version-offset sources
+  * (`maxVersionsPerTrigger`): bounds how many versions one
+  * micro-batch may span, so a consumer that was down for a day
+  * drains its backlog in bounded batches instead of one giant
+  * catch-up batch (Delta's maxFilesPerTrigger concern, expressed in
+  * versions — the unit this log meters by). Restart-safe through the
+  * v1 recovery contract: on restart the engine re-invokes
+  * `getBatch` with the checkpointed range before asking for a new
+  * offset (the call FileStreamSource uses to rebuild its state), and
+  * `getBatch` feeds this gate — so the cap advances from where the
+  * query actually was, never from scratch (spec-pinned with a real
+  * checkpoint restart). */
+private[sources] final class VersionRateGate(startingVersion: Long,
+                                             maxPerTrigger: Option[Long]) {
+  @volatile private var lastSeen: Long = startingVersion - 1L
+  def seen(v: Long): Unit = { if (v > lastSeen) lastSeen = v }
+  def cap(head: Long): Long =
+    maxPerTrigger.map(m => math.min(head, lastSeen + m)).getOrElse(head)
 }
 
 /** Version-offset streaming source over the commit log. Offsets are
@@ -214,7 +238,11 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
 final class GraftStreamSource(spark: SparkSession, root: String,
                               override val schema: StructType,
                               startingVersion: Long,
-                              skipChangeCommits: Boolean) extends Source {
+                              skipChangeCommits: Boolean,
+                              maxVersionsPerTrigger: Option[Long] = None)
+  extends Source {
+
+  private val gate = new VersionRateGate(startingVersion, maxVersionsPerTrigger)
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -223,11 +251,12 @@ final class GraftStreamSource(spark: SparkSession, root: String,
   }
 
   override def getOffset: Option[Offset] =
-    VersionedTable.currentVersion(spark, root).map(LongOffset(_))
+    VersionedTable.currentVersion(spark, root).map(h => LongOffset(gate.cap(h)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(versionOf).getOrElse(startingVersion - 1L)
     val endV = versionOf(end)
+    gate.seen(endV)
     val adds = scala.collection.mutable.ArrayBuffer.empty[String]
     var v = math.max(0L, startV + 1L)
     while (v <= endV) {
@@ -288,7 +317,11 @@ final class GraftStreamSource(spark: SparkSession, root: String,
 final class GraftChangeFeedSource(spark: SparkSession, root: String,
                                   override val schema: StructType,
                                   keys: Seq[String],
-                                  startingVersion: Long) extends Source {
+                                  startingVersion: Long,
+                                  maxVersionsPerTrigger: Option[Long] = None)
+  extends Source {
+
+  private val gate = new VersionRateGate(startingVersion + 1L, maxVersionsPerTrigger)
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -297,11 +330,12 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   }
 
   override def getOffset: Option[Offset] =
-    VersionedTable.currentVersion(spark, root).map(LongOffset(_))
+    VersionedTable.currentVersion(spark, root).map(h => LongOffset(gate.cap(h)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = math.max(0L, start.map(versionOf).getOrElse(startingVersion))
     val endV = versionOf(end)
+    gate.seen(endV)
     if (endV <= startV) SqlShim.emptyStreamingFrame(spark, schema)
     else {
       // cast to the stream's pinned schema: a table whose columns
