@@ -403,6 +403,53 @@ object Demo {
       s"${drained.get() - afterFirst} (only the append's rows — the consumer's " +
       "checkpoint, not the table, tracks the offset)")
 
+    // 24. THE CONNECTOR: the same lake as a first-class Spark source —
+    //     format("graft") reads plan like parquet but the file listing
+    //     prunes from the stats sidecars against the PUSHED filters
+    //     (no explicit skipping API), and the stream is the commit log
+    val cr = s"$work/versioned/connector"
+    rawOrders.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.format("graft").save(cr)
+    graft.sources.DataSkipping.appendWithStats(spark, cr,
+      rawOrders.filter(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_totalprice"), Seq("o_orderkey"))
+    graft.sources.DataSkipping.appendWithStats(spark, cr,
+      rawOrders.filter(col("o_orderkey") % 3 === 2)
+        .select("o_orderkey", "o_totalprice"), Seq("o_orderkey"))
+    val probeKey = rawOrders.orderBy(desc("o_orderkey")).limit(1)
+      .select("o_orderkey").as[Long].head()
+    val found = spark.read.format("graft").load(cr)
+      .filter(col("o_orderkey") === probeKey).count()
+    val connKept = graft.sources.GraftFileIndex.lastDirsKept
+    val connTotal = graft.sources.GraftFileIndex.lastDirsTotal
+    val v0Rows = spark.read.format("graft")
+      .option("versionAsOf", "0").load(cr).count()
+    // CDC: a merge streams as keyed change rows, not a failure
+    // (merge BEFORE the drain — AvailableNow snapshots its end offset
+    // at start, so a commit racing the drain lands in the NEXT one)
+    val cdcSink = s"$work/connector_cdc_rows"
+    val cdcBase = graft.sources.VersionedTable.currentVersion(spark, cr).get
+    graft.sources.VersionedTable.merge(spark, cr,
+      rawOrders.orderBy("o_orderkey").limit(5)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice")),
+      Seq("o_orderkey"))
+    val cdcQ = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", "o_orderkey")
+      .option("startingVersion", cdcBase.toString)
+      .load(cr)
+      .writeStream.option("checkpointLocation", s"$work/connector_cdc_ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Formats.writeJson(b.select(col("o_orderkey"), col("change_type")), cdcSink)
+        ()
+      }.start()
+    cdcQ.awaitTermination()
+    val cdcRows = spark.read.json(cdcSink).count()
+    println(s"24. connector: point probe opened $connKept/$connTotal dirs " +
+      s"($found row), versionAsOf(0)=$v0Rows rows, merge streamed " +
+      s"$cdcRows change rows through readChangeFeed")
+
     println("== demo complete")
     spark.stop()
   }
