@@ -95,7 +95,7 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = new GraftGuardedParquet,
       options = Map("mergeSchema" -> "true"))(spark)
   }
 
@@ -197,6 +197,31 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
   }
 }
 
+/** Parquet read machinery with DIRECT WRITES REJECTED: Spark plans
+  * `INSERT INTO` over any HadoopFsRelation as a direct file write
+  * into the relation's root path — which would drop files NEXT TO the
+  * commit log, invisible to every reader (the log's entry lists, not
+  * the directory, define the table). Without this guard the insert
+  * "succeeds" and the rows silently vanish — the worst failure mode a
+  * transactional table can have. `prepareWrite` is the one hook on
+  * that path, so it throws with the correct alternative; reads are
+  * untouched ParquetFileFormat. */
+private[sources] final class GraftGuardedParquet
+  extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(
+      sparkSession: org.apache.spark.sql.SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+    : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "direct file writes (INSERT INTO / insertInto) bypass the graft " +
+        "commit log and would be invisible to readers — write through " +
+        "df.write.format(\"graft\").mode(\"append\"), the streaming " +
+        "sink, or the VersionedTable API instead")
+  override def toString: String = "GraftParquet"
+}
+
 /** Catch-up rate limiting for the version-offset sources
   * (`maxVersionsPerTrigger`): bounds how many versions one
   * micro-batch may span, so a consumer that was down for a day
@@ -286,7 +311,7 @@ final class GraftStreamSource(spark: SparkSession, root: String,
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
+        fileFormat = new GraftGuardedParquet,
         options = Map("mergeSchema" -> "true"))(spark))
     }
   }

@@ -241,6 +241,24 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_ddl_t")
   }
 
+  test("INSERT INTO a graft table fails loudly instead of bypassing the log") {
+    val root = tmp("src_ins")
+    VersionedTable.commit(spark, root, spark.range(0, 5).toDF("id"), -1L)
+    spark.sql(s"CREATE TABLE graft_ins_t USING graft OPTIONS (path '$root')")
+    try {
+      val e = intercept[Exception] { spark.sql("INSERT INTO graft_ins_t VALUES (99)") }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("bypass the graft commit log")),
+        s"insert must name the hazard and the alternative, got: ${messages(e)}")
+      // nothing leaked next to the log
+      val stray = new java.io.File(root).listFiles()
+        .map(_.getName).filterNot(n => n == "_log" || n == "data" || n.startsWith("."))
+      assert(stray.isEmpty, s"no stray files in the table root, got ${stray.toSeq}")
+      assert(VersionedTable.read(spark, root).count() == 5)
+    } finally spark.sql("DROP TABLE graft_ins_t")
+  }
+
   // ── streaming source ──────────────────────────────────────────────
 
   test("graft stream: appends deliver exactly once from the commit log") {
