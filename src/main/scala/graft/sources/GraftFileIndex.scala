@@ -100,7 +100,11 @@ final class GraftFileIndex(spark: SparkSession, root: String,
     }
   }
 
-  @volatile private var filesByRel: Map[String, Array[FileStatus]] = listAll()
+  @volatile private var filesByRel: Map[String, Array[FileStatus]] =
+    onlyRels match {
+      case Some(_) => listAll() // streaming batches: small, never shared
+      case None => GraftFileIndex.cachedListing(root, version, () => listAll())
+    }
 
   // sidecars read ONCE per index (snapshot; sidecar files are
   // cache-replace, so a later richer version only helps a new index)
@@ -117,7 +121,10 @@ final class GraftFileIndex(spark: SparkSession, root: String,
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
   override def partitionSchema: StructType = new StructType()
-  override def refresh(): Unit = { filesByRel = listAll() }
+  override def refresh(): Unit = {
+    GraftFileIndex.dropCached(root, version)
+    filesByRel = listAll()
+  }
   override def inputFiles: Array[String] =
     rels.iterator.flatMap(filesByRel.getOrElse(_, Array.empty[FileStatus]))
       .map(_.getPath.toString).toArray
@@ -321,4 +328,40 @@ object GraftFileIndex {
   /** Whether the most recent index construction listed via the
     * distributed path — spec evidence. */
   @volatile var lastListingDistributed: Boolean = false
+
+  /** Whether the most recent snapshot listing was served from the
+    * cache (no filesystem IO) — spec evidence. */
+  @volatile var lastListingCached: Boolean = false
+
+  // ── snapshot listing cache ────────────────────────────────────────
+  // A (root, version) listing is IMMUTABLE (committed dirs never
+  // change), so repeated reads of the same table version — the normal
+  // interactive pattern — share one listing instead of re-walking the
+  // filesystem per query (Delta's snapshot cache). Bounded LRU;
+  // version rollover naturally misses and fills a new entry.
+  private val MaxCachedSnapshots = 32
+  private val listingCache =
+    new java.util.LinkedHashMap[(String, Long), Map[String, Array[FileStatus]]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Map[String, Array[FileStatus]]])
+        : Boolean = size() > MaxCachedSnapshots
+    }
+
+  private[sources] def cachedListing(root: String, version: Long,
+                                     compute: () => Map[String, Array[FileStatus]])
+    : Map[String, Array[FileStatus]] = listingCache.synchronized {
+    val key = (root, version)
+    val hit = listingCache.get(key)
+    lastListingCached = hit != null
+    if (hit != null) hit
+    else {
+      val v = compute()
+      listingCache.put(key, v)
+      v
+    }
+  }
+
+  private[sources] def dropCached(root: String, version: Long): Unit =
+    listingCache.synchronized { listingCache.remove((root, version)); () }
 }

@@ -197,6 +197,21 @@ class GraftSourceSpec extends AnyFunSuite {
       "y-range must prune too — that is what the z-curve buys over linear sort")
   }
 
+  test("format(graft): repeated reads of one version share a cached listing") {
+    val root = tmp("src_cache")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 5).toDF("id"), -1L)
+    assert(spark.read.format("graft").load(root).count() == 5)
+    assert(spark.read.format("graft").load(root).count() == 5)
+    assert(GraftFileIndex.lastListingCached,
+      "second read of the same version must not re-list the filesystem")
+    // a NEW version is a different snapshot: misses, then caches
+    VersionedTable.append(spark, root, spark.range(5, 8).toDF("id"), v0)
+    assert(spark.read.format("graft").load(root).count() == 8)
+    assert(!GraftFileIndex.lastListingCached)
+    assert(spark.read.format("graft").load(root).count() == 8)
+    assert(GraftFileIndex.lastListingCached)
+  }
+
   test("format(graft): merge-schema evolution serves the union schema with nulls") {
     import spark.implicits._
     val root = tmp("src_evo")
