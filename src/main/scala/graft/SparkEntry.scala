@@ -213,6 +213,8 @@ object SparkEntry {
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
       graft.streaming.StreamOps.lakeStreamDrain(Tables.orders(s, d))),
+    "st10_lake_cdc" -> ((s, d) =>
+      graft.streaming.StreamOps.lakeCdcDrain(Tables.orders(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -525,5 +527,6 @@ object SparkEntry {
     "m05_shard_pack" -> Multimodal.shardPackOracle(),
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
+    "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,
   )
 }

@@ -536,4 +536,56 @@ object StreamOps {
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
          round(sum(o_totalprice), 2) AS total
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // ---- st10: CDC mode under the oracle gate ---------------------------
+
+  /** st10: the readChangeFeed STREAM cross-checked by an external
+    * engine — land even-keyed orders, run one MERGE (keys ending in 1
+    * insert, keys ending in 2 update with a shifted price), drain the
+    * CDC stream from the pre-merge version, and aggregate the change
+    * rows by (change_type, status). DuckDB replays the change-set
+    * relationally: any change row the stream drops, duplicates,
+    * mislabels (insert vs update) or delivers with a stale image
+    * breaks the hash. Deterministic because a CDC batch is a
+    * version-range snapshot diff — trigger timing cannot change its
+    * content. */
+  def lakeCdcDrain(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-lake-st10").toString + "/t"
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val v0 = graft.sources.VersionedTable.commit(spark, root,
+      base.filter(pmod(col("o_orderkey"), lit(2)) === 0), -1L)
+    val mergeSrc = base
+      .filter(pmod(col("o_orderkey"), lit(10)).isin(1, 2))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    graft.sources.VersionedTable.merge(spark, root, mergeSrc, Seq("o_orderkey"))
+    val sink = "st10_cdc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("keys", "o_orderkey")
+      .option("startingVersion", v0.toString).load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .groupBy(col("change_type"), col("_new.o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+           graft.operators.Rounding.roundN(sum(col("_new.o_totalprice")), 2)
+             .as("total"))
+      .orderBy(col("change_type"), col("status"))
+  }
+
+  val lakeCdcOracle: String =
+    """WITH ch AS (
+         SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS price,
+                CASE WHEN o_orderkey % 2 = 1 THEN 'inserted'
+                     ELSE 'updated' END AS change_type
+         FROM orders WHERE o_orderkey % 10 IN (1, 2))
+       SELECT change_type, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS total
+       FROM ch GROUP BY change_type, o_orderstatus
+       ORDER BY change_type, status"""
 }
