@@ -205,6 +205,8 @@ object SparkEntry {
       TextOps.filterBattery(Tables.documents(s, d))),
     "t22_perplexity_bucket" -> ((s, d) =>
       TextOps.perplexityBuckets(Tables.documents(s, d))),
+    "t23_curation_pipeline" -> ((s, d) =>
+      Dedup.curationPipeline(Tables.documents(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -522,6 +524,7 @@ object SparkEntry {
     "t18_bigram_surprisal" -> TextOps.bigramSurprisalOracle(),
     "t20_filter_battery" -> TextOps.filterBatteryOracle,
     "t22_perplexity_bucket" -> TextOps.perplexityBucketsOracle(),
+    "t23_curation_pipeline" -> Dedup.curationPipelineOracle(),
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

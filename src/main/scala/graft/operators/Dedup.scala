@@ -348,6 +348,74 @@ object Dedup {
          CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
        FROM b GROUP BY 1 ORDER BY split"""
 
+  // ---- t23: the curation pipeline as ONE query ------------------------
+
+  /** t23: end-to-end corpus curation — the composition a training-data
+    * team actually ships, as ONE declarative plan: Gopher-family rule
+    * battery (t20's `keep`, SHARED code via TextOps.batteryMetrics) →
+    * NEAR-dup dedup over the MinHash-LSH cluster map (d07's clusters;
+    * survivor = lowest-id admitted member of each cluster, d10's
+    * convention restricted to the filtered set) → contamination-safe
+    * train/val/test routing on the CLUSTER key (t19's discipline: a
+    * near-dup family can never straddle splits) → per-(split, language)
+    * census of the final corpus with the dedup loss attributed to each
+    * stratum (`n_dups_dropped`). The s18 discipline applied to
+    * curation: every stage is an existing row's kernel, so the
+    * composite cannot drift from its parts.
+    *
+    * Scale shape: battery + routing are map-side projections on the
+    * scan; the cluster map is the pipeline persist point (built once
+    * per corpus, a few % of rows on a lightly-duplicated corpus) and
+    * joins hint-free (AQE broadcasts it from its real size); the
+    * survivor window shuffles (cluster-key, small ints) — never text;
+    * the census is one partial agg bounded by the split × lang grid.
+    * At 100 TB this prices as d10 plus a grid-bounded rollup. Census
+    * values are BIGINT sums — order-free, no rounding surface.
+    */
+  def curationPipeline(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+    val kept = TextOps.batteryMetrics(documents)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_chars"), col("keep"))
+      .filter(col("keep"))
+    val clusters = pipeline(documents, minJaccard).clusters
+      .select(col("doc_id").as("m_doc"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ckey")).orderBy(col("doc_id"))
+    val bucket = (col("ckey") * lit(1103515245L) + lit(12345L)) % TextOps.P % 1000
+    kept
+      .join(clusters, col("doc_id") === col("m_doc"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("split",
+        when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_docs"),
+           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dups_dropped"),
+           sum(when(col("rn") === 1, col("n_words")).otherwise(0L)).as("n_tokens"),
+           sum(when(col("rn") === 1, col("n_chars")).otherwise(0L)).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  def curationPipelineOracle(minJaccard: Double = 0.3): String =
+    s"""WITH RECURSIVE ${clusterCtes(minJaccard)},
+       ${TextOps.batteryMetricsCte},
+       k AS (SELECT doc_id, lang, n_chars, n_words FROM m
+         WHERE ${TextOps.batteryKeepWhere}),
+       keyed AS (SELECT k.*, cl.cluster_id,
+           coalesce(cl.cluster_id, k.doc_id) AS ckey
+         FROM k LEFT JOIN cl ON k.doc_id = cl.doc_id),
+       g AS (SELECT *,
+         row_number() OVER (PARTITION BY ckey ORDER BY doc_id) AS rn,
+         CASE WHEN (ckey * 1103515245 + 12345) % ${TextOps.P} % 1000 < 800 THEN 'train'
+              WHEN (ckey * 1103515245 + 12345) % ${TextOps.P} % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+         FROM keyed)
+       SELECT split, lang,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped,
+         CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS total_chars
+       FROM g GROUP BY 1, 2 ORDER BY split, lang"""
+
   // ---- d11: MinHash estimation accuracy -------------------------------
 
   /** d11: how good is the 16-permutation MinHash estimate? For every

@@ -1042,19 +1042,11 @@ object TextOps {
   val RuleMinDistinct = 0.32
   val RuleMinStops = 2L
 
-  /** t20: per-document quality-rule battery — each heuristic filter as
-    * an explicit boolean column plus the composite `keep` (the
-    * CCNet/Gopher filter stage as data, not a silent WHERE: a corpus
-    * pipeline audits per-rule rejection rates before committing to a
-    * filter, so the rules must be inspectable output). All metrics are
-    * exact integer ratios (len/count divisions are bit-identical IEEE
-    * in both engines), so the rule booleans cannot straddle engines.
-    *
-    * Scale shape: single-pass narrow projection, no shuffle until the
-    * oracle-determinism orderBy — map-side at scan speed at 100 TB;
-    * the downstream materialization is `filter(keep)` (or a
-    * per-rule census, which aggregates these booleans). */
-  def filterBattery(documents: DataFrame): DataFrame =
+  /** The shared rule projection behind t20 and t23: every input column
+    * plus the rule metrics/booleans and the composite `keep`. One
+    * definition so the filter row and the curation pipeline can never
+    * disagree about what "keep" means. Narrow, zero-shuffle. */
+  private[operators] def batteryMetrics(documents: DataFrame): DataFrame =
     documents
       .filter(col("n_chars") > 0)
       .withColumn("n_words", expr("size(split(trim(text), ' '))").cast("long"))
@@ -1070,6 +1062,21 @@ object TextOps {
       .withColumn("r_stop", col("stop_hits") >= RuleMinStops)
       .withColumn("keep",
         col("r_len") && col("r_wordlen") && col("r_repeat") && col("r_stop"))
+
+  /** t20: per-document quality-rule battery — each heuristic filter as
+    * an explicit boolean column plus the composite `keep` (the
+    * CCNet/Gopher filter stage as data, not a silent WHERE: a corpus
+    * pipeline audits per-rule rejection rates before committing to a
+    * filter, so the rules must be inspectable output). All metrics are
+    * exact integer ratios (len/count divisions are bit-identical IEEE
+    * in both engines), so the rule booleans cannot straddle engines.
+    *
+    * Scale shape: single-pass narrow projection, no shuffle until the
+    * oracle-determinism orderBy — map-side at scan speed at 100 TB;
+    * the downstream materialization is `filter(keep)` (or a
+    * per-rule census, which aggregates these booleans). */
+  def filterBattery(documents: DataFrame): DataFrame =
+    batteryMetrics(documents)
       .select(col("doc_id"), col("n_words"),
         Rounding.roundN(col("mwl"), 4).as("mean_word_len"),
         Rounding.roundN(col("dr"), 4).as("distinct_ratio"),
@@ -1077,15 +1084,26 @@ object TextOps {
         col("r_stop"), col("keep"))
       .orderBy(col("doc_id"))
 
-  val filterBatteryOracle: String =
-    s"""WITH m AS (SELECT doc_id,
+  /** The DuckDB side of [[batteryMetrics]]: CTE fragment `m` with the
+    * rule metrics over every non-empty doc (extra doc columns carried
+    * for downstream composition), plus the keep predicate as a WHERE
+    * fragment — shared by the t20 and t23 oracles. */
+  private[operators] val batteryMetricsCte: String =
+    s"""m AS (SELECT doc_id, lang, text, n_chars,
          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
          CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
            / len(string_split(trim(text), ' ')) AS mwl,
          CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
            / len(string_split(trim(text), ' ')) AS dr,
          CAST(${hitsDuck("en")} AS BIGINT) AS stop_hits
-       FROM documents WHERE n_chars > 0),
+       FROM documents WHERE n_chars > 0)"""
+  private[operators] val batteryKeepWhere: String =
+    s"""n_words >= $RuleMinWords AND n_words <= $RuleMaxWords
+      AND mwl >= $RuleMinMwl AND mwl <= $RuleMaxMwl
+      AND dr >= $RuleMinDistinct AND stop_hits >= $RuleMinStops"""
+
+  val filterBatteryOracle: String =
+    s"""WITH $batteryMetricsCte,
        r AS (SELECT doc_id, n_words, mwl, dr, stop_hits,
          (n_words >= $RuleMinWords AND n_words <= $RuleMaxWords) AS r_len,
          (mwl >= $RuleMinMwl AND mwl <= $RuleMaxMwl) AS r_wordlen,
@@ -1097,4 +1115,5 @@ object TextOps {
          r_len, r_wordlen, r_repeat, r_stop,
          (r_len AND r_wordlen AND r_repeat AND r_stop) AS keep
        FROM r ORDER BY doc_id"""
+
 }

@@ -511,6 +511,35 @@ class GraftSpec extends AnyFunSuite {
     assert(livesPermuted, "sample equals head-of-table in every stratum — hash rank is dead")
   }
 
+  test("t23 curation pipeline: composite equals its stages replayed, both arms live") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("t23_curation_pipeline")(spark, sf).collect()
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val nDup = out.map(_.getAs[Long]("n_dups_dropped")).sum
+    val docs = Tables.documents(spark, sf)
+    // replay from the already-oracle-verified parts
+    val kept = SparkEntry.queries("t20_filter_battery")(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size < docs.count(), "battery arm dead: nothing rejected")
+    assert(nDup > 0, "dedup arm dead: no near-dup family lost a member")
+    assert(nDocs + nDup == kept.size,
+      s"census must cover the admitted set exactly: $nDocs+$nDup != ${kept.size}")
+    val clusterOf = graft.operators.Dedup.pipeline(docs, 0.3).clusters.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val survivors = kept.groupBy(id => clusterOf.getOrElse(id, id)).values.map(_.min).toSet
+    assert(nDocs == survivors.size, "survivor count != per-cluster min-id replay")
+    // contamination-safe routing: survivors land where their CLUSTER key routes
+    def splitOf(k: Long): String = {
+      val b = (k * 1103515245L + 12345L) % graft.operators.TextOps.P % 1000
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val bySplit = survivors.groupBy(id => splitOf(clusterOf.getOrElse(id, id)))
+      .view.mapValues(_.size.toLong).toMap
+    val outBySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(outBySplit == bySplit, s"cluster-keyed routing diverged: $outBySplit vs $bySplit")
+  }
+
   test("st08 update-mode agg: changed groups re-emit revised totals, unchanged groups stay silent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

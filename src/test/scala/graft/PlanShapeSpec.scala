@@ -516,6 +516,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
   }
 
+  test("t23: the curation composite is one plan — no cartesian, one documents scan (cluster map served from the persist point)") {
+    val p = plan("t23_curation_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    // the near-dup stage must come from the pipeline's checkpointed
+    // cluster map, not a second banding pass over the corpus scan
+    assert(count(p, "documents.parquet") == 1,
+      s"expected exactly one corpus scan (battery projection), got:\n$p")
+  }
+
   test("s15: hybrid fusion never goes cartesian; the RRF stage joins result-bounded arm frames") {
     val p = plan("s15_hybrid_rrf")
     assert(!p.contains("CartesianProduct"))
