@@ -42,6 +42,7 @@ object BandIndex {
 
   private def bandsRoot(root: String) = s"$root/bands"
   private def shinglesRoot(root: String) = s"$root/shingles"
+  private def retiredRoot(root: String) = s"$root/retired"
 
   /** Shingle-store partition fan-out: the store is partition-native on
     * pb = doc_id mod ShingleParts, so a probe reads ONLY the partition
@@ -90,8 +91,18 @@ object BandIndex {
     import graft.functions.GraftFunctions._
     val batchBands = Dedup.bandFrame(batch)
       .select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
-    val idxBands = VersionedTable.read(spark, bandsRoot(root))
+    val allBands = VersionedTable.read(spark, bandsRoot(root))
       .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey"))
+    // retired docs are tombstoned, not yet physically removed: a probe
+    // must not match them (their text has left the corpus). The
+    // tombstone list is id-only and tiny relative to the index — the
+    // anti-join broadcasts from its real size under AQE.
+    val idxBands = retiredIds(spark, root) match {
+      case Some(r) =>
+        allBands.join(r.select(col("doc_id").as("corpus_doc")),
+                      Seq("corpus_doc"), "left_anti")
+      case None => allBands
+    }
     // materialized once (the candidate stage is a storage boundary,
     // exactly like DedupPipeline.candidates): three consumers below —
     // without this the candidate subtree re-executes per consumer.
@@ -123,6 +134,74 @@ object BandIndex {
       .withColumn("jac", arr_jaccard(col("hs_b"), col("hs_c")))
       .filter(col("jac") >= minJaccard)
       .select(col("batch_doc"), col("corpus_doc"), Rounding.roundN(col("jac"), 4).as("jac"))
+  }
+
+  /** The current tombstone list, if any retire has ever run. */
+  private def retiredIds(spark: SparkSession, root: String): Option[DataFrame] =
+    VersionedTable.currentVersion(spark, retiredRoot(root))
+      .map(_ => VersionedTable.read(spark, retiredRoot(root)))
+
+  /** RETIRE documents from the index (corpus deletions: GDPR erasure,
+    * takedowns, d10-style cluster prunes). Band rows are keyed by
+    * CONTENT (band, bkey) and scattered across the whole table, so
+    * eager physical removal would rewrite O(table) per batch; instead
+    * the doc ids land on a tombstone table in ONE O(batch) commit
+    * (the deletion-vector trade Delta makes), [[probe]] anti-joins
+    * candidates against it from that moment on, and
+    * [[compactRetired]] is the periodic fold that pays the rewrite
+    * once for many retirements. Idempotent: re-retiring an id is a
+    * no-op at probe level (anti-join semantics). */
+  def retire(spark: SparkSession, root: String, docIds: DataFrame): Unit = {
+    val df = docIds.select(col("doc_id")).distinct()
+    VersionedTable.currentVersion(spark, retiredRoot(root)) match {
+      case Some(rv) => VersionedTable.append(spark, retiredRoot(root), df, rv)
+      case None     => VersionedTable.commit(spark, retiredRoot(root), df, -1L)
+    }
+  }
+
+  /** Fold the tombstones into the physical layout — the OPTIMIZE pass
+    * of the retire cycle: rewrite the band table minus retired docs
+    * (O(table), stated honestly — this is why it amortizes many
+    * [[retire]] batches), rewrite ONLY the shingle partitions retired
+    * docs live in (partition-scoped: pb = doc_id mod [[ShingleParts]]
+    * is id-derived, so touched dirs are computable without a scan),
+    * then clear the tombstone list. Every table stays
+    * time-travelable across the fold. */
+  def compactRetired(spark: SparkSession, root: String): Unit = {
+    val rOpt = retiredIds(spark, root)
+    if (rOpt.isEmpty) return
+    val retired = rOpt.get.select(col("doc_id")).distinct().localCheckpoint()
+    if (retired.isEmpty) return
+    val bv = VersionedTable.currentVersion(spark, bandsRoot(root)).getOrElse(-1L)
+    if (bv >= 0) {
+      val kept = VersionedTable.read(spark, bandsRoot(root))
+        .join(retired, Seq("doc_id"), "left_anti")
+      VersionedTable.commit(spark, bandsRoot(root), kept, bv)
+    }
+    val svOpt = VersionedTable.currentVersion(spark, shinglesRoot(root))
+    svOpt.foreach { sv =>
+      if (VersionedTable.partitionNative(spark, shinglesRoot(root), sv)) {
+        val parts = retired
+          .select(pmod(col("doc_id"), lit(ShingleParts.toLong)).cast("string").as("pb"))
+          .distinct().collect().map(_.getString(0)).sorted.toSeq
+        try {
+          val slice = VersionedTable.readPartitions(
+            spark, shinglesRoot(root), parts, Some(sv))
+          val rewrite = slice.join(retired, Seq("doc_id"), "left_anti")
+          val touched = parts.map(VersionedTable.encodePartition).toSet
+          val carried = VersionedTable.entryPairsOf(spark, shinglesRoot(root), sv)
+            .filterNot { case (_, pv) => pv.exists(touched.contains) }
+          VersionedTable.commitPartitionedCarrying(
+            spark, shinglesRoot(root), rewrite, "pb", sv, carried)
+        } catch { case _: java.io.FileNotFoundException => () } // no dirs touched
+      } else {
+        val kept = VersionedTable.read(spark, shinglesRoot(root))
+          .join(retired, Seq("doc_id"), "left_anti")
+        VersionedTable.commit(spark, shinglesRoot(root), kept, sv)
+      }
+    }
+    val rv = VersionedTable.currentVersion(spark, retiredRoot(root)).get
+    VersionedTable.commit(spark, retiredRoot(root), retired.limit(0), rv)
   }
 
   /** The CLUSTER-SCALE index layout: the band table written as a

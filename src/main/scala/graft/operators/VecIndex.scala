@@ -53,7 +53,7 @@ object VecIndex {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
-  private def readMeta(spark: SparkSession, root: String): Option[(Long, Long)] =
+  private def readMeta(spark: SparkSession, root: String): Option[(Long, Long, Long)] =
     try {
       val f = hfs(spark, root)
       val in = f.open(new org.apache.hadoop.fs.Path(metaPath(root)))
@@ -61,15 +61,17 @@ object VecIndex {
         .split("\n").map(_.trim).filter(_.contains("="))
         .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }.toMap
       finally in.close()
-      Some((kv("built_vecs"), kv("appended_vecs")))
+      // deleted_vecs is absent on pre-delete indexes — read it as 0
+      Some((kv("built_vecs"), kv("appended_vecs"), kv.getOrElse("deleted_vecs", 0L)))
     } catch { case _: Exception => None }
 
-  private def writeMeta(spark: SparkSession, root: String,
-                        builtVecs: Long, appendedVecs: Long): Unit = {
+  private def writeMeta(spark: SparkSession, root: String, builtVecs: Long,
+                        appendedVecs: Long, deletedVecs: Long = 0L): Unit = {
     val f = hfs(spark, root)
     val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
       /* overwrite = */ true)
-    try out.write(s"built_vecs=$builtVecs\nappended_vecs=$appendedVecs\n"
+    try out.write(
+      s"built_vecs=$builtVecs\nappended_vecs=$appendedVecs\ndeleted_vecs=$deletedVecs\n"
       .getBytes("UTF-8"))
     finally out.close()
   }
@@ -82,8 +84,10 @@ object VecIndex {
     * unknown drift = recommend conservatively. */
   def rebuildRecommended(spark: SparkSession, root: String): Boolean =
     readMeta(spark, root) match {
-      case Some((built, appended)) =>
-        appended > built.max(1L) * RebuildFraction
+      case Some((built, appended, deleted)) =>
+        // deletions skew occupancy exactly like appends (a drained
+        // cell's centroid still attracts probes) — both count as churn
+        appended + deleted > built.max(1L) * RebuildFraction
       case None => true
     }
 
@@ -120,7 +124,7 @@ object VecIndex {
     val vv = VersionedTable.currentVersion(spark, vecsRoot(root)).getOrElse(-1L)
     VersionedTable.commitPartitioned(
       spark, vecsRoot(root), assign(corpus, cents), "cell", vv)
-    writeMeta(spark, root, corpus.count(), 0L)
+    writeMeta(spark, root, corpus.count(), 0L, 0L)
   }
 
   /** Top-k cosine neighbors of each query vector over ONLY the probed
@@ -182,8 +186,61 @@ object VecIndex {
       throw new IllegalStateException(s"no index built at $root"))
     VersionedTable.appendPartitioned(
       spark, vecsRoot(root), assign(batch, cents), "cell", vv)
-    val (built, appended) = readMeta(spark, root).getOrElse((0L, 0L))
-    writeMeta(spark, root, built, appended + batch.count())
+    val (built, appended, deleted) = readMeta(spark, root).getOrElse((0L, 0L, 0L))
+    writeMeta(spark, root, built, appended + batch.count(), deleted)
+  }
+
+  /** DELETE vectors from the index (FAISS `remove_ids`, the lifecycle
+    * op ingest-only indexes lack — GDPR erasure, retired corpus
+    * slices, d17-style semantic prunes). The batch carries
+    * (vec_id, embedding) AS INGESTED: assignment is deterministic
+    * against the persisted centroids (appends never move the grid), so
+    * each victim's home cell is computed MAP-SIDE from its embedding —
+    * no corpus scan to locate it. Only cells that actually hold a
+    * victim are rewritten (read → anti-join → partition-scoped
+    * rewrite); every other inverted list is carried forward
+    * byte-for-byte in the commit's entry list, and a batch whose
+    * victims are all absent publishes nothing (idempotent re-delete).
+    * Cost: O(touched cells) read+rewrite + O(1) carry — the
+    * mergePartitioned discipline pointed at removal. The old version
+    * stays time-travelable (readAsOf sees the pre-delete lists);
+    * deletions count toward [[rebuildRecommended]]'s churn signal
+    * exactly like appends. Returns the published version (unchanged
+    * version = nothing deleted). */
+  def delete(spark: SparkSession, root: String, victims: DataFrame): Long = {
+    val cents = VersionedTable.read(spark, centsRoot(root))
+    val vv = VersionedTable.currentVersion(spark, vecsRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no index built at $root"))
+    val homed = assign(victims, cents)
+      .select(col("vec_id"), col("cell")).localCheckpoint()
+    val cells = homed.select(col("cell")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (cells.isEmpty) return vv
+    val slice =
+      try VersionedTable.readPartitions(spark, vecsRoot(root), cells,
+                                        version = Some(vv))
+      catch { case _: java.io.FileNotFoundException => return vv }
+    // which probed cells actually hold a victim — absent victims must
+    // not force a rewrite (idempotence), and the victim count is the
+    // churn the meta records
+    val present = slice
+      .join(homed.select(col("vec_id")), Seq("vec_id"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (present.isEmpty) return vv
+    val hitCells = present.keySet
+    val nDeleted = present.values.sum
+    val rewrite = slice
+      .filter(col("cell").isin(hitCells.toSeq: _*))
+      .join(homed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val hitEnc = hitCells.map(VersionedTable.encodePartition)
+    val carried = VersionedTable.entryPairsOf(spark, vecsRoot(root), vv)
+      .filterNot { case (_, pv) => pv.exists(hitEnc.contains) }
+    val next = VersionedTable.commitPartitionedCarrying(
+      spark, vecsRoot(root), rewrite, "cell", vv, carried)
+    val (built, appended, deleted) = readMeta(spark, root).getOrElse((0L, 0L, 0L))
+    writeMeta(spark, root, built, appended, deleted + nDeleted)
+    next
   }
 
   /** Admission-controlled ingest — the [[BandIndex.ingest]] contract

@@ -946,6 +946,16 @@ object VersionedTable {
     val next = base + 1
     val src = df.localCheckpoint() // one computation feeds every slice
     requireNoNullPartitions(src, partitionCol)
+    if (src.isEmpty) {
+      // a deletion can empty every touched partition — the commit is
+      // then pure carry (the touched dirs simply leave the entry list)
+      require(carried.nonEmpty,
+        s"refusing to publish a dir-less version at $root (empty rewrite, empty carry)")
+      publish(spark, root, next, carried.map { case (rel, pv) => Entry(rel, pv) },
+              onConflictCleanup = () => (),
+              meta = Seq(partColMetaLine(partitionCol)))
+      return next
+    }
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next,
             carried.map { case (rel, pv) => Entry(rel, pv) } ++ entries,

@@ -2847,6 +2847,52 @@ class GraftSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 11L, 21L))
   }
 
+  test("BandIndex: retire tombstones immediately, compact folds physically, probe equals a never-held index") {
+    import spark.implicits._
+    import graft.operators.BandIndex
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_bidx_ret").toString
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    BandIndex.build(spark, root,
+      Seq((10L, tA), (11L, tB)).toDF("doc_id", "text"))
+    // a duplicate of doc 10 is rejected while 10 is live
+    val probe0 = BandIndex.probe(spark, root, Seq((20L, tA)).toDF("doc_id", "text"))
+    assert(probe0.collect().map(_.getAs[Long]("corpus_doc")).toSet == Set(10L))
+    // retire doc 10: ONE O(batch) tombstone commit — the band/shingle
+    // tables do not move
+    val bandsV = VersionedTable.currentVersion(spark, s"$root/bands").get
+    val shV = VersionedTable.currentVersion(spark, s"$root/shingles").get
+    BandIndex.retire(spark, root, Seq(10L).toDF("doc_id"))
+    assert(VersionedTable.currentVersion(spark, s"$root/bands").contains(bandsV))
+    assert(VersionedTable.currentVersion(spark, s"$root/shingles").contains(shV))
+    // the probe no longer matches the retired doc — its duplicate is
+    // now ADMISSIBLE (the erasure took effect at tombstone time)
+    val (adm, pairs) = BandIndex.ingest(spark, root,
+      Seq((20L, tA)).toDF("doc_id", "text"))
+    assert(pairs.count() == 0, "retired doc still matched")
+    assert(adm.select("doc_id").collect().map(_.getLong(0)).toSet == Set(20L))
+    // compact: bands/shingles physically drop doc 10, tombstones clear
+    BandIndex.compactRetired(spark, root)
+    assert(VersionedTable.read(spark, s"$root/bands")
+      .filter($"doc_id" === 10L).count() == 0)
+    assert(VersionedTable.read(spark, s"$root/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L, 20L))
+    assert(VersionedTable.read(spark, s"$root/retired").count() == 0)
+    // post-compact probe == an index that never held doc 10
+    val clean = java.nio.file.Files.createTempDirectory("graft_bidx_ret2").toString
+    BandIndex.build(spark, clean,
+      Seq((11L, tB), (20L, tA)).toDF("doc_id", "text"))
+    val have = BandIndex.probe(spark, root, Seq((30L, tA)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("corpus_doc"), r.getAs[Double]("jac"))).toSet
+    val want = BandIndex.probe(spark, clean, Seq((30L, tA)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("corpus_doc"), r.getAs[Double]("jac"))).toSet
+    assert(have == want && have.map(_._1) == Set(20L), s"have=$have want=$want")
+    // pre-compact versions stay time-travelable
+    assert(VersionedTable.readAsOf(spark, s"$root/shingles", shV)
+      .filter($"doc_id" === 10L).count() > 0)
+  }
+
   test("BandIndex: probe's shingle read opens ONLY the candidate partitions (IO pruning)") {
     import spark.implicits._
     import graft.operators.BandIndex
@@ -3581,6 +3627,61 @@ class GraftSpec extends AnyFunSuite {
       .toSet
     assert(cellDirs == Set("p=101"),
       s"probe opened cell partitions $cellDirs, expected only p=101")
+  }
+
+  test("VecIndex: delete rewrites only the victim's cell, is idempotent, and equals an index never holding the victim") {
+    import spark.implicits._
+    import graft.operators.VecIndex
+    import graft.sources.VersionedTable
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx_del").toString
+    val corpus = Seq(
+      (100L, v(1, 0, 0, 0)), (101L, v(0, 1, 0, 0)),
+      (1L, v(0.9, 0.1, 0, 0)), (2L, v(0.1, 0.9, 0, 0)),
+      (3L, v(0.8, 0.2, 0, 0)))
+      .toDF("vec_id", "embedding")
+    VecIndex.build(spark, root, corpus, centIds = Seq(100L, 101L))
+    val q = Seq((500L, v(0.95, 0.05, 0, 0))).toDF("vec_id", "embedding")
+    assert(VecIndex.probe(spark, root, q, k = 4, nProbe = 1).collect()
+      .map(_.getAs[Long]("neighbor_id")).contains(1L))
+    // delete vec 1 (home cell 100): only that cell's dir is rewritten;
+    // cell 101's inverted list must be CARRIED byte-for-byte
+    val before = VersionedTable.entryPairsOf(spark, s"$root/vectors", 0L)
+    val nv = VecIndex.delete(spark, root, Seq((1L, v(0.9, 0.1, 0, 0)))
+      .toDF("vec_id", "embedding"))
+    assert(nv == 1L)
+    val after = VersionedTable.entryPairsOf(spark, s"$root/vectors", nv)
+    val carried101 = before.filter(_._2.contains("101"))
+    assert(carried101.nonEmpty && carried101.forall(after.contains),
+      s"cell 101 dirs must be carried untouched: before=$before after=$after")
+    assert(after.filter(_._2.contains("100")) != before.filter(_._2.contains("100")),
+      "cell 100 must have been rewritten")
+    // the probe no longer returns the victim; survivors unchanged
+    val got = VecIndex.probe(spark, root, q, k = 4, nProbe = 1).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got == Set(100L, 3L), s"got $got")
+    // equals an index that NEVER held the victim (same centroids, so
+    // the Voronoi grid is identical)
+    val clean = java.nio.file.Files.createTempDirectory("graft_vidx_del2").toString
+    VecIndex.build(spark, clean, corpus.filter($"vec_id" =!= 1L),
+      centIds = Seq(100L, 101L))
+    val want = VecIndex.probe(spark, clean, q, k = 4, nProbe = 1).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val have = VecIndex.probe(spark, root, q, k = 4, nProbe = 1).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(have == want, s"deleted index diverged: $have vs $want")
+    // re-deleting an absent victim publishes NOTHING (idempotent)
+    val again = VecIndex.delete(spark, root, Seq((1L, v(0.9, 0.1, 0, 0)))
+      .toDF("vec_id", "embedding"))
+    assert(again == nv, "idempotent re-delete must not commit a version")
+    // time travel still sees the pre-delete list
+    assert(VersionedTable.readAsOf(spark, s"$root/vectors", 0L)
+      .filter($"vec_id" === 1L).count() == 1L)
+    // deletions count as churn toward the rebuild signal
+    VecIndex.delete(spark, root, Seq((2L, v(0.1, 0.9, 0, 0)))
+      .toDF("vec_id", "embedding"))
+    assert(VecIndex.rebuildRecommended(spark, root),
+      "2 deletions on a 5-vector build must trip the churn signal")
   }
 
   test("VecIndex: append drift surfaces a rebuild-recommended signal; build clears it") {
