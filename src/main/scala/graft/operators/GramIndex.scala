@@ -41,7 +41,9 @@ object GramIndex {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
-  private def readMeta(spark: SparkSession, root: String): Option[(Long, Long)] =
+  private def retiredRoot(root: String) = s"$root/_retired"
+
+  private def readMeta(spark: SparkSession, root: String): Option[(Long, Long, Long)] =
     try {
       val f = hfs(spark, root)
       val in = f.open(new org.apache.hadoop.fs.Path(metaPath(root)))
@@ -49,15 +51,17 @@ object GramIndex {
         .split("\n").map(_.trim).filter(_.contains("="))
         .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }.toMap
       finally in.close()
-      Some((kv("built_docs"), kv("appended_docs")))
+      // retired_docs is absent on pre-retire indexes — read it as 0
+      Some((kv("built_docs"), kv("appended_docs"), kv.getOrElse("retired_docs", 0L)))
     } catch { case _: Exception => None }
 
-  private def writeMeta(spark: SparkSession, root: String,
-                        builtDocs: Long, appendedDocs: Long): Unit = {
+  private def writeMeta(spark: SparkSession, root: String, builtDocs: Long,
+                        appendedDocs: Long, retiredDocs: Long = 0L): Unit = {
     val f = hfs(spark, root)
     val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
       /* overwrite = */ true)
-    try out.write(s"built_docs=$builtDocs\nappended_docs=$appendedDocs\n"
+    try out.write(
+      s"built_docs=$builtDocs\nappended_docs=$appendedDocs\nretired_docs=$retiredDocs\n"
       .getBytes("UTF-8"))
     finally out.close()
   }
@@ -78,8 +82,10 @@ object GramIndex {
     * degradation response for the posting cap. */
   def rebuildRecommended(spark: SparkSession, root: String): Boolean =
     readMeta(spark, root) match {
-      case Some((built, appended)) =>
-        appended > built.max(1L) * RebuildFraction
+      case Some((built, appended, retired)) =>
+        // retirements are churn like appends: tombstoned postings
+        // still ride every probe join until the fold
+        appended + retired > built.max(1L) * RebuildFraction
       case None => true
     }
 
@@ -106,7 +112,7 @@ object GramIndex {
     val idx = g.join(hot, Seq("gram"), "left_anti")
     val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
     VersionedTable.commit(spark, root, idx, v)
-    writeMeta(spark, root, corpus.select(col("doc_id")).distinct().count(), 0L)
+    writeMeta(spark, root, corpus.select(col("doc_id")).distinct().count(), 0L, 0L)
   }
 
   /** Append a batch's postings (no cap re-check — see class doc;
@@ -116,9 +122,54 @@ object GramIndex {
     val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
     VersionedTable.append(spark, root, postings(docs, n), v)
     val batchDocs = docs.select(col("doc_id")).distinct().count()
-    readMeta(spark, root).foreach { case (built, appended) =>
-      writeMeta(spark, root, built, appended + batchDocs)
+    readMeta(spark, root).foreach { case (built, appended, retired) =>
+      writeMeta(spark, root, built, appended + batchDocs, retired)
     }
+  }
+
+  /** The current tombstone list, if any [[retire]] has ever run. The
+    * table lives under `<root>/_retired` — outside the posting
+    * table's entry lists, so posting reads never see it. */
+  private def retiredIds(spark: SparkSession, root: String): Option[DataFrame] =
+    VersionedTable.currentVersion(spark, retiredRoot(root))
+      .map(_ => VersionedTable.read(spark, retiredRoot(root)))
+
+  /** RETIRE documents' postings — the [[BandIndex.retire]] trade for
+    * the span index: postings are gram-keyed and content-scattered, so
+    * eager removal would rewrite O(table) per batch. One O(batch)
+    * tombstone commit; [[probe]] anti-joins the corpus side against it
+    * from that moment; [[compactRetired]] folds. Retired docs count
+    * toward [[rebuildRecommended]]'s churn. */
+  def retire(spark: SparkSession, root: String, docIds: DataFrame): Unit = {
+    val df = docIds.select(col("doc_id")).distinct()
+    VersionedTable.currentVersion(spark, retiredRoot(root)) match {
+      case Some(rv) => VersionedTable.append(spark, retiredRoot(root), df, rv)
+      case None     => VersionedTable.commit(spark, retiredRoot(root), df, -1L)
+    }
+    val n = df.count()
+    readMeta(spark, root).foreach { case (built, appended, retired) =>
+      writeMeta(spark, root, built, appended, retired + n)
+    }
+  }
+
+  /** Fold tombstones into the physical postings — ONE O(table)
+    * rewrite amortizing many [[retire]] batches, then clear the list.
+    * (The per-doc churn counter stays until the next [[build]]
+    * re-levels the cap — a fold removes rows but does not re-check
+    * hot grams.) */
+  def compactRetired(spark: SparkSession, root: String): Unit = {
+    val rOpt = retiredIds(spark, root)
+    if (rOpt.isEmpty) return
+    val retired = rOpt.get.select(col("doc_id")).distinct().localCheckpoint()
+    if (retired.isEmpty) return
+    val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
+    if (v >= 0) {
+      val kept = VersionedTable.read(spark, root)
+        .join(retired, Seq("doc_id"), "left_anti")
+      VersionedTable.commit(spark, root, kept, v)
+    }
+    val rv = VersionedTable.currentVersion(spark, retiredRoot(root)).get
+    VersionedTable.commit(spark, retiredRoot(root), retired.limit(0), rv)
   }
 
   /** Duplicated spans of `batch` against the PERSISTED index: batch
@@ -133,8 +184,16 @@ object GramIndex {
     import org.apache.spark.sql.expressions.Window
     val bg = postings(batch, n)
       .select(col("doc_id").as("batch_doc"), col("pos").as("pos_b"), col("gram"))
-    val idx = VersionedTable.read(spark, root)
+    val allIdx = VersionedTable.read(spark, root)
       .select(col("doc_id").as("corpus_doc"), col("pos").as("pos_c"), col("gram"))
+    // tombstoned docs must not match (their text has left the corpus);
+    // the id-only list is tiny — AQE broadcasts the anti-join
+    val idx = retiredIds(spark, root) match {
+      case Some(r) =>
+        allIdx.join(r.select(col("doc_id").as("corpus_doc")),
+                    Seq("corpus_doc"), "left_anti")
+      case None => allIdx
+    }
     val w = Window.partitionBy(col("batch_doc"), col("corpus_doc"), col("diag"))
       .orderBy(col("pos_b"))
     bg.join(idx, Seq("gram"))

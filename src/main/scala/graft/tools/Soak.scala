@@ -16,13 +16,14 @@ import graft.operators.{Dedup, Similarity, TextOps, VecIndex}
   * not a hunch.
   *
   * Synthesis keeps REALISTIC growth semantics (a corpus 10× bigger,
-  * not one corpus pasted 10 times): each copy i rotates every
-  * document's word sequence by 7·i words and cyclically shifts every
-  * embedding by i dimensions — deterministic, id-offset, norm- and
-  * length-preserving, but shingle-sets/minhashes/cosines decorrelate
-  * across copies, so duplication RATES stay at the base corpus's
-  * level instead of every doc gaining 9 verbatim twins. Copy 0 is
-  * the untouched original.
+  * not one corpus pasted 10 times): each copy i applies a per-copy
+  * Caesar substitution to the text (every char-5 shingle changes —
+  * measured: a word-ROTATION variant left shingle sets ~identical
+  * because they are position-free bags, and 49,995 of 50,000 docs
+  * clustered) and cyclically shifts every embedding by i dimensions —
+  * deterministic, id-offset, norm- and length-preserving, so
+  * duplication RATES stay at the base corpus's level instead of every
+  * doc gaining 9 verbatim twins. Copy 0 is the untouched original.
   *
   * Inputs are derived from the driver's sf0.1 parquet only; synthetic
   * tables land under /tmp (never /root/testdata). This is a soak, not
@@ -51,25 +52,27 @@ object Soak {
     val nDocs0 = docs0.count()
     val nEmbs0 = embs0.count()
     timed(s"synthesize ${copies}x corpus") {
+      val abc = "abcdefghijklmnopqrstuvwxyz"
       val docCopies = (0 until copies).map { i =>
-        val rot = docs0
-          .withColumn("w", split(trim(col("text")), " "))
-          .withColumn("k", lit(7 * i) % greatest(size(col("w")), lit(1)))
-          .withColumn("text2", when(lit(i) === 0, col("text")).otherwise(
-            concat_ws(" ",
-              concat(slice(col("w"), col("k") + 1, size(col("w")) - col("k")),
-                     slice(col("w"), lit(1), col("k"))))))
-          .select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        val to = abc.drop(i % 26) + abc.take(i % 26)
+        docs0
+          .withColumn("text2",
+            if (i == 0) col("text") else translate(col("text"), abc, to))
+          // dense id blocks (copy i occupies [i*n, (i+1)*n)): the ANN
+          // sizing helpers (centroidIdsFor) sample ids from [0, n) —
+          // sparse 1e6-strided ids would leave most sampled centroids
+          // nonexistent and collapse the cell census to a harness
+          // artifact (measured: 15 live cells of 142)
+          .select((col("doc_id") + lit(i * nDocs0)).as("doc_id"),
                   col("text2").as("text"), col("lang"), col("source"),
                   length(col("text2")).cast("long").as("n_chars"))
-        rot
       }
       docCopies.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val embCopies = (0 until copies).map { i =>
         embs0.select(
-          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          (col("vec_id") + lit(i * nEmbs0)).as("vec_id"),
           (if (i == 0) col("embedding")
            else concat(slice(col("embedding"), i + 1, 10000),
                        slice(col("embedding"), 1, i))).as("embedding"),

@@ -2947,6 +2947,41 @@ class GraftSpec extends AnyFunSuite {
     assert(p2.toSeq == Seq((30L, 21L, 20L)))
   }
 
+  test("GramIndex: retire tombstones a doc's postings; compact folds; probe equals a never-held index") {
+    import spark.implicits._
+    import graft.operators.GramIndex
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_gidx_ret").toString
+    val quote = (1 to 20).map(i => s"q$i")
+    val docA = ((1 to 30).map(i => s"a$i") ++ quote).mkString(" ")
+    val docB = ((1 to 30).map(i => s"b$i") ++ quote).mkString(" ")
+    val probeDoc = "intro words " + quote.mkString(" ")
+    GramIndex.build(spark, root, Seq((10L, docA), (11L, docB)).toDF("doc_id", "text"))
+    assert(GramIndex.probe(spark, root, Seq((20L, probeDoc)).toDF("doc_id", "text"))
+      .collect().map(_.getAs[Long]("corpus_doc")).toSet == Set(10L, 11L))
+    // retire doc 10: the posting table does not move, the span is gone
+    val pv = VersionedTable.currentVersion(spark, root).get
+    GramIndex.retire(spark, root, Seq(10L).toDF("doc_id"))
+    assert(VersionedTable.currentVersion(spark, root).contains(pv))
+    assert(GramIndex.probe(spark, root, Seq((20L, probeDoc)).toDF("doc_id", "text"))
+      .collect().map(_.getAs[Long]("corpus_doc")).toSet == Set(11L))
+    // compact physically removes doc 10's postings and clears the list
+    GramIndex.compactRetired(spark, root)
+    assert(VersionedTable.read(spark, root).filter($"doc_id" === 10L).count() == 0)
+    assert(VersionedTable.read(spark, s"$root/_retired").count() == 0)
+    // post-compact probe == an index that never held doc 10
+    val clean = java.nio.file.Files.createTempDirectory("graft_gidx_ret2").toString
+    GramIndex.build(spark, clean, Seq((11L, docB)).toDF("doc_id", "text"))
+    val have = GramIndex.probe(spark, root, Seq((20L, probeDoc)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = GramIndex.probe(spark, clean, Seq((20L, probeDoc)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(have == want, s"have=$have want=$want")
+    // retirement churn trips the rebuild signal (1 of 2 built docs)
+    GramIndex.retire(spark, root, Seq(11L).toDF("doc_id"))
+    assert(GramIndex.rebuildRecommended(spark, root))
+  }
+
   test("GramIndex: append drift surfaces a rebuild-recommended signal; build clears it") {
     import spark.implicits._
     import graft.operators.GramIndex
