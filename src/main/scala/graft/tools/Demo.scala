@@ -450,6 +450,30 @@ object Demo {
       s"($found row), versionAsOf(0)=$v0Rows rows, merge streamed " +
       s"$cdcRows change rows through readChangeFeed")
 
+    // 25. THE ERASURE LIFECYCLE: every persisted index supports
+    //     retirement (GDPR / takedown / retired corpus slices).
+    //     VecIndex deletes eagerly (home cell computed map-side ->
+    //     O(touched cells) rewrite); Band/Gram indexes tombstone
+    //     (content-scattered postings) and fold on compact
+    val victimDoc = docs.filter(col("doc_id") % 17 =!= 0)
+      .orderBy("doc_id").limit(1)
+    val victimId = victimDoc.select("doc_id").as[Long].head()
+    BandIndex.retire(spark, idxRoot, victimDoc.select("doc_id"))
+    GramIndex.retire(spark, gidx, victimDoc.select("doc_id"))
+    val victimVec = emb.filter(col("vec_id") % 19 =!= 0).orderBy("vec_id").limit(1)
+    val preDel = graft.sources.VersionedTable.read(spark, s"$vRoot/vectors").count()
+    VecIndex.delete(spark, vRoot, victimVec)
+    val postDel = graft.sources.VersionedTable.read(spark, s"$vRoot/vectors").count()
+    BandIndex.compactRetired(spark, idxRoot)
+    GramIndex.compactRetired(spark, gidx)
+    val bandGone = graft.sources.VersionedTable.read(spark, s"$idxRoot/bands")
+      .filter(col("doc_id") === victimId).count()
+    println(s"25. erasure: doc $victimId tombstoned in band+gram indexes " +
+      s"(probes exclude it immediately), compact folded it out " +
+      s"($bandGone band rows remain); vector delete rewrote only its " +
+      s"home cell (${preDel - postDel} vector removed, old versions " +
+      "still time-travelable)")
+
     println("== demo complete")
     spark.stop()
   }
