@@ -191,6 +191,8 @@ object SparkEntry {
     "d17_semdedup" -> ((s, d) => Similarity.semDedup(Tables.embeddings(s, d))),
     "d18_dedup_bloom_gate" -> ((s, d) =>
       Dedup.dedupBloomGate(Tables.documents(s, d))),
+    "d19_dedup_prefix" -> ((s, d) =>
+      Dedup.prefixDedup(Tables.documents(s, d))),
     "t19_leakage_split" -> ((s, d) =>
       Dedup.leakSafeSplit(Tables.documents(s, d))),
     "t15_approx_percentile" -> ((s, d) =>
@@ -518,6 +520,7 @@ object SparkEntry {
     "d16_dedup_best_keep" -> Dedup.dedupBestKeepOracle(),
     "d17_semdedup" -> Similarity.semDedupOracle(),
     "d18_dedup_bloom_gate" -> Dedup.dedupBloomGateOracle(),
+    "d19_dedup_prefix" -> Dedup.prefixDedupOracle(),
     "t19_leakage_split" -> Dedup.leakSafeSplitOracle(),
     "t16_domain_mixture" -> TextOps.domainMixtureOracle,
     "t17_mixture_materialize" -> TextOps.mixtureMaterializeOracle,

@@ -64,6 +64,36 @@ object Dedup {
        min(doc_id) AS canonical_id, count(*) AS n_copies
        FROM documents GROUP BY 1 ORDER BY canonical_id"""
 
+  /** d19: PREFIX (head) dedup — group documents by a digest of their
+    * first `k` normalized words: the boilerplate-head equivalence
+    * class (mirrored articles with divergent tails, templated pages,
+    * wire copy re-published with edits) that exact-digest dedup (d06)
+    * misses entirely and pairwise near-dup (d02) only finds when the
+    * tails stay similar enough for Jaccard. On this corpus the
+    * divergence is LIVE the other way too: at sf0.001 there are ZERO
+    * exact dups but 20+ prefix families (spec-pinned), so the two
+    * rows answer different questions.
+    *
+    * Scale shape: identical to d06 — the digest is a map-side
+    * projection (split/slice/hash fuse into the scan) and the ONE
+    * shuffle carries 32-byte digests + small ints, never text. The
+    * keep-min-id convention matches d01/d06 so downstream apply
+    * stages compose unchanged.
+    */
+  def prefixDedup(documents: DataFrame, k: Int = 8): DataFrame =
+    documents
+      .groupBy(sha2(lower(trim(concat_ws(" ",
+          slice(split(trim(col("text")), " "), 1, k)))), 256).as("prefix_digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("prefix_digest"), col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  def prefixDedupOracle(k: Int = 8): String =
+    s"""SELECT sha256(lower(trim(list_aggregate(
+         string_split(trim(text), ' ')[1:$k], 'string_agg', ' ')))) AS prefix_digest,
+       min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY canonical_id"""
+
   // ---- shared shingle-set frame --------------------------------------
 
   private def shinglesExpr(d: Dialect): String = {

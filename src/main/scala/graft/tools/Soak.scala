@@ -41,6 +41,7 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val docsOnly = args.length > 1 && args(1) == "docs"
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/graft_soak"
     val spark = GraftSession.local("graft-soak", cores = 32)
@@ -51,10 +52,18 @@ object Soak {
     val embs0 = Tables.embeddings(spark, base)
     val nDocs0 = docs0.count()
     val nEmbs0 = embs0.count()
-    timed(s"synthesize ${copies}x corpus") {
+    timed(s"synthesize ${copies}x corpus" + (if (docsOnly) " (docs only)" else "")) {
       val abc = "abcdefghijklmnopqrstuvwxyz"
+      // AFFINE substitution ciphers j -> (a*j + b) mod 26: 12 units x
+      // 26 offsets = 312 distinct permutations, so up to 312 copies
+      // decorrelate (a plain Caesar shift has only 26 — copy 26 would
+      // be copy 0's verbatim twin and the dup rate would quadruple at
+      // 100x). Copy 0 is (a=1, b=0) = identity.
+      val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      require(copies <= units.size * 26, s"only ${units.size * 26} distinct ciphers")
       val docCopies = (0 until copies).map { i =>
-        val to = abc.drop(i % 26) + abc.take(i % 26)
+        val (a, b) = (units(i / 26 % units.size), i % 26)
+        val to = (0 until 26).map(j => abc((a * j + b) % 26)).mkString
         docs0
           .withColumn("text2",
             if (i == 0) col("text") else translate(col("text"), abc, to))
@@ -70,22 +79,23 @@ object Soak {
       docCopies.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      val embCopies = (0 until copies).map { i =>
-        embs0.select(
-          (col("vec_id") + lit(i * nEmbs0)).as("vec_id"),
-          (if (i == 0) col("embedding")
-           else concat(slice(col("embedding"), i + 1, 10000),
-                       slice(col("embedding"), 1, i))).as("embedding"),
-          col("label"))
+      if (!docsOnly) {
+        val embCopies = (0 until copies).map { i =>
+          embs0.select(
+            (col("vec_id") + lit(i * nEmbs0)).as("vec_id"),
+            (if (i == 0) col("embedding")
+             else concat(slice(col("embedding"), i + 1, 10000),
+                         slice(col("embedding"), 1, i))).as("embedding"),
+            col("label"))
+        }
+        embCopies.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       }
-      embCopies.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
     val docs = Tables.documents(spark, out)
-    val embs = Tables.embeddings(spark, out)
-    val nDocs = docs.count(); val nEmbs = embs.count()
-    println(s"[soak] corpus: $nDocs docs (${nDocs0} base), $nEmbs vecs")
+    val nDocs = docs.count()
+    println(s"[soak] corpus: $nDocs docs (${nDocs0} base)")
 
     // ---- dedup pipeline volumes ---------------------------------------
     timed("dedup pipeline build + census") {
@@ -103,28 +113,33 @@ object Soak {
     }
 
     // ---- LSH bucket + IVF cell occupancy at derived sizing -------------
-    timed("ann occupancy census") {
-      val planes = Similarity.planesFor(nEmbs)
-      Similarity.bucketCensus(embs, planes).collect().foreach(r =>
-        println(s"[soak] lsh planes=$planes census=$r"))
-      val cents = Similarity.centroidIdsFor(nEmbs)
-      Similarity.cellCensus(embs, cents).collect().foreach(r =>
-        println(s"[soak] ivf k=${cents.size} census=$r"))
-    }
-
-    // ---- the persisted IVF index at scale ------------------------------
-    timed("vec index build+probe") {
-      val root = s"$out/vecindex"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+    if (!docsOnly) {
+      val embs = Tables.embeddings(spark, out)
+      val nEmbs = embs.count()
+      println(s"[soak] vectors: $nEmbs")
+      timed("ann occupancy census") {
+        val planes = Similarity.planesFor(nEmbs)
+        Similarity.bucketCensus(embs, planes).collect().foreach(r =>
+          println(s"[soak] lsh planes=$planes census=$r"))
+        val cents = Similarity.centroidIdsFor(nEmbs)
+        Similarity.cellCensus(embs, cents).collect().foreach(r =>
+          println(s"[soak] ivf k=${cents.size} census=$r"))
       }
-      if (new java.io.File(root).exists()) rm(new java.io.File(root))
-      VecIndex.build(spark, root, embs, centIds = Similarity.centroidIdsFor(nEmbs))
-      val queries = embs.filter(col("vec_id") % 1000 === 7).limit(64)
-        .select(col("vec_id"), col("embedding"))
-      val hits = VecIndex.probe(spark, root, queries, k = 10, nProbe = 4).count()
-      println(s"[soak] vecindex probe hits=$hits")
+
+      // ---- the persisted IVF index at scale ----------------------------
+      timed("vec index build+probe") {
+        val root = s"$out/vecindex"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (new java.io.File(root).exists()) rm(new java.io.File(root))
+        VecIndex.build(spark, root, embs, centIds = Similarity.centroidIdsFor(nEmbs))
+        val queries = embs.filter(col("vec_id") % 1000 === 7).limit(64)
+          .select(col("vec_id"), col("embedding"))
+        val hits = VecIndex.probe(spark, root, queries, k = 10, nProbe = 4).count()
+        println(s"[soak] vecindex probe hits=$hits")
+      }
     }
 
     // ---- bigram LM vocab growth (Heaps) --------------------------------

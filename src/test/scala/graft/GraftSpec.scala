@@ -511,6 +511,22 @@ class GraftSpec extends AnyFunSuite {
     assert(livesPermuted, "sample equals head-of-table in every stratum — hash rank is dead")
   }
 
+  test("d19 prefix dedup: finds boilerplate-head families exact dedup cannot see (live divergence from d06)") {
+    val prefix = SparkEntry.queries("d19_dedup_prefix")(spark, sf).collect()
+    val exact = SparkEntry.queries("d06_dedup_digest")(spark, sf).collect()
+    val prefixFamilies = prefix.count(_.getAs[Long]("n_copies") > 1)
+    val exactFamilies = exact.count(_.getAs[Long]("n_copies") > 1)
+    // the corpus has prefix families but (at this SF) no exact dups —
+    // the two rows answer different questions, and the arm is live
+    assert(prefixFamilies > 0, "prefix dedup found nothing — dead arm")
+    assert(prefixFamilies > exactFamilies,
+      s"prefix families ($prefixFamilies) must exceed exact families ($exactFamilies)")
+    // every group's canonical is its own minimum (the d01/d06 convention)
+    val total = prefix.map(_.getAs[Long]("n_copies")).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "every document must belong to exactly one prefix family")
+  }
+
   test("t23 curation pipeline: composite equals its stages replayed, both arms live") {
     import org.apache.spark.sql.functions.col
     val out = SparkEntry.queries("t23_curation_pipeline")(spark, sf).collect()
@@ -829,6 +845,75 @@ class GraftSpec extends AnyFunSuite {
     assert(after.count() == 2) // merged, not appended
     assert(after.filter(col("suppkey") === 1L).head.getAs[Double]("qty") == 11.0)
     assert(after.filter(col("suppkey") === 2L).head.getAs[Double]("qty") == 22.0)
+  }
+
+  test("streaming curation: battery filter + cross-batch near-dup admission land a curated corpus from a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{BandIndex, TextOps}
+    import graft.sources.VersionedTable
+    // crafted against the t20 thresholds: A and C pass every rule and
+    // are NOT near-dups of each other (char-5 Jaccard 0.05); B fails
+    // the word-count rule
+    val docA = "the amber river turns and slips past quiet stony banks where " +
+      "small boats drift to the old port town under clear calm skies while " +
+      "eager birds circle warm sand dunes"
+    val docB = "tiny gnat"
+    val docC = "the steel motor hums and spins inside large brick halls where " +
+      "heavy iron gears drive long cable lines to the far hill yards under " +
+      "faint lamp glow every cold night shift"
+    def asDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("stream"))
+    // precondition (loud, not flaky): the battery itself admits A and
+    // C and rejects B — if the corpus-tuned thresholds move, this
+    // line says so instead of the stream assertions below misleading
+    val pre = TextOps.filterBattery(asDocs(Seq((1L, docA), (2L, docB), (3L, docC))))
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pre == Map(1L -> true, 2L -> false, 3L -> true), s"battery moved: $pre")
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_cur").toString
+    val idx = s"$work/bandindex"
+    val corpus = s"$work/corpus"
+    // seed with one unrelated doc (a partition-native table can't be
+    // built from zero rows — and a real curation loop always has a
+    // corpus before it has an admission gate)
+    BandIndex.build(spark, idx, Seq((100L,
+      "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa"))
+      .toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = batch
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("lang", lit("en")).withColumn("source", lit("stream"))
+        val keptIds = TextOps.filterBattery(docs)
+          .filter(col("keep")).select("doc_id")
+        val kept = docs.join(keptIds, "doc_id").select("doc_id", "text")
+        val (admitted, _) = BandIndex.ingest(spark, idx, kept)
+        if (!admitted.isEmpty)
+          VersionedTable.currentVersion(spark, corpus) match {
+            case Some(v) => VersionedTable.append(spark, corpus, admitted, v)
+            case None    => VersionedTable.commit(spark, corpus, admitted, -1L)
+          }
+        ()
+      }
+      .start()
+    try {
+      // batch 1: A admitted, B battery-rejected
+      input.addData((1L, docA), (2L, docB))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates A — REJECTED by the index probe
+      // against batch 1's append (the cross-batch curation property);
+      // C is novel and admitted
+      input.addData((3L, docA), (4L, docC))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = VersionedTable.read(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 4L),
+      s"curated corpus must hold exactly the novel battery-passing docs, got $landed")
   }
 
   test("write-path composition: lakehouse upsert drives an incremental aggregate refresh") {
