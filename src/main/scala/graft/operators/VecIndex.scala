@@ -206,7 +206,14 @@ object VecIndex {
     * stays time-travelable (readAsOf sees the pre-delete lists);
     * deletions count toward [[rebuildRecommended]]'s churn signal
     * exactly like appends. Returns the published version (unchanged
-    * version = nothing deleted). */
+    * version = nothing deleted).
+    *
+    * Concurrency: the rewrite commits against the version read at
+    * entry under the table's optimistic concurrency — a racing ingest
+    * or second delete surfaces as [[graft.sources.VersionedTable.VersionConflictException]]
+    * rather than silent loss; the caller re-runs against the fresh
+    * snapshot (the single-maintenance-loop contract every index
+    * write path states). */
   def delete(spark: SparkSession, root: String, victims: DataFrame): Long = {
     val cents = VersionedTable.read(spark, centsRoot(root))
     val vv = VersionedTable.currentVersion(spark, vecsRoot(root)).getOrElse(
