@@ -219,6 +219,8 @@ object SparkEntry {
       graft.streaming.StreamOps.lakeStreamDrain(Tables.orders(s, d))),
     "st10_lake_cdc" -> ((s, d) =>
       graft.streaming.StreamOps.lakeCdcDrain(Tables.orders(s, d))),
+    "st11_stream_curation" -> ((s, d) =>
+      graft.streaming.StreamOps.streamCurationDrain(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -534,5 +536,6 @@ object SparkEntry {
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,
+    "st11_stream_curation" -> Dedup.streamCurationOracle(),
   )
 }

@@ -184,6 +184,38 @@ object Dedup {
          FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id)"""
   }
 
+  /** The DuckDB replay of st11's streaming curation drain (the Spark
+    * side is StreamOps.streamCurationDrain; the oracle lives here
+    * because it composes [[minhashLshCtes]] with TextOps's battery
+    * fragments): seed = doc_id%3==0 indexed raw; arrival batch 0 =
+    * %3==1, batch 1 = %3==2; an arrival is admitted iff it passes the
+    * battery AND has no band-candidate verified pair (jac >= t) with
+    * any SEED OR EARLIER-ADMITTED doc — within-batch near-dups are
+    * both admitted, exactly the BandIndex.ingest contract (the probe
+    * sees the index at batch start). */
+  def streamCurationOracle(minJaccard: Double = 0.3): String =
+    s"""WITH $minhashLshCtes,
+       ${TextOps.batteryMetricsCte},
+       k AS (SELECT doc_id, lang, n_chars FROM m
+         WHERE ${TextOps.batteryKeepWhere}),
+       seed AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+       b1 AS (SELECT doc_id, lang, n_chars FROM k WHERE doc_id % 3 = 1),
+       b2 AS (SELECT doc_id, lang, n_chars FROM k WHERE doc_id % 3 = 2),
+       vp AS (SELECT doc_a AS d, doc_b AS o FROM verified WHERE jac >= $minJaccard
+              UNION ALL
+              SELECT doc_b AS d, doc_a AS o FROM verified WHERE jac >= $minJaccard),
+       adm1 AS (SELECT * FROM b1 WHERE NOT EXISTS (
+         SELECT 1 FROM vp JOIN seed s ON vp.o = s.doc_id WHERE vp.d = b1.doc_id)),
+       idx2 AS (SELECT doc_id FROM seed UNION ALL SELECT doc_id FROM adm1),
+       adm2 AS (SELECT * FROM b2 WHERE NOT EXISTS (
+         SELECT 1 FROM vp JOIN idx2 i ON vp.o = i.doc_id WHERE vp.d = b2.doc_id)),
+       landed AS (SELECT CAST(0 AS BIGINT) AS arrival_batch, lang, n_chars FROM adm1
+                  UNION ALL
+                  SELECT CAST(1 AS BIGINT), lang, n_chars FROM adm2)
+       SELECT arrival_batch, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM landed GROUP BY 1, 2 ORDER BY arrival_batch, lang"""
+
   def minhashLshOracle(minJaccard: Double = 0.3): String =
     s"""WITH $minhashLshCtes
        SELECT doc_a, doc_b, round(jac, 4) AS jac FROM verified

@@ -1088,7 +1088,7 @@ object TextOps {
     * rule metrics over every non-empty doc (extra doc columns carried
     * for downstream composition), plus the keep predicate as a WHERE
     * fragment — shared by the t20 and t23 oracles. */
-  private[operators] val batteryMetricsCte: String =
+  private[graft] val batteryMetricsCte: String =
     s"""m AS (SELECT doc_id, lang, text, n_chars,
          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
          CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
@@ -1097,7 +1097,7 @@ object TextOps {
            / len(string_split(trim(text), ' ')) AS dr,
          CAST(${hitsDuck("en")} AS BIGINT) AS stop_hits
        FROM documents WHERE n_chars > 0)"""
-  private[operators] val batteryKeepWhere: String =
+  private[graft] val batteryKeepWhere: String =
     s"""n_words >= $RuleMinWords AND n_words <= $RuleMaxWords
       AND mwl >= $RuleMinMwl AND mwl <= $RuleMaxMwl
       AND dr >= $RuleMinDistinct AND stop_hits >= $RuleMinStops"""

@@ -577,6 +577,67 @@ object StreamOps {
       .orderBy(col("change_type"), col("status"))
   }
 
+  /** st11: the CURATION LOOP as a live stream under the oracle gate —
+    * the t23 stack driven by real micro-batches: a seed corpus
+    * (doc_id%3==0, indexed raw) gates two arrival batches (%3==1 then
+    * %3==2, landed as two commits of a graft table and drained with
+    * maxVersionsPerTrigger=1 so BATCH BOUNDARY == COMMIT BOUNDARY —
+    * deterministic, trigger timing cannot re-cut it). Each micro-batch
+    * runs battery filter (t20's keep) → BandIndex.ingest admission
+    * (band-candidate + Jaccard ≥ 0.3 vs the index AT BATCH START) →
+    * lands admitted docs tagged with their arrival batch. Output: the
+    * landed corpus census per (arrival_batch, lang). DuckDB replays
+    * the whole loop relationally (battery CTEs + the d02 banding
+    * CTEs + sequential admission) — a dropped/duplicated batch, a
+    * battery reject slipping through, or an admission judged against
+    * the wrong index state breaks the hash. The cross-batch property
+    * st-rows exist to pin: batch 1's admissions REJECT batch 2's
+    * duplicates through the O(batch) index append. */
+  def streamCurationDrain(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import graft.operators.{BandIndex, TextOps}
+    import graft.sources.VersionedTable
+    val work =
+      java.nio.file.Files.createTempDirectory("graft-st11").toString
+    val idx = s"$work/bandindex"
+    val corpus = s"$work/corpus"
+    val arrivals = s"$work/arrivals"
+    val docs = documents.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    BandIndex.build(spark, idx,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id", "text"))
+    val v0 = VersionedTable.commit(spark, arrivals,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), -1L)
+    VersionedTable.append(spark, arrivals,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), v0)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(arrivals)
+      .writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val kept = batch.join(
+          TextOps.filterBattery(batch).filter(col("keep")).select("doc_id"),
+          "doc_id")
+        val (admitted, _) = BandIndex.ingest(spark, idx,
+          kept.select("doc_id", "text"))
+        val landed = kept
+          .join(admitted.select("doc_id"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+                  lit(batchId).as("arrival_batch"))
+        if (!landed.isEmpty)
+          VersionedTable.currentVersion(spark, corpus) match {
+            case Some(v) => VersionedTable.append(spark, corpus, landed, v)
+            case None    => VersionedTable.commit(spark, corpus, landed, -1L)
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    VersionedTable.read(spark, corpus)
+      .groupBy(col("arrival_batch"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("arrival_batch"), col("lang"))
+  }
+
   val lakeCdcOracle: String =
     """WITH ch AS (
          SELECT o_orderkey, o_orderstatus,

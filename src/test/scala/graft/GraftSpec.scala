@@ -916,6 +916,37 @@ class GraftSpec extends AnyFunSuite {
       s"curated corpus must hold exactly the novel battery-passing docs, got $landed")
   }
 
+  test("st11 streaming curation drain: census replays from verified parts; cross-batch-only rejections live") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("st11_stream_curation")(spark, sf).collect()
+    val landedPerBatch = out.groupBy(_.getAs[Long]("arrival_batch")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    // replay the admission sequence from the already-oracle-verified
+    // battery (t20) and near-dup pair (d02) rows
+    val kept = SparkEntry.queries("t20_filter_battery")(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val all = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val seed = all.filter(_ % 3 == 0).toSet
+    val b1 = all.filter(id => id % 3 == 1 && kept(id))
+    val b2 = all.filter(id => id % 3 == 2 && kept(id))
+    def hits(id: Long, idx: Set[Long]): Boolean =
+      adj.getOrElse(id, Set.empty).exists(idx)
+    val adm1 = b1.filterNot(hits(_, seed)).toSet
+    val adm2 = b2.filterNot(hits(_, seed ++ adm1)).toSet
+    assert(landedPerBatch == Map(0L -> adm1.size.toLong, 1L -> adm2.size.toLong),
+      s"landed census $landedPerBatch != replayed admissions (${adm1.size}, ${adm2.size})")
+    // the property st-rows exist to pin, live: at least one batch-2
+    // doc is rejected ONLY because of a batch-1 admission (no seed
+    // pair) — through the O(batch) index append, not the build
+    val crossOnly = b2.filter(id => hits(id, adm1) && !hits(id, seed))
+    assert(crossOnly.nonEmpty,
+      "no cross-batch-only rejection on this corpus — the arm is dead")
+  }
+
   test("write-path composition: lakehouse upsert drives an incremental aggregate refresh") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
