@@ -1063,6 +1063,13 @@ object TextOps {
       .withColumn("keep",
         col("r_len") && col("r_wordlen") && col("r_repeat") && col("r_stop"))
 
+  /** The battery's admission set alone — (doc_id) of every keeper,
+    * WITHOUT t20's oracle-determinism orderBy (a global sort has no
+    * place inside an ingest loop). Same rules via [[batteryMetrics]];
+    * used by the streaming curation paths. */
+  def batteryKeep(documents: DataFrame): DataFrame =
+    batteryMetrics(documents).filter(col("keep")).select(col("doc_id"))
+
   /** t20: per-document quality-rule battery — each heuristic filter as
     * an explicit boolean column plus the composite `keep` (the
     * CCNet/Gopher filter stage as data, not a silent WHERE: a corpus

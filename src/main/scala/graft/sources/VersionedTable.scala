@@ -903,12 +903,38 @@ object VersionedTable {
       .distinct().collect().map(_.getString(0)).sorted
     require(values.nonEmpty, s"no $partitionCol values to stage")
     val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+    // Fast path: ONE partitionBy job + per-dir metadata renames,
+    // instead of one sequential filter+write JOB per value (a
+    // 142-cell VecIndex build was paying 142 job launches; profiled
+    // 26 s -> one wave). The partition column is duplicated into a
+    // throwaway __graft_p so the data files keep the real column
+    // (readPartition reads leaf dirs directly — no Hive partition
+    // discovery recovers dir values). Restricted to ASCII
+    // alnum/-/_/. values where Hive's dir escaping and our enc()
+    // are both the identity, so the emitted suffix == enc(v);
+    // anything exotic takes the per-value path below.
+    def dirSafe(v: String): Boolean = v.nonEmpty && v.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.')
     val entries =
-      try values.toSeq.map { v =>
-        val rel = s"$parent/p=${enc(v)}"
-        src.filter(col(partitionCol).cast("string") === v)
-          .write.mode("errorifexists").parquet(s"$root/$rel")
-        Entry(rel, Some(enc(v)))
+      try {
+        if (values.forall(dirSafe)) {
+          src.withColumn("__graft_p", col(partitionCol).cast("string"))
+            .write.mode("errorifexists").partitionBy("__graft_p")
+            .parquet(s"$root/$parent")
+          f.delete(p(s"$root/$parent/_SUCCESS"), false)
+          values.toSeq.map { v =>
+            require(f.rename(p(s"$root/$parent/__graft_p=$v"),
+                             p(s"$root/$parent/p=${enc(v)}")),
+              s"stage rename failed for partition value $v")
+            Entry(s"$parent/p=${enc(v)}", Some(enc(v)))
+          }
+        } else values.toSeq.map { v =>
+          val rel = s"$parent/p=${enc(v)}"
+          src.filter(col(partitionCol).cast("string") === v)
+            .write.mode("errorifexists").parquet(s"$root/$rel")
+          Entry(rel, Some(enc(v)))
+        }
       }
       catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
     (parent, entries)

@@ -615,9 +615,7 @@ object StreamOps {
       .writeStream
       .option("checkpointLocation", s"$work/ck")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val kept = batch.join(
-          TextOps.filterBattery(batch).filter(col("keep")).select("doc_id"),
-          "doc_id")
+        val kept = batch.join(TextOps.batteryKeep(batch), "doc_id")
         val (admitted, _) = BandIndex.ingest(spark, idx,
           kept.select("doc_id", "text"))
         val landed = kept
