@@ -600,22 +600,42 @@ object VersionedTable {
     require(entries.forall(_.part.isDefined),
       s"compactPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
     val next = base + 1
-    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
     val byPart = entries.groupBy(_.part.get).toSeq.sortBy(_._1)
-    val newEntries =
-      try byPart.map { case (pv, es) =>
-        if (es.size == 1) es.head // already one dir: carry, don't rewrite
-        else {
-          val rel = s"$parent/p=$pv"
-          spark.read.parquet(es.map(e => s"$root/${e.rel}"): _*)
-            .write.mode("errorifexists").parquet(s"$root/$rel")
-          Entry(rel, Some(pv))
-        }
-      }
-      catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
-    publish(spark, root, next, newEntries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
-            meta = inheritMeta(spark, root, base))
+    val carried = byPart.collect { case (_, es) if es.size == 1 => es.head }
+    val fragmented = byPart.collect { case (_, es) if es.size > 1 => es }.flatten
+    if (fragmented.isEmpty) { // nothing to fold: every dir carries
+      publish(spark, root, next, carried, onConflictCleanup = () => (),
+              meta = inheritMeta(spark, root, base))
+      return next
+    }
+    // one read of every fragmented chain + one staging wave — rows
+    // route to their partition's fresh dir by column value (the
+    // stagePartitions discipline) instead of a read+write job pair
+    // per fragmented partition; a legacy table without the #partcol
+    // marker (so the column name is unknown) takes the per-partition
+    // fold it always got
+    partitionColumnOf(spark, root, base) match {
+      case Some(pc) =>
+        val src = spark.read.parquet(fragmented.map(e => s"$root/${e.rel}"): _*)
+          .localCheckpoint()
+        val (parent, staged) = stagePartitions(spark, root, src, pc, next)
+        publish(spark, root, next, carried ++ staged,
+                onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+                meta = inheritMeta(spark, root, base))
+      case None =>
+        val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+        val staged =
+          try fragmented.groupBy(_.part.get).toSeq.sortBy(_._1).map { case (pv, es) =>
+            val rel = s"$parent/p=$pv"
+            spark.read.parquet(es.map(e => s"$root/${e.rel}"): _*)
+              .write.mode("errorifexists").parquet(s"$root/$rel")
+            Entry(rel, Some(pv))
+          }
+          catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+        publish(spark, root, next, carried ++ staged,
+                onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+                meta = inheritMeta(spark, root, base))
+    }
     next
   }
 
@@ -1055,23 +1075,24 @@ object VersionedTable {
         s"mergePartitioned requires a partition-native table; $root@v$base has unscoped dirs " +
         "(create it with commitPartitioned, or compact via mergePartitioned only)")
       val next = base + 1
-      val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
-      val staged =
-        try touched.toSeq.map { v =>
-          val ev = enc(v)
-          val beforeRels = baseEntries.filter(_.part.contains(ev)).map(_.rel)
-          val slice = src.filter(col(partitionCol).cast("string") === v)
-          val merged =
-            if (beforeRels.isEmpty)
-              graft.operators.Relational.mergeUpsert(slice.limit(0), slice, keys, tb)
-            else graft.operators.Relational.mergeUpsert(
-              spark.read.parquet(beforeRels.map(r => s"$root/$r"): _*), slice, keys, tb)
-          val rel = s"$parent/p=$ev"
-          merged.write.mode("errorifexists").parquet(s"$root/$rel")
-          Entry(rel, Some(ev))
-        }
-        catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
+      // ONE merge + ONE staging wave over all touched partitions,
+      // not a sequential merge+write job pair per partition (the
+      // stagePartitions discipline): under this method's stability
+      // contract (a key's rows never move between partitions) the
+      // global latest-wins window equals the per-partition one, so
+      // merging the union of touched dirs with the whole batch and
+      // letting stagePartitions route rows by their partition value
+      // is the same result at O(1) job launches instead of
+      // O(touched).
       val touchedEnc = touched.map(enc).toSet
+      val beforeRels = baseEntries
+        .filter(_.part.exists(touchedEnc.contains)).map(_.rel)
+      val target =
+        if (beforeRels.isEmpty) src.limit(0)
+        else spark.read.parquet(beforeRels.map(r => s"$root/$r"): _*)
+      val merged = graft.operators.Relational
+        .mergeUpsert(target, src, keys, tb).localCheckpoint()
+      val (parent, staged) = stagePartitions(spark, root, merged, partitionCol, next)
       // publish loop: on conflict, REBASE the same staged dirs if the
       // winners' commits left every touched partition untouched
       // (Delta's disjoint-file conflict rule at partition granularity:
