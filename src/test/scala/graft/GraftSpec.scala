@@ -3780,6 +3780,36 @@ class GraftSpec extends AnyFunSuite {
       s"probe opened cell partitions $cellDirs, expected only p=101")
   }
 
+  test("partition staging is ONE write wave, not a job per partition value") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_wave").toString + "/t"
+    // 24 partition values: the per-value staging this replaced would
+    // launch >=24 write jobs; the wave path launches a small constant
+    // (checkpoint + distinct + one partitionBy write)
+    val df = (0 until 240).map(i => (i.toLong, s"p${i % 24}", i * 1.0))
+      .toDF("k", "part", "v")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      VersionedTable.commitPartitioned(spark, root, df, "part", -1L)
+      Thread.sleep(500) // let queued listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = counter.get()
+    assert(jobs <= 8,
+      s"commitPartitioned of 24 partitions launched $jobs jobs — the one-wave staging regressed")
+    // and the result is a correct partition-native table
+    assert(VersionedTable.entryPairsOf(spark, root, 0L).size == 24)
+    assert(VersionedTable.readPartition(spark, root, "p3").count() == 10)
+    assert(VersionedTable.read(spark, root).count() == 240)
+  }
+
   test("VecIndex: delete rewrites only the victim's cell, is idempotent, and equals an index never holding the victim") {
     import spark.implicits._
     import graft.operators.VecIndex
