@@ -221,6 +221,8 @@ object SparkEntry {
       graft.streaming.StreamOps.lakeCdcDrain(Tables.orders(s, d))),
     "st11_stream_curation" -> ((s, d) =>
       graft.streaming.StreamOps.streamCurationDrain(Tables.documents(s, d))),
+    "st12_stream_ann_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.streamAnnIngestDrain(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -537,5 +539,6 @@ object SparkEntry {
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,
     "st11_stream_curation" -> Dedup.streamCurationOracle(),
+    "st12_stream_ann_ingest" -> Similarity.streamAnnIngestOracle(),
   )
 }

@@ -2023,6 +2023,74 @@ object Similarity {
     * cosine ranking replayed relationally over the same batch split —
     * the persisted-index path must equal the from-scratch relational
     * computation exactly. */
+  /** st12's pinned operating point: centroid ids that live INSIDE the
+    * stream's seed slice (vec_id % 3 == 0 — every id divisible by 3),
+    * and an admission threshold sitting inside this corpus's
+    * cross-slice cosine distribution so both the reject and admit
+    * arms are live (the d05/d17 corpus-tuned-threshold convention;
+    * max cross-slice cosine here is ~0.48-0.53, there are no 0.99
+    * near-identical twins). */
+  val streamIngestCentroids: Seq[Long] =
+    Seq(99L, 102L, 105L, 108L, 111L, 114L, 117L, 120L)
+  val StreamIngestMaxCos = 0.42
+
+  /** The DuckDB replay of st12's streaming ANN-ingest drain (Spark
+    * side: StreamOps.streamAnnIngestDrain): seed = vec_id%3==0 built
+    * into a VecIndex raw; arrival batch 0 = %3==1, batch 1 = %3==2;
+    * an arrival is ADMITTED iff no member of the index AT ITS BATCH
+    * START (seed, then seed ∪ batch-0 admissions) inside its nProbe
+    * probed cells reaches `maxCos` (4-dp-rounded, the ingestDedup
+    * gate). Assignment/probing/cosine arithmetic is the s12-proven
+    * relational replay; admissions are sequential NOT-IN steps. */
+  def streamAnnIngestOracle(maxCos: Double = StreamIngestMaxCos,
+                            nProbe: Int = 2): String = {
+    val d = Dialect.duck
+    val ids = streamIngestCentroids.mkString(", ")
+    def assign1(src: String, out: String): String =
+      s"""${out}s AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           ${dot(d, "e.embedding", "c.cemb")} AS csim
+         FROM $src e CROSS JOIN cents c),
+       $out AS (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
+           cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn FROM ${out}s) t
+         WHERE crn = 1)"""
+    def probeN(src: String, out: String): String =
+      s"""${out}s AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           ${dot(d, "e.embedding", "c.cemb")} AS csim
+         FROM $src e CROSS JOIN cents c),
+       $out AS (SELECT vec_id, embedding AS qe, ${normExpr(d, "embedding")} AS qn,
+           cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn FROM ${out}s) t
+         WHERE crn <= $nProbe)"""
+    def hitExpr(probe: String, idx: String): String =
+      s"""SELECT DISTINCT p.vec_id FROM $probe p JOIN $idx a ON a.cell = p.cell
+         WHERE round(${dot(d, "p.qe", "a.embedding")} / (p.qn * a.nrm), 4) >= $maxCos"""
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cemb
+           FROM embeddings WHERE vec_id IN ($ids)),
+       seed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+       b1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1),
+       b2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 2),
+       ${assign1("seed", "sassign")},
+       ${probeN("b1", "p1")},
+       hit1 AS (${hitExpr("p1", "sassign")}),
+       adm1 AS (SELECT vec_id, embedding FROM b1
+         WHERE vec_id NOT IN (SELECT vec_id FROM hit1)),
+       ${assign1("adm1", "a1assign")},
+       idx2 AS (SELECT * FROM sassign UNION ALL SELECT * FROM a1assign),
+       ${probeN("b2", "p2")},
+       hit2 AS (${hitExpr("p2", "idx2")}),
+       adm2 AS (SELECT vec_id FROM b2
+         WHERE vec_id NOT IN (SELECT vec_id FROM hit2)),
+       landed AS (SELECT CAST(0 AS BIGINT) AS arrival_batch, vec_id FROM adm1
+                  UNION ALL
+                  SELECT CAST(1 AS BIGINT), vec_id FROM adm2)
+       SELECT arrival_batch, e.label, CAST(count(*) AS BIGINT) AS n_vecs
+       FROM landed l JOIN embeddings e USING (vec_id)
+       GROUP BY 1, 2 ORDER BY arrival_batch, label"""
+  }
+
   def annIncrementalOracle(k: Int = 3, nProbe: Int = 2,
                            batchMod: Int = 19): String = {
     val d = Dialect.duck

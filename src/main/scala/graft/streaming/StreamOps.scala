@@ -636,6 +636,61 @@ object StreamOps {
       .orderBy(col("arrival_batch"), col("lang"))
   }
 
+  /** st12: streaming ANN INGEST under the oracle gate — st11's
+    * discipline for vectors: a VecIndex seeded from vec_id%3==0 (raw)
+    * gates two arrival batches (%3==1 then %3==2; graft-table commits
+    * drained with maxVersionsPerTrigger=1 → batch boundary == commit
+    * boundary). Each micro-batch runs [[graft.operators.VecIndex.ingestDedup]]:
+    * a vector is ADMITTED iff no indexed vector inside its probed
+    * cells reaches the admission cosine — judged against the index AT
+    * BATCH START, so a batch-1 admission can turn away its batch-2
+    * near-neighbor through the O(batch) cell append. Output: landed
+    * census per (arrival_batch, label). DuckDB replays
+    * assignment/probing/cosine/sequential-admission relationally
+    * (Similarity.streamAnnIngestOracle). */
+  def streamAnnIngestDrain(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import graft.operators.{Similarity, VecIndex}
+    import graft.sources.VersionedTable
+    val work =
+      java.nio.file.Files.createTempDirectory("graft-st12").toString
+    val idx = s"$work/vecindex"
+    val landedT = s"$work/landed"
+    val arrivals = s"$work/arrivals"
+    val emb = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    VecIndex.build(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id", "embedding"),
+      centIds = Similarity.streamIngestCentroids)
+    val v0 = VersionedTable.commit(spark, arrivals,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1), -1L)
+    VersionedTable.append(spark, arrivals,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 2), v0)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(arrivals)
+      .writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val (admitted, _) = VecIndex.ingestDedup(spark, idx,
+          batch.select(col("vec_id"), col("embedding")),
+          maxCos = Similarity.StreamIngestMaxCos, nProbe = 2)
+        val landed = batch
+          .join(admitted.select(col("vec_id")), "vec_id")
+          .select(col("vec_id"), col("label"),
+                  lit(batchId).as("arrival_batch"))
+        if (!landed.isEmpty)
+          VersionedTable.currentVersion(spark, landedT) match {
+            case Some(v) => VersionedTable.append(spark, landedT, landed, v)
+            case None    => VersionedTable.commit(spark, landedT, landed, -1L)
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    VersionedTable.read(spark, landedT)
+      .groupBy(col("arrival_batch"), col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("arrival_batch"), col("label"))
+  }
+
   val lakeCdcOracle: String =
     """WITH ch AS (
          SELECT o_orderkey, o_orderstatus,

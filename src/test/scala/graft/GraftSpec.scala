@@ -947,6 +947,50 @@ class GraftSpec extends AnyFunSuite {
       "no cross-batch-only rejection on this corpus — the arm is dead")
   }
 
+  test("st12 streaming ANN ingest: census equals the batch-twin replay; cross-batch-only rejections live") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Similarity, VecIndex}
+    val out = SparkEntry.queries("st12_stream_ann_ingest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // batch twin: the same admission sequence through the public
+    // VecIndex API outside any stream
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val root = java.nio.file.Files.createTempDirectory("graft_st12_twin").toString
+    VecIndex.build(spark, root,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id", "embedding"),
+      centIds = Similarity.streamIngestCentroids)
+    val seedRoot = java.nio.file.Files.createTempDirectory("graft_st12_seed").toString
+    VecIndex.build(spark, seedRoot,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id", "embedding"),
+      centIds = Similarity.streamIngestCentroids)
+    def drain(r: String, mod: Int): Set[Long] = {
+      val b = emb.filter(pmod(col("vec_id"), lit(3)) === mod)
+        .select(col("vec_id"), col("embedding"))
+      val (adm, _) = VecIndex.ingestDedup(spark, r, b,
+        maxCos = Similarity.StreamIngestMaxCos, nProbe = 2)
+      adm.select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val adm1 = drain(root, 1)
+    val adm2 = drain(root, 2)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twin = (adm1.toSeq.map(v => (0L, labelOf(v))) ++
+                adm2.toSeq.map(v => (1L, labelOf(v))))
+      .groupBy(identity).map { case ((b, l), xs) => (b, l, xs.size.toLong) }.toSet
+    assert(out == twin, s"stream census diverged from batch twin:\n$out\nvs\n$twin")
+    // the arms are live: batch 1 rejected someone...
+    val b1All = emb.filter(pmod(col("vec_id"), lit(3)) === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(adm1 != b1All, "batch-1 admission arm dead: nothing rejected")
+    // ...and some batch-2 rejection is CROSS-BATCH-ONLY: admitted by
+    // the seed-only index (never ingested batch 1) but rejected by
+    // the real one — the O(batch) cell append did the turning away
+    val adm2SeedOnly = drain(seedRoot, 2)
+    assert((adm2SeedOnly -- adm2).nonEmpty,
+      "no cross-batch-only rejection — the property st12 exists to pin is dead")
+  }
+
   test("write-path composition: lakehouse upsert drives an incremental aggregate refresh") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
