@@ -87,6 +87,8 @@ object SparkEntry {
     "d05_dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "s01_ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "s02_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "s19_ann_lsh_multitable" -> ((s, d) =>
+      Similarity.multiTableLshTopK(Tables.embeddings(s, d))),
     "s03_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "s04_centroid_update" -> ((s, d) => Similarity.centroidUpdate(Tables.embeddings(s, d))),
     "s05_ann_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbe(Tables.embeddings(s, d))),
@@ -213,6 +215,7 @@ object SparkEntry {
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
     "m05_shard_pack" -> ((s, d) => Multimodal.shardPack(Tables.documents(s, d))),
+    "m06_image_decode" -> ((s, d) => Multimodal.imageDecode(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -455,6 +458,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> Similarity.embeddingNearDupOracle(),
     "s01_ann_bruteforce_topk" -> Similarity.bruteForceTopKOracle(),
     "s02_ann_lsh_topk" -> Similarity.lshTopKOracle(),
+    "s19_ann_lsh_multitable" -> Similarity.multiTableLshTopKOracle(),
     "s03_ann_ivf_topk" -> Similarity.ivfTopKOracle(),
     "s04_centroid_update" -> Similarity.centroidUpdateOracle,
     "s05_ann_ivf_multiprobe" -> Similarity.ivfMultiProbeOracle(),
@@ -535,6 +539,7 @@ object SparkEntry {
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),
+    "m06_image_decode" -> Multimodal.imageDecodeOracle,
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

@@ -186,9 +186,12 @@ object TextKernels {
   }
 
   /** Hyperplane sign bucket: bit j set iff
-    * sum_i e[i] * (2*(((1103515245*(j*D+i)+12345) >> 16) & 1) - 1) > 0
-    * with i 1-based as in the SQL fragment. */
-  def planeBucket(e: ArrayData, planes: Int): Long = {
+    * sum_i e[i] * (2*(((1103515245*((o+j)*D+i)+12345) >> 16) & 1) - 1) > 0
+    * with i 1-based as in the SQL fragment. `offset` selects a
+    * DISJOINT slice of the shared hyperplane stream — table t of an
+    * OR-construction uses offset = t * planes, so its planes are the
+    * global indices [t*p, (t+1)*p) and no two tables share a plane. */
+  def planeBucket(e: ArrayData, planes: Int, offset: Int = 0): Long = {
     val n = e.numElements()
     var bucket = 0L
     var j = 0
@@ -196,7 +199,7 @@ object TextKernels {
       var acc = 0.0
       var i = 1
       while (i <= n) {
-        val sign = 2L * ((1103515245L * (j * n + i) + 12345L) >> 16 & 1L) - 1L
+        val sign = 2L * ((1103515245L * ((offset + j) * n + i) + 12345L) >> 16 & 1L) - 1L
         acc += e.getFloat(i - 1).toDouble * sign
         i += 1
       }
@@ -528,11 +531,11 @@ case class VecDot(left: Expression, right: Expression)
   * here); the generated loops are the integer-for-integer image of
   * [[TextKernels.planeBucket]], including the Int-arithmetic
   * `j * n + i` inside the PRNG so the two paths cannot diverge. */
-case class PlaneBucket(child: Expression, planes: Int)
+case class PlaneBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
-    TextKernels.planeBucket(v.asInstanceOf[ArrayData], planes)
+    TextKernels.planeBucket(v.asInstanceOf[ArrayData], planes, offset)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -549,7 +552,7 @@ case class PlaneBucket(child: Expression, planes: Int)
          |for (int $j = 0; $j < $planes; $j++) {
          |  double $acc = 0.0;
          |  for (int $i = 1; $i <= $n; $i++) {
-         |    long sign = 2L * ((1103515245L * ($j * $n + $i) + 12345L) >> 16 & 1L) - 1L;
+         |    long sign = 2L * ((1103515245L * (($offset + $j) * $n + $i) + 12345L) >> 16 & 1L) - 1L;
          |    $acc += ((double) $v.getFloat($i - 1)) * (double) sign;
          |  }
          |  if ($acc > 0) $bucket |= (1L << $j);
@@ -582,7 +585,8 @@ object GraftFunctions {
     val e = x(a)
     c(org.apache.spark.sql.catalyst.expressions.Sqrt(VecDot(e, e)))
   }
-  def plane_bucket(a: Column, planes: Int): Column = c(PlaneBucket(x(a), planes))
+  def plane_bucket(a: Column, planes: Int, offset: Int = 0): Column =
+    c(PlaneBucket(x(a), planes, offset))
   def bloom_contains(a: Column, bloomBytes: Array[Byte]): Column =
     c(BloomContainsStr(x(a), bloomBytes))
 

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column pipeline plumbing: media as opaque binary columns
   * with typed metadata, batched feature extraction over partitions.
   *
-  * The actual codec step (image/audio decode) is STUBBED — the
-  * container ships no codec libraries — behind [[decodeMedia]]; the
-  * Spark-side plumbing is real: binary payload column, metadata
-  * struct, `mapPartitions` with an explicit micro-batch shape (the
-  * Scala analogue of mapInPandas' batch iterator), and a deterministic
-  * fake feature extractor so the pipeline is testable end-to-end.
+  * The codec story: IMAGE decode is REAL — [[imageDecode]] (m06) runs
+  * the JDK's own PNG codec (javax.imageio) through encode → decode →
+  * feature extraction under the DuckDB oracle gate. Audio/video
+  * decode stays a declared boundary behind [[decodeMedia]] (the JDK
+  * ships no such codecs); m01's generic pipeline keeps the
+  * deterministic fake extractor so the batch plumbing — binary
+  * payload column, metadata struct, `mapPartitions` with an explicit
+  * micro-batch shape (the Scala analogue of mapInPandas' batch
+  * iterator) — stays testable end-to-end for every modality.
   *
   * Scale notes: payloads stay opaque binary all the way through the
   * scan (parquet reads them lazily per column chunk); feature
@@ -25,9 +28,10 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
                            checksum: Long, width: Long, height: Long)
 
-  /** REAL DECODE NOT AVAILABLE IN THIS ENVIRONMENT.
-    * Swap in an actual codec (e.g. javax.imageio / ffmpeg bindings) on
-    * a cluster that ships one; everything downstream only sees the
+  /** AUDIO/VIDEO DECODE NOT AVAILABLE IN THIS ENVIRONMENT (the JDK
+    * ships no such codecs — images ARE handled for real, see
+    * [[imageDecode]]). Swap in an actual codec (e.g. ffmpeg bindings)
+    * on a cluster that ships one; everything downstream only sees the
     * MediaFeatures schema, so the swap is local to this function.
     */
   def decodeMedia(payload: Array[Byte], mime: String): Nothing =
@@ -310,4 +314,149 @@ object Multimodal {
          count(*) AS n_chunks, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        FROM p GROUP BY pb, shard_id ORDER BY pb, shard_id"""
+
+  // ---- m06: REAL image decode (javax.imageio, JDK-shipped PNG codec) --
+
+  case class ImageFeatures(doc_id: Long, decode_ok: Boolean,
+                           width: Long, height: Long,
+                           sum_r: Long, sum_g: Long, sum_b: Long,
+                           thumb_width: Long, thumb_height: Long,
+                           thumb_sum_r: Long, thumb_sum_g: Long,
+                           thumb_sum_b: Long)
+
+  /** Deterministic image spec for doc_id: a W×H two-vertical-band RGB
+    * image (left band color A, right band color B, split at W/2) —
+    * every decoded feature below is integer arithmetic on these
+    * parameters, which is what lets DuckDB oracle a REAL codec path.
+    */
+  private[graft] def imgW(id: Long): Int = 8 + (id % 9).toInt
+  private[graft] def imgH(id: Long): Int = 8 + (id % 7).toInt
+  private[graft] def colA(id: Long): (Int, Int, Int) =
+    (((id * 5) % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+  private[graft] def colB(id: Long): (Int, Int, Int) =
+    (((id * 3) % 256).toInt, ((id * 11) % 256).toInt, ((id * 17) % 256).toInt)
+
+  /** Render the doc's image and encode it as REAL PNG bytes — the
+    * ingest half of the codec round trip (stands in for reading media
+    * files from the landing zone; narrow mapPartitions, no shuffle).
+    */
+  def renderPng(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no executor tmp files
+      it.map { id =>
+        val (w, h, split) = (imgW(id), imgH(id), imgW(id) / 2)
+        val (ra, ga, ba) = colA(id); val (rb, gb, bb) = colB(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = if (x < split) (ra, ga, ba) else (rb, gb, bb)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "png")
+  }
+
+  /** m06: the REAL codec round trip under the oracle gate — render →
+    * PNG-encode → PNG-DECODE (javax.imageio, the JDK's actual codec;
+    * PNG is lossless so decoded pixels equal rendered pixels) →
+    * per-channel pixel sums + a nearest-neighbor half-scale thumbnail
+    * re-measured from the DECODED raster. Because the rendered image
+    * is two flat vertical bands parameterized by doc_id, every output
+    * is exact BIGINT arithmetic DuckDB replays without touching a
+    * pixel — a wrong decode, a channel swap, a dropped row of pixels,
+    * or a thumbnail off-by-one all break the hash. This closes the
+    * m01 "decode is a declared boundary" caveat for images (audio /
+    * video codecs stay out: the JDK ships none).
+    *
+    * Scale shape: both halves are narrow mapPartitions over the scan
+    * (the mapInPandas batch shape m01 pins) — payload bytes never
+    * shuffle; per-task peak memory is one decoded raster at a time.
+    * A corrupt payload yields decode_ok=false with zeroed features
+    * instead of a dead executor (spec-pinned) — at 100 TB corrupt
+    * media is routine input, not an exception.
+    */
+  def imageDecode(documents: DataFrame): DataFrame =
+    decodeFeatures(renderPng(documents)).orderBy(col("doc_id"))
+
+  /** The decode half alone: (doc_id, png) → [[ImageFeatures]]. Fed by
+    * [[renderPng]] in m06; fed garbage in the corrupt-payload spec. */
+  def decodeFeatures(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, png) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            if (img == null) throw new java.io.IOException("unrecognized image")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            // nearest-neighbor half-scale from the DECODED raster
+            val (tw, th) = (math.max(1, w / 2), math.max(1, h / 2))
+            var (tr, tg, tb) = (0L, 0L, 0L)
+            var ty = 0
+            while (ty < th) {
+              var tx = 0
+              while (tx < tw) {
+                val p = img.getRGB(tx * 2, ty * 2)
+                tr += (p >> 16) & 0xff; tg += (p >> 8) & 0xff; tb += p & 0xff
+                tx += 1
+              }
+              ty += 1
+            }
+            ImageFeatures(id, decode_ok = true, w, h, sr, sg, sb,
+                          tw, th, tr, tg, tb)
+          } catch { case _: java.io.IOException =>
+            ImageFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** DuckDB twin of [[imageDecode]]: the band arithmetic. Left band =
+    * columns [0, W/2) so it has W/2 columns; the thumbnail samples
+    * source columns 0,2,4,… so its left-band count is ceil((W/2)/2).
+    */
+  def imageDecodeOracle: String =
+    """WITH p AS (SELECT doc_id,
+           8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           (8 + doc_id % 9) // 2 AS split,
+           (doc_id * 5) % 256 AS ra, (doc_id * 7) % 256 AS ga,
+           (doc_id * 13) % 256 AS ba,
+           (doc_id * 3) % 256 AS rb, (doc_id * 11) % 256 AS gb,
+           (doc_id * 17) % 256 AS bb
+         FROM documents),
+       t AS (SELECT *, w // 2 AS tw, h // 2 AS th,
+           (split + 1) // 2 AS tsplit FROM p)
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         CAST(h * (split * ra + (w - split) * rb) AS BIGINT) AS sum_r,
+         CAST(h * (split * ga + (w - split) * gb) AS BIGINT) AS sum_g,
+         CAST(h * (split * ba + (w - split) * bb) AS BIGINT) AS sum_b,
+         CAST(tw AS BIGINT) AS thumb_width, CAST(th AS BIGINT) AS thumb_height,
+         CAST(th * (tsplit * ra + (tw - tsplit) * rb) AS BIGINT) AS thumb_sum_r,
+         CAST(th * (tsplit * ga + (tw - tsplit) * gb) AS BIGINT) AS thumb_sum_g,
+         CAST(th * (tsplit * ba + (tw - tsplit) * bb) AS BIGINT) AS thumb_sum_b
+       FROM t ORDER BY doc_id"""
 }

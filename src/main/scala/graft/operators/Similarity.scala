@@ -92,10 +92,15 @@ object Similarity {
     d.sumDouble(d.transform(d.range("1", Dims.toString),
       s"i -> CAST(${d.elem(e, "i")} AS DOUBLE) * ${planeSign(d, j)}"))
 
-  /** Sign-bucket id from `numPlanes` random hyperplanes. */
-  private def bucketExpr(d: Dialect, e: String, numPlanes: Int = NumPlanes): String =
+  /** Sign-bucket id from `numPlanes` random hyperplanes starting at
+    * global plane index `offset` (table t of an OR-construction uses
+    * offset = t * numPlanes — disjoint plane slices, bit positions
+    * stay local to the table so bucket ids are comparable across
+    * tables). */
+  private def bucketExpr(d: Dialect, e: String, numPlanes: Int = NumPlanes,
+                         offset: Int = 0): String =
     (0 until numPlanes).map { j =>
-      s"(CASE WHEN ${planeDot(d, e, j)} > 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN ${planeDot(d, e, offset + j)} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
   private def normExpr(d: Dialect, e: String): String = s"sqrt(${dot(d, e, e)})"
@@ -196,6 +201,114 @@ object Similarity {
        SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
          round(cos, 4) AS cos
        FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  /** Tables and per-table plane count for the ORACLE-BOUND s19 query
+    * (pinned for static SQL; the production sizing lever is the same
+    * [[planesFor]] growth applied per table). */
+  val NumTables = 3
+  val PlanesPerTable = 6
+
+  /** s19: multi-table OR-construction LSH top-k — the classic
+    * Indyk–Motwani amplification: L independent hash tables, each
+    * over its own DISJOINT slice of the hyperplane stream
+    * (offset = t * planesPerTable), candidates = the UNION of
+    * same-bucket pairs across tables. MORE planes per table than s02
+    * (6 vs 4) cut each table's buckets 4× smaller — this is the
+    * answer to the hot-bucket skew the 10×/30× soak census recorded
+    * (single-table max occupancy grew 27× → 46× over average) — and
+    * the OR over 3 tables recovers the recall those smaller buckets
+    * would lose (a true neighbor is a candidate if it collides in
+    * ANY table: miss probability (1 - p^r)^L falls exponentially
+    * in L). Sign-LSH's failure mode is spread, not eliminated: a
+    * vector cluster sharing every sign bit still shares it in every
+    * table, so the census spec asserts the measured shape, and the
+    * in-bucket work stays a per-(table,bucket) equi-join either way.
+    *
+    * Plan shape (100 TB): one corpus projection emits all L bucket
+    * ids per vector (L codegen'd [[graft.functions.PlaneBucket]]
+    * kernels in one pass — the corpus is scanned once, not L times);
+    * the query side broadcasts; the (tbl, bucket) equi-join yields
+    * candidate id pairs which are DISTINCT'd id-only (a pair found
+    * in 2 tables scores once — dedup shuffles 16-byte pairs, never
+    * vectors); the result-bounded candidate set then equi-joins the
+    * corpus once for the vector fetch (hint-free — AQE broadcasts it
+    * from its real size, the s17 shortlist discipline) and the
+    * re-rank window sees only each query's candidates. */
+  def multiTableLshTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                        numTables: Int = NumTables,
+                        planesPerTable: Int = PlanesPerTable): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val buckets = (0 until numTables).map(t =>
+      plane_bucket(col("embedding"), planesPerTable, t * planesPerTable))
+    val banded = embeddings.select(col("vec_id"),
+        posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    val corpus = banded.select(col("vec_id").as("c_id"), col("tbl"), col("bucket"))
+    val queries = banded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cands = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    val qv = vecs.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cv = vecs.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cands.join(cv, Seq("c_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def multiTableLshTopKOracle(maxQueryId: Long = 8, k: Int = 3,
+                              numTables: Int = NumTables,
+                              planesPerTable: Int = PlanesPerTable): String = {
+    val d = Dialect.duck
+    val bands = (0 until numTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(d, "embedding", planesPerTable, t * planesPerTable)} AS bucket FROM embeddings"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH bands AS ($bands),
+       cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         FROM bands q JOIN bands c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id),
+       f AS (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm
+         FROM embeddings),
+       scored AS (SELECT cand.q_id, cand.c_id,
+           ${dot(d, "q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         FROM cand JOIN f c ON cand.c_id = c.vec_id
+                   JOIN f q ON cand.q_id = q.vec_id),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  /** Per-table occupancy census of the OR-construction's tables —
+    * one row per table: bucket count, max/avg occupancy. The skew
+    * evidence the multi-table design exists to improve: compare
+    * max_occ here against [[bucketCensus]] of the single wider-bucket
+    * table. */
+  def multiTableCensus(embeddings: DataFrame,
+                       numTables: Int = NumTables,
+                       planesPerTable: Int = PlanesPerTable): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val buckets = (0 until numTables).map(t =>
+      plane_bucket(col("embedding"), planesPerTable, t * planesPerTable))
+    embeddings.select(posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_occ"),
+           avg(col("n")).as("avg_occ"))
+      .orderBy(col("tbl"))
   }
 
   /** s03: IVF-style ANN — corpus assigned to inverted-list cells by
@@ -1105,6 +1218,25 @@ object Similarity {
     val lshRow = row(s"lsh[planes=$planes]",
       lshTopK(embeddings, nQueries, k, planes), lshFrac)
 
+    // multi-table OR-construction at the SAME per-table plane budget:
+    // a query scores the union of its L buckets; cand_frac counts the
+    // DISTINCT candidates (a vector colliding in 2 tables scores once)
+    val mtBuckets = (0 until NumTables).map(t =>
+      plane_bucket(col("embedding"), planes, t * planes))
+    val mtBanded = embeddings.select(col("vec_id"),
+      posexplode(array(mtBuckets: _*)).as(Seq("tbl", "bucket")))
+    val mtFrac = mtBanded.select(col("vec_id").as("c_id"), col("tbl"),
+        col("bucket"))
+      .join(broadcast(mtBanded.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+      .groupBy(col("q_id")).agg(count(lit(1)).as("cand"))
+      .agg((avg(col("cand")) / n).as("cand_frac"))
+    val mtRow = row(s"lsh-or[L=$NumTables,planes=$planes]",
+      multiTableLshTopK(embeddings, nQueries, k, NumTables, planes), mtFrac)
+
     // IVF at K ~ sqrt(n): a query scores the union of its probed cells
     val csizes = assignedCells(embeddings, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
@@ -1188,7 +1320,7 @@ object Similarity {
               ivfPqR, acc = "BIGINT"),
             frac, baseline = exactL2))
     }
-    (lshRow +: (ivfRows ++ pqRows ++ ivfPqRows)).reduce(_.unionByName(_))
+    (lshRow +: mtRow +: (ivfRows ++ pqRows ++ ivfPqRows)).reduce(_.unionByName(_))
   }
 
   // ---- s07: kNN classification ----------------------------------------

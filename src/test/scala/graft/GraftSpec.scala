@@ -2684,6 +2684,39 @@ class GraftSpec extends AnyFunSuite {
     assert(got.exists(_.getAs[String]("frame_digest") == expect))
   }
 
+  test("m06 image decode: real PNG bytes, codec round trip, corrupt payloads degrade not crash") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    // the encode half writes REAL PNGs (magic header, parseable by the
+    // same JDK codec any consumer would use)
+    val pngs = Multimodal.renderPng(Tables.documents(spark, sf))
+      .limit(5).collect()
+    pngs.foreach { r =>
+      val b = r.getAs[Array[Byte]]("png")
+      assert(b.length > 8 && (b(0) & 0xff) == 0x89 &&
+        b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte)
+    }
+    // decoded features equal the render parameters (the oracle pins
+    // this corpus-wide; here one row verified in-process against the
+    // spec constants so a broken oracle can't mask a broken decode)
+    val row = SparkEntry.queries("m06_image_decode")(spark, sf)
+      .filter(col("doc_id") === 3L).collect().head
+    val (w, h, split) = (Multimodal.imgW(3), Multimodal.imgH(3), Multimodal.imgW(3) / 2)
+    val (ra, _, _) = Multimodal.colA(3); val (rb, _, _) = Multimodal.colB(3)
+    assert(row.getAs[Boolean]("decode_ok"))
+    assert(row.getAs[Long]("width") == w && row.getAs[Long]("height") == h)
+    assert(row.getAs[Long]("sum_r") == h.toLong * (split * ra + (w - split) * rb))
+    // corrupt bytes flow through as decode_ok=false rows — the
+    // 100 TB contract: bad media is data, not a dead executor
+    import spark.implicits._
+    val garbage = Seq((1L, Array[Byte](1, 2, 3)),
+                      (2L, "not a png".getBytes("UTF-8")))
+      .toDF("doc_id", "png")
+    val out = Multimodal.decodeFeatures(garbage).collect()
+    assert(out.length == 2 && out.forall(!_.getAs[Boolean]("decode_ok")))
+    assert(out.forall(_.getAs[Long]("width") == 0L))
+  }
+
   test("t11 repetition: fractions in [0,1], distinct <= tokens, top_count sane") {
     val rows = SparkEntry.queries("t11_repetition")(spark, sf).collect()
     rows.foreach { r =>
@@ -2870,6 +2903,46 @@ class GraftSpec extends AnyFunSuite {
       val u = r.getAs[Long]("user_id")
       assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
       assert(r.getAs[Long]("n_active_days") == distinctDays(u))
+    }
+  }
+
+  test("s19 multi-table LSH: OR-amplified recall >= single-table, smaller buckets, one score per pair") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val exact = SparkEntry.queries("s01_ann_bruteforce_topk")(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(key: String): Double = {
+      val got = SparkEntry.queries(key)(spark, sf)
+        .select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // the amplification claim, measured live (0.208 vs 0.083 at
+    // sf0.001): a true neighbor is a candidate if it collides in ANY
+    // of the 3 tables, and each table's 6-plane buckets are 4x
+    // smaller than s02's single 4-plane table
+    assert(recallOf("s19_ann_lsh_multitable") >= recallOf("s02_ann_lsh_topk"))
+    // bucket refinement: table 0's planes EXTEND s02's planes 0-3, so
+    // its buckets partition s02's — max occupancy can only fall; the
+    // other tables are independent plane draws, asserted <= too (the
+    // skew-spreading the census motivated)
+    val single = Similarity.bucketCensus(e, Similarity.NumPlanes)
+      .head.getAs[Long]("max_occ")
+    val multi = Similarity.multiTableCensus(e).collect()
+    assert(multi.length == Similarity.NumTables)
+    multi.foreach { r =>
+      assert(r.getAs[Long]("max_occ") <= single,
+        s"table ${r.getAs[Int]("tbl")} max ${r.getAs[Long]("max_occ")} > single-table $single")
+    }
+    // a pair colliding in several tables is scored ONCE: ranks are
+    // dense and distinct per query
+    val rows = SparkEntry.queries("s19_ann_lsh_multitable")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.size).toSeq)
     }
   }
 

@@ -162,6 +162,32 @@ class NativeParitySpec extends AnyFunSuite {
     assert(n == 0)
   }
 
+  test("PlaneBucket offset slices the shared plane stream (table t == global planes [t*p, t*p+p))") {
+    val p = graft.operators.Similarity.PlanesPerTable
+    val dims = graft.operators.Similarity.Dims
+    // table t's bucket recomputed from GLOBAL plane indices via the
+    // SQL fragment, bit positions local to the table — the contract
+    // the s19 oracle SQL is built on
+    for (t <- 0 until graft.operators.Similarity.NumTables) {
+      val bucketSql = (0 until p).map { j =>
+        val g = t * p + j
+        val dot = s"aggregate(transform(sequence(1, $dims), i -> CAST(element_at(embedding, i) AS DOUBLE) * (2 * (shiftright((CAST(1103515245 AS BIGINT) * ($g * $dims + i) + 12345), 16) & 1) - 1)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val n = emb
+        .withColumn("a", plane_bucket(col("embedding"), p, t * p))
+        .withColumn("b", expr(s"CAST($bucketSql AS BIGINT)"))
+        .filter(col("a") =!= col("b")).count()
+      assert(n == 0, s"table $t bucket mismatch")
+    }
+    // offset 0 is bit-identical to the un-offset kernel (s02 unchanged)
+    val z = emb
+      .withColumn("a", plane_bucket(col("embedding"), p, 0))
+      .withColumn("b", plane_bucket(col("embedding"), p))
+      .filter(col("a") =!= col("b")).count()
+    assert(z == 0)
+  }
+
   test("ShingleSet tiny-string edge matches the guarded SQL window (ascii('')=0)") {
     import org.apache.spark.sql.Row
     // 'ab' -> one guarded window: (97*31^4 + 98*31^3) % p — DuckDB's
