@@ -607,23 +607,100 @@ object DataSkipping {
     if (need.isEmpty) return existing
     bloomBuilds += 1
     lastBloomDirsScanned = need.size
-    val computed = need.flatMap { rel =>
-      // a dir can predate `column` under opt-in merge-schema
-      // evolution; it then gets NO filter and stays unpruned (the
-      // no-stats-never-means-no-data rule) instead of throwing. The
-      // schema peek is a footer read, so re-checking such dirs on
-      // later calls costs metadata, not data.
-      val df = spark.read.parquet(s"$root/$rel")
-      if (!df.columns.contains(column)) None
-      else {
-        val sel = df.select(col(column))
-        val n = math.max(sel.count(), BloomMinItems)
-        Some(rel -> sel.stat.bloomFilter(column, n, BloomFpp))
-      }
-    }.toMap
+    val computed = groupedBloomBuild(spark, root, need, column)
     val merged = existing ++ computed
     writeBloomSidecar(spark, root, version, column, merged)
     merged
+  }
+
+  /** ONE-WAVE grouped bloom build: per-dir filters for all of `rels`
+    * in two jobs TOTAL — a per-dir sizes pass, then per-partition
+    * PARTIAL filters merged per dir — instead of a count job plus a
+    * build job PER dir (the round-7 one-wave staging discipline
+    * applied to the stats layer: backfilling a 1,000-dir table is 2
+    * job launches, not 2,000 sequential ones). Only bloom BYTES ride
+    * the shuffle (≤ partitions × dirs partial filters); column
+    * values never leave their scan partition. Dirs that predate
+    * `column` under opt-in merge-schema evolution get NO filter and
+    * stay unpruned (the no-stats-never-means-no-data rule) — the
+    * schema peek per dir is a driver-side footer read. An all-NULL
+    * dir likewise gets no filter (nulls are never bloom members and
+    * an equality probe can never match them — staying unpruned is
+    * merely conservative). Filters answer the same
+    * mightContainString/Long probes as the per-dir builds they
+    * replace: strings insert their UTF-8 bytes, integrals widen to
+    * long. */
+  private def groupedBloomBuild(spark: SparkSession, root: String,
+      rels: Seq[String], column: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.Encoders
+    import scala.jdk.CollectionConverters._
+    // schema peek per dir WITHOUT a Spark job: one parquet footer read
+    // on the driver (spark.read.parquet would launch a schema-
+    // inference job per dir — measured 12 extra jobs on a 12-dir
+    // backfill, exactly the per-dir pattern this method removes)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dirHasColumn(rel: String): Boolean = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      val f = dir.getFileSystem(conf)
+      val part = f.listStatus(dir)
+        .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      part.exists { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFileMetaData.getSchema.getFields.asScala
+          .exists(_.getName == column)
+        finally r.close()
+      }
+    }
+    val readable = rels.filter(dirHasColumn)
+    if (readable.isEmpty) return Map.empty
+    val scan = spark.read.parquet(readable.map(r => s"$root/$r"): _*)
+      .select(col(column).as("v"),
+        regexp_extract(input_file_name(), "^(.*)/[^/]+$", 1).as("d"))
+      .filter(col("v").isNotNull)
+    val sizes: Map[String, Long] = scan.groupBy(col("d")).count().collect()
+      .map(r => r.getString(0) -> math.max(r.getLong(1), BloomMinItems)).toMap
+    val sizesB = spark.sparkContext.broadcast(sizes)
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    def ser(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def deser(b: Array[Byte]): BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    val partials = scan.mapPartitions { rows =>
+      val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
+      rows.foreach { r =>
+        val d = r.getString(1)
+        val bf = acc.getOrElseUpdate(d, BloomFilter.create(
+          sizesB.value.getOrElse(d, BloomMinItems), BloomFpp))
+        r.get(0) match {
+          case s: String => bf.putString(s)
+          case l: Long => bf.putLong(l)
+          case i: Int => bf.putLong(i.toLong)
+          case s: Short => bf.putLong(s.toLong)
+          case b: Byte => bf.putLong(b.toLong)
+          case other => bf.put(other)
+        }
+      }
+      acc.iterator.map { case (d, bf) => (d, ser(bf)) }
+    }(enc)
+    // merge the partials executor-side (same (n, fpp) per dir makes
+    // them mergeInPlace-compatible); one row per dir returns
+    val merged = partials.groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (d, it) =>
+        val bf = deser(it.next()._2)
+        it.foreach(p => bf.mergeInPlace(deser(p._2)))
+        (d, ser(bf))
+      }(enc).collect()
+    merged.map { case (d, bytes) =>
+      val rel = readable.find(r => d.endsWith("/" + r)).getOrElse(
+        throw new IllegalStateException(s"bloom partial for unmapped dir $d"))
+      rel -> deser(bytes)
+    }.toMap
   }
 
   /** The dirs of `version` an equality probe `column = value` can

@@ -1829,6 +1829,44 @@ class GraftSpec extends AnyFunSuite {
     assert(VersionedTable.currentVersion(spark, root).contains(2L))
   }
 
+  test("bloom backfill is ONE wave: job count independent of dir count") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_bloomwave").toString
+    def mk(i: Int) = spark.range(0, 2400).toDF("k")
+      .filter(col("k") % 12 === i).withColumn("payload", col("k") * 3)
+    var v = VersionedTable.commit(spark, root, mk(0), -1L)
+    (1 until 12).foreach { i => v = VersionedTable.append(spark, root, mk(i), v) }
+    val dirs = VersionedTable.dirsOf(spark, root, v)
+    assert(dirs.size >= 12)
+    // cold backfill over all dirs: the per-dir path this replaced
+    // launched 2 jobs per dir (>= 24 here); the grouped build is a
+    // sizes pass + a partials/merge pass however many dirs exist
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val blooms = try {
+      val b = DataSkipping.ensureBloom(spark, root, v, "k")
+      Thread.sleep(500) // let queued listener events drain
+      b
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = counter.get()
+    assert(jobs <= 8,
+      s"bloom backfill of ${dirs.size} dirs launched $jobs jobs — the one-wave build regressed")
+    // and the filters are real: every dir covered, a point probe
+    // keeps its holding dir and prunes others
+    assert(blooms.keySet == dirs.toSet)
+    val kept = DataSkipping.prunedDirsBloom(spark, root, "k", 1777L, Some(v))
+    assert(kept.size < dirs.size, "backfilled filters prune nothing")
+    assert(DataSkipping.readWhereEquals(spark, root, "k", 1777L)
+      .collect().map(_.getAs[Long]("payload")).toSeq == Seq(1777L * 3))
+  }
+
   test("DataSkipping bloom tier: equality probes prune where min/max cannot") {
     import org.apache.spark.sql.functions._
     import graft.sources.{DataSkipping, VersionedTable}
