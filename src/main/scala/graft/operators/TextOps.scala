@@ -1123,4 +1123,134 @@ object TextOps {
          (r_len AND r_wordlen AND r_repeat AND r_stop) AS keep
        FROM r ORDER BY doc_id"""
 
+  // ---- t24: BPE merge induction ---------------------------------------
+
+  /** t24: the first `iters` BPE merge selections (Sennrich et al.
+    * 2016 — the tokenizer-training loop itself, the step upstream of
+    * every token count in this engine): start from words as character
+    * sequences weighted by corpus frequency, and per iteration (1)
+    * count adjacent symbol pairs, (2) select the most frequent pair
+    * (count desc, then lexicographic — fully deterministic), (3)
+    * merge its occurrences greedily left-to-right within every word.
+    * Output: one row per learned merge with its selection-time count
+    * — the tokenizer artifact a BPE vocab ships as.
+    *
+    * The greedy non-overlap rule ("aaa" under merge a+a yields
+    * [aa, a], never [a, aa] or [aa, aa]) is the part string replace
+    * cannot express relationally (a replaced pair's trailing
+    * delimiter overlaps the next match), so it is computed as
+    * gaps-and-islands over match POSITIONS (q42's trick): consecutive
+    * match runs form islands, and within an island every other match
+    * starting from its head applies. Both engines run that same
+    * relational construction — no fold, no UDF.
+    *
+    * Scale shape: the ONLY corpus-scale work is the initial token
+    * shuffle into word counts (one partial->final agg). Every
+    * iteration after that operates on the DISTINCT-WORD table —
+    * vocab-bounded (positions ~ vocab × word length), with the 1-row
+    * best-pair frame broadcast into the merge application. At 100 TB
+    * the vocab is millions of rows while the corpus is trillions of
+    * tokens: the loop costs iters × O(vocab), not iters × O(corpus).
+    * localCheckpoint pins each iteration's vocab so plans stay flat.
+    */
+  def bpeMerges(documents: DataFrame, iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var vocab = words.withColumn("syms",
+      expr("transform(sequence(1, length(w)), j -> substring(w, j, 1))"))
+      .select(col("w"), col("wc"), col("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (it <- 1 to iters) {
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(lit(it.toLong).as("iter"), col("a"), col("b"),
+                concat(col("a"), col("b")).as("merged"), col("cnt"))
+        .localCheckpoint()
+      merges += best
+      val withBest = vocab.crossJoin(broadcast(
+        best.select(col("a").as("ma"), col("b").as("mb"))))
+      val pos = withBest
+        .select(col("w"), col("wc"), col("ma"), col("mb"), col("syms"),
+                posexplode(col("syms")).as(Seq("i0", "s")))
+        .withColumn("i", col("i0") + 1)
+        // ANSI-safe lookahead: element_at only when i+1 is in bounds
+        .withColumn("is_match", coalesce(
+          col("s") === col("ma") &&
+            when(col("i") < size(col("syms")),
+                 element_at(col("syms"), col("i") + 1)) === col("mb"),
+          lit(false)))
+      val app = pos.filter(col("is_match"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("w")).orderBy(col("i"))))
+        .withColumn("grp", col("i") - col("rn"))
+        .withColumn("island_start", min(col("i")).over(
+          Window.partitionBy(col("w"), col("grp"))))
+        .filter((col("i") - col("island_start")) % 2 === 0)
+        .select(col("w"), col("i"))
+      vocab = pos
+        .join(app.withColumn("app_here", lit(true)), Seq("w", "i"), "left")
+        .join(app.select(col("w"), (col("i") + 1).as("i"),
+                         lit(true).as("dropped")), Seq("w", "i"), "left")
+        .filter(col("dropped").isNull)
+        .withColumn("osym", when(col("app_here"),
+          concat(col("ma"), col("mb"))).otherwise(col("s")))
+        .groupBy(col("w"), col("wc"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, osym))), x -> x.osym)")
+               .as("syms"))
+        .localCheckpoint()
+    }
+    merges.reduce(_.unionByName(_)).orderBy(col("iter"))
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the same relational construction
+    * unrolled — one CTE chain per iteration (pair counts → best →
+    * positions → match islands → rebuilt vocab). */
+  def bpeMergesOracle(iters: Int = 4): String = {
+    val v0 =
+      """v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc,
+           list_transform(generate_series(1, length(w)), j -> substring(w, j, 1)) AS syms
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         WHERE length(w) > 0 GROUP BY w)"""
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""px$t AS (SELECT wc, syms,
+           unnest(generate_series(1, len(syms) - 1)) AS i FROM v$p),
+       pc$t AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+           CAST(sum(wc) AS BIGINT) AS cnt FROM px$t GROUP BY 1, 2),
+       best$t AS (SELECT a, b, cnt FROM pc$t ORDER BY cnt DESC, a, b LIMIT 1),
+       pos$t AS (SELECT w, wc, syms, unnest(generate_series(1, len(syms))) AS i
+         FROM v$p),
+       posb$t AS (SELECT p.w, p.wc, p.i, p.syms[p.i] AS s, q.a AS ma, q.b AS mb,
+           coalesce(p.syms[p.i] = q.a AND p.syms[p.i + 1] = q.b, FALSE) AS is_match
+         FROM pos$t p CROSS JOIN best$t q),
+       app$t AS (SELECT w, i FROM (
+           SELECT w, i, (i - min(i) OVER (PARTITION BY w, i - rn)) % 2 = 0 AS applied
+           FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+                 FROM posb$t WHERE is_match) x) y
+         WHERE applied),
+       v$t AS (SELECT w, wc, list(osym ORDER BY i) AS syms FROM (
+           SELECT p.w, p.wc, p.i,
+             CASE WHEN a2.i IS NOT NULL THEN p.ma || p.mb ELSE p.s END AS osym
+           FROM posb$t p
+           LEFT JOIN app$t a2 ON p.w = a2.w AND p.i = a2.i
+           LEFT JOIN app$t d ON p.w = d.w AND p.i = d.i + 1
+           WHERE d.i IS NULL) z
+         GROUP BY w, wc)"""
+    }.mkString(",\n       ")
+    val out = (1 to iters).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS iter, a, b, a || b AS merged, cnt FROM best$t"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH $v0,
+       $steps
+       $out ORDER BY iter"""
+  }
 }

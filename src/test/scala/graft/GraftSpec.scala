@@ -2755,6 +2755,32 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("width") == 0L))
   }
 
+  test("t24 BPE: greedy non-overlap merge semantics on overlapping runs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // "aaa": pairs (a,a)x2 per word; the greedy rule merges ONLY the
+    // head occurrence -> [aa, a], so iteration 2's best pair must be
+    // (aa, a). A broken overlap rule yields [a, aa] or [aa, aa] and a
+    // different second merge.
+    val m = TextOps.bpeMerges(Seq((0L, "aaa aaa b")).toDF("doc_id", "text"),
+                              iters = 2).collect()
+    assert(m.map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+                       r.getAs[Long]("cnt"))).toSeq ==
+      Seq(("a", "a", 4L), ("aa", "a", 2L)))
+    // "aaaa": an even run — matches at 1,2,3 form one island, every
+    // other applies -> [aa, aa]; iteration 2 sees (aa, aa)
+    val m3 = TextOps.bpeMerges(Seq((0L, "aaaa")).toDF("doc_id", "text"),
+                               iters = 2).collect()
+    assert(m3.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq ==
+      Seq(("a", "a"), ("aa", "aa")))
+    assert(m3.head.getAs[Long]("cnt") == 3L)
+    // "abab": two DISJOINT occurrences both merge in one pass
+    val m2 = TextOps.bpeMerges(Seq((0L, "abab")).toDF("doc_id", "text"),
+                               iters = 2).collect()
+    assert(m2.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq ==
+      Seq(("a", "b"), ("ab", "ab")))
+  }
+
   test("t11 repetition: fractions in [0,1], distinct <= tokens, top_count sane") {
     val rows = SparkEntry.queries("t11_repetition")(spark, sf).collect()
     rows.foreach { r =>
