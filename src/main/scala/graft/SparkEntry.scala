@@ -212,6 +212,7 @@ object SparkEntry {
     "t23_curation_pipeline" -> ((s, d) =>
       Dedup.curationPipeline(Tables.documents(s, d))),
     "t24_bpe_merges" -> ((s, d) => TextOps.bpeMerges(Tables.documents(s, d))),
+    "t25_bpe_encode" -> ((s, d) => TextOps.bpeEncode(Tables.documents(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -538,6 +539,7 @@ object SparkEntry {
     "t22_perplexity_bucket" -> TextOps.perplexityBucketsOracle(),
     "t23_curation_pipeline" -> Dedup.curationPipelineOracle(),
     "t24_bpe_merges" -> TextOps.bpeMergesOracle(),
+    "t25_bpe_encode" -> TextOps.bpeEncodeOracle(),
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

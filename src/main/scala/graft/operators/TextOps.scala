@@ -1153,7 +1153,28 @@ object TextOps {
     * tokens: the loop costs iters × O(vocab), not iters × O(corpus).
     * localCheckpoint pins each iteration's vocab so plans stay flat.
     */
-  def bpeMerges(documents: DataFrame, iters: Int = 4): DataFrame = {
+  def bpeMerges(documents: DataFrame, iters: Int = 4): DataFrame =
+    bpeTrain(documents, iters)._2.reduce(_.unionByName(_)).orderBy(col("iter"))
+
+  /** t25: the corpus token distribution under the learned merges —
+    * the APPLY step (what d10 is to d02): every word's final symbol
+    * sequence after [[bpeMerges]]' `iters` merges, exploded and
+    * frequency-weighted into the top token counts a tokenizer
+    * training run reports. Same cost shape as training: one corpus
+    * token shuffle (shared word counts), then vocab-bounded work —
+    * the per-word tokenization is computed ONCE per distinct word,
+    * never per corpus occurrence. */
+  def bpeEncode(documents: DataFrame, iters: Int = 4, k: Int = 30): DataFrame = {
+    val vocab = bpeTrain(documents, iters)._1
+    vocab.select(col("wc"), explode(col("syms")).as("token"))
+      .groupBy(col("token")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+  }
+
+  /** Shared BPE trainer: returns (final vocab after `iters` merges,
+    * one 1-row merge frame per iteration). */
+  private def bpeTrain(documents: DataFrame, iters: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val words = documents
       .select(explode(split(lower(col("text")), " ")).as("w"))
@@ -1208,13 +1229,29 @@ object TextOps {
                .as("syms"))
         .localCheckpoint()
     }
-    merges.reduce(_.unionByName(_)).orderBy(col("iter"))
+    (vocab, merges.toSeq)
   }
 
   /** DuckDB twin of [[bpeMerges]]: the same relational construction
     * unrolled — one CTE chain per iteration (pair counts → best →
     * positions → match islands → rebuilt vocab). */
   def bpeMergesOracle(iters: Int = 4): String = {
+    val out = (1 to iters).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS iter, a, b, a || b AS merged, cnt FROM best$t"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH ${bpeCtes(iters)}
+       $out ORDER BY iter"""
+  }
+
+  /** DuckDB twin of [[bpeEncode]]: the same CTE chain, final vocab
+    * exploded into frequency-weighted token counts. */
+  def bpeEncodeOracle(iters: Int = 4, k: Int = 30): String =
+    s"""WITH ${bpeCtes(iters)}
+       SELECT token, CAST(sum(wc) AS BIGINT) AS n
+       FROM (SELECT wc, unnest(syms) AS token FROM v$iters) z
+       GROUP BY token ORDER BY n DESC, token LIMIT $k"""
+
+  private def bpeCtes(iters: Int): String = {
     val v0 =
       """v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc,
            list_transform(generate_series(1, length(w)), j -> substring(w, j, 1)) AS syms
@@ -1246,11 +1283,7 @@ object TextOps {
            WHERE d.i IS NULL) z
          GROUP BY w, wc)"""
     }.mkString(",\n       ")
-    val out = (1 to iters).map { t =>
-      s"SELECT CAST($t AS BIGINT) AS iter, a, b, a || b AS merged, cnt FROM best$t"
-    }.mkString("\n       UNION ALL ")
-    s"""WITH $v0,
-       $steps
-       $out ORDER BY iter"""
+    s"""$v0,
+       $steps"""
   }
 }

@@ -474,6 +474,21 @@ object Demo {
       s"home cell (${preDel - postDel} vector removed, old versions " +
       "still time-travelable)")
 
+    // 26. TRAINING-DATA ARTIFACTS: the tokenizer and the codec — BPE
+    //     merge induction over the corpus (the artifact a tokenizer
+    //     ships as) and the real PNG decode path (render -> encode ->
+    //     decode -> features, corrupt media degrading to flagged rows)
+    val bpe = graft.operators.TextOps.bpeMerges(docs, iters = 3).collect()
+      .map(r => s"${r.getAs[String]("a")}+${r.getAs[String]("b")}" +
+        s"(${r.getAs[Long]("cnt")})").mkString(", ")
+    val decoded = graft.operators.Multimodal.imageDecode(docs.limit(64))
+    val okRows = decoded.filter(col("decode_ok")).count()
+    val thumb = decoded.orderBy("doc_id").limit(1).collect().head
+    println(s"26. artifacts: BPE merges learned [$bpe]; PNG codec " +
+      s"round-trip decoded $okRows/64 images (doc ${thumb.getAs[Long]("doc_id")}: " +
+      s"${thumb.getAs[Long]("width")}x${thumb.getAs[Long]("height")} -> " +
+      s"thumb ${thumb.getAs[Long]("thumb_width")}x${thumb.getAs[Long]("thumb_height")})")
+
     println("== demo complete")
     spark.stop()
   }

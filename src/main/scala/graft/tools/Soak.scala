@@ -121,6 +121,13 @@ object Soak {
         val planes = Similarity.planesFor(nEmbs)
         Similarity.bucketCensus(embs, planes).collect().foreach(r =>
           println(s"[soak] lsh planes=$planes census=$r"))
+        // the s19 OR-construction at the same per-table budget: the
+        // hot-bucket answer — per-table max occupancy should sit at
+        // or below the single table's while the 3-table union keeps
+        // recall (measured in the recall sweep, not here)
+        Similarity.multiTableCensus(embs, Similarity.NumTables, planes)
+          .collect().foreach(r =>
+            println(s"[soak] lsh-or L=${Similarity.NumTables} planes=$planes census=$r"))
         val cents = Similarity.centroidIdsFor(nEmbs)
         Similarity.cellCensus(embs, cents).collect().foreach(r =>
           println(s"[soak] ivf k=${cents.size} census=$r"))

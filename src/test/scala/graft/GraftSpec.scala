@@ -2781,6 +2781,32 @@ class GraftSpec extends AnyFunSuite {
       Seq(("a", "b"), ("ab", "ab")))
   }
 
+  test("t25 BPE encode: character conservation and closed token set") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val enc = TextOps.bpeEncode(docs, 4, Int.MaxValue).collect()
+    // every multi-char token is one of the learned merges (merges are
+    // the ONLY way symbols grow), and no token count is zero
+    val merges = TextOps.bpeMerges(docs, 4).collect()
+      .map(_.getAs[String]("merged")).toSet
+    enc.foreach { r =>
+      val t = r.getAs[String]("token")
+      assert(r.getAs[Long]("n") > 0L)
+      if (t.codePointCount(0, t.length) > 1)
+        assert(merges.contains(t), s"token '$t' is not a learned merge")
+    }
+    // merging never creates or destroys characters: sum over tokens of
+    // n * len(token) == total characters over all word occurrences
+    val got = enc.map(r => r.getAs[Long]("n") *
+      r.getAs[String]("token").codePointCount(0, r.getAs[String]("token").length)).sum
+    val expected = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(got == expected, s"character mass changed: $got != $expected")
+  }
+
   test("t11 repetition: fractions in [0,1], distinct <= tokens, top_count sane") {
     val rows = SparkEntry.queries("t11_repetition")(spark, sf).collect()
     rows.foreach { r =>

@@ -141,10 +141,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 
-  test("t11/t12/m03: per-row ops cost ZERO data shuffles (only the output sort exchange)") {
-    Seq("t11_repetition", "t12_pii_scrub", "m03_frame_sample").foreach { k =>
+  test("t11/t12/m03/m06: per-row ops cost ZERO data shuffles (only the output sort exchange)") {
+    Seq("t11_repetition", "t12_pii_scrub", "m03_frame_sample",
+        "m06_image_decode").foreach { k =>
       assert(count(plan(k), "Exchange") == 1, s"$k grew a shuffle")
     }
+  }
+
+  test("s19: multi-table candidates broadcast the query side; no cartesian anywhere") {
+    val p = plan("s19_ann_lsh_multitable")
+    assert(!p.contains("CartesianProduct"), "s19 fell back to a cartesian")
+    // the (tbl, bucket) candidate join pins a broadcast of the banded
+    // query side — the corpus's bucket projection never shuffles to
+    // find its candidates
+    assert(p.contains("BroadcastHashJoin"), "query buckets no longer broadcast")
   }
 
   test("d10: cluster-map join is hint-free; AQE still broadcasts it when it fits") {
