@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The codec story: IMAGE decode is REAL — [[imageDecode]] (m06) runs
   * the JDK's own PNG codec (javax.imageio) through encode → decode →
-  * feature extraction under the DuckDB oracle gate. Audio/video
-  * decode stays a declared boundary behind [[decodeMedia]] (the JDK
-  * ships no such codecs); m01's generic pipeline keeps the
+  * feature extraction under the DuckDB oracle gate — and so is AUDIO:
+  * [[audioDecode]] (m07) runs the JDK's WAV/PCM codec
+  * (javax.sound.sampled) through the same round trip. VIDEO decode
+  * stays a declared boundary behind [[decodeMedia]] (the JDK ships no
+  * video codec); m01's generic pipeline keeps the
   * deterministic fake extractor so the batch plumbing — binary
   * payload column, metadata struct, `mapPartitions` with an explicit
   * micro-batch shape (the Scala analogue of mapInPandas' batch
@@ -28,11 +30,12 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
                            checksum: Long, width: Long, height: Long)
 
-  /** AUDIO/VIDEO DECODE NOT AVAILABLE IN THIS ENVIRONMENT (the JDK
-    * ships no such codecs — images ARE handled for real, see
-    * [[imageDecode]]). Swap in an actual codec (e.g. ffmpeg bindings)
-    * on a cluster that ships one; everything downstream only sees the
-    * MediaFeatures schema, so the swap is local to this function.
+  /** VIDEO DECODE NOT AVAILABLE IN THIS ENVIRONMENT (the JDK ships no
+    * video codec — images AND audio are handled for real, see
+    * [[imageDecode]] / [[audioDecode]]). Swap in an actual codec
+    * (e.g. ffmpeg bindings) on a cluster that ships one; everything
+    * downstream only sees the MediaFeatures schema, so the swap is
+    * local to this function.
     */
   def decodeMedia(payload: Array[Byte], mime: String): Nothing =
     throw new UnsupportedOperationException(
@@ -459,4 +462,144 @@ object Multimodal {
          CAST(th * (tsplit * ga + (tw - tsplit) * gb) AS BIGINT) AS thumb_sum_g,
          CAST(th * (tsplit * ba + (tw - tsplit) * bb) AS BIGINT) AS thumb_sum_b
        FROM t ORDER BY doc_id"""
+
+  // ---- m07: REAL audio decode (javax.sound.sampled, JDK WAV codec) ----
+
+  case class AudioFeatures(doc_id: Long, decode_ok: Boolean,
+                           frames: Long, sample_rate: Long,
+                           channels: Long, bits: Long,
+                           sum_v: Long, sum_abs: Long,
+                           peak_abs: Long, zero_cross: Long)
+
+  /** Deterministic waveform spec for doc_id: mono 16-bit signed PCM at
+    * 8 kHz, [[audioFrames]] samples, sample i =
+    * ((doc_id·31 + i·97) mod 4096) − 2048 — a full-swing integer
+    * pseudo-noise ramp whose every decoded feature below is exact
+    * BIGINT arithmetic, which is what lets DuckDB oracle a REAL codec
+    * path (m06's two-band trick, transposed to one dimension). */
+  private[graft] def audioFrames(id: Long): Int = 64 + (id % 129).toInt
+  private[graft] def audioSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 97) % 4096) - 2048).toInt
+
+  /** Render the doc's waveform and encode it as REAL WAV bytes (RIFF
+    * container, PCM_SIGNED little-endian — javax.sound.sampled, the
+    * JDK's own writer). The ingest half of the audio round trip;
+    * narrow mapPartitions, no shuffle. */
+  def renderWav(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = audioFrames(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = audioSample(id, i)
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          /* signed = */ true, /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "wav")
+  }
+
+  /** m07: the REAL audio codec round trip under the oracle gate —
+    * render → WAV-encode → WAV-DECODE (javax.sound.sampled, the JDK's
+    * actual RIFF/PCM parser; PCM is lossless so decoded samples equal
+    * rendered samples) → frame count, format fields, sample sum,
+    * absolute-amplitude sum, peak, and zero-crossing count, all
+    * re-measured from the DECODED frames. Because the waveform is an
+    * integer pseudo-noise function of doc_id, every output is exact
+    * BIGINT arithmetic DuckDB replays without touching a byte of WAV —
+    * a header misparse, an endianness flip, a dropped frame, or a
+    * sign-extension bug all break the hash. This closes the m01
+    * "decode is a declared boundary" caveat for audio, as m06 did for
+    * images (video stays out: the JDK ships no video codec).
+    *
+    * Scale shape: identical to m06 — both halves are narrow
+    * mapPartitions over the scan, payload bytes never shuffle, peak
+    * per-task memory is one decoded clip. A corrupt payload yields
+    * decode_ok=false with zeroed features instead of a dead executor
+    * (spec-pinned): at 100 TB corrupt media is routine input. */
+  def audioDecode(documents: DataFrame): DataFrame =
+    decodeAudioFeatures(renderWav(documents)).orderBy(col("doc_id"))
+
+  /** The decode half alone: (doc_id, wav) → [[AudioFeatures]]. Fed by
+    * [[renderWav]] in m07; fed garbage in the corrupt-payload spec.
+    * Rejects layouts the feature math doesn't cover (stereo, 8-bit,
+    * big-endian, float PCM) as decode failures rather than mis-sums.
+    */
+  def decodeAudioFeatures(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    val failed = (id: Long) =>
+      AudioFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0, 0)
+    audio.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wav) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian || fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              throw new java.io.IOException(s"unsupported PCM layout: $fmt")
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var sv = 0L; var sa = 0L; var pk = 0L; var zc = 0L
+            var prevNeg = false
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+                .toShort.toInt
+              sv += v
+              val a = math.abs(v.toLong)
+              sa += a
+              if (a > pk) pk = a
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            AudioFeatures(id, decode_ok = true, n.toLong,
+              fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              fmt.getSampleSizeInBits.toLong, sv, sa, pk, zc)
+          } catch {
+            case _: java.io.IOException => failed(id)
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              failed(id)
+          }
+        }
+      }.toDF()
+  }
+
+  /** DuckDB twin of [[audioDecode]]: the waveform arithmetic replayed
+    * sample-by-sample (per-doc series ≤ 192 samples — bounded work,
+    * no codec involved on the oracle side). */
+  def audioDecodeOracle: String =
+    """WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+       s AS (SELECT doc_id, n,
+               unnest(generate_series(0, CAST(n - 1 AS INT))) AS i FROM p),
+       v AS (SELECT doc_id, n, i,
+               ((doc_id * 31 + i * 97) % 4096) - 2048 AS val FROM s),
+       c AS (SELECT doc_id, n, val,
+               lag(val) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM v)
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(n AS BIGINT) AS frames,
+         CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS channels,
+         CAST(16 AS BIGINT) AS bits,
+         CAST(sum(val) AS BIGINT) AS sum_v,
+         CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+         CAST(max(abs(val)) AS BIGINT) AS peak_abs,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (val < 0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       FROM c GROUP BY doc_id, n ORDER BY doc_id"""
 }

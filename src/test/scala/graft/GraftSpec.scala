@@ -2755,6 +2755,46 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("width") == 0L))
   }
 
+  test("m07 audio decode: real WAV bytes, codec round trip, corrupt payloads degrade not crash") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    // the encode half writes REAL WAVs (RIFF/WAVE magic, parseable by
+    // the same JDK codec any consumer would use)
+    val wavs = Multimodal.renderWav(Tables.documents(spark, sf))
+      .limit(5).collect()
+    wavs.foreach { r =>
+      val b = r.getAs[Array[Byte]]("wav")
+      assert(b.length > 44 &&
+        new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE")
+    }
+    // decoded features equal the waveform spec recomputed in-process
+    // (the oracle pins this corpus-wide; one row verified here so a
+    // broken oracle can't mask a broken decode)
+    val row = SparkEntry.queries("m07_audio_decode")(spark, sf)
+      .filter(col("doc_id") === 3L).collect().head
+    val n = Multimodal.audioFrames(3)
+    val samples = (0 until n).map(Multimodal.audioSample(3, _))
+    assert(row.getAs[Boolean]("decode_ok"))
+    assert(row.getAs[Long]("frames") == n.toLong)
+    assert(row.getAs[Long]("sample_rate") == 8000L &&
+      row.getAs[Long]("channels") == 1L && row.getAs[Long]("bits") == 16L)
+    assert(row.getAs[Long]("sum_v") == samples.map(_.toLong).sum)
+    assert(row.getAs[Long]("sum_abs") == samples.map(v => math.abs(v.toLong)).sum)
+    assert(row.getAs[Long]("peak_abs") == samples.map(v => math.abs(v.toLong)).max)
+    assert(row.getAs[Long]("zero_cross") ==
+      samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // corrupt bytes flow through as decode_ok=false rows — the 100 TB
+    // contract: bad media is data, not a dead executor
+    import spark.implicits._
+    val garbage = Seq((1L, Array[Byte](1, 2, 3)),
+                      (2L, "not a wav".getBytes("UTF-8")))
+      .toDF("doc_id", "wav")
+    val out = Multimodal.decodeAudioFeatures(garbage).collect()
+    assert(out.length == 2 && out.forall(!_.getAs[Boolean]("decode_ok")))
+    assert(out.forall(_.getAs[Long]("frames") == 0L))
+  }
+
   test("t24 BPE: greedy non-overlap merge semantics on overlapping runs") {
     import spark.implicits._
     import graft.operators.TextOps
