@@ -213,6 +213,8 @@ object SparkEntry {
       Dedup.curationPipeline(Tables.documents(s, d))),
     "t24_bpe_merges" -> ((s, d) => TextOps.bpeMerges(Tables.documents(s, d))),
     "t25_bpe_encode" -> ((s, d) => TextOps.bpeEncode(Tables.documents(s, d))),
+    "t26_domain_divergence" -> ((s, d) =>
+      TextOps.domainDivergence(Tables.documents(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -541,6 +543,7 @@ object SparkEntry {
     "t23_curation_pipeline" -> Dedup.curationPipelineOracle(),
     "t24_bpe_merges" -> TextOps.bpeMergesOracle(),
     "t25_bpe_encode" -> TextOps.bpeEncodeOracle(),
+    "t26_domain_divergence" -> TextOps.domainDivergenceOracle,
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

@@ -1286,4 +1286,144 @@ object TextOps {
     s"""$v0,
        $steps"""
   }
+
+  // ---- t26: pairwise domain divergence (distribution shift) ----------
+
+  /** t26: Jensen-Shannon divergence between every pair of sources'
+    * unigram term distributions — the distribution-shift measurement
+    * behind mixture rebalancing, drift monitoring, and "is this crawl
+    * snapshot like the last one": JSD(P,Q) ∈ [0,1] bits, 0 = identical
+    * distributions, 1 = disjoint support. Computed via the entropy
+    * decomposition JSD = H(M) − (H(P)+H(Q))/2 with M = (P+Q)/2, where
+    * H(M) needs only per-source sums plus a SHARED-token correction:
+    * H(M) = G_a + G_b + Σ_shared [f(m) − f(p_a/2) − f(p_b/2)],
+    * G_s = Σ_t f(p_s/2), f(x) = −x·ln x — so one-sided tokens never
+    * pair up and the only join is a bounded equi-join on the token.
+    *
+    * Scale shape: ONE corpus token shuffle into (source, token)
+    * counts; everything after is vocab-bounded. The pair join is an
+    * equi-join on token (fan-out ≤ sources² per token, never a
+    * cartesian). Double determinism uses a TWO-LEVEL sorted fold (the
+    * t14 trick, sharded): tokens fold within their 2-char-prefix
+    * bucket in token order, bucket sums fold in prefix order — no
+    * vocab-sized collect_list in any task (a 10⁸-term vocab folds in
+    * ~1k-token buckets), and both engines add the same doubles in the
+    * same order at every level. `vocab_*` columns are exact BIGINTs;
+    * jsd rounds at 4 dp (+0.0 normalizes a −0.0 residual on
+    * identical-distribution pairs).
+    */
+  def domainDivergence(documents: DataFrame): DataFrame = {
+    val tc = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val dist = tc
+      .join(tc.groupBy(col("source")).agg(sum(col("c")).as("n")), "source")
+      .select(col("source"), col("tok"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"),
+        substring(col("tok"), 1, 2).as("pfx"))
+      .localCheckpoint() // shared by the per-source and pair arms
+    // per-source H(P) and G = Σ f(p/2): prefix-bucket folds, then a
+    // bucket-level fold — deterministic and bounded at both levels
+    val l1 = dist.groupBy(col("source"), col("pfx"))
+      .agg(count(lit(1)).as("v"),
+           collect_list(struct(col("tok"), col("p"))).as("ps"))
+      .select(col("source"), col("pfx"), col("v"),
+        expr("""aggregate(array_sort(ps), CAST(0 AS DOUBLE),
+                 (a, s) -> a - s.p * ln(s.p))""").as("e"),
+        expr("""aggregate(array_sort(ps), CAST(0 AS DOUBLE),
+                 (a, s) -> a - s.p / 2 * ln(s.p / 2))""").as("h"))
+    val per = l1.groupBy(col("source"))
+      .agg(sum(col("v")).as("vocab"),
+           collect_list(struct(col("pfx"), col("e"), col("h"))).as("shards"))
+      .select(col("source"), col("vocab"),
+        expr("""aggregate(array_sort(shards), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.e)""").as("ent"),
+        expr("""aggregate(array_sort(shards), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.h)""").as("half"))
+    // shared-token correction per pair: the same two-level fold keyed
+    // (src_a, src_b, pfx) then (src_a, src_b)
+    val corr = dist.select(col("source").as("src_a"), col("tok"),
+        col("pfx"), col("p").as("pa"))
+      .join(dist.select(col("source").as("src_b"), col("tok"),
+        col("p").as("pb")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("corr", expr(
+        """-((pa + pb) / 2 * ln((pa + pb) / 2))
+           + pa / 2 * ln(pa / 2) + pb / 2 * ln(pb / 2)"""))
+    val c1 = corr.groupBy(col("src_a"), col("src_b"), col("pfx"))
+      .agg(count(lit(1)).as("v"),
+           collect_list(struct(col("tok"), col("corr"))).as("cs"))
+      .select(col("src_a"), col("src_b"), col("pfx"), col("v"),
+        expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.corr)""").as("cc"))
+    val pairs = c1.groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("v")).as("vocab_shared"),
+           collect_list(struct(col("pfx"), col("cc"))).as("shards"))
+      .select(col("src_a"), col("src_b"), col("vocab_shared"),
+        expr("""aggregate(array_sort(shards), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.cc)""").as("corr"))
+    pairs
+      .join(per.select(col("source").as("src_a"), col("vocab").as("vocab_a"),
+        col("ent").as("ent_a"), col("half").as("half_a")), "src_a")
+      .join(per.select(col("source").as("src_b"), col("vocab").as("vocab_b"),
+        col("ent").as("ent_b"), col("half").as("half_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_shared"),
+        (Rounding.roundN(
+          (col("half_a") + col("half_b") + col("corr")
+            - (col("ent_a") + col("ent_b")) / 2) / lit(math.log(2.0)), 4)
+          + lit(0.0)).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB twin of [[domainDivergence]]: the identical entropy
+    * decomposition and the identical two-level fold (list(... ORDER BY
+    * tok) within prefix buckets, then ORDER BY pfx across buckets) so
+    * every double is added in the same order as the Spark plan. */
+  val domainDivergenceOracle: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+       tc AS (SELECT source, tok, count(*) AS c FROM toks
+              WHERE length(tok) > 0 GROUP BY 1, 2),
+       n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+       dist AS (SELECT source, tok, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  substring(tok, 1, 2) AS pfx
+                FROM tc JOIN n USING (source)),
+       l1 AS (SELECT source, pfx, count(*) AS v,
+                list(-p * ln(p) ORDER BY tok) AS es,
+                list(-(p / 2) * ln(p / 2) ORDER BY tok) AS hs
+              FROM dist GROUP BY 1, 2),
+       l1r AS (SELECT source, pfx, v,
+                list_reduce(es, (a, x) -> a + x) AS e,
+                list_reduce(hs, (a, x) -> a + x) AS h FROM l1),
+       per AS (SELECT source, CAST(sum(v) AS BIGINT) AS vocab,
+                list(e ORDER BY pfx) AS el, list(h ORDER BY pfx) AS hl
+              FROM l1r GROUP BY 1),
+       perr AS (SELECT source, vocab,
+                list_reduce(el, (a, x) -> a + x) AS ent,
+                list_reduce(hl, (a, x) -> a + x) AS half FROM per),
+       sh AS (SELECT l.source AS src_a, r.source AS src_b, l.tok, l.pfx,
+                -((l.p + r.p) / 2 * ln((l.p + r.p) / 2))
+                  + l.p / 2 * ln(l.p / 2) + r.p / 2 * ln(r.p / 2) AS corr
+              FROM dist l JOIN dist r
+                ON l.tok = r.tok AND l.source < r.source),
+       c1 AS (SELECT src_a, src_b, pfx, count(*) AS v,
+                list(corr ORDER BY tok) AS cs
+              FROM sh GROUP BY 1, 2, 3),
+       c1r AS (SELECT src_a, src_b, pfx, v,
+                list_reduce(cs, (a, x) -> a + x) AS cc FROM c1),
+       pairs AS (SELECT src_a, src_b, CAST(sum(v) AS BIGINT) AS vocab_shared,
+                  list(cc ORDER BY pfx) AS cl
+                FROM c1r GROUP BY 1, 2),
+       pairr AS (SELECT src_a, src_b, vocab_shared,
+                  list_reduce(cl, (a, x) -> a + x) AS corr FROM pairs)
+       SELECT src_a, src_b, a.vocab AS vocab_a, b.vocab AS vocab_b,
+         vocab_shared,
+         round((a.half + b.half + corr - (a.ent + b.ent) / 2) / ln(2), 4)
+           + 0.0 AS jsd
+       FROM pairr
+       JOIN perr a ON a.source = src_a
+       JOIN perr b ON b.source = src_b
+       ORDER BY src_a, src_b"""
 }

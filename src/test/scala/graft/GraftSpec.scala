@@ -2795,6 +2795,33 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("t26 domain divergence: JSD identities on a controlled corpus") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // A and B have IDENTICAL distributions -> jsd 0 (and the -0.0
+    // residual normalizes); C shares half its vocab with A
+    val docs = Seq(
+      (1L, "x y z x", "A"), (2L, "x y z x", "B"),
+      (3L, "x q q r", "C"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.domainDivergence(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r)
+      .toMap
+    assert(rows.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = rows(("A", "B"))
+    assert(ab.getAs[Double]("jsd") == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(
+      ab.getAs[Double]("jsd")) == 0L, "-0.0 leaked through")
+    assert(ab.getAs[Long]("vocab_a") == 3L &&
+      ab.getAs[Long]("vocab_b") == 3L && ab.getAs[Long]("vocab_shared") == 3L)
+    val ac = rows(("A", "C"))
+    assert(ac.getAs[Long]("vocab_shared") == 1L) // only "x"
+    assert(ac.getAs[Double]("jsd") > 0.0 && ac.getAs[Double]("jsd") <= 1.0)
+    // symmetry of the measure itself: B's distribution == A's, so
+    // jsd(A,C) == jsd(B,C)
+    assert(ac.getAs[Double]("jsd") == rows(("B", "C")).getAs[Double]("jsd"))
+  }
+
   test("t24 BPE: greedy non-overlap merge semantics on overlapping runs") {
     import spark.implicits._
     import graft.operators.TextOps

@@ -148,6 +148,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t26: the pair arm is an equi-join on the token, never a cartesian over sources") {
+    val p = plan("t26_domain_divergence")
+    assert(!p.contains("CartesianProduct"), "t26 fell back to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "t26 planned a nested loop")
+  }
+
   test("s19: multi-table candidates broadcast the query side; no cartesian anywhere") {
     val p = plan("s19_ann_lsh_multitable")
     assert(!p.contains("CartesianProduct"), "s19 fell back to a cartesian")
