@@ -221,6 +221,7 @@ object SparkEntry {
     "m05_shard_pack" -> ((s, d) => Multimodal.shardPack(Tables.documents(s, d))),
     "m06_image_decode" -> ((s, d) => Multimodal.imageDecode(Tables.documents(s, d))),
     "m07_audio_decode" -> ((s, d) => Multimodal.audioDecode(Tables.documents(s, d))),
+    "m08_audio_windows" -> ((s, d) => Multimodal.audioWindows(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -549,6 +550,7 @@ object SparkEntry {
     "m05_shard_pack" -> Multimodal.shardPackOracle(),
     "m06_image_decode" -> Multimodal.imageDecodeOracle,
     "m07_audio_decode" -> Multimodal.audioDecodeOracle,
+    "m08_audio_windows" -> Multimodal.audioWindowsOracle(),
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

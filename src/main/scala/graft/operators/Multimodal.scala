@@ -580,6 +580,101 @@ object Multimodal {
       }.toDF()
   }
 
+  // ---- m08: windowed audio energy (VAD-style activity detection) ------
+
+  case class AudioWindowFeatures(doc_id: Long, decode_ok: Boolean,
+                                 n_windows: Long, n_active: Long,
+                                 peak_window: Long, peak_energy: Long)
+
+  /** m08: WINDOWED energy over the decoded PCM — the audio analogue
+    * of m03's frame sampling and the first step of every
+    * voice-activity / silence-trimming pass: the clip splits into
+    * fixed 32-frame windows (last one partial), each window's energy
+    * is its absolute-amplitude sum, windows above the threshold count
+    * as ACTIVE, and the peak window is reported (energy desc, lowest
+    * index on ties — deterministic). Decode is the REAL WAV path
+    * ([[renderWav]] → the JDK RIFF parser), not the waveform formula;
+    * the oracle replays the window arithmetic from the spec, so a
+    * windowing off-by-one (frame 32 in window 0, a dropped partial
+    * tail) breaks the hash. All-integer features — no double hazards.
+    *
+    * Scale shape: same as m06/m07 — narrow mapPartitions end to end,
+    * zero data shuffles, peak memory one clip per task. Corrupt
+    * payloads degrade to decode_ok=false rows. */
+  def audioWindows(documents: DataFrame, win: Int = 32,
+                   threshold: Long = 32768L): DataFrame =
+    windowFeatures(renderWav(documents), win, threshold)
+      .orderBy(col("doc_id"))
+
+  /** The windowing half alone: (doc_id, wav) → [[AudioWindowFeatures]].
+    */
+  def windowFeatures(audio: DataFrame, win: Int = 32,
+                     threshold: Long = 32768L): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wav) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian || fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              throw new java.io.IOException(s"unsupported PCM layout: $fmt")
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val nWin = (n + win - 1) / win
+            var nActive = 0L; var peakW = 0L; var peakE = -1L
+            var w = 0
+            while (w < nWin) {
+              var e = 0L
+              var i = w * win
+              val end = math.min((w + 1) * win, n)
+              while (i < end) {
+                val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+                  .toShort.toInt
+                e += math.abs(v.toLong)
+                i += 1
+              }
+              if (e > threshold) nActive += 1
+              if (e > peakE) { peakE = e; peakW = w.toLong }
+              w += 1
+            }
+            AudioWindowFeatures(id, decode_ok = true, nWin.toLong,
+              nActive, peakW, peakE)
+          } catch {
+            case _: java.io.IOException =>
+              AudioWindowFeatures(id, decode_ok = false, 0, 0, 0, 0)
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              AudioWindowFeatures(id, decode_ok = false, 0, 0, 0, 0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** DuckDB twin of [[audioWindows]]: the window arithmetic replayed
+    * from the waveform spec (i // win buckets the frames; peak picked
+    * by energy desc, window index asc). */
+  def audioWindowsOracle(win: Int = 32, threshold: Long = 32768L): String =
+    s"""WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+       s AS (SELECT doc_id, n,
+               unnest(generate_series(0, CAST(n - 1 AS INT))) AS i FROM p),
+       v AS (SELECT doc_id, i // $win AS wdx,
+               abs(((doc_id * 31 + i * 97) % 4096) - 2048) AS a FROM s),
+       w AS (SELECT doc_id, wdx, CAST(sum(a) AS BIGINT) AS energy
+             FROM v GROUP BY 1, 2),
+       r AS (SELECT doc_id, wdx, energy,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY energy DESC, wdx) AS rk FROM w)
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN energy > $threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_active,
+         CAST(max(CASE WHEN rk = 1 THEN wdx END) AS BIGINT) AS peak_window,
+         CAST(max(CASE WHEN rk = 1 THEN energy END) AS BIGINT) AS peak_energy
+       FROM r GROUP BY doc_id ORDER BY doc_id"""
+
   /** DuckDB twin of [[audioDecode]]: the waveform arithmetic replayed
     * sample-by-sample (per-doc series ≤ 192 samples — bounded work,
     * no codec involved on the oracle side). */

@@ -2795,6 +2795,27 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("m08 audio windows: window arithmetic matches the spec, partial tail counts") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val row = SparkEntry.queries("m08_audio_windows")(spark, sf)
+      .filter(col("doc_id") === 3L).collect().head
+    val n = Multimodal.audioFrames(3)
+    val energies = (0 until n).map(Multimodal.audioSample(3, _))
+      .map(v => math.abs(v.toLong)).grouped(32).map(_.sum).toSeq
+    assert(row.getAs[Boolean]("decode_ok"))
+    // the partial tail window counts: ceil(n/32), not n/32
+    assert(row.getAs[Long]("n_windows") == (n + 31) / 32)
+    assert(row.getAs[Long]("n_active") == energies.count(_ > 32768L))
+    assert(row.getAs[Long]("peak_energy") == energies.max)
+    assert(row.getAs[Long]("peak_window") == energies.indexOf(energies.max))
+    // corrupt bytes degrade, not crash
+    import spark.implicits._
+    val out = Multimodal.windowFeatures(
+      Seq((9L, Array[Byte](0, 1, 2))).toDF("doc_id", "wav")).collect()
+    assert(out.length == 1 && !out.head.getAs[Boolean]("decode_ok"))
+  }
+
   test("t26 domain divergence: JSD identities on a controlled corpus") {
     import spark.implicits._
     import graft.operators.TextOps
