@@ -215,6 +215,7 @@ object SparkEntry {
     "t25_bpe_encode" -> ((s, d) => TextOps.bpeEncode(Tables.documents(s, d))),
     "t26_domain_divergence" -> ((s, d) =>
       TextOps.domainDivergence(Tables.documents(s, d))),
+    "q49_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(Tables.events(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -545,6 +546,7 @@ object SparkEntry {
     "t24_bpe_merges" -> TextOps.bpeMergesOracle(),
     "t25_bpe_encode" -> TextOps.bpeEncodeOracle(),
     "t26_domain_divergence" -> TextOps.domainDivergenceOracle,
+    "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

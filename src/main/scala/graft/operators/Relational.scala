@@ -955,6 +955,80 @@ object Relational {
            approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy(col("day"))
 
+  // ---- q49: KMV distinct sketch (the oracle-able sketch) --------------
+
+  /** q49: per-event-type distinct users via a K-MINIMUM-VALUES sketch
+    * — the sketch whose state is RELATIONAL content: the k smallest
+    * distinct values of a deterministic hash are a top-k query, so
+    * unlike q35's HLL register file the whole sketch AND its estimate
+    * hash-match a DuckDB oracle exactly (what d11 does for Jaccard,
+    * done for cardinality). Estimator: with U(k) = h_k / P the k-th
+    * minimum of a uniform hash, D̂ = (k−1)·P div h_k (integer form —
+    * engine-identical); below k distinct hashes the sketch is exact
+    * by construction. The exact count rides along so the row carries
+    * its own measured error (the s06/d11 discipline: accuracy is
+    * DATA, not an assertion in a spec).
+    *
+    * Scale shape: the sketch arm shuffles ≤ k·partitions hash values
+    * per group (distinct + rank-limit gets WindowGroupLimit map-side
+    * top-k, plan-pinned); a merge of two sketches is just the top-k
+    * of the union, which is why KMV scales out associatively. The
+    * exact arm is the evaluation column only — at 100 TB the sketch
+    * column is the product.
+    */
+  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L
+    val h = events
+      .select(col("event_type"),
+        ((col("user_id") * lit(1103515245L) + lit(12345L)) % P).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = h.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(sk, "event_type")
+      .withColumn("est",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"(${k - 1}L * ${P}L) div kth_hash")))
+      .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+        col("kth_hash"), col("est"),
+        Rounding.roundN(
+          (col("est") - col("exact_distinct")).cast("double")
+            / col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[kmvDistinct]]: the identical hash, top-k, and
+    * integer estimator. */
+  def kmvDistinctOracle(k: Int = 64): String = {
+    val P = 2147483647L
+    s"""WITH h AS (SELECT DISTINCT event_type,
+           (user_id * 1103515245 + 12345) % $P AS h FROM events),
+       r AS (SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         FROM h),
+       sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+           CAST(max(h) AS BIGINT) AS kth_hash FROM r WHERE rk <= $k
+         GROUP BY 1),
+       ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         FROM events GROUP BY 1),
+       e AS (SELECT event_type, n_rows, exact_distinct, kth_hash,
+           CAST(CASE WHEN n_sketch < $k THEN n_sketch
+                ELSE (CAST(${k - 1} AS BIGINT) * $P) // kth_hash
+                END AS BIGINT) AS est
+         FROM ex JOIN sk USING (event_type))
+       SELECT event_type, n_rows, exact_distinct, kth_hash, est,
+         round(CAST(est - exact_distinct AS DOUBLE)
+               / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+       FROM e ORDER BY event_type"""
+  }
+
   // ---- q36: merge with tombstone deletes ------------------------------
 
   /** q36: the full three-way MERGE — updates AND deletes against the

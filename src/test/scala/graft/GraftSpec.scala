@@ -2795,6 +2795,29 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("q49 KMV: exact below k, estimator form above k, error is data") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 10 distinct users < k=64: the sketch holds everything -> est is
+    // EXACTLY the distinct count, rel_err 0
+    val small = (1 to 40).map(i => (i.toLong, (i % 10).toLong, "a"))
+      .toDF("event_id", "user_id", "event_type")
+    val s = Relational.kmvDistinct(small).collect().head
+    assert(s.getAs[Long]("exact_distinct") == 10L &&
+      s.getAs[Long]("est") == 10L && s.getAs[Double]("rel_err") == 0.0)
+    // 5000 distinct users >> k: the estimator kicks in; the KMV bound
+    // says rel err ~ 1/sqrt(k-1) = 12.6%; assert a loose 3x envelope
+    // plus the exact integer estimator form (k-1)*P div h_k
+    val big = (1 to 5000).map(i => (i.toLong, i.toLong, "b"))
+      .toDF("event_id", "user_id", "event_type")
+    val b = Relational.kmvDistinct(big).collect().head
+    assert(b.getAs[Long]("exact_distinct") == 5000L)
+    assert(b.getAs[Long]("est") ==
+      63L * 2147483647L / b.getAs[Long]("kth_hash"))
+    assert(math.abs(b.getAs[Double]("rel_err")) < 0.38,
+      s"KMV estimate off: ${b.getAs[Long]("est")} vs 5000")
+  }
+
   test("m08 audio windows: window arithmetic matches the spec, partial tail counts") {
     import graft.operators.Multimodal
     import org.apache.spark.sql.functions.col

@@ -149,6 +149,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q49: the sketch arm gets the map-side rank-limit (WindowGroupLimit)") {
+    val p = plan("q49_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      s"KMV top-k lost the rank-limit pushdown:\n$p")
+  }
+
   test("t26: the pair arm is an equi-join on the token, never a cartesian over sources") {
     val p = plan("t26_domain_divergence")
     assert(!p.contains("CartesianProduct"), "t26 fell back to a cartesian")
