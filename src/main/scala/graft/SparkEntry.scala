@@ -233,6 +233,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamCurationDrain(Tables.documents(s, d))),
     "st12_stream_ann_ingest" -> ((s, d) =>
       graft.streaming.StreamOps.streamAnnIngestDrain(Tables.embeddings(s, d))),
+    "st13_stream_kmv" -> ((s, d) =>
+      graft.streaming.StreamOps.streamKmvDrain(Tables.events(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -558,5 +560,6 @@ object SparkEntry {
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,
     "st11_stream_curation" -> Dedup.streamCurationOracle(),
     "st12_stream_ann_ingest" -> Similarity.streamAnnIngestOracle(),
+    "st13_stream_kmv" -> graft.streaming.StreamOps.kmvStreamOracle(),
   )
 }

@@ -702,4 +702,99 @@ object StreamOps {
          CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS total
        FROM ch GROUP BY change_type, o_orderstatus
        ORDER BY change_type, status"""
+
+  // ---- st13: streaming KMV distinct sketch ----------------------------
+
+  case class EvK(event_id: Long, user_id: Long, event_type: String)
+  case class KmvState(hashes: Array[Long])
+
+  /** st13: q49's KMV sketch maintained as LIVE STREAMING STATE — the
+    * whole argument for sketches in streams made executable: exact
+    * per-group distinct counting needs state proportional to the
+    * distinct count (unbounded on an infinite stream), while the KMV
+    * state is ≤ k longs per group FOREVER, and because a KMV is just
+    * the min-k of a deterministic hash — order-insensitive,
+    * merge-associative — the streamed sketch lands BIT-IDENTICAL to
+    * the batch sketch no matter how the stream is micro-batched. That
+    * determinism is what puts a stateful streaming sketch under the
+    * DuckDB oracle gate (st01's equivalence discipline, extended to
+    * `mapGroupsWithState`).
+    *
+    * Each micro-batch folds its events into the group's sorted min-k
+    * (evicting the max on overflow) and emits the revised sketch in
+    * UPDATE mode; a group untouched by a batch does not re-emit
+    * (change-driven, the st08 contract). At 100 TB/day the state
+    * store holds k longs per live group — the sketch IS the memory
+    * bound. */
+  def kmvStream(events: Dataset[EvK], k: Int = 64): DataFrame = {
+    import events.sparkSession.implicits._
+    val P = 2147483647L
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (t: String, evs: Iterator[EvK], state: GroupState[KmvState]) => {
+          val cur = scala.collection.mutable.SortedSet.empty[Long]
+          state.getOption.foreach(s => cur ++= s.hashes)
+          evs.foreach { e =>
+            cur += (e.user_id * 1103515245L + 12345L) % P
+            if (cur.size > k) cur -= cur.last
+          }
+          state.update(KmvState(cur.toArray))
+          val n = cur.size.toLong
+          val kth = if (cur.isEmpty) 0L else cur.last
+          val est = if (n < k) n else (k - 1).toLong * P / kth
+          (t, n, kth, est)
+        })
+      .toDF("event_type", "n_sketch", "kth_hash", "est")
+  }
+
+  /** st13 drain: two graft-table commits stream through the sketch
+    * (maxVersionsPerTrigger=1 → the state MUST carry across the batch
+    * boundary), final state per group picked from the update stream
+    * by the monotone pair (n_sketch only grows, kth_hash only
+    * shrinks). */
+  def streamKmvDrain(events: DataFrame, k: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val work =
+      java.nio.file.Files.createTempDirectory("graft-st13").toString
+    val arrivals = s"$work/arrivals"
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"))
+    val v0 = VersionedTable.commit(spark, arrivals,
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), -1L)
+    VersionedTable.append(spark, arrivals,
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), v0)
+    val src = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(arrivals).as[EvK]
+    val q = kmvStream(src, k).writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_st13")
+      .option("checkpointLocation", s"$work/ck").start()
+    try q.processAllAvailable() finally q.stop()
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_sketch").desc, col("kth_hash"))
+    spark.table("graft_st13")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("n_sketch"), col("kth_hash"), col("est"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of the drained [[kmvStream]]: q49's sketch arm alone
+    * (the stream cannot carry the exact column — that unbounded state
+    * is precisely what the sketch exists to avoid). */
+  def kmvStreamOracle(k: Int = 64): String = {
+    val P = 2147483647L
+    s"""WITH h AS (SELECT DISTINCT event_type,
+           (user_id * 1103515245 + 12345) % $P AS h FROM events),
+       r AS (SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         FROM h),
+       sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+           CAST(max(h) AS BIGINT) AS kth_hash FROM r WHERE rk <= $k
+         GROUP BY 1)
+       SELECT event_type, n_sketch, kth_hash,
+         CAST(CASE WHEN n_sketch < $k THEN n_sketch
+              ELSE (CAST(${k - 1} AS BIGINT) * $P) // kth_hash
+              END AS BIGINT) AS est
+       FROM sk ORDER BY event_type"""
+  }
 }

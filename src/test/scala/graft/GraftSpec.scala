@@ -2795,6 +2795,26 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("st13 streaming KMV: bounded state across batches equals the batch sketch") {
+    import graft.streaming.StreamOps
+    val events = Tables.events(spark, sf)
+    val streamed = StreamOps.streamKmvDrain(events).collect()
+    // the memory bound IS the contract: no group's sketch exceeds k
+    streamed.foreach(r => assert(r.getAs[Long]("n_sketch") <= 64L))
+    // two micro-batches (maxVersionsPerTrigger=1 over two commits)
+    // land bit-identical to the one-shot batch sketch: KMV is
+    // order-insensitive and merge-associative
+    val batch = graft.operators.Relational.kmvDistinct(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("kth_hash"), r.getAs[Long]("est")))).toMap
+    assert(streamed.length == batch.size)
+    streamed.foreach { r =>
+      val (kth, est) = batch(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("kth_hash") == kth, s"kth drifted for ${r}")
+      assert(r.getAs[Long]("est") == est)
+    }
+  }
+
   test("q49 KMV: exact below k, estimator form above k, error is data") {
     import spark.implicits._
     import graft.operators.Relational
