@@ -216,6 +216,7 @@ object SparkEntry {
     "t26_domain_divergence" -> ((s, d) =>
       TextOps.domainDivergence(Tables.documents(s, d))),
     "q49_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(Tables.events(s, d))),
+    "t27_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(Tables.documents(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -549,6 +550,7 @@ object SparkEntry {
     "t25_bpe_encode" -> TextOps.bpeEncodeOracle(),
     "t26_domain_divergence" -> TextOps.domainDivergenceOracle,
     "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
+    "t27_bpe_fertility" -> TextOps.bpeFertilityOracle(),
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

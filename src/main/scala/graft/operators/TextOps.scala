@@ -1171,6 +1171,58 @@ object TextOps {
       .orderBy(col("n").desc, col("token")).limit(k)
   }
 
+  /** t27: TOKENIZER FERTILITY per language — tokens-per-word (and its
+    * inverse view, characters-per-token) under [[bpeMerges]]' learned
+    * merges, the standard tokenizer-evaluation metric: a vocab
+    * trained on a language mixture systematically over-segments the
+    * minority languages (fertility up, compression down), which is
+    * exactly what this row measures per `lang`. Shares [[bpeTrain]]
+    * with t24/t25 (one trainer, three views); the only additions are
+    * a per-(lang, word) count — the same single token shuffle keyed
+    * one column wider — and a vocab-bounded join of the final symbol
+    * sequences back onto it. The ratio columns divide two exact
+    * BIGINTs, so there is no fold-order hazard at all.
+    */
+  def bpeFertility(documents: DataFrame, iters: Int = 4): DataFrame = {
+    val vocab = bpeTrain(documents, iters)._1
+    val wl = documents
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    wl.join(vocab.select(col("w"), size(col("syms")).as("ntok")), "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+           sum(col("c") * col("ntok")).as("n_tokens"),
+           sum(col("c") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        Rounding.roundN(col("n_tokens").cast("double")
+          / col("n_words").cast("double"), 4).as("fertility"),
+        Rounding.roundN(col("n_chars").cast("double")
+          / col("n_tokens").cast("double"), 4).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin of [[bpeFertility]]: the same CTE chain, final vocab
+    * joined back onto per-(lang, word) counts. */
+  def bpeFertilityOracle(iters: Int = 4): String =
+    s"""WITH ${bpeCtes(iters)},
+       wl AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+       wlf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM wl
+               WHERE length(w) > 0 GROUP BY 1, 2),
+       j AS (SELECT lang, c, len(syms) AS ntok, length(w) AS nch
+             FROM wlf JOIN v$iters USING (w)),
+       agg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+                 CAST(sum(c * nch) AS BIGINT) AS n_chars
+               FROM j GROUP BY lang)
+       SELECT lang, n_words, n_tokens,
+         round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+           AS fertility,
+         round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+           AS chars_per_token
+       FROM agg ORDER BY lang"""
+
   /** Shared BPE trainer: returns (final vocab after `iters` merges,
     * one 1-row merge frame per iteration). */
   private def bpeTrain(documents: DataFrame, iters: Int)

@@ -2795,6 +2795,27 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("t27 BPE fertility: bounds, conservation, and the no-merge limit") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val rows = TextOps.bpeFertility(docs, 4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      // a word is at least one token and at most one token per char
+      assert(t >= w, s"fertility below 1 for ${r.getAs[String]("lang")}")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    // zero merges -> every symbol is one character: fertility ==
+    // chars/word and chars_per_token == 1 exactly
+    val base = TextOps.bpeFertility(
+      Seq((1L, "ab abc a", "en")).toDF("doc_id", "text", "lang"), 0).collect()
+    assert(base.head.getAs[Long]("n_tokens") == 6L) // 2+3+1 chars
+    assert(base.head.getAs[Double]("chars_per_token") == 1.0)
+  }
+
   test("st13 streaming KMV: bounded state across batches equals the batch sketch") {
     import graft.streaming.StreamOps
     val events = Tables.events(spark, sf)
