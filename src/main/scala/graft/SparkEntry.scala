@@ -217,6 +217,8 @@ object SparkEntry {
       TextOps.domainDivergence(Tables.documents(s, d))),
     "q49_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(Tables.events(s, d))),
     "t27_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(Tables.documents(s, d))),
+    "q50_cusum_changepoint" -> ((s, d) =>
+      Relational.cusumChangepoint(Tables.events(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -551,6 +553,7 @@ object SparkEntry {
     "t26_domain_divergence" -> TextOps.domainDivergenceOracle,
     "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
     "t27_bpe_fertility" -> TextOps.bpeFertilityOracle(),
+    "q50_cusum_changepoint" -> Relational.cusumChangepointOracle,
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

@@ -1029,6 +1029,67 @@ object Relational {
        FROM e ORDER BY event_type"""
   }
 
+  // ---- q50: CUSUM changepoint detection -------------------------------
+
+  /** q50: one-sided CUSUM drift detection over per-type daily event
+    * counts — the sequential changepoint monitor (Page 1954) a data
+    * platform runs on its ingest volumes: per event type, each day's
+    * count folds into S_d = max(0, S_{d-1} + x_d − μ − μ/4) and an
+    * ALARM fires when S crosses 2μ — a sustained upward shift trips
+    * it, a one-day blip decays away. The recursion RELATIONALIZED via
+    * the classic prefix-sum closed form S_d = P_d − min(0, min_{j≤d}
+    * P_j), so the whole statistic is two running windows (sum + min)
+    * over one partitioning — no fold, no UDF, no state. Everything is
+    * scaled by 4·D (D = the type's day count) to stay in EXACT BIGINT
+    * arithmetic: a_d = 4·D·x_d − 5·T, threshold 8·T (μ = T/D never
+    * materializes as a double).
+    *
+    * Scale shape: day-granular aggregates are calendar-bounded
+    * (types × days rows, not event rows) — one shuffle to daily
+    * counts, then windows over the per-type partitioning. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("d_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("a",
+        lit(4L) * col("d_days") * col("n") - lit(5L) * col("total"))
+      .withColumn("p", sum(col("a")).over(wRun))
+      .withColumn("m", least(lit(0L), min(col("p")).over(wRun)))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("p") - col("m")).as("cusum"),
+        (col("p") - col("m") > lit(8L) * col("total")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin of [[cusumChangepoint]]: the identical scaled
+    * prefix-sum/running-min construction. */
+  val cusumChangepointOracle: String =
+    """WITH daily AS (SELECT event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, day, n,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_days,
+           CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         FROM daily),
+       a AS (SELECT *, 4 * d_days * n - 5 * total AS a FROM w),
+       p AS (SELECT *, CAST(sum(a) OVER (PARTITION BY event_type
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+             FROM a),
+       m AS (SELECT *, least(CAST(0 AS BIGINT),
+               min(p) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING)) AS m FROM p)
+       SELECT event_type, day, n, p - m AS cusum,
+         (p - m) > 8 * total AS alarm
+       FROM m ORDER BY event_type, day"""
+
   // ---- q36: merge with tombstone deletes ------------------------------
 
   /** q36: the full three-way MERGE — updates AND deletes against the

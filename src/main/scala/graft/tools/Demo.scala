@@ -489,6 +489,26 @@ object Demo {
       s"${thumb.getAs[Long]("width")}x${thumb.getAs[Long]("height")} -> " +
       s"thumb ${thumb.getAs[Long]("thumb_width")}x${thumb.getAs[Long]("thumb_height")})")
 
+    // 27. MEASUREMENT LAYER: the audio codec, source drift, and the
+    //     streaming sketch — WAV round trip through the JDK's RIFF
+    //     parser, pairwise JSD saying which sources have drifted
+    //     apart, and a KMV distinct sketch whose stream state is
+    //     <= 64 longs per group yet lands bit-identical to batch
+    val aud = graft.operators.Multimodal.audioDecode(docs.limit(64))
+      .orderBy("doc_id").limit(1).collect().head
+    val jsd = graft.operators.TextOps.domainDivergence(docs)
+      .orderBy(col("jsd").desc).limit(1).collect().head
+    val kmv = graft.streaming.StreamOps.streamKmvDrain(
+      Tables.events(spark, sf)).collect()
+    println(s"27. measurement: WAV decode doc ${aud.getAs[Long]("doc_id")} " +
+      s"(${aud.getAs[Long]("frames")} frames @ ${aud.getAs[Long]("sample_rate")} Hz, " +
+      s"peak ${aud.getAs[Long]("peak_abs")}); most-drifted source pair " +
+      s"${jsd.getAs[String]("src_a")}<->${jsd.getAs[String]("src_b")} " +
+      s"jsd=${jsd.getAs[Double]("jsd")}; streaming KMV over " +
+      s"${kmv.length} event types, distinct-user estimates " +
+      kmv.map(r => s"${r.getAs[String]("event_type")}:${r.getAs[Long]("est")}")
+        .mkString(", "))
+
     println("== demo complete")
     spark.stop()
   }

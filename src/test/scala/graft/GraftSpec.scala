@@ -2795,6 +2795,30 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("q50 CUSUM: a sustained shift alarms, a flat series and the pre-shift days never do") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 20 flat days at 10/day, then a sustained step to 100/day:
+    // mu = 40, the flat increments are negative (S pins at 0), the
+    // step accumulates 6000/day scaled vs threshold 8T = 9600 ->
+    // first alarm on the SECOND step day, never before the step
+    def mk(day: Int, n: Int, tag: String) = (1 to n).map(i =>
+      (day * 1000L + i, java.sql.Timestamp.valueOf(
+        f"2024-01-${day}%02d 12:00:00"), i.toLong, tag, 1.0))
+    val evs = ((1 to 20).flatMap(d => mk(d, 10, "steady")) ++
+      (21 to 30).flatMap(d => mk(d, 100, "steady")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Relational.cusumChangepoint(evs).collect()
+    val byDay = rows.map(r => r.getAs[java.sql.Timestamp]("day")
+      .toLocalDateTime.getDayOfMonth -> r.getAs[Boolean]("alarm")).toMap
+    assert((1 to 21).forall(!byDay(_)), "alarm before the shift could settle")
+    assert((22 to 30).forall(byDay(_)), "sustained shift not detected")
+    // cusum is pinned at 0 through the flat stretch (negative drift)
+    val flat = rows.filter(_.getAs[java.sql.Timestamp]("day")
+      .toLocalDateTime.getDayOfMonth <= 20)
+    assert(flat.forall(_.getAs[Long]("cusum") == 0L))
+  }
+
   test("t27 BPE fertility: bounds, conservation, and the no-merge limit") {
     import spark.implicits._
     import graft.operators.TextOps
