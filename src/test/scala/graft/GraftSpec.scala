@@ -2795,6 +2795,42 @@ class GraftSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("frames") == 0L))
   }
 
+  test("m09 video decode: container round trip, order-sensitive motion, corrupt degrade") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    // container magic + embedded REAL PNG frames
+    val v = Multimodal.renderVideo(Tables.documents(spark, sf))
+      .limit(1).collect().head.getAs[Array[Byte]]("video")
+    assert(new String(v.slice(0, 4), "US-ASCII") == "GVID")
+    // one doc's features recomputed from the spec constants
+    val row = SparkEntry.queries("m09_video_frames")(spark, sf)
+      .filter(col("doc_id") === 3L).collect().head
+    val (w, h, split) = (Multimodal.imgW(3), Multimodal.imgH(3), Multimodal.imgW(3) / 2)
+    val nf = Multimodal.videoFrameCount(3)
+    assert(row.getAs[Boolean]("decode_ok") && row.getAs[Long]("n_frames") == nf)
+    val sumR = (0 until nf).map { f =>
+      h.toLong * (split * Multimodal.frameColA(3, f)._1 +
+        (w - split) * Multimodal.frameColB(3, f)._1)
+    }.sum
+    assert(row.getAs[Long]("sum_r") == sumR)
+    val motion = (1 until nf).map { f =>
+      val (ra, ga, ba) = Multimodal.frameColA(3, f)
+      val (pa, pga, pba) = Multimodal.frameColA(3, f - 1)
+      val (rb, gb, bb) = Multimodal.frameColB(3, f)
+      val (pb, pgb, pbb) = Multimodal.frameColB(3, f - 1)
+      h.toLong * (split * (math.abs(ra - pa) + math.abs(ga - pga) + math.abs(ba - pba)) +
+        (w - split) * (math.abs(rb - pb) + math.abs(gb - pgb) + math.abs(bb - pbb)))
+    }.sum
+    assert(row.getAs[Long]("motion") == motion, "motion energy mismatch")
+    // corrupt container AND corrupt embedded frame both degrade
+    import spark.implicits._
+    val goodHeader = v.slice(0, 8) ++ Array.fill[Byte](16)(7)
+    val out = Multimodal.decodeVideoFeatures(Seq(
+      (1L, Array[Byte](1, 2, 3)), (2L, goodHeader))
+      .toDF("doc_id", "video")).collect()
+    assert(out.length == 2 && out.forall(!_.getAs[Boolean]("decode_ok")))
+  }
+
   test("q50 CUSUM: a sustained shift alarms, a flat series and the pre-shift days never do") {
     import spark.implicits._
     import graft.operators.Relational
