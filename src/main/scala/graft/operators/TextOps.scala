@@ -1223,10 +1223,31 @@ object TextOps {
            AS chars_per_token
        FROM agg ORDER BY lang"""
 
+  // The trainer is the t24/t25/t27 persist point (the Dedup.pipeline
+  // discipline): one corpus's merges are learned ONCE per (session,
+  // file stamp, iters) and the three views share the checkpointed
+  // vocab — cache only bare table scans (a filtered/synthetic frame
+  // has no stable identity and gets a fresh trainer).
+  private val bpeCache = new Caching.BoundedCache[
+    (org.apache.spark.sql.SparkSession, String, Int),
+    (DataFrame, Seq[DataFrame])](4)
+  private[graft] var bpeTrainerRuns = 0L
+
   /** Shared BPE trainer: returns (final vocab after `iters` merges,
     * one 1-row merge frame per iteration). */
   private def bpeTrain(documents: DataFrame, iters: Int)
       : (DataFrame, Seq[DataFrame]) = {
+    if (!Caching.bareScan(documents))
+      return bpeTrainUncached(documents, iters)
+    val stamp = Caching.stamp(documents)
+    if (stamp.isEmpty) bpeTrainUncached(documents, iters)
+    else bpeCache.getOrElseUpdate((documents.sparkSession, stamp, iters))(
+      bpeTrainUncached(documents, iters))
+  }
+
+  private def bpeTrainUncached(documents: DataFrame, iters: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    bpeTrainerRuns += 1
     import org.apache.spark.sql.expressions.Window
     val words = documents
       .select(explode(split(lower(col("text")), " ")).as("w"))

@@ -2855,6 +2855,23 @@ class GraftSpec extends AnyFunSuite {
     assert(flat.forall(_.getAs[Long]("cusum") == 0L))
   }
 
+  test("BPE trainer persist point: t24/t25/t27 share one training run per corpus") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val before = TextOps.bpeTrainerRuns
+    SparkEntry.queries("t24_bpe_merges")(spark, sf).collect()
+    SparkEntry.queries("t25_bpe_encode")(spark, sf).collect()
+    SparkEntry.queries("t27_bpe_fertility")(spark, sf).collect()
+    val runs = TextOps.bpeTrainerRuns - before
+    assert(runs <= 1L, s"trainer ran $runs times for three views of one corpus")
+    // a synthetic frame is NOT cache-eligible (no stable identity) and
+    // must get its own trainer, never a stale hit
+    import spark.implicits._
+    val b2 = TextOps.bpeTrainerRuns
+    TextOps.bpeMerges(Seq((0L, "zq zq")).toDF("doc_id", "text"), 1).collect()
+    assert(TextOps.bpeTrainerRuns == b2 + 1)
+  }
+
   test("t27 BPE fertility: bounds, conservation, and the no-merge limit") {
     import spark.implicits._
     import graft.operators.TextOps
