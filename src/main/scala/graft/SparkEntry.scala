@@ -219,6 +219,7 @@ object SparkEntry {
     "t27_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(Tables.documents(s, d))),
     "q50_cusum_changepoint" -> ((s, d) =>
       Relational.cusumChangepoint(Tables.events(s, d))),
+    "t28_heaps_growth" -> ((s, d) => TextOps.heapsGrowth(Tables.documents(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
     "m04_cdc_chunks" -> ((s, d) => Multimodal.cdcChunks(Tables.documents(s, d))),
@@ -555,6 +556,7 @@ object SparkEntry {
     "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
     "t27_bpe_fertility" -> TextOps.bpeFertilityOracle(),
     "q50_cusum_changepoint" -> Relational.cusumChangepointOracle,
+    "t28_heaps_growth" -> TextOps.heapsGrowthOracle,
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,
     "m05_shard_pack" -> Multimodal.shardPackOracle(),

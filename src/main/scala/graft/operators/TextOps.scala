@@ -1360,6 +1360,138 @@ object TextOps {
        $steps"""
   }
 
+  // ---- t28: Heaps-law vocabulary growth (corpus planning) -------------
+
+  /** t28: per-source HEAPS-LAW vocabulary growth — V(N) ≈ K·N^β
+    * fitted per source over ten cumulative decile checkpoints of the
+    * corpus in doc_id order: the corpus-PLANNING measurement (what
+    * will the vocab be at 100 TB? how fast is this crawl still
+    * finding new words?) and the sizing input behind every
+    * vocab-bounded cost claim in this engine. β near 1 means the
+    * source is still novel text; β collapsing toward 0 means it has
+    * gone repetitive.
+    *
+    * Everything before the fit is EXACT integer relational algebra:
+    * a token's first-appearance rank is the rank of its min doc_id
+    * (doc rank is monotone in doc_id), per-rank new-vocab counts and
+    * token counts cumulate in one doc-bounded window, and the ten
+    * checkpoint ranks are ceil(D·c/10) = (D·c+9) div 10 — identical
+    * integer arithmetic in both engines. The OLS log-log fit then
+    * touches only ≤ 10 (ln N, ln V) points per source, folded in
+    * checkpoint order (the t14 discipline at trivial size).
+    *
+    * Scale shape: one token shuffle into (source, tok, first rank) —
+    * vocab-bounded after; the cumulative window is one row per DOC,
+    * not per token; checkpoints are 10 rows per source. */
+  def heapsGrowth(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("source"), col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val wDoc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val docs = toks.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("ntok"))
+      .withColumn("r", row_number().over(wDoc))
+    val firsts = toks.groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("source"), col("fd")).agg(count(lit(1)).as("newv"))
+    val wRun = Window.partitionBy(col("source")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docs
+      .join(firsts.withColumnRenamed("fd", "doc_id"),
+        Seq("source", "doc_id"), "left")
+      .withColumn("cum_toks", sum(col("ntok")).over(wRun))
+      .withColumn("cum_vocab", sum(coalesce(col("newv"), lit(0L))).over(wRun))
+      .withColumn("d_docs",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+    val ck = cum
+      .crossJoin(broadcast(
+        documents.sparkSession.range(1, 11).select(col("id").as("c"))))
+      .filter(expr("r = (d_docs * c + 9) div 10"))
+      .select(col("source"), col("r"), col("d_docs"),
+        col("cum_toks"), col("cum_vocab")).distinct()
+    ck.groupBy(col("source"))
+      .agg(max(col("d_docs")).as("n_docs"),
+           max(col("cum_toks")).as("n_tokens"),
+           max(col("cum_vocab")).as("vocab"),
+           count(lit(1)).as("cpoints"),
+           collect_list(struct(col("r"),
+             log(col("cum_toks").cast("double")).as("x"),
+             log(col("cum_vocab").cast("double")).as("y"))).as("pts"))
+      .filter(col("cpoints") >= 2)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("cpoints"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.x)""").as("sx"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.y)""").as("sy"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.x * s.y)""").as("sxy"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.x * s.x)""").as("sxx"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        (Rounding.roundN(
+          (col("cpoints") * col("sxy") - col("sx") * col("sy"))
+            / (col("cpoints") * col("sxx") - col("sx") * col("sx")), 4)
+          + lit(0.0)).as("beta"),
+        Rounding.roundN(exp(
+          (col("sy") - ((col("cpoints") * col("sxy") - col("sx") * col("sy"))
+            / (col("cpoints") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("cpoints")), 4).as("k"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[heapsGrowth]]: identical integer checkpoint
+    * construction and the identical fold/fit arithmetic. */
+  val heapsGrowthOracle: String =
+    """WITH toks AS (SELECT source, doc_id,
+           unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       tf AS (SELECT source, doc_id, tok FROM toks WHERE length(tok) > 0),
+       docs AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS ntok,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS r
+         FROM tf GROUP BY 1, 2),
+       firsts AS (SELECT source, fd AS doc_id,
+           CAST(count(*) AS BIGINT) AS newv
+         FROM (SELECT source, tok, min(doc_id) AS fd FROM tf GROUP BY 1, 2) z
+         GROUP BY 1, 2),
+       cum AS (SELECT d.source, d.r,
+           CAST(sum(d.ntok) OVER w AS BIGINT) AS cum_toks,
+           CAST(sum(COALESCE(f.newv, 0)) OVER w AS BIGINT) AS cum_vocab,
+           CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS d_docs
+         FROM docs d LEFT JOIN firsts f
+           ON f.source = d.source AND f.doc_id = d.doc_id
+         WINDOW w AS (PARTITION BY d.source ORDER BY d.r
+                      ROWS UNBOUNDED PRECEDING)),
+       ck AS (SELECT DISTINCT source, r, d_docs, cum_toks, cum_vocab
+         FROM cum JOIN (SELECT unnest(generate_series(1, 10)) AS c) cs ON TRUE
+         WHERE r = (d_docs * c + 9) // 10),
+       s AS (SELECT source,
+           CAST(max(d_docs) AS BIGINT) AS n_docs,
+           CAST(max(cum_toks) AS BIGINT) AS n_tokens,
+           CAST(max(cum_vocab) AS BIGINT) AS vocab,
+           CAST(count(*) AS BIGINT) AS cpoints,
+           list(ln(CAST(cum_toks AS DOUBLE)) ORDER BY r) AS xs,
+           list(ln(CAST(cum_vocab AS DOUBLE)) ORDER BY r) AS ys,
+           list(ln(CAST(cum_toks AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE))
+                ORDER BY r) AS xys,
+           list(ln(CAST(cum_toks AS DOUBLE)) * ln(CAST(cum_toks AS DOUBLE))
+                ORDER BY r) AS xxs
+         FROM ck GROUP BY source HAVING count(*) >= 2),
+       f AS (SELECT source, n_docs, n_tokens, vocab, cpoints,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (a, v) -> a + v) AS sx,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), ys), (a, v) -> a + v) AS sy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), xys), (a, v) -> a + v) AS sxy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), xxs), (a, v) -> a + v) AS sxx
+         FROM s)
+       SELECT source, n_docs, n_tokens, vocab,
+         round((cpoints * sxy - sx * sy) / (cpoints * sxx - sx * sx), 4)
+           + 0.0 AS beta,
+         round(exp((sy - ((cpoints * sxy - sx * sy)
+             / (cpoints * sxx - sx * sx)) * sx) / cpoints), 4) AS k
+       FROM f ORDER BY source"""
+
   // ---- t26: pairwise domain divergence (distribution shift) ----------
 
   /** t26: Jensen-Shannon divergence between every pair of sources'

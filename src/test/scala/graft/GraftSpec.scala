@@ -2855,6 +2855,29 @@ class GraftSpec extends AnyFunSuite {
     assert(flat.forall(_.getAs[Long]("cusum") == 0L))
   }
 
+  test("t28 Heaps growth: beta in (0,1] on real text, exact fit on a constructed power law") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rows = TextOps.heapsGrowth(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // vocab never shrinks as tokens accumulate, so the log-log
+      // slope is >= 0; a source whose vocab has SATURATED at this SF
+      // legitimately fits beta = 0 (the generator's closed vocabulary)
+      val b = r.getAs[Double]("beta")
+      assert(b >= 0.0 && b <= 1.0,
+        s"implausible Heaps exponent $b for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+    // a corpus where every doc is entirely new words has V(N) = N:
+    // the log-log fit must return beta = 1, k = 1 EXACTLY
+    val novel = (1 to 20).map(d => (d.toLong,
+      (1 to 5).map(j => s"w${d}_$j").mkString(" "), "s")).toDF(
+      "doc_id", "text", "source")
+    val n = TextOps.heapsGrowth(novel).collect().head
+    assert(n.getAs[Double]("beta") == 1.0 && n.getAs[Double]("k") == 1.0)
+  }
+
   test("BPE trainer persist point: t24/t25/t27 share one training run per corpus") {
     import graft.operators.TextOps
     val docs = Tables.documents(spark, sf)
