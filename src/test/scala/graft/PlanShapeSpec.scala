@@ -149,6 +149,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q50/t28: window-algebra rows never plan a cartesian; q50 stays within 3 exchanges") {
+    val p50 = plan("q50_cusum_changepoint")
+    assert(!p50.contains("CartesianProduct"))
+    // daily counts -> per-type windows -> output sort: the CUSUM
+    // statistic itself adds NO exchange beyond the re-key to type
+    assert(count(p50, "Exchange") <= 3, s"q50 grew a shuffle:\n$p50")
+    val p28 = plan("t28_heaps_growth")
+    assert(!p28.contains("CartesianProduct"),
+      "t28's decile frame must ride a broadcast, not a cartesian")
+  }
+
   test("q49: the sketch arm gets the map-side rank-limit (WindowGroupLimit)") {
     val p = plan("q49_kmv_distinct")
     assert(p.contains("WindowGroupLimit"),
