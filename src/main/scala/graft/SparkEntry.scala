@@ -80,6 +80,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "d08_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     "d09_fuzzy_keys" -> ((s, d) => Dedup.fuzzyKeys(Tables.customer(s, d))),
+    "d20_er_score" -> ((s, d) => Dedup.erScore(Tables.customer(s, d))),
     "q30_share_of_total" -> ((s, d) => Relational.shareOfTotal(Tables.events(s, d))),
     "t10_tfidf_topk" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d))),
     "d03_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -465,6 +466,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> Dedup.dedupClustersOracle(),
     "d08_decontaminate" -> Dedup.decontaminateOracle(),
     "d09_fuzzy_keys" -> Dedup.fuzzyKeysOracle(),
+    "d20_er_score" -> Dedup.erScoreOracle,
     "q30_share_of_total" -> Relational.shareOfTotalOracle,
     "t10_tfidf_topk" -> TextOps.tfidfTopKOracle(),
     "d03_dedup_simhash" -> Dedup.simhashOracle(),

@@ -614,7 +614,16 @@ object Dedup {
     * a thresholded (early-exit) levenshtein verifies instead; recall
     * is then bounded by single-deletion blocking, stated here.
     */
-  def fuzzyKeys(customer: DataFrame, maxDist: Int = 1): DataFrame = {
+  def fuzzyKeys(customer: DataFrame, maxDist: Int = 1): DataFrame =
+    fuzzyPairs(customer, maxDist)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_fuzzy"), min(col("match_key")).as("first_match"))
+      .orderBy(col("c_custkey"))
+
+  /** The d09 blocking alone: distinct candidate pairs (c_custkey <
+    * match_key) whose normalized names are within `maxDist` edits —
+    * shared by d09's census and d20's Fellegi-Sunter scoring. */
+  private[graft] def fuzzyPairs(customer: DataFrame, maxDist: Int = 1): DataFrame = {
     val k = customer.select(col("c_custkey"), upper(trim(col("c_name"))).as("k"))
     val blocks = k
       .select(col("c_custkey"), col("k"), explode(expr(
@@ -632,9 +641,6 @@ object Dedup {
         edTest)
       .select(col("x.c_custkey").as("c_custkey"), col("y.c_custkey").as("match_key"))
       .distinct()
-      .groupBy(col("c_custkey"))
-      .agg(count(lit(1)).as("n_fuzzy"), min(col("match_key")).as("first_match"))
-      .orderBy(col("c_custkey"))
   }
 
   def fuzzyKeysOracle(maxDist: Int = 1): String =
@@ -649,6 +655,121 @@ object Dedup {
            AND levenshtein(x.k, y.k) <= $maxDist)
        SELECT c_custkey, count(*) AS n_fuzzy, min(match_key) AS first_match
        FROM p GROUP BY c_custkey ORDER BY c_custkey"""
+
+  // ---- d20: Fellegi-Sunter entity-resolution scoring ------------------
+
+  /** d20: FELLEGI-SUNTER match scoring over d09's blocked candidate
+    * pairs — the probabilistic record-linkage step (Fellegi & Sunter
+    * 1969) between fuzzy blocking and a merge decision: each pair
+    * gets a log-likelihood-ratio score Σ_f [agree ? ln(m/u_f) :
+    * ln((1−m)/(1−u_f))] over four fields (nation, market segment,
+    * account-balance bucket, exact normalized name), with the
+    * u-probabilities — the chance two RANDOM records agree on field
+    * f — estimated FROM THE DATA as Σ_v n_v² / N² (exact BIGINT sums;
+    * the only doubles are the four ln terms, summed in fixed field
+    * order). m is pinned at 0.95. Verdicts threshold the ROUNDED
+    * score at ±4.6 (≈ ln 100: hundred-to-one odds either way).
+    *
+    * Scale shape: candidate generation is d09's deletion-neighborhood
+    * equi-join (never all-pairs); the u-statistics are four tiny
+    * aggregates broadcast as one scalar row; scoring is map-side over
+    * the bounded pair set. */
+  def erScore(customer: DataFrame): DataFrame = {
+    val attrs = customer.select(col("c_custkey"),
+      upper(trim(col("c_name"))).as("k"), col("c_nationkey"),
+      col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+    def s2(c: String, alias: String) =
+      attrs.groupBy(col(c)).agg(count(lit(1)).as("nv"))
+        .agg(sum(col("nv") * col("nv")).as(alias))
+    val uRow = attrs.agg(count(lit(1)).as("n"))
+      .crossJoin(s2("c_nationkey", "s2_nat"))
+      .crossJoin(s2("c_mktsegment", "s2_seg"))
+      .crossJoin(s2("bal_bucket", "s2_bal"))
+      .crossJoin(s2("k", "s2_name"))
+    val aL = attrs.select(col("c_custkey"), col("k").as("ka"),
+      col("c_nationkey").as("nat_a"), col("c_mktsegment").as("seg_a"),
+      col("bal_bucket").as("bal_a"))
+    val bR = attrs.select(col("c_custkey").as("match_key"),
+      col("k").as("kb"), col("c_nationkey").as("nat_b"),
+      col("c_mktsegment").as("seg_b"), col("bal_bucket").as("bal_b"))
+    fuzzyPairs(customer, 1)
+      .join(aL, "c_custkey").join(bR, "match_key")
+      .crossJoin(broadcast(uRow))
+      .withColumn("agree_nation", col("nat_a") === col("nat_b"))
+      .withColumn("agree_segment", col("seg_a") === col("seg_b"))
+      .withColumn("agree_balance", col("bal_a") === col("bal_b"))
+      .withColumn("exact_name", col("ka") === col("kb"))
+      .withColumn("score", Rounding.roundN(expr(
+        """(CASE WHEN agree_nation THEN ln(0.95 / (CAST(s2_nat AS DOUBLE) / (n * n)))
+                 ELSE ln(0.05 / (1.0 - CAST(s2_nat AS DOUBLE) / (n * n))) END)
+           + (CASE WHEN agree_segment THEN ln(0.95 / (CAST(s2_seg AS DOUBLE) / (n * n)))
+                 ELSE ln(0.05 / (1.0 - CAST(s2_seg AS DOUBLE) / (n * n))) END)
+           + (CASE WHEN agree_balance THEN ln(0.95 / (CAST(s2_bal AS DOUBLE) / (n * n)))
+                 ELSE ln(0.05 / (1.0 - CAST(s2_bal AS DOUBLE) / (n * n))) END)
+           + (CASE WHEN exact_name THEN ln(0.95 / (CAST(s2_name AS DOUBLE) / (n * n)))
+                 ELSE ln(0.05 / (1.0 - CAST(s2_name AS DOUBLE) / (n * n))) END)"""), 4))
+      .withColumn("verdict",
+        when(col("score") >= 4.6, "match")
+          .when(col("score") <= -4.6, "non_match")
+          .otherwise("possible"))
+      .select(col("c_custkey"), col("match_key"), col("agree_nation"),
+        col("agree_segment"), col("agree_balance"), col("exact_name"),
+        col("score"), col("verdict"))
+      .orderBy(col("c_custkey"), col("match_key"))
+  }
+
+  /** DuckDB twin of [[erScore]]: the d09 blocking CTE + the identical
+    * u-estimates and score expression, term order preserved. */
+  val erScoreOracle: String =
+    """WITH k AS (SELECT c_custkey, upper(trim(c_name)) AS k, c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+         FROM customer),
+       b AS (SELECT c_custkey, k,
+           unnest(list_distinct(list_transform(generate_series(0, length(k)),
+             i -> CASE WHEN i = 0 THEN k
+                  ELSE substring(k, 1, i - 1) || substring(k, i + 1, length(k)) END))) AS blk
+         FROM k),
+       p AS (SELECT DISTINCT x.c_custkey AS c_custkey, y.c_custkey AS match_key
+         FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+           AND levenshtein(x.k, y.k) <= 1),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k),
+       un AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_nat FROM
+         (SELECT count(*) AS nv FROM k GROUP BY c_nationkey) z),
+       us AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_seg FROM
+         (SELECT count(*) AS nv FROM k GROUP BY c_mktsegment) z),
+       ub AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_bal FROM
+         (SELECT count(*) AS nv FROM k GROUP BY bal_bucket) z),
+       uk AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_name FROM
+         (SELECT count(*) AS nv FROM k GROUP BY k) z),
+       j AS (SELECT p.c_custkey, p.match_key,
+           a.c_nationkey = bb.c_nationkey AS agree_nation,
+           a.c_mktsegment = bb.c_mktsegment AS agree_segment,
+           a.bal_bucket = bb.bal_bucket AS agree_balance,
+           a.k = bb.k AS exact_name
+         FROM p JOIN k a ON a.c_custkey = p.c_custkey
+              JOIN k bb ON bb.c_custkey = p.match_key),
+       f AS (SELECT c_custkey, match_key, agree_nation, agree_segment,
+           agree_balance, exact_name,
+           round(
+             (CASE WHEN agree_nation THEN ln(0.95 / (CAST(s2_nat AS DOUBLE) / (n * n)))
+                   ELSE ln(0.05 / (1.0 - CAST(s2_nat AS DOUBLE) / (n * n))) END)
+             + (CASE WHEN agree_segment THEN ln(0.95 / (CAST(s2_seg AS DOUBLE) / (n * n)))
+                   ELSE ln(0.05 / (1.0 - CAST(s2_seg AS DOUBLE) / (n * n))) END)
+             + (CASE WHEN agree_balance THEN ln(0.95 / (CAST(s2_bal AS DOUBLE) / (n * n)))
+                   ELSE ln(0.05 / (1.0 - CAST(s2_bal AS DOUBLE) / (n * n))) END)
+             + (CASE WHEN exact_name THEN ln(0.95 / (CAST(s2_name AS DOUBLE) / (n * n)))
+                   ELSE ln(0.05 / (1.0 - CAST(s2_name AS DOUBLE) / (n * n))) END), 4)
+             AS score
+         FROM j CROSS JOIN nn CROSS JOIN un CROSS JOIN us
+              CROSS JOIN ub CROSS JOIN uk)
+       SELECT c_custkey, match_key, agree_nation, agree_segment,
+         agree_balance, exact_name, score,
+         CASE WHEN score >= 4.6 THEN 'match'
+              WHEN score <= -4.6 THEN 'non_match'
+              ELSE 'possible' END AS verdict
+       FROM f ORDER BY c_custkey, match_key"""
 
   // ---- d03: SimHash ---------------------------------------------------
 

@@ -2855,6 +2855,40 @@ class GraftSpec extends AnyFunSuite {
     assert(flat.forall(_.getAs[Long]("cusum") == 0L))
   }
 
+  test("d20 ER score: agreement raises, disagreement lowers, verdicts threshold correctly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // three near-name records: 1-2 agree on everything (a true dup),
+    // 1-3 agree on nothing but the name block (a coincidence)
+    val cust = Seq(
+      (1L, "Acme Corp", 7, 100.0, "AUTO"),
+      (2L, "Acme Corpx", 7, 150.0, "AUTO"),   // 1 edit, same fields
+      (3L, "Acme Corz", 3, 5000.0, "STEEL"),  // 1 edit, all different
+      (4L, "Zzz Unrelated", 1, 1.0, "FOOD"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val rows = Dedup.erScore(cust).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("match_key")) -> r)
+      .toMap
+    val dup = rows((1L, 2L))
+    assert(dup.getAs[Boolean]("agree_nation") &&
+      dup.getAs[Boolean]("agree_segment") && dup.getAs[Boolean]("agree_balance"))
+    assert(!dup.getAs[Boolean]("exact_name"))
+    val co = rows((1L, 3L))
+    assert(!co.getAs[Boolean]("agree_nation") && !co.getAs[Boolean]("agree_segment"))
+    // the likelihood ratio separates them, and the verdict follows
+    // the rounded-score thresholds exactly
+    assert(dup.getAs[Double]("score") > co.getAs[Double]("score"))
+    rows.values.foreach { r =>
+      val (s, v) = (r.getAs[Double]("score"), r.getAs[String]("verdict"))
+      assert(v == (if (s >= 4.6) "match" else if (s <= -4.6) "non_match"
+                   else "possible"))
+    }
+    // u-estimates live in (0, 1]: a field agreeing at random cannot
+    // produce an infinite or NaN weight
+    assert(rows.values.forall(r => !r.getAs[Double]("score").isNaN &&
+      !r.getAs[Double]("score").isInfinite))
+  }
+
   test("t28 Heaps growth: beta in (0,1] on real text, exact fit on a constructed power law") {
     import spark.implicits._
     import graft.operators.TextOps
