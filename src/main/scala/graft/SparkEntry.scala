@@ -220,6 +220,9 @@ object SparkEntry {
     "t27_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(Tables.documents(s, d))),
     "q50_cusum_changepoint" -> ((s, d) =>
       Relational.cusumChangepoint(Tables.events(s, d))),
+    "q51_regional_revenue" -> ((s, d) => Relational.regionalRevenue(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "t28_heaps_growth" -> ((s, d) => TextOps.heapsGrowth(Tables.documents(s, d))),
     "q47_rank_corr" -> ((s, d) =>
       Relational.rankCorrelation(Tables.documents(s, d))),
@@ -558,6 +561,7 @@ object SparkEntry {
     "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
     "t27_bpe_fertility" -> TextOps.bpeFertilityOracle(),
     "q50_cusum_changepoint" -> Relational.cusumChangepointOracle,
+    "q51_regional_revenue" -> Relational.regionalRevenueOracle(),
     "t28_heaps_growth" -> TextOps.heapsGrowthOracle,
     "q47_rank_corr" -> Relational.rankCorrelationOracle,
     "m04_cdc_chunks" -> Multimodal.cdcChunksOracle,

@@ -955,6 +955,67 @@ object Relational {
            approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy(col("day"))
 
+  // ---- q51: deep multi-join (the join-reorder stress shape) -----------
+
+  /** q51: regional supply-chain revenue — the TPC-H Q5 SHAPE: six
+    * tables (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region) with the LOCAL-SUPPLY constraint c_nationkey =
+    * s_nationkey (the join no star schema has: two independent
+    * fact-to-dim paths meeting on a non-key equality), a selective
+    * region filter, and a two-year date window. This is the
+    * join-DEPTH representative of the battery: the plan quality is
+    * Catalyst's to find — every join is hint-free, the dims are
+    * broadcast because AQE measures them small (not because we said
+    * so), the region/date filters push into the scans, and the
+    * co-nation constraint rides the supplier join as a post-condition
+    * rather than forcing a nation-keyed shuffle of lineitem.
+    *
+    * Scale shape: ONE fact-sized shuffle (lineitem ⋈ orders on
+    * orderkey); everything after joins against broadcast dims. At
+    * 100 TB the orderkey join is the whole cost, which is exactly
+    * where bucketing both facts on orderkey (Bucketing.scala) takes
+    * the plan shuffle-free. */
+  def regionalRevenue(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String = "ASIA"): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Rounding.roundN(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** DuckDB twin of [[regionalRevenue]] — the declarative form; both
+    * engines are free to pick their own join order, the results must
+    * agree anyway. */
+  def regionalRevenueOracle(regionName: String = "ASIA"): String =
+    s"""SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+         AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = '$regionName'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
   // ---- q49: KMV distinct sketch (the oracle-able sketch) --------------
 
   /** q49: per-event-type distinct users via a K-MINIMUM-VALUES sketch

@@ -149,6 +149,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q51: six-table join broadcasts its dims hint-free, one fact-sized shuffle, pushed filters") {
+    val p = plan("q51_regional_revenue")
+    assert(!p.contains("CartesianProduct"))
+    // customer/supplier/nation/region ride broadcasts AQE chose, not
+    // hints we forced; only the lineitem-orders join may shuffle
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"dims stopped broadcasting:\n$p")
+    // the region and date filters reach the scans
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      "region filter not pushed to the scan")
+  }
+
   test("q50/t28: window-algebra rows never plan a cartesian; q50 stays within 3 exchanges") {
     val p50 = plan("q50_cusum_changepoint")
     assert(!p50.contains("CartesianProduct"))
