@@ -620,10 +620,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_fuzzy"), min(col("match_key")).as("first_match"))
       .orderBy(col("c_custkey"))
 
+  // d09's blocking join is the d09/d20 persist point (the pipeline /
+  // bpeTrain discipline): the deletion-neighborhood self-join runs
+  // once per (session, file stamp, maxDist) and both rows read the
+  // checkpointed pair set.
+  private val fuzzyCache = new Caching.BoundedCache[
+    (org.apache.spark.sql.SparkSession, String, Int), DataFrame](4)
+
   /** The d09 blocking alone: distinct candidate pairs (c_custkey <
     * match_key) whose normalized names are within `maxDist` edits —
     * shared by d09's census and d20's Fellegi-Sunter scoring. */
   private[graft] def fuzzyPairs(customer: DataFrame, maxDist: Int = 1): DataFrame = {
+    if (!Caching.bareScan(customer))
+      return fuzzyPairsUncached(customer, maxDist)
+    val stamp = Caching.stamp(customer)
+    if (stamp.isEmpty) fuzzyPairsUncached(customer, maxDist)
+    else fuzzyCache.getOrElseUpdate(
+      (customer.sparkSession, stamp, maxDist))(
+      fuzzyPairsUncached(customer, maxDist).localCheckpoint())
+  }
+
+  private def fuzzyPairsUncached(customer: DataFrame, maxDist: Int): DataFrame = {
     val k = customer.select(col("c_custkey"), upper(trim(col("c_name"))).as("k"))
     val blocks = k
       .select(col("c_custkey"), col("k"), explode(expr(
