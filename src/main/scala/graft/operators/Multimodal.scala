@@ -433,8 +433,13 @@ object Multimodal {
             }
             ImageFeatures(id, decode_ok = true, w, h, sr, sg, sb,
                           tw, th, tr, tg, tb)
-          } catch { case _: java.io.IOException =>
-            ImageFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+          } catch {
+            // NonFatal, not just IOException: JDK image decoders are
+            // known to throw unchecked exceptions on malformed input
+            // (NegativeArraySizeException, IllegalArgumentException) —
+            // corrupt media is data, not a dead executor
+            case scala.util.control.NonFatal(_) =>
+              ImageFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
           }
         }
       }.toDF()
@@ -575,9 +580,9 @@ object Multimodal {
               fmt.getSampleRate.toLong, fmt.getChannels.toLong,
               fmt.getSampleSizeInBits.toLong, sv, sa, pk, zc)
           } catch {
-            case _: java.io.IOException => failed(id)
-            case _: javax.sound.sampled.UnsupportedAudioFileException =>
-              failed(id)
+            // NonFatal: malformed WAV headers can drive the JDK sound
+            // stack into unchecked throws, same contract as images
+            case scala.util.control.NonFatal(_) => failed(id)
           }
         }
       }.toDF()
@@ -720,7 +725,7 @@ object Multimodal {
             VideoFeatures(id, decode_ok = true, nf.toLong, w.toLong,
               h.toLong, sr, sg, sb, motion)
           } catch {
-            case _: java.io.IOException =>
+            case scala.util.control.NonFatal(_) =>
               VideoFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0)
           }
         }
@@ -828,9 +833,7 @@ object Multimodal {
             AudioWindowFeatures(id, decode_ok = true, nWin.toLong,
               nActive, peakW, peakE)
           } catch {
-            case _: java.io.IOException =>
-              AudioWindowFeatures(id, decode_ok = false, 0, 0, 0, 0)
-            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            case scala.util.control.NonFatal(_) =>
               AudioWindowFeatures(id, decode_ok = false, 0, 0, 0, 0)
           }
         }

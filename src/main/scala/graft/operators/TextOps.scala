@@ -661,12 +661,14 @@ object TextOps {
     * AQE's ReuseExchange collapses them at runtime (this is why tf
     * derives from docTok rather than from the raw token stream,
     * where pruning would diverge the branches — the t10 lesson,
-    * inverted). The corpus TOTAL is a window-sum over the frequency
-    * table, which is VOCABULARY-bounded (Heaps' law: sublinear in
-    * corpus size), so the single-partition window is vocab-sized,
-    * never corpus-sized, and no third scan branch exists.
-    * PlanShapeSpec pins the one-scan + ReusedExchange shape on the
-    * post-execution adaptive plan. The vocab-bounded frequency table
+    * inverted). The corpus TOTAL is a 1-row aggregate over the same
+    * docTok frame, broadcast back via crossJoin — the t10/t18/t26
+    * shape — so NO single-partition exchange exists anywhere in the
+    * plan: even a vocab-bounded frame (~10⁸ rows at 100 TB by t28's
+    * own Heaps measurement) must never funnel through one task just
+    * to compute a scalar. PlanShapeSpec pins the one-scan +
+    * ReusedExchange shape AND the absence of SinglePartition
+    * exchanges on the post-execution adaptive plan. The vocab-bounded frequency table
     * joins back by broadcast at any corpus scale — no hint needed,
     * AQE sees the agg output size. The per-doc fold runs over the
     * tok-SORTED term list (collect_list + array_sort) so the double
@@ -674,14 +676,14 @@ object TextOps {
     * entropy fold.
     */
   def surprisal(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val docTok = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val tf = docTok.groupBy(col("tok")).agg(sum(col("c")).as("n_corpus"))
-      .withColumn("n_total", sum(col("n_corpus")).over(Window.partitionBy()))
+    val nTotal = docTok.agg(sum(col("c")).as("n_total"))
     docTok.join(tf, "tok")
+      .crossJoin(broadcast(nTotal))
       .withColumn("term",
         col("c") * -log(col("n_corpus").cast("double") / col("n_total")))
       .groupBy(col("doc_id"))

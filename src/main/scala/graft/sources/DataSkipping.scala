@@ -624,9 +624,10 @@ object DataSkipping {
     * `column` under opt-in merge-schema evolution get NO filter and
     * stay unpruned (the no-stats-never-means-no-data rule) — the
     * schema peek per dir is a driver-side footer read. An all-NULL
-    * dir likewise gets no filter (nulls are never bloom members and
-    * an equality probe can never match them — staying unpruned is
-    * merely conservative). Filters answer the same
+    * dir gets an EMPTY filter (nulls are never bloom members and an
+    * equality probe can never match them, so empty is exact) — that
+    * records the dir as built in the sidecar (build-once, never
+    * re-scanned) and prunes it on every probe. Filters answer the same
     * mightContainString/Long probes as the per-dir builds they
     * replace: strings insert their UTF-8 bytes, integrals widen to
     * long. */
@@ -696,11 +697,23 @@ object DataSkipping {
         it.foreach(p => bf.mergeInPlace(deser(p._2)))
         (d, ser(bf))
       }(enc).collect()
-    merged.map { case (d, bytes) =>
-      val rel = readable.find(r => d.endsWith("/" + r)).getOrElse(
-        throw new IllegalStateException(s"bloom partial for unmapped dir $d"))
-      rel -> deser(bytes)
+    // input_file_name() URI-encodes paths (same pitfall dirMatches
+    // handles in the stats pass), so match both the raw and the
+    // decoded form; a dir that still doesn't map is SKIPPED — it just
+    // stays unpruned (no-stats-never-means-no-data), never a crash
+    def relOf(d: String): Option[String] = readable.find(r =>
+      d.endsWith("/" + r) ||
+        java.net.URI.create(d).getPath.endsWith("/" + r))
+    val built = merged.flatMap { case (d, bytes) =>
+      relOf(d).map(_ -> deser(bytes))
     }.toMap
+    // a readable dir with zero non-null values yields no partial;
+    // persist an EMPTY filter for it so the sidecar records the dir
+    // as built (build-once) AND equality probes prune it outright
+    // (nulls are never bloom members, so empty is exact here)
+    val empties = readable.filterNot(built.contains)
+      .map(_ -> BloomFilter.create(BloomMinItems, BloomFpp)).toMap
+    built ++ empties
   }
 
   /** The dirs of `version` an equality probe `column = value` can

@@ -52,24 +52,46 @@ import org.apache.spark.sql.SaveMode
   * defaults to the query's checkpoint location).
   */
 final class GraftDataSource extends RelationProvider with DataSourceRegister
-  with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider {
+  with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
+  with org.apache.spark.sql.connector.catalog.TableProvider {
+
+  import GraftDataSource.{rootOf, resolveVersion}
 
   override def shortName(): String = "graft"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft source needs a table root: .load(\"/path/to/table\")"))
+  // ── DataSource V2 face (TableProvider) ────────────────────────────
+  // Batch + micro-batch reads resolve through [[GraftTable]]; the CDC
+  // mode and every write path return capability-less shells so Spark's
+  // own resolution falls back to the v1 interfaces below (see the
+  // GraftTableV2 scaladoc for the why of each boundary).
 
-  private def resolveVersion(spark: SparkSession, root: String,
-                             parameters: Map[String, String]): Long =
-    parameters.get("versionAsOf").map(_.trim.toLong)
-      .orElse(parameters.get("timestampAsOf").map { ts =>
-        VersionedTable.versionAtTimestamp(spark, root, ts.trim.toLong).getOrElse(
-          throw new java.io.FileNotFoundException(
-            s"no version committed at or before $ts at $root"))
-      })
-      .getOrElse(VersionedTable.currentVersion(spark, root).getOrElse(
-        throw new java.io.FileNotFoundException(s"no committed version at $root")))
+  /** Write paths pass the incoming frame's schema instead of calling
+    * [[inferSchema]] — a save into a fresh root must not require a
+    * committed version to infer from. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val params = GraftDataSource.asParams(options)
+    val root = rootOf(params)
+    if (GraftDataSource.isCdc(params))
+      GraftDataSource.cdcSchema(spark, root, GraftDataSource.cdcKeys(params))
+    else VersionedTable.readAsOf(spark, root,
+      resolveVersion(spark, root, params)).schema
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val params = GraftDataSource.asParams(options)
+    val root = rootOf(params)
+    if (GraftDataSource.isCdc(params))
+      new GraftDataSource.CapabilityLessTable(root, schema) // → v1 CDC source
+    else new GraftTable(root, schema, options)
+  }
 
   // ── batch ─────────────────────────────────────────────────────────
 
@@ -79,17 +101,7 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     val root = rootOf(parameters)
     val v = resolveVersion(spark, root, parameters)
     val schema = VersionedTable.readAsOf(spark, root, v).schema
-    // opt-in sidecar builds (write-side lifecycle, exposed here for
-    // convenience): compute once, cached in the log, inherited by
-    // future versions
-    parameters.get("ensureStats").foreach { cols =>
-      DataSkipping.ensureStatsAuto(spark, root, v,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, schema)
-    }
-    parameters.get("ensureBloom").foreach { cols =>
-      cols.split(",").map(_.trim).filter(_.nonEmpty)
-        .foreach(c => DataSkipping.ensureBloom(spark, root, v, c))
-    }
+    GraftDataSource.runSidecarOptIns(spark, root, v, parameters, schema)
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, v),
       partitionSchema = new StructType(),
@@ -130,22 +142,7 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
 
   // ── streaming read ────────────────────────────────────────────────
 
-  private def isCdc(parameters: Map[String, String]): Boolean =
-    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
-
-  private def cdcKeys(parameters: Map[String, String]): Seq[String] =
-    parameters.getOrElse("keys", throw new IllegalArgumentException(
-      "readChangeFeed mode needs option(\"keys\", \"k1,k2\") — the row " +
-        "identity the change feed diffs on"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-
-  private def cdcSchema(spark: SparkSession, root: String,
-                        keys: Seq[String]): StructType = {
-    val head = VersionedTable.currentVersion(spark, root).getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed version at $root"))
-    // a self-diff never executes — it is only the schema carrier
-    VersionedTable.changeFeed(spark, root, head, head, keys).schema
-  }
+  import GraftDataSource.{isCdc, cdcKeys, cdcSchema}
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
@@ -194,6 +191,81 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister
     val appId = parameters.getOrElse("txnAppId",
       parameters.getOrElse("checkpointLocation", s"graft-sink-$root"))
     new GraftSink(sqlContext.sparkSession, root, appId)
+  }
+}
+
+object GraftDataSource {
+
+  private[sources] def asParams(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    // lower-case keys: callers look up with lower-case names and the
+    // v1 maps were CaseInsensitiveMap-backed
+    options.asCaseSensitiveMap().asScala.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v
+    }.toMap
+  }
+
+  private[sources] def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source needs a table root: .load(\"/path/to/table\")"))
+
+  private[sources] def resolveVersion(spark: SparkSession, root: String,
+                                      parameters: Map[String, String]): Long =
+    parameters.get("versionasof").map(_.trim.toLong)
+      .orElse(parameters.get("timestampasof").map { ts =>
+        VersionedTable.versionAtTimestamp(spark, root, ts.trim.toLong).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"no version committed at or before $ts at $root"))
+      })
+      .getOrElse(VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed version at $root")))
+
+  /** Opt-in sidecar builds (write-side lifecycle, exposed on the read
+    * options for convenience): compute once, cached in the log,
+    * inherited by future versions. */
+  private[sources] def runSidecarOptIns(spark: SparkSession, root: String,
+      v: Long, parameters: Map[String, String], schema: StructType): Unit = {
+    parameters.get("ensurestats").foreach { cols =>
+      DataSkipping.ensureStatsAuto(spark, root, v,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, schema)
+    }
+    parameters.get("ensurebloom").foreach { cols =>
+      cols.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(c => DataSkipping.ensureBloom(spark, root, v, c))
+    }
+  }
+
+  private[sources] def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("readchangefeed").exists(_.trim.toBoolean)
+
+  private[sources] def cdcKeys(parameters: Map[String, String]): Seq[String] =
+    parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "readChangeFeed mode needs option(\"keys\", \"k1,k2\") — the row " +
+        "identity the change feed diffs on"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private[sources] def cdcSchema(spark: SparkSession, root: String,
+                                 keys: Seq[String]): StructType = {
+    val head = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    // a self-diff never executes — it is only the schema carrier
+    VersionedTable.changeFeed(spark, root, head, head, keys).schema
+  }
+
+  /** A v2 table that declares NO capabilities: every path that asks
+    * for one (batch read, micro-batch read, any write) falls back to
+    * the v1 provider interfaces — how the CDC mode keeps its
+    * DataFrame-returning v1 `Source`. */
+  private[sources] final class CapabilityLessTable(root: String,
+                                                   tschema: StructType)
+    extends org.apache.spark.sql.connector.catalog.Table {
+    override def name(): String = s"graft.`$root`"
+    override def schema(): StructType = tschema
+    override def capabilities()
+        : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+      java.util.Collections.emptySet()
   }
 }
 

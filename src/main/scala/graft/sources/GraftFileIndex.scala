@@ -119,6 +119,11 @@ final class GraftFileIndex(spark: SparkSession, root: String,
     if (!bloomCols(c)) Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
     else bloomCache.getOrElseUpdate(c, DataSkipping.bloomSidecarView(spark, root, version, c))
 
+  /** Snapshot listing keyed by rel dir — the DSv2 adapter
+    * ([[GraftPartitioningAwareIndex]]) projects leafDirToChildrenFiles
+    * from this. */
+  private[sources] def filesByDir: Map[String, Array[FileStatus]] = filesByRel
+
   override def rootPaths: Seq[Path] = Seq(new Path(root))
   override def partitionSchema: StructType = new StructType()
   override def refresh(): Unit = {

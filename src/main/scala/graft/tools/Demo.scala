@@ -109,7 +109,7 @@ object Demo {
       .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
     Scd2.mergeScd2(spark, dimRoot, meta, Seq("custkey"), "2024-01-01 00:00:00")
     Scd2.mergeScd2(spark, dimRoot,
-      meta.limit(50).withColumn("acctbal", col("acctbal") + 100.0),
+      meta.orderBy(col("custkey")).limit(50).withColumn("acctbal", col("acctbal") + 100.0),
       Seq("custkey"), "2024-02-01 00:00:00")
     val histRows = graft.sources.VersionedTable.read(spark, dimRoot)
       .filter(!col(Scd2.Current)).count()
@@ -202,11 +202,14 @@ object Demo {
     //      layout's read path
     val sRoot = s"$work/versioned/bydate"
     var sv = VersionedTable.commit(spark, sRoot,
-      rawOrders.limit(100).withColumn("day", lit("2024-01-01")), -1L)
+      rawOrders.orderBy(col("o_orderkey")).limit(100)
+        .withColumn("day", lit("2024-01-01")), -1L)
     sv = VersionedTable.append(spark, sRoot,
-      rawOrders.limit(100).withColumn("day", lit("2024-01-02")), sv)
+      rawOrders.orderBy(col("o_orderkey")).limit(100)
+        .withColumn("day", lit("2024-01-02")), sv)
     sv = VersionedTable.append(spark, sRoot,
-      rawOrders.limit(100).withColumn("day", lit("2024-01-03")), sv)
+      rawOrders.orderBy(col("o_orderkey")).limit(100)
+        .withColumn("day", lit("2024-01-03")), sv)
     val dayDirs = DataSkipping.prunedDirsString(spark, sRoot, "day",
       "2024-01-02", "2024-01-02").size
     println(s"14b. string skipping: one-day range opens $dayDirs/3 dirs " +
@@ -249,7 +252,7 @@ object Demo {
     val vBatch = emb.filter(col("vec_id") % 19 === 0)
     val vHits = VecIndex.probe(spark, vRoot, vBatch).count()
     VecIndex.ingest(spark, vRoot, vBatch)
-    val reArrivals = vBatch.limit(3)
+    val reArrivals = vBatch.orderBy(col("vec_id")).limit(3)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val selfHits = VecIndex.probe(spark, vRoot, reArrivals, k = 1)
       .filter(col("cos") >= 0.9999).count()
@@ -271,9 +274,9 @@ object Demo {
     //     — the loser's publish race is rebased (appends commute), so
     //     independent ingest writers need no coordination
     val cw = s"$work/versioned/multiwriter"
-    val b0 = VersionedTable.commit(spark, cw, rawOrders.limit(10), -1L)
-    val w1 = VersionedTable.appendRebaseFrom(spark, cw, rawOrders.limit(5), b0)
-    val w2 = VersionedTable.appendRebaseFrom(spark, cw, rawOrders.limit(7), b0)
+    val b0 = VersionedTable.commit(spark, cw, rawOrders.orderBy(col("o_orderkey")).limit(10), -1L)
+    val w1 = VersionedTable.appendRebaseFrom(spark, cw, rawOrders.orderBy(col("o_orderkey")).limit(5), b0)
+    val w2 = VersionedTable.appendRebaseFrom(spark, cw, rawOrders.orderBy(col("o_orderkey")).limit(7), b0)
     println(s"17. concurrent writers: stale-base appends landed as v$w1 and v$w2 " +
       s"(${VersionedTable.read(spark, cw).count()} rows — the lost race " +
       "republished the staged dir, nothing recomputed)")
@@ -293,7 +296,7 @@ object Demo {
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
       .withColumn("bucket", (col("k") / lit(1000)).cast("long").cast("string"))
     VersionedTable.commitPartitioned(spark, fm, fmRows, "bucket", -1L)
-    val fmKeys = fmRows.limit(3).select(col("k")).as[Long].collect()
+    val fmKeys = fmRows.orderBy(col("k")).limit(3).select(col("k")).as[Long].collect()
     val fmBatch = fmRows.filter(col("k").isin(fmKeys: _*))
       .withColumn("v", col("v") * -1)
     DataSkipping.mergeSkipping(spark, fm, fmBatch, Seq("k"), "k")
@@ -337,7 +340,8 @@ object Demo {
     val rr = s"$work/versioned/restore"
     VersionedTable.commit(spark, rr, rawOrders.select("o_orderkey", "o_totalprice"), -1L)
     VersionedTable.commit(spark, rr,
-      rawOrders.select("o_orderkey", "o_totalprice").limit(1), 0L) // oops
+      rawOrders.select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey")).limit(1), 0L) // oops
     val badRows = VersionedTable.read(spark, rr).count()
     val rv = VersionedTable.restore(spark, rr, 0L)
     println(s"21. restore: bad overwrite left $badRows rows; restore(v0) " +
@@ -481,7 +485,7 @@ object Demo {
     val bpe = graft.operators.TextOps.bpeMerges(docs, iters = 3).collect()
       .map(r => s"${r.getAs[String]("a")}+${r.getAs[String]("b")}" +
         s"(${r.getAs[Long]("cnt")})").mkString(", ")
-    val decoded = graft.operators.Multimodal.imageDecode(docs.limit(64))
+    val decoded = graft.operators.Multimodal.imageDecode(docs.orderBy(col("doc_id")).limit(64))
     val okRows = decoded.filter(col("decode_ok")).count()
     val thumb = decoded.orderBy("doc_id").limit(1).collect().head
     println(s"26. artifacts: BPE merges learned [$bpe]; PNG codec " +
@@ -494,7 +498,7 @@ object Demo {
     //     parser, pairwise JSD saying which sources have drifted
     //     apart, and a KMV distinct sketch whose stream state is
     //     <= 64 longs per group yet lands bit-identical to batch
-    val aud = graft.operators.Multimodal.audioDecode(docs.limit(64))
+    val aud = graft.operators.Multimodal.audioDecode(docs.orderBy(col("doc_id")).limit(64))
       .orderBy("doc_id").limit(1).collect().head
     val jsd = graft.operators.TextOps.domainDivergence(docs)
       .orderBy(col("jsd").desc).limit(1).collect().head

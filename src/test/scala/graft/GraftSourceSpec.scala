@@ -256,21 +256,36 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_ddl_t")
   }
 
-  test("INSERT INTO a graft table fails loudly instead of bypassing the log") {
+  test("INSERT INTO a graft table lands as a LOGGED commit, never a stray file") {
+    // under DSv1 Spark planned INSERT INTO over a HadoopFsRelation as
+    // a direct file write next to the commit log — invisible to every
+    // reader — so the connector had to reject it (GraftGuardedParquet,
+    // which still guards any residual v1 path). Under DSv2 the insert
+    // routes through the connector's WriteBuilder, so it is now a
+    // FIRST-CLASS transactional append: a new committed version, rows
+    // visible, nothing dropped beside the log, history travelable.
     val root = tmp("src_ins")
     VersionedTable.commit(spark, root, spark.range(0, 5).toDF("id"), -1L)
     spark.sql(s"CREATE TABLE graft_ins_t USING graft OPTIONS (path '$root')")
     try {
-      val e = intercept[Exception] { spark.sql("INSERT INTO graft_ins_t VALUES (99)") }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("bypass the graft commit log")),
-        s"insert must name the hazard and the alternative, got: ${messages(e)}")
-      // nothing leaked next to the log
+      spark.sql("INSERT INTO graft_ins_t VALUES (99)")
+      assert(VersionedTable.currentVersion(spark, root).contains(1L),
+        "insert must land as one new committed version")
+      assert(ids(spark.read.format("graft").load(root)) == (0L until 5L).toSet + 99L)
+      // nothing leaked next to the log: the table root holds only the
+      // log and data dirs
       val stray = new java.io.File(root).listFiles()
         .map(_.getName).filterNot(n => n == "_log" || n == "data" || n.startsWith("."))
       assert(stray.isEmpty, s"no stray files in the table root, got ${stray.toSeq}")
-      assert(VersionedTable.read(spark, root).count() == 5)
+      // pre-insert state stays travelable
+      assert(ids(spark.read.format("graft").option("versionAsOf", "0").load(root))
+        == (0L until 5L).toSet)
+      // INSERT OVERWRITE maps to the overwrite commit — a NEW version,
+      // history intact
+      spark.sql("INSERT OVERWRITE graft_ins_t VALUES (7)")
+      assert(ids(spark.read.format("graft").load(root)) == Set(7L))
+      assert(ids(spark.read.format("graft").option("versionAsOf", "1").load(root))
+        == (0L until 5L).toSet + 99L)
     } finally spark.sql("DROP TABLE graft_ins_t")
   }
 

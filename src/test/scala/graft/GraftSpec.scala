@@ -1913,6 +1913,52 @@ class GraftSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("payload")).toSeq == Seq(8050L * 7))
   }
 
+  test("DataSkipping bloom: NULL-only dirs build ONCE as empty filters and prune exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_null").toString
+    // dir 0: real keys; dir 1: the column exists but every value is
+    // NULL (a late-arriving feed whose enrichment hasn't run yet)
+    val v0 = VersionedTable.commit(spark, root,
+      spark.range(0, 100).toDF("id").withColumn("k", concat(lit("key-"), col("id"))), -1L)
+    val v = VersionedTable.append(spark, root,
+      spark.range(100, 200).toDF("id").withColumn("k", lit(null).cast("string")), v0)
+    val builds0 = DataSkipping.bloomBuilds
+    val blooms = DataSkipping.ensureBloom(spark, root, v, "k")
+    assert(DataSkipping.bloomBuilds == builds0 + 1)
+    assert(blooms.size == 2,
+      "the NULL-only dir must get a (empty) sidecar entry — build-once")
+    // build-once: a repeat probe launches NO further build
+    DataSkipping.prunedDirsBloom(spark, root, "k", "key-5", Some(v))
+    assert(DataSkipping.bloomBuilds == builds0 + 1,
+      "NULL-only dir re-entered the build set on a repeat probe")
+    // and the empty filter is EXACT for equality: nulls can never
+    // match `k = value`, so the NULL-only dir prunes outright
+    val kept = DataSkipping.prunedDirsBloom(spark, root, "k", "key-5", Some(v))
+    assert(kept.size == 1, s"equality probe must open only the data dir, kept $kept")
+    assert(DataSkipping.readWhereEquals(spark, root, "k", "key-5")
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(5L))
+  }
+
+  test("DataSkipping bloom: percent-encoded partition dir names survive the grouped build") {
+    import spark.implicits._
+    import graft.sources.{DataSkipping, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_enc").toString + "/t"
+    // partition values that URL-encode to %XX dir names — the shapes
+    // input_file_name() re-encodes and a raw endsWith match misses
+    val df = Seq(("a b", 1L), ("a b", 2L), ("c%d", 3L), ("c%d", 4L), ("plain", 5L))
+      .toDF("pv", "id")
+    val v = VersionedTable.commitPartitioned(spark, root, df, "pv", -1L)
+    val blooms = DataSkipping.ensureBloom(spark, root, v, "id")
+    // every committed dir mapped: no crash, no dropped dir
+    assert(blooms.keySet == VersionedTable.dirsOf(spark, root, v).toSet,
+      s"grouped build lost dirs: ${blooms.keySet}")
+    val kept = DataSkipping.prunedDirsBloom(spark, root, "id", 3L, Some(v))
+    assert(kept.size < 3, "filters over encoded dirs prune nothing")
+    assert(DataSkipping.readWhereEquals(spark, root, "id", 3L)
+      .collect().map(_.getAs[String]("pv")).toSeq == Seq("c%d"))
+  }
+
   test("DataSkipping.recluster: appends degrade pruning; OPTIMIZE restores it") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

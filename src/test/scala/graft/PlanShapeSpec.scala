@@ -255,10 +255,15 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t14: ReuseExchange collapses the freq branch — ONE corpus scan end to end") {
-    // tf re-aggregates docTok, so both branches keep the identical
-    // pruned (doc_id, tok, count) exchange and AQE reuses it (unlike
-    // t10, where pruning diverged the branches); the corpus total is
-    // a window over the vocab-bounded tf, so no third branch either.
+    // tf and the 1-row corpus total both re-aggregate docTok, so all
+    // branches keep the identical pruned (doc_id, tok, count)
+    // exchange and AQE reuses it (unlike t10, where pruning diverged
+    // the branches). The total reaches the scoring join as a 1-row
+    // broadcast (BNLJ is that join's physical form — intended); the
+    // old shape (sum over Window.partitionBy()) funneled the whole
+    // vocab-sized tf frame through ONE task, so pin Window OUT: the
+    // only SinglePartition exchange left carries the 32 partial-agg
+    // rows of the scalar total, never a data-sized frame.
     // executedPlan.toString appends the pre-AQE "Initial Plan" — count
     // scans only in the FINAL section or reuse looks like extra scans
     val df = SparkEntry.queries("t14_surprisal")(spark, sf)
@@ -266,7 +271,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(count(p, "Scan parquet") == 1, "corpus scanned more than once")
     assert(p.contains("ReusedExchange"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "single-partition vocab window crept back in")
   }
 
   test("t10: tf persist point — corpus tokens explode once, both branches read the checkpoint") {
