@@ -244,6 +244,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamAnnIngestDrain(Tables.embeddings(s, d))),
     "st13_stream_kmv" -> ((s, d) =>
       graft.streaming.StreamOps.streamKmvDrain(Tables.events(s, d))),
+    "st14_alert_stream" -> ((s, d) =>
+      graft.streaming.StreamOps.alertStreamDrain(Tables.events(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -576,5 +578,6 @@ object SparkEntry {
     "st11_stream_curation" -> Dedup.streamCurationOracle(),
     "st12_stream_ann_ingest" -> Similarity.streamAnnIngestOracle(),
     "st13_stream_kmv" -> graft.streaming.StreamOps.kmvStreamOracle(),
+    "st14_alert_stream" -> graft.operators.Relational.cusumMonitorOracle(),
   )
 }

@@ -1151,6 +1151,89 @@ object Relational {
          (p - m) > 8 * total AS alarm
        FROM m ORDER BY event_type, day"""
 
+  // ---- st14 kernel: SEQUENTIAL cusum monitor + alert transitions ------
+
+  /** The SEQUENTIAL form of [[cusumChangepoint]] — the kernel the
+    * st14 alert sink runs per micro-batch. q50 is retrospective
+    * analysis: its mean is estimated over the WHOLE window, so a
+    * day's alarm can flip as later data arrives. An ALERT pipeline
+    * cannot re-decide the past (the notification already went out —
+    * the reference fires one Discord message per state transition,
+    * send_discord_notification.py:55), so the monitor must be
+    * PREFIX-STABLE: day d's statistic may depend only on days ≤ d.
+    * Textbook Page CUSUM achieves that with a reference window: μ is
+    * estimated from each type's first `trainDays` days (the
+    * pre-change training period — fixed once observed, since days
+    * arrive chronologically), and monitoring starts after it. Scaled
+    * by 4·K (K = training days) everything stays exact BIGINT:
+    * a_d = 4·K·x_d − 5·T_K, threshold 8·T_K — same discipline as
+    * q50. `alert` marks the off→on transitions: exactly the rows the
+    * sink materializes, once each.
+    *
+    * Prefix-stability is what makes the streaming sink ORACLE-EXACT:
+    * alerts accumulated over any day-aligned, chronological batch
+    * sequence equal the transitions of one full recompute — so the
+    * incremental pipeline sits under the same DuckDB gate as batch.
+    *
+    * Scale shape: identical to q50 — one shuffle to calendar-bounded
+    * daily counts, one 1-row-per-type training aggregate joined back
+    * (AQE broadcasts it), running windows over the per-type
+    * partitioning. */
+  def cusumMonitor(events: DataFrame, trainDays: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"),
+        to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ranked = daily.withColumn("rk", row_number().over(wOrd))
+    val train = ranked.filter(col("rk") <= trainDays)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t_train"), count(lit(1)).as("k_train"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(train, "event_type")
+      .filter(col("rk") > trainDays)
+      .withColumn("a",
+        lit(4L) * col("k_train") * col("n") - lit(5L) * col("t_train"))
+      .withColumn("p", sum(col("a")).over(wRun))
+      .withColumn("m", least(lit(0L), min(col("p")).over(wRun)))
+      .withColumn("cusum", col("p") - col("m"))
+      .withColumn("alarm", col("cusum") > lit(8L) * col("t_train"))
+      .withColumn("alert",
+        col("alarm") && !lag(col("alarm"), 1, false).over(wOrd))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+        col("alarm"), col("alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** DuckDB twin of [[cusumMonitor]]. */
+  def cusumMonitorOracle(trainDays: Int = 10): String =
+    s"""WITH daily AS (SELECT event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY day) AS rk FROM daily),
+       tr AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t_train,
+                CAST(count(*) AS BIGINT) AS k_train
+              FROM r WHERE rk <= $trainDays GROUP BY 1),
+       mon AS (SELECT r.event_type, r.day, r.n, tr.t_train, tr.k_train,
+                 4 * tr.k_train * r.n - 5 * tr.t_train AS a
+               FROM r JOIN tr USING (event_type) WHERE r.rk > $trainDays),
+       p AS (SELECT *, CAST(sum(a) OVER (PARTITION BY event_type
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+             FROM mon),
+       m AS (SELECT *, least(CAST(0 AS BIGINT),
+               min(p) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING)) AS m FROM p),
+       c AS (SELECT event_type, day, n, p - m AS cusum,
+               (p - m) > 8 * t_train AS alarm FROM m),
+       f AS (SELECT *, alarm AND NOT coalesce(lag(alarm)
+               OVER (PARTITION BY event_type ORDER BY day), false) AS alert
+             FROM c)
+       SELECT event_type, day, n, cusum, alarm, alert
+       FROM f ORDER BY event_type, day"""
+
   // ---- q36: merge with tombstone deletes ------------------------------
 
   /** q36: the full three-way MERGE — updates AND deletes against the

@@ -797,4 +797,100 @@ object StreamOps {
               END AS BIGINT) AS est
        FROM sk ORDER BY event_type"""
   }
+
+  // ---- st14: the ALERT SINK — cusum transitions → versioned alerts ----
+
+  /** One micro-batch of the alert pipeline — the engine-side analogue
+    * of the reference's outbound notification hook
+    * (workers/tasks/send_discord_notification.py:55 fires one Discord
+    * message per run state TRANSITION): the batch's events land in
+    * `eventsRoot` under a `#txn appId batchId` marker (a replayed
+    * batch — foreachBatch retry, checkpoint restart — is detected via
+    * [[graft.sources.VersionedTable.lastTxnBatch]] and skipped whole),
+    * then the SEQUENTIAL cusum monitor
+    * ([[graft.operators.Relational.cusumMonitor]]) runs over
+    * everything delivered so far and its off→on transitions MERGE
+    * into the versioned `alertsRoot` keyed on (event_type, day).
+    *
+    * Exactly-once per transition comes from two independent layers:
+    * the txn gate makes the events append idempotent, and the keyed
+    * merge + prefix-stable statistic make the alert rows idempotent
+    * BY CONTENT — a transition evaluates to the same (key, values)
+    * row in every batch that sees it, so replays and re-evaluations
+    * converge instead of duplicating. An external notifier would
+    * consume `alertsRoot`'s change feed (readChangeFeed) — each
+    * transition appears there once, in commit order. */
+  def alertBatch(spark: SparkSession, eventsRoot: String, alertsRoot: String,
+                 appId: String, batchId: Long, batch: DataFrame,
+                 trainDays: Int = 10): Unit = {
+    import graft.sources.VersionedTable
+    if (VersionedTable.lastTxnBatch(spark, eventsRoot, appId).exists(_ >= batchId))
+      return
+    VersionedTable.appendRebaseTxn(spark, eventsRoot, batch, appId, batchId)
+    val monitor = graft.operators.Relational.cusumMonitor(
+      VersionedTable.read(spark, eventsRoot), trainDays)
+    val alerts = monitor.filter(col("alert"))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"))
+    if (!alerts.isEmpty) {
+      VersionedTable.merge(spark, alertsRoot, alerts,
+        keys = Seq("event_type", "day"))
+      ()
+    }
+  }
+
+  /** st14 drain: the alert pipeline as a LIVE STREAM. The events
+    * table lands as three chronological, day-aligned commits
+    * (training days; first monitored stretch; the rest) and streams
+    * through [[alertBatch]] with `maxVersionsPerTrigger=1` — so the
+    * monitor genuinely runs incrementally, re-evaluating as each
+    * day-range arrives. The returned frame is the final monitor
+    * surface with `alert` read back FROM THE ALERTS TABLE (not
+    * recomputed): the DuckDB oracle computes the transition flag
+    * independently, so the hash gate proves the sink materialized
+    * exactly the transition set — the prefix-stability contract made
+    * checkable. */
+  def alertStreamDrain(events: DataFrame, trainDays: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import graft.sources.VersionedTable
+    val work = java.nio.file.Files.createTempDirectory("graft-st14").toString
+    val arrivals = s"$work/arrivals"
+    val eventsRoot = s"$work/delivered"
+    val alertsRoot = s"$work/alerts"
+    val ev = events.select(col("event_id"), col("ts"), col("event_type"))
+    val day = to_date(col("ts"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day0"))
+    val dayRank = events.select(col("event_type"), day.as("day0")).distinct()
+      .withColumn("rk", row_number().over(wOrd))
+    val split1 = trainDays
+    val split2 = trainDays + 10
+    val evRanked = ev.withColumn("day0", day)
+      .join(dayRank, Seq("event_type", "day0"))
+    val v0 = VersionedTable.commit(spark, arrivals,
+      evRanked.filter(col("rk") <= split1).drop("day0", "rk"), -1L)
+    val v1 = VersionedTable.append(spark, arrivals,
+      evRanked.filter(col("rk") > split1 && col("rk") <= split2)
+        .drop("day0", "rk"), v0)
+    VersionedTable.append(spark, arrivals,
+      evRanked.filter(col("rk") > split2).drop("day0", "rk"), v1)
+    val src = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(arrivals)
+    val q = src.writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        alertBatch(spark, eventsRoot, alertsRoot, "st14", id, b, trainDays))
+      .option("checkpointLocation", s"$work/ck").start()
+    try q.processAllAvailable() finally q.stop()
+    val monitor = graft.operators.Relational.cusumMonitor(
+      VersionedTable.read(spark, eventsRoot), trainDays).drop("alert")
+    val alerted = VersionedTable.currentVersion(spark, alertsRoot) match {
+      case Some(_) => VersionedTable.read(spark, alertsRoot)
+        .select(col("event_type"), col("day"), lit(true).as("alert"))
+      case None => monitor.select(col("event_type"), col("day"))
+        .limit(0).withColumn("alert", lit(true))
+    }
+    monitor.join(alerted, Seq("event_type", "day"), "left")
+      .withColumn("alert", coalesce(col("alert"), lit(false)))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+        col("alarm"), col("alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -2534,13 +2534,71 @@ class GraftSpec extends AnyFunSuite {
     val entry = VersionedTable.read(spark, manifest)
       .filter(col("file") === "d.parquet").head
     assert(entry.getAs[Long]("attempts") == 3L)
-    // permanent failure: retries exhaust, the file stays pending
+    // permanent failure: retries exhaust → the file DEAD-LETTERS (its
+    // manifest entry records state/error/attempts) and stops
+    // consuming retries on subsequent runs — it is no longer pending
     Seq((5L, 50.0)).toDF("k", "v").write.parquet(s"$landing/e.parquet")
-    intercept[RuntimeException] {
-      Landing.ingest(spark, landing, "*.parquet", manifest,
-        _ => throw new RuntimeException("hard down"), backoffMs = 1)
+    var eCalls = 0
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest,
+      _ => { eCalls += 1; throw new RuntimeException("hard down") },
+      backoffMs = 1).isEmpty)
+    assert(eCalls == 3, "exhaustion must consume exactly maxAttempts")
+    assert(Landing.pending(spark, landing, "*.parquet", manifest).isEmpty,
+      "a dead-lettered file must stop being pending")
+    val dead = Landing.deadLetters(spark, manifest).collect()
+    assert(dead.length == 1 && dead.head.getAs[String]("file") == "e.parquet")
+    assert(dead.head.getAs[String]("error").contains("hard down"))
+    assert(dead.head.getAs[Long]("attempts") == 3L)
+    // a replayed run does NOT re-invoke process for the dead file
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest,
+      _ => { eCalls += 1; throw new RuntimeException("hard down") },
+      backoffMs = 1).isEmpty)
+    assert(eCalls == 3, "dead-lettered file consumed retries on replay")
+  }
+
+  test("Landing taxonomy: NonRetryable dead-letters immediately; redrive re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{Landing, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_land_dlq").toString
+    val landing = s"$base/landing"; val manifest = s"$base/manifest"
+    val target = s"$base/table"
+    new java.io.File(landing).mkdirs()
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(s"$landing/a.parquet")
+    Seq((2L, 2.0)).toDF("k", "v").write.parquet(s"$landing/b.parquet")
+    // a.parquet: permanently malformed (auth/bad-payload class) —
+    // NonRetryableError must dead-letter on the FIRST attempt, and
+    // the run must continue to b.parquet (per-file isolation)
+    var aCalls = 0
+    val sink = (df: org.apache.spark.sql.DataFrame) => {
+      if (df.select("k").as[Long].head() == 1L) {
+        aCalls += 1
+        throw new Landing.NonRetryableError("schema contract violated")
+      }
+      VersionedTable.append(spark, target, df,
+        VersionedTable.currentVersion(spark, target).getOrElse {
+          VersionedTable.commit(spark, target, df.limit(0), -1L)
+        })
+      ()
     }
-    assert(Landing.pending(spark, landing, "*.parquet", manifest) == Seq("e.parquet"))
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest, sink,
+      maxAttempts = 5, backoffMs = 1) == Seq("b.parquet"))
+    assert(aCalls == 1, "NonRetryable must not burn the retry budget")
+    val dead = Landing.deadLetters(spark, manifest).collect()
+    assert(dead.length == 1 && dead.head.getAs[String]("file") == "a.parquet")
+    assert(dead.head.getAs[Long]("attempts") == 1L)
+    // redrive: the operator fixes the upstream contract and re-admits;
+    // the file becomes pending again with a FRESH retry budget
+    assert(Landing.redrive(spark, manifest) == Seq("a.parquet"))
+    assert(Landing.pending(spark, landing, "*.parquet", manifest) == Seq("a.parquet"))
+    var fixed = false
+    assert(Landing.ingest(spark, landing, "*.parquet", manifest,
+      df => { fixed = true; () }, backoffMs = 1) == Seq("a.parquet"))
+    assert(fixed)
+    assert(Landing.deadLetters(spark, manifest).isEmpty,
+      "a successfully redriven file must leave the dead-letter queue")
+    // and the manifest gate still holds: nothing pending, replay no-op
+    assert(Landing.pending(spark, landing, "*.parquet", manifest).isEmpty)
   }
 
   test("Landing: sharded manifest — pending reads only the listed shards' partitions") {
@@ -2994,6 +3052,64 @@ class GraftSpec extends AnyFunSuite {
       Seq((1L, "ab abc a", "en")).toDF("doc_id", "text", "lang"), 0).collect()
     assert(base.head.getAs[Long]("n_tokens") == 6L) // 2+3+1 chars
     assert(base.head.getAs[Double]("chars_per_token") == 1.0)
+  }
+
+  test("st14 alert sink: one alert row per transition, exactly once across replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.VersionedTable
+    import graft.streaming.StreamOps
+    // three regimes over 25 days, training = first 10:
+    //  steady: 5/day throughout            → never alarms
+    //  drift : 5/day, then 15/day from d16 → sustained shift, alarms at
+    //          d17 (S: 350 @d16 < 8·T=400, 700 @d17) and STAYS on —
+    //          exactly ONE transition
+    //  blip  : 5/day, 11 on d16 only       → S=190 peak, decays, never alarms
+    def rows(tpe: String, day: Int, n: Int): Seq[(Long, java.sql.Timestamp, String)] =
+      (0 until n).map(i => (day * 1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), tpe))
+    def dayCount(tpe: String, d: Int): Int = tpe match {
+      case "drift" if d >= 16 => 15
+      case "blip" if d == 16 => 11
+      case _ => 5
+    }
+    def batch(days: Range) = days.flatMap(d =>
+      Seq("steady", "drift", "blip").flatMap(t => rows(t, d, dayCount(t, d))))
+      .toDF("event_id", "ts", "event_type")
+    val work = java.nio.file.Files.createTempDirectory("graft_st14").toString
+    val eventsRoot = s"$work/events"; val alertsRoot = s"$work/alerts"
+    StreamOps.alertBatch(spark, eventsRoot, alertsRoot, "t", 0L, batch(1 to 10))
+    assert(VersionedTable.currentVersion(spark, alertsRoot).isEmpty,
+      "training days alone must not alert")
+    StreamOps.alertBatch(spark, eventsRoot, alertsRoot, "t", 1L, batch(11 to 20))
+    val a1 = VersionedTable.read(spark, alertsRoot).collect()
+    assert(a1.length == 1, s"exactly one transition, got ${a1.toSeq}")
+    assert(a1.head.getAs[String]("event_type") == "drift")
+    assert(a1.head.getAs[java.sql.Timestamp]("day").toString.startsWith("2024-01-17"))
+    // REPLAY of batch 1 (foreachBatch retry / checkpoint restart): the
+    // txn gate must skip it whole — no new events version, no new alert
+    val ev1 = VersionedTable.currentVersion(spark, eventsRoot).get
+    val al1 = VersionedTable.currentVersion(spark, alertsRoot).get
+    StreamOps.alertBatch(spark, eventsRoot, alertsRoot, "t", 1L, batch(11 to 20))
+    assert(VersionedTable.currentVersion(spark, eventsRoot).get == ev1,
+      "replayed batch re-appended events")
+    assert(VersionedTable.currentVersion(spark, alertsRoot).get == al1,
+      "replayed batch re-committed alerts")
+    // later days: alarm STAYS on — no second transition, and the
+    // already-fired alert row is byte-identical (prefix stability)
+    StreamOps.alertBatch(spark, eventsRoot, alertsRoot, "t", 2L, batch(21 to 25))
+    val a2 = VersionedTable.read(spark, alertsRoot).collect()
+    assert(a2.length == 1, s"alarm-stays-on must not re-alert, got ${a2.toSeq}")
+    assert(a2.head == a1.head, "re-evaluation changed a fired alert row")
+    // the monitor view agrees end to end: one transition, alarm on
+    // from d17 through d25 for drift only
+    val mon = graft.operators.Relational.cusumMonitor(
+      VersionedTable.read(spark, eventsRoot)).collect()
+    assert(mon.count(r => r.getAs[Boolean]("alert")) == 1)
+    assert(mon.count(r => r.getAs[Boolean]("alarm")) == 9,
+      "drift must alarm on days 17..25")
+    assert(!mon.exists(r => r.getAs[String]("event_type") != "drift"
+      && r.getAs[Boolean]("alarm")))
   }
 
   test("st13 streaming KMV: bounded state across batches equals the batch sketch") {
