@@ -23,7 +23,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -32,7 +32,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    names = sorted(oracle) if not only else [n for n in sorted(oracle)
+             if any(n.startswith(o) for o in only)]
+    for name in names:
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
@@ -73,4 +75,6 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd+ args: only compare queries whose name starts with one
+    # of the given prefixes (e.g. `q s t` to skip the heavy d-family)
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:] or None))

@@ -35,14 +35,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * version offsets ([[GraftMicroBatchStream]]) — and unlike the v1
   * `Source` contract it needs no `private[sql]` bridge for its
   * frames (the v1 shim's `isStreaming` constructors exist precisely
-  * because v1 returns DataFrames; v2 returns partitions). COLUMN
-  * PRUNING now reaches streaming scans too: the scan builder runs
-  * before `toMicroBatchStream`, so every micro-batch reads only the
-  * required columns (`MicroBatchScan ... ReadSchema` shows the
-  * pruned struct) — the v1 source always delivered full rows.
-  * (Spark does not push data filters into micro-batch scans, so dir
-  * pruning inside a stream still comes from the version-range
-  * restriction alone.)
+  * because v1 returns DataFrames; v2 returns partitions). Measured
+  * honestly: Spark 4.1 negotiates NEITHER column pruning NOR filter
+  * pushdown for micro-batch scans (the engine puts a Project/Filter
+  * above a full-schema `MicroBatchScan` — spec-pinned), so the v2
+  * stream's wins are the dropped shim, admission-control rate
+  * limiting, and living on the API Spark actually evolves; per-batch
+  * IO restriction still comes from the version-range dir list.
   *
   * Deliberate v1 fallbacks (capability-driven, same class serves
   * both): the CDC mode (`readChangeFeed` — its batch is a DERIVED
@@ -254,16 +253,15 @@ private[sources] final case class GraftOffset(v: Long) extends V2Offset {
   * `MicroBatchStream` carrying the exact batch semantics of the v1
   * [[GraftStreamSource]] (committed dirs only; a batch is "the dirs
   * the commits in (startV, endV] added"; non-append commits fail
-  * loudly unless `skipChangeCommits`), with two structural upgrades
+  * loudly unless `skipChangeCommits`), with a structural upgrade
   * the v1 contract could not express:
   *
   *  - rate limiting through `SupportsAdmissionControl.latestOffset
   *    (start, limit)` — the engine TELLS us the batch's start, so
   *    `maxVersionsPerTrigger` caps relative to the true stream
   *    position with no mutable gate state to rebuild on restart;
-  *  - each delivered batch is the column-PRUNED parquet scan (the
-  *    required columns negotiated at stream definition), not full
-  *    rows.
+  *  - no `private[sql]` bridge anywhere in the delivery path: the
+  *    engine consumes partitions, not pre-built DataFrames.
   *
   * At 100 TB: per-trigger planning is O(commits in range) commit-file
   * reads — independent of table size — and each batch reads exactly

@@ -37,6 +37,45 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("format(graft) resolves DSv2: BatchScan/ParquetScan batch, MicroBatchScan stream") {
+    // regression pin for the v2 migration: a capability or option
+    // drift that silently dropped reads back to the v1 relation would
+    // keep results correct but lose the v2 scan machinery (engine-
+    // reported pushdown, columnar batches, admission control) — so
+    // pin the PHYSICAL shape, not just the rows
+    import org.apache.spark.sql.functions._
+    val root = tmp("src_v2")
+    val v0 = VersionedTable.commit(spark, root, spark.range(0, 10).toDF("id"), -1L)
+    VersionedTable.append(spark, root, spark.range(10, 20).toDF("id"), v0)
+    val df = spark.read.format("graft").load(root).filter(col("id") >= 5L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan") && p.contains("ParquetScan"),
+      s"batch read fell back to the v1 relation:\n$p")
+    assert(p.contains("GraftPartitioningAwareIndex"),
+      "v2 scan is not listing through the graft sidecar index")
+    // streaming: v2 micro-batch (Spark 4.1 does not negotiate column
+    // pruning for micro-batch scans — the scan carries the full
+    // schema and a Project sits above it; pin the scan NODE, which is
+    // the v2-vs-v1 evidence)
+    val cp = java.nio.file.Files.createTempDirectory("graft_v2cp").toString
+    val wide = spark.range(0, 5).toDF("id")
+      .withColumn("payload", concat(lit("p"), col("id")))
+    val root2 = tmp("src_v2s")
+    VersionedTable.commit(spark, root2, wide, -1L)
+    val q = spark.readStream.format("graft").load(root2).select("id")
+      .writeStream.format("memory").queryName("graft_v2_pin")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val sp = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(sp.contains("MicroBatchScan"),
+        s"stream fell back to the v1 source:\n$sp")
+      assert(spark.table("graft_v2_pin").count() == 5)
+    } finally q.stop()
+  }
+
   test("format(graft): pushed filters prune dirs via min/max stats, result stays exact") {
     import org.apache.spark.sql.functions._
     val root = tmp("src_prune")
