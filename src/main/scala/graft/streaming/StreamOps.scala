@@ -630,7 +630,17 @@ object StreamOps {
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
-    VersionedTable.read(spark, corpus)
+    // an all-duplicates arrival window is legitimate (at high dup
+    // ratios admission can reject EVERY arrival — first seen at the
+    // 10x-replicated sweep): the census is then EMPTY, not an error
+    val landedAll = VersionedTable.currentVersion(spark, corpus) match {
+      case Some(_) => VersionedTable.read(spark, corpus)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("doc_id", "long").add("lang", "string")
+          .add("n_chars", "long").add("arrival_batch", "long"))
+    }
+    landedAll
       .groupBy(col("arrival_batch"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("arrival_batch"), col("lang"))
@@ -685,7 +695,16 @@ object StreamOps {
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
-    VersionedTable.read(spark, landedT)
+    // same contract as st11: a window where dedup admits nothing
+    // yields an empty census, never a missing-table error
+    val landedAll = VersionedTable.currentVersion(spark, landedT) match {
+      case Some(_) => VersionedTable.read(spark, landedT)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("vec_id", "long").add("label", "integer")
+          .add("arrival_batch", "long"))
+    }
+    landedAll
       .groupBy(col("arrival_batch"), col("label"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("arrival_batch"), col("label"))
