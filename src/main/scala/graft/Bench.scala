@@ -23,12 +23,17 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    // Two passes, report the per-query MIN: the first execution of each
-    // plan pays one-time whole-stage-codegen compilation + JIT (profiled
-    // at 1-2s per query shape, ~7x the steady-state run) which is noise
-    // at production scale — a 100 TB job compiles its plan once and
-    // runs it for hours. A failed query reports -1, never a
-    // plausible-looking elapsed time.
+    // N passes (default 3), report the per-query MIN: the first
+    // execution of each plan pays one-time whole-stage-codegen
+    // compilation + JIT (profiled at 1-2s per query shape, ~7x the
+    // steady-state run) which is noise at production scale — a 100 TB
+    // job compiles its plan once and runs it for hours. Min-of-2
+    // proved vulnerable to box-level load noise (the round-8 "q17
+    // regression" was two passes both landing in a loaded window;
+    // min-of-6 showed steady state unchanged) — a third pass makes a
+    // false drift need three concurrent collisions, not two. A failed
+    // query reports -1, never a plausible-looking elapsed time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     def onePass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -37,15 +42,14 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-    val (p1, p2) = (onePass(), onePass())
-    val results = p1.map { case (name, t1) =>
-      val t2 = p2.getOrElse(name, -1.0)
-      val best = Seq(t1, t2).filter(_ >= 0) match {
-        case Nil => -1.0
-        case ts  => ts.min
+    val all = (1 to math.max(1, passes)).map(_ => onePass())
+    val results = all.head.keys.map { name =>
+      val best = all.flatMap(_.get(name)).filter(_ >= 0) match {
+        case Seq() => -1.0
+        case ts    => ts.min
       }
       name -> best
-    }
+    }.toMap
     // The driver records only a bounded TAIL of stdout and parses the
     // last line as JSON — round 3's line (81 queries x full names x
     // 9-decimal doubles, ~2.6 KB) overflowed the window and lost its

@@ -232,6 +232,7 @@ object SparkEntry {
     "m07_audio_decode" -> ((s, d) => Multimodal.audioDecode(Tables.documents(s, d))),
     "m08_audio_windows" -> ((s, d) => Multimodal.audioWindows(Tables.documents(s, d))),
     "m09_video_frames" -> ((s, d) => Multimodal.videoDecode(Tables.documents(s, d))),
+    "m10_gop_video" -> ((s, d) => Multimodal.gopVideoDecode(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -572,6 +573,7 @@ object SparkEntry {
     "m07_audio_decode" -> Multimodal.audioDecodeOracle,
     "m08_audio_windows" -> Multimodal.audioWindowsOracle(),
     "m09_video_frames" -> Multimodal.videoDecodeOracle,
+    "m10_gop_video" -> Multimodal.gopVideoDecodeOracle,
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

@@ -769,6 +769,256 @@ object Multimodal {
                                  + abs(bb - pbb))) END) AS BIGINT) AS motion
        FROM d GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- m10: inter-frame (GOP) video decode -----------------------------
+
+  case class GopVideoFeatures(doc_id: Long, decode_ok: Boolean,
+                              n_frames: Long, n_key: Long,
+                              width: Long, height: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long,
+                              motion: Long)
+
+  /** GOP clip spec: more frames than m09 (4..8) so every clip holds
+    * at least one full keyframe interval, and a per-doc GOP size
+    * (2..4) so the keyframe cadence itself is data the oracle checks. */
+  private[graft] def gopFrameCount(id: Long): Int = 4 + (id % 5).toInt
+  private[graft] def gopSize(id: Long): Int = 2 + (id % 3).toInt
+
+  /** Render one band frame of the doc's clip (shared spec with m09:
+    * left band [[frameColA]], right band [[frameColB]]). */
+  private def renderBandFrame(id: Long, f: Int, w: Int, h: Int,
+                              split: Int): java.awt.image.BufferedImage = {
+    val (ra, ga, ba) = frameColA(id, f)
+    val (rb, gb, bb) = frameColB(id, f)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = if (x < split) (ra, ga, ba) else (rb, gb, bb)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Render the doc's clip as a GVIP container — the INTER-FRAME
+    * layout m09 declared out of scope, closed here with a GOP
+    * (group-of-pictures) structure: magic ++ frame count ++ per frame
+    * [type: 'I'|'P'][length][REAL PNG bytes], where every
+    * [[gopSize]]-th frame is an I-frame (a full image) and every
+    * other frame is a P-frame whose PNG stores the PER-PIXEL DELTA
+    * vs the previous frame, each channel `(cur - prev) mod 256`.
+    * Wraparound (not clamped) deltas make reconstruction EXACT
+    * integer arithmetic — `(prev + delta) mod 256 == cur` for any
+    * byte pair — which is what lets DuckDB oracle a stateful decode.
+    * This is the real H.264-class dependency structure (you cannot
+    * decode frame f without the frames back to its keyframe); only
+    * the transform/entropy layers of a production codec stay
+    * external. Narrow mapPartitions, no shuffle. */
+  /** Encode a frame sequence as a GVIP container (the GOP encoder the
+    * render path and the round-trip property test share). */
+  private[graft] def encodeGop(frames: Seq[java.awt.image.BufferedImage],
+                               g: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVIP")
+    out.writeInt(frames.length)
+    var prev: java.awt.image.BufferedImage = null
+    var f = 0
+    while (f < frames.length) {
+      val cur = frames(f)
+      val isKey = f % g == 0
+      val payload =
+        if (isKey) cur
+        else {
+          val (w, h) = (cur.getWidth, cur.getHeight)
+          val d = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = cur.getRGB(x, y); val p = prev.getRGB(x, y)
+              val dr = (((c >> 16) & 0xff) - ((p >> 16) & 0xff)) & 0xff
+              val dg = (((c >> 8) & 0xff) - ((p >> 8) & 0xff)) & 0xff
+              val db = ((c & 0xff) - (p & 0xff)) & 0xff
+              d.setRGB(x, y, (dr << 16) | (dg << 8) | db)
+              x += 1
+            }
+            y += 1
+          }
+          d
+        }
+      out.writeByte(if (isKey) 'I' else 'P')
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(payload, "png", fb)
+      val png = fb.toByteArray
+      out.writeInt(png.length)
+      out.write(png)
+      prev = cur
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  def renderGopVideo(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val (w, h, split) = (imgW(id), imgH(id), imgW(id) / 2)
+        val frames = (0 until gopFrameCount(id)).map(
+          renderBandFrame(id, _, w, h, split))
+        (id, encodeGop(frames, gopSize(id)))
+      }
+    }.toDF("doc_id", "video")
+  }
+
+  /** m10: STATEFUL inter-frame video decode under the oracle gate —
+    * parse the GVIP container and reconstruct every frame: I-frames
+    * PNG-decode directly; P-frames PNG-decode to a delta image that
+    * is applied to the PREVIOUS RECONSTRUCTED frame channel-wise mod
+    * 256. The decoder carries the reconstruction across the frame
+    * loop — drop any frame since the last keyframe and every later
+    * P-frame in the GOP decodes wrong, which is exactly the
+    * inter-frame failure mode intra-only m09 cannot express. Features
+    * are the m09 battery (channel totals + order-sensitive motion
+    * energy) over the RECONSTRUCTED frames plus the keyframe count,
+    * so a botched delta application, a missed keyframe reset, or a
+    * P-frame decoded as an I-frame all break the DuckDB hash.
+    * Corrupt containers — bad magic, a P-frame first (no state to
+    * predict from), truncated payloads, mid-clip dimension changes —
+    * degrade to decode_ok=false rows, never dead tasks. */
+  def gopVideoDecode(documents: DataFrame): DataFrame =
+    decodeGopFeatures(renderGopVideo(documents)).orderBy(col("doc_id"))
+
+  /** The decode half alone: (doc_id, video) → [[GopVideoFeatures]]. */
+  def decodeGopFeatures(videos: DataFrame): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.select(col("doc_id"), col("video"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val magic = new Array[Byte](4)
+            in.readFully(magic)
+            if (new String(magic, "US-ASCII") != "GVIP")
+              throw new java.io.IOException("bad container magic")
+            val nf = in.readInt()
+            if (nf <= 0 || nf > 1024)
+              throw new java.io.IOException(s"implausible frame count $nf")
+            var (w, h) = (0, 0)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var (motion, nKey) = (0L, 0L)
+            // reconstruction state: packed RGB of the previous frame
+            var prev: Array[Int] = null
+            var f = 0
+            while (f < nf) {
+              val marker = in.readByte().toChar
+              if (marker != 'I' && marker != 'P')
+                throw new java.io.IOException(s"bad frame marker $marker")
+              if (marker == 'P' && prev == null)
+                throw new java.io.IOException("P-frame with no reference")
+              val len = in.readInt()
+              if (len <= 0 || len > bytes.length)
+                throw new java.io.IOException(s"bad frame length $len")
+              val fb = new Array[Byte](len)
+              in.readFully(fb)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              if (img == null)
+                throw new java.io.IOException("unrecognized frame")
+              if (f == 0) { w = img.getWidth; h = img.getHeight }
+              else if (img.getWidth != w || img.getHeight != h)
+                throw new java.io.IOException("frame dimension change")
+              val cur = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  val rgb =
+                    if (marker == 'I') p & 0xffffff
+                    else {
+                      val q = prev(y * w + x)
+                      val r = (((q >> 16) & 0xff) + ((p >> 16) & 0xff)) & 0xff
+                      val g = (((q >> 8) & 0xff) + ((p >> 8) & 0xff)) & 0xff
+                      val b = ((q & 0xff) + (p & 0xff)) & 0xff
+                      (r << 16) | (g << 8) | b
+                    }
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  if (prev != null) {
+                    val q = prev(y * w + x)
+                    motion += math.abs(((rgb >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+                      math.abs(((rgb >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+                      math.abs((rgb & 0xff) - (q & 0xff))
+                  }
+                  cur(y * w + x) = rgb
+                  x += 1
+                }
+                y += 1
+              }
+              if (marker == 'I') nKey += 1
+              prev = cur
+              f += 1
+            }
+            GopVideoFeatures(id, decode_ok = true, nf.toLong, nKey,
+              w.toLong, h.toLong, sr, sg, sb, motion)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              GopVideoFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0, 0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** DuckDB twin of [[gopVideoDecode]]: the reconstruction is exact
+    * (`(prev + (cur - prev) mod 256) mod 256 == cur` for bytes), so
+    * the oracle replays the same band arithmetic as m09's — over the
+    * m10 frame count — plus the keyframe cadence
+    * `count(f % gop == 0)`. If the Scala decoder's stateful
+    * reconstruction drifted by even one channel step the sums and
+    * motion would diverge from this closed form. */
+  val gopVideoDecodeOracle: String =
+    """WITH p AS (SELECT doc_id,
+           8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           (8 + doc_id % 9) // 2 AS split,
+           4 + doc_id % 5 AS nf, 2 + doc_id % 3 AS g
+         FROM documents),
+       f AS (SELECT doc_id, w, h, split, nf, g,
+           unnest(generate_series(0, CAST(nf - 1 AS INT))) AS f FROM p),
+       c AS (SELECT doc_id, w, h, split, nf, g, f,
+           (doc_id * 5 + f * 19) % 256 AS ra,
+           (doc_id * 7 + f * 23) % 256 AS ga,
+           (doc_id * 13 + f * 29) % 256 AS ba,
+           (doc_id * 3 + f * 31) % 256 AS rb,
+           (doc_id * 11 + f * 37) % 256 AS gb,
+           (doc_id * 17 + f * 41) % 256 AS bb
+         FROM f),
+       d AS (SELECT *,
+           lag(ra) OVER fw AS pra, lag(ga) OVER fw AS pga,
+           lag(ba) OVER fw AS pba, lag(rb) OVER fw AS prb,
+           lag(gb) OVER fw AS pgb, lag(bb) OVER fw AS pbb
+         FROM c WINDOW fw AS (PARTITION BY doc_id ORDER BY f))
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(max(nf) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN f % g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_key,
+         CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+         CAST(sum(h * (split * ra + (w - split) * rb)) AS BIGINT) AS sum_r,
+         CAST(sum(h * (split * ga + (w - split) * gb)) AS BIGINT) AS sum_g,
+         CAST(sum(h * (split * ba + (w - split) * bb)) AS BIGINT) AS sum_b,
+         CAST(sum(CASE WHEN pra IS NULL THEN 0 ELSE
+           h * (split * (abs(ra - pra) + abs(ga - pga) + abs(ba - pba))
+                + (w - split) * (abs(rb - prb) + abs(gb - pgb)
+                                 + abs(bb - pbb))) END) AS BIGINT) AS motion
+       FROM d GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- m08: windowed audio energy (VAD-style activity detection) ------
 
   case class AudioWindowFeatures(doc_id: Long, decode_ok: Boolean,

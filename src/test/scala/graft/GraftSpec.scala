@@ -2935,6 +2935,65 @@ class GraftSpec extends AnyFunSuite {
     assert(out.length == 2 && out.forall(!_.getAs[Boolean]("decode_ok")))
   }
 
+  test("m10 GOP video: keyframe cadence, stateful delta reconstruction, P-first corrupt degrade") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // container structure: magic, then an I/P marker stream with
+    // exactly the per-doc GOP cadence
+    val v = Multimodal.renderGopVideo(Tables.documents(spark, sf))
+      .filter(col("doc_id") === 3L).collect().head.getAs[Array[Byte]]("video")
+    assert(new String(v.slice(0, 4), "US-ASCII") == "GVIP")
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v))
+    in.skipBytes(4)
+    val nf = in.readInt()
+    assert(nf == Multimodal.gopFrameCount(3))
+    val g = Multimodal.gopSize(3)
+    val markers = (0 until nf).map { _ =>
+      val m = in.readByte().toChar
+      val len = in.readInt(); in.skipBytes(len)
+      m
+    }
+    assert(markers.zipWithIndex.forall { case (m, f) =>
+      m == (if (f % g == 0) 'I' else 'P') }, s"GOP cadence broke: $markers")
+    // reconstruction exactness: the decoded features can only match
+    // the closed form if every P-frame delta was applied to the
+    // previous RECONSTRUCTED frame (doc 3 has 7 frames, 4 keyframes)
+    val row = SparkEntry.queries("m10_gop_video")(spark, sf)
+      .filter(col("doc_id") === 3L).collect().head
+    val (w, h, split) = (Multimodal.imgW(3), Multimodal.imgH(3), Multimodal.imgW(3) / 2)
+    assert(row.getAs[Boolean]("decode_ok") && row.getAs[Long]("n_frames") == nf)
+    assert(row.getAs[Long]("n_key") == (0 until nf).count(_ % g == 0))
+    val sumR = (0 until nf).map { f =>
+      h.toLong * (split * Multimodal.frameColA(3, f)._1 +
+        (w - split) * Multimodal.frameColB(3, f)._1)
+    }.sum
+    assert(row.getAs[Long]("sum_r") == sumR, "delta reconstruction drifted")
+    val motion = (1 until nf).map { f =>
+      val (ra, ga, ba) = Multimodal.frameColA(3, f)
+      val (pa, pga, pba) = Multimodal.frameColA(3, f - 1)
+      val (rb, gb, bb) = Multimodal.frameColB(3, f)
+      val (pb, pgb, pbb) = Multimodal.frameColB(3, f - 1)
+      h.toLong * (split * (math.abs(ra - pa) + math.abs(ga - pga) + math.abs(ba - pba)) +
+        (w - split) * (math.abs(rb - pb) + math.abs(gb - pgb) + math.abs(bb - pbb)))
+    }.sum
+    assert(row.getAs[Long]("motion") == motion, "motion over reconstructed frames mismatch")
+    // inter-frame failure modes degrade, never kill: a P-frame with no
+    // reference to predict from, and plain garbage
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVIP"); out.writeInt(1); out.writeByte('P')
+    // borrow doc 3's first embedded PNG as the orphan P payload
+    val pin = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v))
+    pin.skipBytes(9)
+    val plen = pin.readInt(); val png = new Array[Byte](plen); pin.readFully(png)
+    out.writeInt(plen); out.write(png)
+    val bad = Multimodal.decodeGopFeatures(Seq(
+      (1L, bos.toByteArray), (2L, Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "video")).collect()
+    assert(bad.length == 2 && bad.forall(!_.getAs[Boolean]("decode_ok")))
+  }
+
   test("q50 CUSUM: a sustained shift alarms, a flat series and the pre-shift days never do") {
     import spark.implicits._
     import graft.operators.Relational

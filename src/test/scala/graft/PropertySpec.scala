@@ -5,10 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, rng}
 
 /** Property-based checks (ScalaCheck generators, deterministic seeds)
-  * for the two subtlest relational constructions in the engine — the
-  * ones where a plausible-looking plan can be silently wrong on
-  * inputs the fixed specs never draw:
+  * for the subtlest constructions in the engine — the ones where a
+  * plausible-looking implementation can be silently wrong on inputs
+  * the fixed specs never draw:
   *
+  * - m10's GOP codec reconstructs P-frames by wraparound delta
+  *   application; the DuckDB oracle only covers band-fill content, so
+  *   the round-trip property drives it with random per-pixel frames
+  *   where every byte pair (including negative-difference wraps)
+  *   occurs.
   * - t24's greedy BPE merge is a gaps-and-islands rewrite of an
   *   inherently sequential left-to-right scan; overlapping runs
   *   ("aaa", "abab", odd/even lengths) are exactly where a rewrite
@@ -81,6 +86,54 @@ class PropertySpec extends AnyFunSuite {
       val want = refBpe(words, 3)
       assert(got == want,
         s"seed=$seed corpus=${words.mkString(",")}: got $got want $want")
+    }
+  }
+
+  test("property: GOP encode→decode round-trips arbitrary frame content exactly (20 random clips)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // Random per-pixel RGB frames — not the band fills the oracle
+    // covers — so the wraparound-delta reconstruction is exercised on
+    // every byte pair, including the negative-difference wraps a
+    // clamped (lossy) codec would get wrong.
+    val clip = for {
+      w <- Gen.choose(2, 10); h <- Gen.choose(2, 8)
+      nf <- Gen.choose(2, 7); g <- Gen.choose(1, 4)
+      px <- Gen.listOfN(nf * w * h, Gen.choose(0, 0xffffff))
+    } yield (w, h, nf, g, px)
+    (1 to 20).foreach { seed =>
+      val (w, h, nf, g, px) = sample(clip, seed.toLong)
+      val frames = (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, px(f * w * h + y * w + x))
+        img
+      }
+      val bytes = Multimodal.encodeGop(frames, g)
+      val row = Multimodal.decodeGopFeatures(
+        Seq((seed.toLong, bytes)).toDF("doc_id", "video")).collect().head
+      // brute-force features over the ORIGINAL frames
+      def ch(p: Int, s: Int) = (p >> s) & 0xff
+      val want = (0 until nf).flatMap(f => px.slice(f * w * h, (f + 1) * w * h))
+      val (sr, sg, sb) = (want.map(ch(_, 16).toLong).sum,
+        want.map(ch(_, 8).toLong).sum, want.map(ch(_, 0).toLong).sum)
+      val motion = (1 until nf).flatMap { f =>
+        (0 until w * h).map { i =>
+          val (c, p) = (px(f * w * h + i), px((f - 1) * w * h + i))
+          (math.abs(ch(c, 16) - ch(p, 16)) + math.abs(ch(c, 8) - ch(p, 8)) +
+            math.abs(ch(c, 0) - ch(p, 0))).toLong
+        }
+      }.sum
+      assert(row.getAs[Boolean]("decode_ok"), s"seed=$seed decode failed")
+      assert(row.getAs[Long]("n_frames") == nf.toLong &&
+        row.getAs[Long]("n_key") == (0 until nf).count(_ % g == 0).toLong,
+        s"seed=$seed frame/key counts")
+      assert((row.getAs[Long]("sum_r"), row.getAs[Long]("sum_g"),
+        row.getAs[Long]("sum_b")) == ((sr, sg, sb)),
+        s"seed=$seed w=$w h=$h nf=$nf g=$g: channel sums drifted")
+      assert(row.getAs[Long]("motion") == motion,
+        s"seed=$seed: motion over reconstructed frames drifted")
     }
   }
 
