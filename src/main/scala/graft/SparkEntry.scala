@@ -233,6 +233,7 @@ object SparkEntry {
     "m08_audio_windows" -> ((s, d) => Multimodal.audioWindows(Tables.documents(s, d))),
     "m09_video_frames" -> ((s, d) => Multimodal.videoDecode(Tables.documents(s, d))),
     "m10_gop_video" -> ((s, d) => Multimodal.gopVideoDecode(Tables.documents(s, d))),
+    "m11_image_resize" -> ((s, d) => Multimodal.imageResize(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -574,6 +575,7 @@ object SparkEntry {
     "m08_audio_windows" -> Multimodal.audioWindowsOracle(),
     "m09_video_frames" -> Multimodal.videoDecodeOracle,
     "m10_gop_video" -> Multimodal.gopVideoDecodeOracle,
+    "m11_image_resize" -> Multimodal.imageResizeOracle,
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

@@ -769,6 +769,135 @@ object Multimodal {
                                  + abs(bb - pbb))) END) AS BIGINT) AS motion
        FROM d GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- m11: real image resize (decode → resample → re-encode) ---------
+
+  case class ResizeFeatures(doc_id: Long, decode_ok: Boolean,
+                            src_w: Long, src_h: Long,
+                            out_w: Long, out_h: Long,
+                            sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-doc resize target: 5..17 × 5..15 against 8..16 × 8..14
+    * sources, so the battery exercises BOTH directions (upsample
+    * repeats source columns, downsample drops them) and the identity
+    * only by coincidence. */
+  private[graft] def resizeW(id: Long): Int = 5 + (id % 13).toInt
+  private[graft] def resizeH(id: Long): Int = 5 + (id % 11).toInt
+
+  /** Nearest-neighbor resample of PNG bytes to (tw, th): decode
+    * through the JDK codec, sample source pixel
+    * (⌊x'·w/tw⌋, ⌊y'·h/th⌋) for each output pixel — the floor mapping,
+    * documented so the oracle can replay which source COLUMN each
+    * output column reads — and RE-ENCODE as PNG. Returns None on any
+    * decode failure (NonFatal: JDK decoders throw unchecked on
+    * malformed bytes). This is the real kernel behind the resize
+    * step [[resizeStub]] only shapes: output bytes are a valid PNG of
+    * exactly the resampled raster. */
+  private[graft] def resizeKernel(png: Array[Byte], tw: Int,
+                                  th: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * h / th).toInt
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / tw).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Library surface: resize every payload to a fixed target; decode
+    * failures carry through as NULL payloads (data, not dead tasks).
+    * Narrow mapPartitions — payload bytes never shuffle. */
+  def resizePng(images: DataFrame, tw: Int, th: Int): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, png) => (id, resizeKernel(png, tw, th).orNull) }
+      }.toDF("doc_id", "png")
+  }
+
+  /** m11: the resize ROUND TRIP under the oracle gate — render → PNG →
+    * [[resizeKernel]] to the per-doc target → DECODE THE RE-ENCODED
+    * BYTES AGAIN → per-channel sums. Measuring from the second decode
+    * proves the emitted artifact is a valid PNG of exactly the
+    * resampled raster (an encoder that wrote the wrong raster, or a
+    * resample that read the wrong source column, breaks the hash).
+    * The two-band source makes the check exact: output column x'
+    * reads source column ⌊x'·w/tw⌋, so sum_r = th·(nA·ra + (tw−nA)·rb)
+    * with nA = #{x' : ⌊x'·w/tw⌋ < split} — integer arithmetic DuckDB
+    * replays per doc. Upgrades the mandate's "resize" from
+    * [[resizeStub]]'s byte-shaping to a real codec path. */
+  def imageResize(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    renderPng(documents).select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, png) =>
+          val (tw, th) = (resizeW(id), resizeH(id))
+          val feats = for {
+            resized <- resizeKernel(png, tw, th)
+            img <- Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(resized)))
+          } yield {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ResizeFeatures(id, decode_ok = true, imgW(id).toLong,
+              imgH(id).toLong, img.getWidth.toLong, img.getHeight.toLong,
+              sr, sg, sb)
+          }
+          feats.getOrElse(
+            ResizeFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0, 0))
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[imageResize]]: count which output columns land
+    * left of the band split under the floor mapping, then the band
+    * sums — a resample convention drift (round vs floor, x vs y order)
+    * changes nA and breaks the hash. */
+  val imageResizeOracle: String =
+    """WITH p AS (SELECT doc_id,
+           8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           (8 + doc_id % 9) // 2 AS split,
+           5 + doc_id % 13 AS tw, 5 + doc_id % 11 AS th,
+           (doc_id * 5) % 256 AS ra, (doc_id * 7) % 256 AS ga,
+           (doc_id * 13) % 256 AS ba, (doc_id * 3) % 256 AS rb,
+           (doc_id * 11) % 256 AS gb, (doc_id * 17) % 256 AS bb
+         FROM documents),
+       xs AS (SELECT doc_id,
+           unnest(generate_series(0, CAST(tw - 1 AS INT))) AS x FROM p),
+       na AS (SELECT xs.doc_id,
+           sum(CASE WHEN (xs.x * p.w) // p.tw < p.split THEN 1 ELSE 0 END) AS n_a
+         FROM xs JOIN p ON xs.doc_id = p.doc_id GROUP BY xs.doc_id)
+       SELECT p.doc_id, TRUE AS decode_ok,
+         CAST(p.w AS BIGINT) AS src_w, CAST(p.h AS BIGINT) AS src_h,
+         CAST(p.tw AS BIGINT) AS out_w, CAST(p.th AS BIGINT) AS out_h,
+         CAST(p.th * (na.n_a * p.ra + (p.tw - na.n_a) * p.rb) AS BIGINT) AS sum_r,
+         CAST(p.th * (na.n_a * p.ga + (p.tw - na.n_a) * p.gb) AS BIGINT) AS sum_g,
+         CAST(p.th * (na.n_a * p.ba + (p.tw - na.n_a) * p.bb) AS BIGINT) AS sum_b
+       FROM p JOIN na ON p.doc_id = na.doc_id ORDER BY p.doc_id"""
+
   // ---- m10: inter-frame (GOP) video decode -----------------------------
 
   case class GopVideoFeatures(doc_id: Long, decode_ok: Boolean,

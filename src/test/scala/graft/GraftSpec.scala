@@ -2994,6 +2994,45 @@ class GraftSpec extends AnyFunSuite {
     assert(bad.length == 2 && bad.forall(!_.getAs[Boolean]("decode_ok")))
   }
 
+  test("m11 image resize: floor-mapping resample, re-encode round trip, up and down both exact") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // doc 1: 9x9 source → 6x6 target (downsample); doc 12: 11x13
+    // source → 17x6 target (upsample wide, downsample tall at once)
+    val rows = SparkEntry.queries("m11_image_resize")(spark, sf)
+      .filter(col("doc_id").isin(1L, 12L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 12L).foreach { id =>
+      val r = rows(id)
+      val (w, split) = (Multimodal.imgW(id), Multimodal.imgW(id) / 2)
+      val (tw, th) = (Multimodal.resizeW(id), Multimodal.resizeH(id))
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Long]("out_w") == tw && r.getAs[Long]("out_h") == th)
+      val nA = (0 until tw).count(x => x.toLong * w / tw < split)
+      val sumR = th.toLong * (nA * Multimodal.colA(id)._1 +
+        (tw - nA) * Multimodal.colB(id)._1)
+      assert(r.getAs[Long]("sum_r") == sumR,
+        s"doc $id: resample read the wrong source columns")
+    }
+    // the emitted bytes are a REAL PNG of the resized raster
+    val png = Tables.documents(spark, sf).filter(col("doc_id") === 1L)
+      .transform(Multimodal.renderPng).collect().head.getAs[Array[Byte]]("png")
+    val resized = Multimodal.resizeKernel(png,
+      Multimodal.resizeW(1), Multimodal.resizeH(1)).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == Multimodal.resizeW(1) &&
+      img.getHeight == Multimodal.resizeH(1))
+    // corrupt payloads come back as NULL from the library surface and
+    // decode_ok=false from the feature op — data, not dead executors
+    assert(Multimodal.resizeKernel("junk".getBytes("UTF-8"), 4, 4).isEmpty)
+    val viaDf = Multimodal.resizePng(
+      Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "png"), 4, 4)
+      .collect().head
+    assert(viaDf.isNullAt(viaDf.fieldIndex("png")))
+  }
+
   test("q50 CUSUM: a sustained shift alarms, a flat series and the pre-shift days never do") {
     import spark.implicits._
     import graft.operators.Relational
