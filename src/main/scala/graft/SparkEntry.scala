@@ -234,6 +234,7 @@ object SparkEntry {
     "m09_video_frames" -> ((s, d) => Multimodal.videoDecode(Tables.documents(s, d))),
     "m10_gop_video" -> ((s, d) => Multimodal.gopVideoDecode(Tables.documents(s, d))),
     "m11_image_resize" -> ((s, d) => Multimodal.imageResize(Tables.documents(s, d))),
+    "m12_audio_resample" -> ((s, d) => Multimodal.audioResample(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -576,6 +577,7 @@ object SparkEntry {
     "m09_video_frames" -> Multimodal.videoDecodeOracle,
     "m10_gop_video" -> Multimodal.gopVideoDecodeOracle,
     "m11_image_resize" -> Multimodal.imageResizeOracle,
+    "m12_audio_resample" -> Multimodal.audioResampleOracle,
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

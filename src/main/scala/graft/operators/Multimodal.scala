@@ -898,6 +898,146 @@ object Multimodal {
          CAST(p.th * (na.n_a * p.ba + (p.tw - na.n_a) * p.bb) AS BIGINT) AS sum_b
        FROM p JOIN na ON p.doc_id = na.doc_id ORDER BY p.doc_id"""
 
+  // ---- m12: audio sample-rate conversion (decode → ZOH → re-encode) ---
+
+  case class ResampleFeatures(doc_id: Long, decode_ok: Boolean,
+                              src_frames: Long, out_rate: Long,
+                              out_frames: Long, sum_v: Long,
+                              sum_abs: Long, zero_cross: Long)
+
+  /** Per-doc target rate against the 8 kHz source: 4 kHz (integral
+    * downsample), 16 kHz (integral upsample), 6 kHz (the non-integral
+    * 3:4 ratio where an index-mapping off-by-one actually shows). */
+  private[graft] def resampleRate(id: Long): Int = (id % 3) match {
+    case 0 => 4000
+    case 1 => 16000
+    case _ => 6000
+  }
+
+  /** Zero-order-hold resample of WAV bytes to dstRate: decode through
+    * the JDK RIFF parser, map output frame j to source frame
+    * ⌊j·srcRate/dstRate⌋ with ⌊n·dstRate/srcRate⌋ output frames — the
+    * documented mapping the oracle replays — and RE-ENCODE as WAV at
+    * the new rate. Layouts the mapping doesn't cover (stereo, 8-bit,
+    * big-endian, float) and malformed bytes return None. */
+  private[graft] def resampleKernel(wav: Array[Byte],
+                                    dstRate: Int): Option[Array[Byte]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian || fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val srcRate = fmt.getSampleRate.toInt
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val m = (n.toLong * dstRate / srcRate).toInt
+      val out = new Array[Byte](m * 2)
+      var j = 0
+      while (j < m) {
+        val i = (j.toLong * srcRate / dstRate).toInt
+        out(2 * j) = bytes(2 * i)
+        out(2 * j + 1) = bytes(2 * i + 1)
+        j += 1
+      }
+      val outFmt = new javax.sound.sampled.AudioFormat(dstRate.toFloat, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val outAis = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), outFmt, m.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(outAis,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Library surface: rate-normalize every clip to a fixed target
+    * (the audio pipeline's unconditional first step — models train at
+    * ONE rate); undecodable payloads carry through as NULL. Narrow
+    * mapPartitions, payload bytes never shuffle. */
+  def resampleWav(audio: DataFrame, dstRate: Int): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wav) => (id, resampleKernel(wav, dstRate).orNull) }
+      }.toDF("doc_id", "wav")
+  }
+
+  /** m12: the resample ROUND TRIP under the oracle gate — render →
+    * WAV → [[resampleKernel]] to the per-doc rate → DECODE THE
+    * RE-ENCODED BYTES AGAIN → sum / abs-sum / zero-crossings over the
+    * output frames, plus the rate and frame count read back from the
+    * new RIFF header. ZOH keeps every output sample equal to a
+    * formula-addressable source sample, so the oracle replays the
+    * index mapping exactly — a frame-count rounding drift, an
+    * index-mapping off-by-one (6 kHz!), or a header that claims the
+    * wrong rate all break the hash. The audio analogue of m11, same
+    * contract: corrupt bytes degrade to decode_ok=false rows. */
+  def audioResample(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    renderWav(documents).select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, wav) =>
+          val feats = for {
+            resampled <- resampleKernel(wav, resampleRate(id))
+            out <- try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(resampled))
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              val m = bytes.length / 2
+              var sv = 0L; var sa = 0L; var zc = 0L
+              var prevNeg = false
+              var j = 0
+              while (j < m) {
+                val v = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8))
+                  .toShort.toInt
+                sv += v; sa += math.abs(v.toLong)
+                val neg = v < 0
+                if (j > 0 && neg != prevNeg) zc += 1
+                prevNeg = neg
+                j += 1
+              }
+              Some(ResampleFeatures(id, decode_ok = true,
+                audioFrames(id).toLong, fmt.getSampleRate.toLong, m.toLong,
+                sv, sa, zc))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          } yield out
+          feats.getOrElse(
+            ResampleFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0))
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[audioResample]]: generate the output frame
+    * indices, map each back to its source frame, replay the waveform
+    * formula, and aggregate — with lag() for the zero-crossing count
+    * (order-sensitive, like m09's motion). */
+  val audioResampleOracle: String =
+    """WITH p AS (SELECT doc_id, 64 + doc_id % 129 AS n,
+           CASE WHEN doc_id % 3 = 0 THEN 4000
+                WHEN doc_id % 3 = 1 THEN 16000 ELSE 6000 END AS dst
+         FROM documents),
+       q AS (SELECT doc_id, n, dst, (n * dst) // 8000 AS m FROM p),
+       j AS (SELECT doc_id, n, dst, m,
+           unnest(generate_series(0, CAST(m - 1 AS INT))) AS j FROM q),
+       s AS (SELECT doc_id, n, dst, m, j,
+           ((doc_id * 31 + ((j * 8000) // dst) * 97) % 4096) - 2048 AS v
+         FROM j),
+       z AS (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+         FROM s)
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(max(n) AS BIGINT) AS src_frames,
+         CAST(max(dst) AS BIGINT) AS out_rate,
+         CAST(max(m) AS BIGINT) AS out_frames,
+         CAST(sum(v) AS BIGINT) AS sum_v,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(sum(CASE WHEN pv IS NULL THEN 0
+                       WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS zero_cross
+       FROM z GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- m10: inter-frame (GOP) video decode -----------------------------
 
   case class GopVideoFeatures(doc_id: Long, decode_ok: Boolean,

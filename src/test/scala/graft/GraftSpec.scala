@@ -3033,6 +3033,41 @@ class GraftSpec extends AnyFunSuite {
     assert(viaDf.isNullAt(viaDf.fieldIndex("png")))
   }
 
+  test("m12 audio resample: ZOH index mapping at 4/16/6 kHz, header rate round trip, corrupt degrade") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // docs 0/1/2 hit the three rates: 4 kHz (down), 16 kHz (up),
+    // 6 kHz (the non-integral 3:4 ratio)
+    val rows = SparkEntry.queries("m12_audio_resample")(spark, sf)
+      .filter(col("doc_id").isin(0L, 1L, 2L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L, 1L, 2L).foreach { id =>
+      val r = rows(id)
+      val n = Multimodal.audioFrames(id)
+      val dst = Multimodal.resampleRate(id)
+      val m = (n.toLong * dst / 8000).toInt
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Long]("out_rate") == dst.toLong,
+        s"doc $id: RIFF header lost the new rate")
+      assert(r.getAs[Long]("out_frames") == m.toLong,
+        s"doc $id: frame-count rounding drifted")
+      val samples = (0 until m).map(j =>
+        Multimodal.audioSample(id, (j.toLong * 8000 / dst).toInt))
+      assert(r.getAs[Long]("sum_v") == samples.map(_.toLong).sum &&
+        r.getAs[Long]("sum_abs") == samples.map(v => math.abs(v.toLong)).sum,
+        s"doc $id: ZOH index mapping drifted")
+      assert(r.getAs[Long]("zero_cross") ==
+        samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    }
+    // library surface: corrupt bytes → NULL payload; kernel → None
+    assert(Multimodal.resampleKernel("junk".getBytes("UTF-8"), 4000).isEmpty)
+    val viaDf = Multimodal.resampleWav(
+      Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "wav"), 4000)
+      .collect().head
+    assert(viaDf.isNullAt(viaDf.fieldIndex("wav")))
+  }
+
   test("q50 CUSUM: a sustained shift alarms, a flat series and the pre-shift days never do") {
     import spark.implicits._
     import graft.operators.Relational
