@@ -235,6 +235,7 @@ object SparkEntry {
     "m10_gop_video" -> ((s, d) => Multimodal.gopVideoDecode(Tables.documents(s, d))),
     "m11_image_resize" -> ((s, d) => Multimodal.imageResize(Tables.documents(s, d))),
     "m12_audio_resample" -> ((s, d) => Multimodal.audioResample(Tables.documents(s, d))),
+    "m13_gop_extract" -> ((s, d) => Multimodal.gopFrameExtract(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -578,6 +579,7 @@ object SparkEntry {
     "m10_gop_video" -> Multimodal.gopVideoDecodeOracle,
     "m11_image_resize" -> Multimodal.imageResizeOracle,
     "m12_audio_resample" -> Multimodal.audioResampleOracle,
+    "m13_gop_extract" -> Multimodal.gopExtractOracle(),
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

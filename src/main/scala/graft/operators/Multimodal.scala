@@ -1288,6 +1288,162 @@ object Multimodal {
                                  + abs(bb - pbb))) END) AS BIGINT) AS motion
        FROM d GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- m13: GOP-aware frame extraction (seek + bounded decode) --------
+
+  case class GopExtractFeatures(doc_id: Long, decode_ok: Boolean,
+                                n_frames: Long, n_sampled: Long,
+                                n_decoded: Long, sum_r: Long,
+                                sum_g: Long, sum_b: Long)
+
+  /** m13: extract every frame with index ≡ 1 (mod `stride`) from the
+    * GVIP container WITHOUT decoding the rest — the real shape of
+    * "sample every k-th frame" once the codec is inter-frame: a
+    * sampled P-frame needs its keyframe chain, so the extractor
+    * decodes exactly the merged runs [max(keyframe(s), prev_sample+1)
+    * .. s] and LENGTH-SKIPS every other frame's bytes (no PNG decode
+    * — the decode-cost analogue of partition pruning; n_decoded is
+    * the cost the oracle audits). Features are the channel sums over
+    * the SAMPLED frames only, measured from the reconstruction, so a
+    * chain started mid-GOP, a skipped frame that was actually needed,
+    * or an extractor that lazily decodes everything (n_decoded!) all
+    * break the hash. Every clip has ≥4 frames, so frame 1 is always
+    * sampled and no doc drops out. Narrow mapPartitions; corrupt
+    * containers degrade to decode_ok=false. */
+  def gopFrameExtract(documents: DataFrame, stride: Int = 3): DataFrame =
+    extractGopFrames(renderGopVideo(documents), stride)
+      .orderBy(col("doc_id"))
+
+  /** The extract half alone: (doc_id, video) → [[GopExtractFeatures]]. */
+  def extractGopFrames(videos: DataFrame, stride: Int): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.select(col("doc_id"), col("video"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val magic = new Array[Byte](4)
+            in.readFully(magic)
+            if (new String(magic, "US-ASCII") != "GVIP")
+              throw new java.io.IOException("bad container magic")
+            val nf = in.readInt()
+            if (nf <= 0 || nf > 1024)
+              throw new java.io.IOException(s"implausible frame count $nf")
+            val g = gopSize(id)
+            val samples = (0 until nf).filter(_ % stride == 1)
+            // merged decode runs: from the governing keyframe, or the
+            // frame after the previous sample when its state is live
+            val needed = new Array[Boolean](nf)
+            var last = -1
+            samples.foreach { s =>
+              val key = s - s % g
+              var f = if (last >= key) last + 1 else key
+              while (f <= s) { needed(f) = true; f += 1 }
+              last = s
+            }
+            val sampled = new Array[Boolean](nf)
+            samples.foreach(sampled(_) = true)
+            var (w, h) = (0, 0)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var nDecoded = 0L
+            var state: Array[Int] = null
+            var f = 0
+            while (f < nf) {
+              val marker = in.readByte().toChar
+              if (marker != 'I' && marker != 'P')
+                throw new java.io.IOException(s"bad frame marker $marker")
+              val len = in.readInt()
+              if (len <= 0 || len > bytes.length)
+                throw new java.io.IOException(s"bad frame length $len")
+              if (!needed(f)) {
+                in.skipBytes(len) // seek: bytes read past, never decoded
+              } else {
+                if (marker == 'P' && state == null)
+                  throw new java.io.IOException("P-frame chain started mid-GOP")
+                val fb = new Array[Byte](len)
+                in.readFully(fb)
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(fb))
+                if (img == null)
+                  throw new java.io.IOException("unrecognized frame")
+                if (w == 0) { w = img.getWidth; h = img.getHeight }
+                else if (img.getWidth != w || img.getHeight != h)
+                  throw new java.io.IOException("frame dimension change")
+                nDecoded += 1
+                val cur = new Array[Int](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    val rgb =
+                      if (marker == 'I') p & 0xffffff
+                      else {
+                        val q = state(y * w + x)
+                        val r = (((q >> 16) & 0xff) + ((p >> 16) & 0xff)) & 0xff
+                        val gg = (((q >> 8) & 0xff) + ((p >> 8) & 0xff)) & 0xff
+                        val b = ((q & 0xff) + (p & 0xff)) & 0xff
+                        (r << 16) | (gg << 8) | b
+                      }
+                    cur(y * w + x) = rgb
+                    if (sampled(f)) {
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                      sb += rgb & 0xff
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                state = cur
+              }
+              f += 1
+            }
+            GopExtractFeatures(id, decode_ok = true, nf.toLong,
+              samples.length.toLong, nDecoded, sr, sg, sb)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              GopExtractFeatures(id, decode_ok = false, 0, 0, 0, 0, 0, 0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** DuckDB twin of [[gopFrameExtract]]: the decode runs are disjoint
+    * by construction (samples ascend), so the cost is the closed form
+    * Σ_s (s − max(keyframe(s), prev_s + 1) + 1) via lag — an
+    * extractor that decodes every frame, or re-decodes a live chain
+    * from its keyframe, disagrees with this sum. Sampled-frame sums
+    * replay the band arithmetic. */
+  def gopExtractOracle(stride: Int = 3): String =
+    s"""WITH p AS (SELECT doc_id,
+           8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           (8 + doc_id % 9) // 2 AS split,
+           4 + doc_id % 5 AS nf, 2 + doc_id % 3 AS g
+         FROM documents),
+       f AS (SELECT doc_id, w, h, split, nf, g,
+           unnest(generate_series(0, CAST(nf - 1 AS INT))) AS s FROM p),
+       sm AS (SELECT * FROM f WHERE s % $stride = 1),
+       d AS (SELECT *,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS ps FROM sm),
+       c AS (SELECT doc_id, w, h, split, nf, s,
+           s - greatest(s - s % g, coalesce(ps + 1, 0)) + 1 AS dec_cnt,
+           (doc_id * 5 + s * 19) % 256 AS ra,
+           (doc_id * 7 + s * 23) % 256 AS ga,
+           (doc_id * 13 + s * 29) % 256 AS ba,
+           (doc_id * 3 + s * 31) % 256 AS rb,
+           (doc_id * 11 + s * 37) % 256 AS gb,
+           (doc_id * 17 + s * 41) % 256 AS bb
+         FROM d)
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(max(nf) AS BIGINT) AS n_frames,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(dec_cnt) AS BIGINT) AS n_decoded,
+         CAST(sum(h * (split * ra + (w - split) * rb)) AS BIGINT) AS sum_r,
+         CAST(sum(h * (split * ga + (w - split) * gb)) AS BIGINT) AS sum_g,
+         CAST(sum(h * (split * ba + (w - split) * bb)) AS BIGINT) AS sum_b
+       FROM c GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- m08: windowed audio energy (VAD-style activity detection) ------
 
   case class AudioWindowFeatures(doc_id: Long, decode_ok: Boolean,

@@ -3068,6 +3068,40 @@ class GraftSpec extends AnyFunSuite {
     assert(viaDf.isNullAt(viaDf.fieldIndex("wav")))
   }
 
+  test("m13 GOP extract: decode cost equals the merged keyframe chains, sampled sums exact, pruning real") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    val df = SparkEntry.queries("m13_gop_extract")(spark, sf)
+    // the pruning is REAL: across the corpus the extractor decodes
+    // strictly fewer frames than a decode-everything pass would
+    val tot = df.agg(sum("n_decoded").as("d"), sum("n_frames").as("f"))
+      .collect().head
+    assert(tot.getAs[Long]("d") < tot.getAs[Long]("f"),
+      "extractor decoded as much as a full pass — no seek savings")
+    // doc 4 (nf=8, g=3, samples 1/4/7): chains [0,1],[3,4],[6,7] = 6
+    // decodes; doc 2 (nf=6, g=4, samples 1/4): [0,1],[4] = 3
+    val rows = df.filter(col("doc_id").isin(2L, 4L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(2L).getAs[Long]("n_decoded") == 3L &&
+      rows(2L).getAs[Long]("n_sampled") == 2L)
+    assert(rows(4L).getAs[Long]("n_decoded") == 6L &&
+      rows(4L).getAs[Long]("n_sampled") == 3L)
+    // sampled-frame sums from the reconstruction match the spec
+    // constants (frame 4 of doc 2 reconstructs through its OWN
+    // keyframe, not the chain from frame 1 — mid-GOP restart works)
+    val (w, h, split) = (Multimodal.imgW(2), Multimodal.imgH(2), Multimodal.imgW(2) / 2)
+    val sumR = Seq(1, 4).map { f =>
+      h.toLong * (split * Multimodal.frameColA(2, f)._1 +
+        (w - split) * Multimodal.frameColB(2, f)._1)
+    }.sum
+    assert(rows(2L).getAs[Long]("sum_r") == sumR)
+    // corrupt containers degrade
+    val bad = Multimodal.extractGopFrames(
+      Seq((1L, Array[Byte](0, 1, 2))).toDF("doc_id", "video"), 3).collect()
+    assert(bad.length == 1 && !bad.head.getAs[Boolean]("decode_ok"))
+  }
+
   test("q50 CUSUM: a sustained shift alarms, a flat series and the pre-shift days never do") {
     import spark.implicits._
     import graft.operators.Relational

@@ -141,11 +141,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 
-  test("t11/t12/m03/m06-m12: per-row ops cost ZERO data shuffles (only the output sort exchange)") {
+  test("t11/t12/m03/m06-m13: per-row ops cost ZERO data shuffles (only the output sort exchange)") {
     Seq("t11_repetition", "t12_pii_scrub", "m03_frame_sample",
         "m06_image_decode", "m07_audio_decode",
         "m08_audio_windows", "m09_video_frames", "m10_gop_video",
-        "m11_image_resize", "m12_audio_resample").foreach { k =>
+        "m11_image_resize", "m12_audio_resample",
+        "m13_gop_extract").foreach { k =>
       assert(count(plan(k), "Exchange") == 1, s"$k grew a shuffle")
     }
   }
