@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   * feature extraction under the DuckDB oracle gate — and so is AUDIO:
   * [[audioDecode]] (m07) runs the JDK's WAV/PCM codec
   * (javax.sound.sampled) through the same round trip. VIDEO is real
-  * at the FRAME level: [[videoDecode]] (m09) parses an intra-only
-  * (MJPEG-class) container and PNG-decodes every frame through the
-  * JDK codec; only inter-frame codecs (H.264-class) remain a
-  * declared boundary behind [[decodeMedia]] — the one genuinely
-  * external dependency; m01's generic pipeline keeps the
-  * deterministic fake extractor so the batch plumbing — binary
-  * payload column, metadata struct, `mapPartitions` with an explicit
-  * micro-batch shape (the Scala analogue of mapInPandas' batch
-  * iterator) — stays testable end-to-end for every modality.
+  * at both levels: [[videoDecode]] (m09) parses an intra-only
+  * (MJPEG-class) container, and [[gopVideoDecode]] (m10) decodes a
+  * GOP-structured INTER-FRAME container (I-frames + wraparound-delta
+  * P-frames) with the real keyframe-chain dependency, including
+  * seek-aware extraction ([[gopFrameExtract]], m13) that decodes only
+  * the chains sampling needs. Resize ([[imageResize]], m11) and
+  * sample-rate conversion ([[audioResample]], m12) are codec round
+  * trips, not stubs. What stays external behind [[decodeMedia]] is
+  * the production transform/entropy layer (DCT, motion search,
+  * arithmetic coding) of shipped codecs — the dependency STRUCTURE
+  * those codecs impose is all modeled here. m01's generic pipeline
+  * keeps the deterministic fake extractor so the batch plumbing —
+  * binary payload column, metadata struct, `mapPartitions` with an
+  * explicit micro-batch shape (the Scala analogue of mapInPandas'
+  * batch iterator) — stays testable end-to-end for every modality.
   *
   * Scale notes: payloads stay opaque binary all the way through the
   * scan (parquet reads them lazily per column chunk); feature
@@ -33,12 +39,14 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
                            checksum: Long, width: Long, height: Long)
 
-  /** INTER-FRAME VIDEO CODECS (H.264-class) NOT AVAILABLE IN THIS
-    * ENVIRONMENT — images, audio, and intra-only video are handled
-    * for real, see [[imageDecode]] / [[audioDecode]] /
-    * [[videoDecode]]. Swap in an actual codec (e.g. ffmpeg bindings)
-    * on a cluster that ships one; everything downstream only sees the
-    * MediaFeatures schema, so the swap is local to this function.
+  /** PRODUCTION CODEC LIBRARIES (libjpeg-turbo/ffmpeg-class) NOT
+    * AVAILABLE IN THIS ENVIRONMENT — images, audio, intra-only video,
+    * and GOP inter-frame video are all handled for real with JDK
+    * codecs, see [[imageDecode]] / [[audioDecode]] / [[videoDecode]] /
+    * [[gopVideoDecode]]; what a real cluster would swap in here is
+    * the transform/entropy layer (H.264/AAC decoding via ffmpeg
+    * bindings). Everything downstream only sees the MediaFeatures
+    * schema, so the swap is local to this function.
     */
   def decodeMedia(payload: Array[Byte], mime: String): Nothing =
     throw new UnsupportedOperationException(
