@@ -93,6 +93,9 @@ object SparkEntry {
     "s03_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "s04_centroid_update" -> ((s, d) => Similarity.centroidUpdate(Tables.embeddings(s, d))),
     "s05_ann_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbe(Tables.embeddings(s, d))),
+    "s20_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
+    "s21_kcenter_seed" -> ((s, d) => Similarity.kcenterSeed(Tables.embeddings(s, d))),
+    "s22_knn_pagerank" -> ((s, d) => Similarity.knnPagerank(Tables.embeddings(s, d))),
     "m01_multimodal_meta" -> ((s, d) => Multimodal.pipeline(Tables.documents(s, d))),
     "st01_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedCountsBatch(Tables.events(s, d))),
@@ -187,6 +190,7 @@ object SparkEntry {
     "d13_dedup_containment" -> ((s, d) =>
       Dedup.dedupContainment(Tables.documents(s, d))),
     "d14_dup_spans" -> ((s, d) => Dedup.dupSpans(Tables.documents(s, d))),
+    "d21_span_scrub" -> ((s, d) => Dedup.spanScrub(Tables.documents(s, d))),
     "d15_span_incremental" -> ((s, d) =>
       Dedup.dupSpansIncremental(Tables.documents(s, d))),
     "d16_dedup_best_keep" -> ((s, d) =>
@@ -487,6 +491,9 @@ object SparkEntry {
     "s03_ann_ivf_topk" -> Similarity.ivfTopKOracle(),
     "s04_centroid_update" -> Similarity.centroidUpdateOracle,
     "s05_ann_ivf_multiprobe" -> Similarity.ivfMultiProbeOracle(),
+    "s20_knn_join" -> Similarity.knnJoinOracle(),
+    "s21_kcenter_seed" -> Similarity.kcenterSeedOracle(),
+    "s22_knn_pagerank" -> Similarity.knnPagerankOracle(),
     // m01_multimodal_meta: no oracle — binary/mapPartitions pipeline is
     // not SQL-expressible; driver records the rows-only check.
     "st01_stream_windowed" -> graft.streaming.StreamOps.windowedCountsOracle,
@@ -549,6 +556,7 @@ object SparkEntry {
     "d12_dedup_incremental" -> Dedup.dedupIncrementalOracle(),
     "d13_dedup_containment" -> Dedup.dedupContainmentOracle(),
     "d14_dup_spans" -> Dedup.dupSpansOracle(),
+    "d21_span_scrub" -> Dedup.spanScrubOracle(),
     "d15_span_incremental" -> Dedup.dupSpansIncrementalOracle(),
     "d16_dedup_best_keep" -> Dedup.dedupBestKeepOracle(),
     "d17_semdedup" -> Similarity.semDedupOracle(),

@@ -1324,10 +1324,14 @@ object Dedup {
        ORDER BY batch_doc, corpus_doc, b_start, c_start"""
   }
 
-  def dupSpansOracle(n: Int = 8, minTokens: Int = 16, dfCap: Int = 64): String = {
+  /** The d14 span-detection CTE chain, ending at
+    * `spans(doc_a, doc_b, a_start, b_start, span_toks)` — shared by
+    * the d14 oracle and the d21 scrub oracle so removal is replayed
+    * over the IDENTICAL detected spans. */
+  private def spanCtes(n: Int, minTokens: Int, dfCap: Int): String = {
     val charHash = "list_reduce(list_transform(generate_series(1, length(s)), " +
       s"k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
-    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
        th AS (SELECT doc_id, len(toks) AS nt,
            list_transform(toks, s -> $charHash) AS th FROM t),
        g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, nt - $n + 1),
@@ -1342,13 +1346,114 @@ object Dedup {
        i AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
                pos_a - row_number() OVER (
                  PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS isl
-             FROM m)
-       SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
-         max(pos_a) - min(pos_a) + $n AS span_toks
-       FROM i GROUP BY doc_a, doc_b, diag, isl
-       HAVING max(pos_a) - min(pos_a) + $n >= $minTokens
-       ORDER BY doc_a, doc_b, a_start, b_start"""
+             FROM m),
+       spans AS (
+         SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+           max(pos_a) - min(pos_a) + $n AS span_toks
+         FROM i GROUP BY doc_a, doc_b, diag, isl
+         HAVING max(pos_a) - min(pos_a) + $n >= $minTokens)"""
   }
+
+  def dupSpansOracle(n: Int = 8, minTokens: Int = 16, dfCap: Int = 64): String =
+    s"""WITH ${spanCtes(n, minTokens, dfCap)}
+       SELECT doc_a, doc_b, a_start, b_start, span_toks
+       FROM spans ORDER BY doc_a, doc_b, a_start, b_start"""
+
+  // ---- d21: span SCRUB (apply the d14 detection: rewrite the corpus) --
+
+  /** d21: duplicated-span SCRUB — the REMOVAL half of substring-level
+    * dedup (the step ExactSubstr dedup actually performs on the
+    * training corpus, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better": drop every duplicated span from
+    * all but one occurrence). d14/d15 DETECT spans; this row rewrites
+    * the corpus under the keep-earliest convention the d01/d06/d10
+    * apply stages already use: for each detected span pair the
+    * occurrence in the LOWER doc_id survives, the higher doc's token
+    * range [b_start, b_start + span_toks) is scheduled for removal.
+    * Per doc, the scheduled ranges are unioned (overlapping spans from
+    * different partners merge — classic interval union via a
+    * running-max-end island window), removed tokens are counted from
+    * the union (never double-counted), and the document text is
+    * reconstructed from the surviving tokens. Output: one row per
+    * document — n_tokens, n_spans (merged removal intervals),
+    * toks_removed, and the scrubbed text itself.
+    *
+    * Scale shape: spans/intervals are PAIR-bounded frames (the d14
+    * output, never corpus-sized) — the interval union windows on
+    * (doc, start) over those rows only; the per-doc interval array
+    * joins the corpus hint-free (AQE broadcasts it from its real
+    * size), and reconstruction is a MAP-SIDE higher-order filter over
+    * each doc's own token array (documents never shuffle; the only
+    * wide ops are d14's gram-keyed ones). Tokenization is the d14
+    * kernel's (split lower(text) on ' '), so positions line up by
+    * construction and the scrubbed text re-joins with single spaces.
+    */
+  def spanScrub(documents: DataFrame, n: Int = 8, minTokens: Int = 16,
+                dfCap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupSpans(documents, n, minTokens, dfCap)
+    val rem = spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+                           (col("b_start") + col("span_toks")).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = rem
+      .withColumn("pm", max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+           count(lit(1)).as("n_spans"),
+           sum(col("e") - col("s")).as("toks_removed"))
+    documents.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .join(ivs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
+        when(col("ivs").isNull, concat_ws(" ", col("toks")))
+          .otherwise(expr(
+            """array_join(transform(
+                 filter(transform(sequence(0, size(toks) - 1),
+                          i -> named_struct('p', i, 'tok', toks[i])),
+                        x -> NOT exists(ivs, v -> x.p >= v.s AND x.p < v.e)),
+                 x -> x.tok), ' ')"""))
+          .as("text_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanScrubOracle(n: Int = 8, minTokens: Int = 16, dfCap: Int = 64): String =
+    s"""WITH ${spanCtes(n, minTokens, dfCap)},
+       rem AS (SELECT doc_b AS doc_id, b_start AS s, b_start + span_toks AS e
+               FROM spans),
+       ord AS (SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         FROM rem),
+       brk AS (SELECT doc_id, s, e,
+           sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+         FROM ord),
+       mi AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+              FROM brk GROUP BY doc_id, isl),
+       agg AS (SELECT doc_id,
+           list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
+           count(*) AS n_spans, sum(e - s) AS toks_removed
+         FROM mi GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         CAST(coalesce(a.toks_removed, 0) AS BIGINT) AS toks_removed,
+         CASE WHEN a.doc_id IS NULL THEN array_to_string(t.toks, ' ')
+           ELSE coalesce(array_to_string(list_transform(
+             list_filter(generate_series(1, len(t.toks)),
+               i -> len(list_filter(a.ivs,
+                      v -> (i - 1) >= v.s AND (i - 1) < v.e)) = 0),
+             i -> t.toks[i]), ' '), '')
+         END AS text_scrubbed
+       FROM t LEFT JOIN agg a USING (doc_id)
+       ORDER BY t.doc_id"""
 }
 
 /** One corpus's materialized dedup pipeline: LSH candidate pairs,

@@ -1624,8 +1624,8 @@ object Relational {
     * the exact row_number over (valueCol, idCol) — bit-identical to
     * the serial definition because the order key is unique.
     */
-  private def withGlobalRank(in: DataFrame, valueCol: String,
-                             idCol: String, out: String): DataFrame = {
+  private[operators] def withGlobalRank(in: DataFrame, valueCol: String,
+                                        idCol: String, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val localMask = (1L << 33) - 1
     val sorted = in

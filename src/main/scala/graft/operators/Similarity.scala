@@ -446,6 +446,79 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s20: all-corpus kNN JOIN — every vector's k approximate nearest
+    * neighbors, i.e. the kNN GRAPH of the whole corpus (not a small
+    * query set probing it, which is s03/s05). This is the bulk
+    * construction step graph-based curation methods start from:
+    * SemDeDup-style cluster refinement, dataset cartography,
+    * kNN-graph clustering, and the base layer of graph ANN indexes
+    * all consume exactly this table.
+    *
+    * Shape: the s05 machinery with the query side widened to the
+    * corpus — every vector fans out to its `nProbe` nearest cells
+    * (broadcast centroids + per-vector window, map-side) and
+    * equi-joins the cell-assigned corpus on the cell id. Neither side
+    * can broadcast (both are corpus-sized), so this is ONE shuffle on
+    * the cell key; candidate volume is Σ_cells occupancy ×
+    * probes-into-cell ≈ nProbe·N²/K, the SemDeDup bound (d17's
+    * argument) — never the N² of a brute-force self-join. The
+    * per-vector top-k (`row_number ≤ k`) gets WindowGroupLimit
+    * map-side pruning, so the rank shuffle carries ≤ k·partitions
+    * rows per vector. At 100 TB: K ~ sqrt(N) centroids
+    * ([[centroidIdsFor]]) keep cell occupancy — and with it the
+    * quadratic term — bounded; output is exactly N·k edges.
+    * Approximation contract: a neighbor outside every probed cell is
+    * invisible by design (the s05 recall trade, measured by s06).
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 3, nProbe: Int = 2,
+              centIds: Seq[Long] = centroidIds): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = assignedCells(embeddings, centIds)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"))
+    // probeCells with the query filter wide open: the whole corpus is
+    // the query set. NOT broadcast (corpus-sized) — the join below is
+    // the one cell-key shuffle this operator pays.
+    val probes = probeCells(embeddings, Long.MaxValue, nProbe, centIds)
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    corpus.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("c_id").as("neighbor_id"),
+              col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** The s20 kNN-graph CTE chain, ending at
+    * `ranked(q_id, c_id, cos, rank)` — shared by the s20 oracle and
+    * the s22 centrality oracle so the graph both replay is IDENTICAL. */
+  private def knnCtes(nProbe: Int): String = {
+    val d = Dialect.duck
+    s"""$assignedCtes,
+       qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn, cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM scoredc) t
+         WHERE crn <= $nProbe),
+       scored AS (SELECT q.q_id, c.vec_id AS c_id,
+           ${dot(d, "q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         FROM assigned c JOIN qprobe q ON q.cell = c.cell
+         WHERE q.q_id <> c.vec_id),
+       ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)"""
+  }
+
+  def knnJoinOracle(k: Int = 3, nProbe: Int = 2): String =
+    s"""WITH ${knnCtes(nProbe)}
+       SELECT q_id AS vec_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM ranked WHERE rank <= $k ORDER BY vec_id, rank"""
+
   /** s14: MMR result diversification (maximal marginal relevance,
     * Carbonell & Goldstein 1998) — re-rank each query's exact top-`kShort`
     * shortlist down to `kOut` picks that balance relevance against
@@ -1032,6 +1105,177 @@ object Similarity {
        SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
          round(cos, 4) AS cos
        FROM ranked WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  /** s22: CENTRALITY over the kNN graph — PageRank on the s20 edge
+    * set, the canonical-representative signal graph-based curation
+    * derives from the graph it just built: the most central member of
+    * a near-dup/similarity neighborhood is the natural keeper (the
+    * quality-aware upgrade of d16's argmax, computed from structure
+    * instead of a score), and the rank tail flags isolated/orphan
+    * vectors whose neighborhoods are too thin to trust.
+    *
+    * The whole recursion runs in EXACT BIGINT micro-units so an
+    * ITERATIVE GRAPH ALGORITHM sits under the full DuckDB hash gate
+    * (the q50/st13 discipline applied to graphs): total mass 10¹²,
+    * per-node seed S0 = 10¹² div N, and each round is
+    * pr'(v) = (15·S0) div 100 + (85·Σ_{u→v} pr(u) div odeg(u)) div 100
+    * — floor divisions and integer sums only, associative and
+    * order-free, so Spark's partial aggs and DuckDB's serial fold
+    * land bit-identical with NO rounding surface anywhere (doubles
+    * appear nowhere). Damping 0.85, `iters` fixed rounds.
+    *
+    * Shape: the edge list (N·k rows — the s20 output, built once and
+    * localCheckpointed) is the ONLY corpus-derived frame; each round
+    * is one equi-join of edges to the current pr vector (both keyed
+    * src) + one dst-keyed partial→final agg — k shuffles of an N·k
+    * edge list for k rounds, never a vector or document anywhere in
+    * the loop. At 100 TB the edge list is the persisted asset
+    * (s12's index discipline) and each round is a bounded
+    * edge-partitioned pass — the standard distributed-PageRank shape.
+    */
+  def knnPagerank(embeddings: DataFrame, k: Int = 3, nProbe: Int = 2,
+                  iters: Int = 5): DataFrame = {
+    val Mass = 1000000000000L
+    val edges = knnJoin(embeddings, k, nProbe)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val nodes = embeddings.select(col("vec_id"))
+    val s0 = nodes.agg(count(lit(1)).as("n"))
+      .select(expr(s"$Mass div n").as("s0"))
+    var pr = nodes.crossJoin(broadcast(s0)).select(col("vec_id"), col("s0").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .join(outdeg, Seq("src"))
+        .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst"), expr("pr div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      pr = nodes.crossJoin(broadcast(s0))
+        .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+                (expr("(15 * s0) div 100") +
+                 expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    // global centrality rank WITHOUT a single-partition sort: the
+    // pr frame is corpus-sized, so the rank rides q47's
+    // range-partitioned withGlobalRank (ascending order key, hence
+    // the negated pr; pr is non-negative so -pr is safe)
+    Relational.withGlobalRank(
+        pr.withColumn("npr", -col("pr")), "npr", "vec_id", "rank")
+      .select(col("vec_id"), col("pr").as("pr_units"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def knnPagerankOracle(k: Int = 3, nProbe: Int = 2, iters: Int = 5): String = {
+    val ctes = new StringBuilder(
+      s"""${knnCtes(nProbe)},
+       edges AS (SELECT q_id AS src, c_id AS dst FROM ranked WHERE rank <= $k),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM edges GROUP BY src),
+       sc AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS s0 FROM embeddings),
+       p0 AS (SELECT e.vec_id, sc.s0 AS pr FROM embeddings e CROSS JOIN sc)""")
+    for (t <- 1 to iters) {
+      ctes.append(s""",
+       m$t AS (SELECT e.dst AS vec_id, CAST(sum(p.pr // d.odeg) AS BIGINT) AS m
+         FROM edges e JOIN deg d ON e.src = d.src
+         JOIN p${t - 1} p ON p.vec_id = e.src
+         GROUP BY e.dst),
+       p$t AS (SELECT b.vec_id,
+           ((15 * sc.s0) // 100) + ((85 * coalesce(m.m, 0)) // 100) AS pr
+         FROM (SELECT vec_id FROM embeddings) b CROSS JOIN sc
+         LEFT JOIN m$t m USING (vec_id))""")
+    }
+    s"""WITH $ctes
+       SELECT vec_id, CAST(pr AS BIGINT) AS pr_units,
+         CAST(row_number() OVER (ORDER BY pr DESC, vec_id) AS BIGINT) AS rank
+       FROM p$iters ORDER BY rank"""
+  }
+
+  /** Squared-L2 distance via the parity-pinned dot folds:
+    * |a−b|² = (a·a + b·b) − 2·a·b, with IDENTICAL parenthesization on
+    * both engines so every double op replays bit-for-bit (each dot is
+    * the left-to-right fold the file header documents). */
+  private def l2sq(d: Dialect, a: String, b: String): String =
+    s"((${dot(d, a, a)} + ${dot(d, b, b)}) - (2.0 * ${dot(d, a, b)}))"
+
+  /** s21: k-CENTER SEEDING (farthest-first traversal, Gonzalez 1985)
+    * — the deterministic center-selection step UPSTREAM of the whole
+    * IVF ladder, closing the index-training story end to end: s21
+    * seeds the centers, s04 Lloyd-refines them, s11 trains the PQ
+    * codebooks on the residuals. Farthest-first is the classic
+    * 2-approximation of the k-center objective and the standard
+    * deterministic stand-in for k-means++ (whose D² SAMPLING draw
+    * cannot be replayed cross-engine; the farthest-point argmax can,
+    * exactly): start from the lowest-id vector, then k−1 times pick
+    * the corpus point FARTHEST from its nearest chosen center
+    * (max-min distance, lowest-id tie-break). The selection distance
+    * at step r IS the cover radius before that center lands, so the
+    * output doubles as the k-vs-radius curve an index planner reads.
+    *
+    * Shape: the running min-distance frame is corpus-sized and
+    * localCheckpointed per round (flat plans, the t24 discipline);
+    * each round is ONE map-side distance update against the 1-row
+    * broadcast new center + ONE argmax aggregate — k·O(N) total work,
+    * no shuffle of vectors anywhere (the argmax is a tiny all-to-one
+    * agg of per-partition maxima). Distances are |a−b|² = (a·a + b·b)
+    * − 2·a·b over the parity-pinned folds, so argmax comparisons and
+    * `least` updates see bit-identical doubles on both engines; the
+    * oracle unrolls the same recursion one CTE pair per round.
+    * At 100 TB: seeding runs on a stride SAMPLE (the s11 trainer's
+    * documented shape) — the loop itself is already sample-ready
+    * since nothing in it depends on corpus completeness.
+    */
+  def kcenterSeed(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id")).limit(1).localCheckpoint()
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (vec_dot(a, a) + vec_dot(b, b)) - (lit(2.0) * vec_dot(a, b))
+    val picks = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    picks += seed.select(lit(1L).as("rank"), col("vec_id"), lit(0.0).as("radius"))
+    var state = e.crossJoin(broadcast(seed.select(col("embedding").as("cemb"))))
+      .select(col("vec_id"), col("embedding"),
+              d2(col("embedding"), col("cemb")).as("md"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val best = state.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      picks += best.select(lit(r.toLong).as("rank"), col("vec_id"),
+                           Rounding.roundN(col("md"), 4).as("radius"))
+      if (r < k)
+        state = state.crossJoin(broadcast(best.select(col("embedding").as("cemb"))))
+          .select(col("vec_id"), col("embedding"),
+                  least(col("md"), d2(col("embedding"), col("cemb"))).as("md"))
+          .localCheckpoint()
+    }
+    picks.reduce(_.unionByName(_)).orderBy(col("rank"))
+  }
+
+  def kcenterSeedOracle(k: Int = 8): String = {
+    val d = Dialect.duck
+    val ctes = new StringBuilder(
+      """e AS (SELECT vec_id, embedding FROM embeddings),
+       c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+       d1 AS (SELECT e.vec_id, e.embedding,
+           """ + l2sq(d, "e.embedding", "c.embedding") + """ AS md
+         FROM e CROSS JOIN c1 c)""")
+    for (r <- 2 to k) {
+      ctes.append(s""",
+       c$r AS (SELECT vec_id, embedding, md FROM d${r - 1}
+               ORDER BY md DESC, vec_id LIMIT 1)""")
+      if (r < k) ctes.append(s""",
+       d$r AS (SELECT t.vec_id, t.embedding,
+           least(t.md, ${l2sq(d, "t.embedding", "c.embedding")}) AS md
+         FROM d${r - 1} t CROSS JOIN c$r c)""")
+    }
+    val out = (s"SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS radius FROM c1" +:
+      (2 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, vec_id, round(md, 4) AS radius FROM c$r"))
+      .mkString("\n       UNION ALL ")
+    s"""WITH $ctes
+       $out ORDER BY rank"""
   }
 
   /** s04: the Lloyd refinement step — recompute each IVF cell's

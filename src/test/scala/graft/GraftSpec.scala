@@ -4420,6 +4420,132 @@ class GraftSpec extends AnyFunSuite {
       "quote pair unexpectedly visible to the document-level Jaccard gate")
   }
 
+  test("d21 scrub removes the later occurrence, keeps the earliest, merges overlapping intervals") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i")
+    val fillA = (1 to 60).map(i => s"a$i")
+    val fillB = (1 to 60).map(i => s"b$i")
+    val textA = (fillA.take(10) ++ quote ++ fillA.drop(10)).mkString(" ")
+    val textB = (fillB.take(35) ++ quote ++ fillB.drop(35)).mkString(" ")
+    val textC = "z1 z2 " + quote.mkString(" ") + " z3 z4"
+    val docs = Seq((1L, textA), (2L, textB), (3L, textC)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 holds the earliest occurrence in both of its pairs — untouched
+    assert(out(1L).getAs[Long]("toks_removed") == 0L)
+    assert(out(1L).getAs[String]("text_scrubbed") == textA)
+    // doc 2: exactly the 20-token quote excised at [35, 55)
+    assert(out(2L).getAs[Long]("n_spans") == 1L)
+    assert(out(2L).getAs[Long]("toks_removed") == 20L)
+    assert(out(2L).getAs[String]("text_scrubbed") == fillB.mkString(" "))
+    // doc 3: pairs (1,3) AND (2,3) schedule the SAME range — the
+    // interval union merges them into one island, counted once
+    assert(out(3L).getAs[Long]("n_spans") == 1L)
+    assert(out(3L).getAs[Long]("toks_removed") == 20L)
+    assert(out(3L).getAs[String]("text_scrubbed") == "z1 z2 z3 z4")
+  }
+
+  test("d21 corpus invariants: token conservation, both arms live, scrub set == d14's doc_b set") {
+    val rows = SparkEntry.queries("d21_span_scrub")(spark, sf).collect()
+    assert(rows.length.toLong == Tables.documents(spark, sf).count())
+    // removed + kept == original, for every document (the union never
+    // double-counts overlapping spans; reconstruction drops exactly
+    // the scheduled tokens)
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens"); val tr = r.getAs[Long]("toks_removed")
+      val ts = r.getAs[String]("text_scrubbed")
+      val kept = if (ts.isEmpty) 0L else ts.split(" ", -1).length.toLong
+      assert(kept == nt - tr, s"doc ${r.getLong(0)}: kept $kept != $nt - $tr")
+    }
+    // both arms live on the real corpus: some docs scrubbed, some not
+    assert(rows.exists(_.getAs[Long]("toks_removed") > 0), "no doc was scrubbed")
+    assert(rows.exists(_.getAs[Long]("toks_removed") == 0), "every doc was scrubbed")
+    // exactly the docs appearing as the LATER side of a detected span
+    // pair get rewritten — keep-earliest, applied corpus-wide
+    val scrubbed = rows.filter(_.getAs[Long]("n_spans") > 0).map(_.getLong(0)).toSet
+    val d14b = SparkEntry.queries("d14_dup_spans")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_b")).toSet
+    assert(scrubbed == d14b)
+  }
+
+  test("s20 knn-join covers the corpus; its restriction to the s05 query set IS the s05 result") {
+    val s20 = SparkEntry.queries("s20_knn_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byVec = s20.groupBy(_._1)
+    // every vector gets neighbors (every probed cell has company at
+    // this corpus), at most k each, ranks dense from 1
+    assert(byVec.size.toLong == Tables.embeddings(spark, sf).count())
+    byVec.foreach { case (v, es) =>
+      assert(es.length <= 3, s"vec $v has ${es.length} > k edges")
+      assert(es.map(_._3).sorted.toSeq == (1L to es.length).toSeq, s"vec $v ranks not dense")
+    }
+    // the graph is s05's search with the query side widened to the
+    // corpus — restricting it back must reproduce s05 exactly
+    val s05 = SparkEntry.queries("s05_ann_ivf_multiprobe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(s20.filter(_._1 < 8).toSet == s05)
+  }
+
+  test("s21 k-center seeding: ranks dense, radii non-increasing, and the whole greedy replays in-process") {
+    val out = SparkEntry.queries("s21_kcenter_seed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == (1L to 8L))
+    assert(out.map(_._2).distinct.length == 8, "a center was selected twice")
+    // farthest-first invariant: each selection distance is <= the one
+    // before it (the k-vs-cover-radius curve is non-increasing)
+    out.sliding(2).drop(1).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-12, s"radius grew: $a -> $b") }
+    // full in-process twin of the greedy, same fold order as vec_dot
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      (dot(a, a) + dot(b, b)) - (2.0 * dot(a, b))
+    var md = vecs.map { case (id, v) => (id, v, d2(v, vecs.head._2)) }
+    val picks = scala.collection.mutable.ArrayBuffer[Long](vecs.head._1)
+    for (_ <- 2 to 8) {
+      val best = md.maxBy { case (id, _, m) => (m, -id) }
+      picks += best._1
+      md = md.map { case (id, v, m) => (id, v, math.min(m, d2(v, best._2))) }
+    }
+    assert(out.map(_._2).toSeq == picks.toSeq,
+      "Spark selection order diverges from the in-process greedy")
+  }
+
+  test("s22 pagerank: the exact integer recursion replays in-process; ranks dense; mass bounded") {
+    val out = SparkEntry.queries("s22_knn_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong == n)
+    assert(out.map(_._3).sorted.toSeq == (1L to n))
+    // rank order is exactly (pr desc, vec_id asc)
+    out.sortBy(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), s"rank order broken: $a before $b")
+    case _ => () }
+    // floor divisions only ever LOSE mass, and only crumbs of it
+    val mass = out.map(_._2).sum
+    assert(mass <= 1000000000000L, "mass was created from nothing")
+    assert(mass > 999000000000L, s"mass leak beyond floor crumbs: $mass")
+    // full in-process twin of the integer recursion over the s20 edges
+    val edges = SparkEntry.queries("s20_knn_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val odeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val ids = out.map(_._1)
+    val s0 = 1000000000000L / n
+    var pr = ids.map(_ -> s0).toMap
+    for (_ <- 1 to 5) {
+      val m = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) => m(d) += pr(s) / odeg(s) }
+      pr = ids.map(id => id -> ((15L * s0) / 100L + (85L * m(id)) / 100L)).toMap
+    }
+    out.foreach { case (id, p, _) =>
+      assert(pr(id) == p, s"vec $id: engine $p != twin ${pr(id)}") }
+  }
+
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
     // the index-probe path must find EXACTLY the d02 pairs with one
     // batch member — losing any would mean incremental ingest admits

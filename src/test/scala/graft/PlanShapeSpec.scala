@@ -322,6 +322,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), "gated postings are not read from the checkpoint")
   }
 
+  test("s20: corpus kNN graph is an equi-join on the cell key with a map-side rank limit") {
+    val p = plan("s20_knn_join")
+    // the only nested-loop joins are the two 8-row centroid-broadcast
+    // fans (assignment + probe, the s03/s05 shape); the corpus-corpus
+    // candidate join itself is an EQUI join on the cell key — a
+    // cartesian there would be the N² self-join this operator exists
+    // to avoid
+    assert(!p.contains("CartesianProduct"))
+    assert(count(p, "BroadcastNestedLoopJoin") == 2)
+    assert(p.contains("hashpartitioning(cell") || p.contains("SortMergeJoin [cell")
+        || p.contains("BroadcastHashJoin [cell"),
+      "candidate join is not keyed on the cell id")
+    // the per-vector top-k is rank-limited BEFORE the rank shuffle
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("d21: span scrub never plans a cartesian; spans join postings on gram like d14") {
+    val df = SparkEntry.queries("d21_span_scrub")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s22: centrality rank is range-partitioned — no single-partition sort over the corpus") {
+    // the pr frame is corpus-sized (one row per vector), so the final
+    // global rank must be withGlobalRank's distributed shape, never a
+    // Window.orderBy() funnel (the t14 anti-pattern)
+    val df = SparkEntry.queries("s22_knn_pagerank")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("rangepartitioning"),
+      "global rank is not the distributed withGlobalRank shape")
+  }
+
   test("s09: PQ scan joins code rows against broadcast tables — no sort-merge anywhere") {
     val p = plan("s09_pq_recall")
     assert(!p.contains("SortMergeJoin"))
