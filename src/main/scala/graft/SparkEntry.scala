@@ -240,6 +240,7 @@ object SparkEntry {
     "m11_image_resize" -> ((s, d) => Multimodal.imageResize(Tables.documents(s, d))),
     "m12_audio_resample" -> ((s, d) => Multimodal.audioResample(Tables.documents(s, d))),
     "m13_gop_extract" -> ((s, d) => Multimodal.gopFrameExtract(Tables.documents(s, d))),
+    "m14_image_phash" -> ((s, d) => Multimodal.imagePhash(Tables.documents(s, d))),
     "q48_lake_scan_pruned" -> ((s, d) =>
       Relational.lakeScanPruned(Tables.lineitem(s, d))),
     "st09_lake_stream" -> ((s, d) =>
@@ -588,6 +589,7 @@ object SparkEntry {
     "m11_image_resize" -> Multimodal.imageResizeOracle,
     "m12_audio_resample" -> Multimodal.audioResampleOracle,
     "m13_gop_extract" -> Multimodal.gopExtractOracle(),
+    "m14_image_phash" -> Multimodal.imagePhashOracle,
     "q48_lake_scan_pruned" -> Relational.lakeScanPrunedOracle,
     "st09_lake_stream" -> graft.streaming.StreamOps.lakeStreamOracle,
     "st10_lake_cdc" -> graft.streaming.StreamOps.lakeCdcOracle,

@@ -1567,4 +1567,180 @@ object Multimodal {
          CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (val < 0))
                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
        FROM c GROUP BY doc_id, n ORDER BY doc_id"""
+
+  // ---- m14: perceptual-hash image dedup (aHash over the raster) -------
+
+  case class PhashFeatures(doc_id: Long, decode_ok: Boolean,
+                           ph_hi: Long, ph_lo: Long)
+
+  /** Bottom-quadrant colors for the m14 raster (top quadrants reuse
+    * [[colA]]/[[colB]]): four flat regions give the 8×8 hash grid four
+    * luminance levels, so the bit pattern varies with both the split
+    * geometry and the per-doc color draws. */
+  private[graft] def colC(id: Long): (Int, Int, Int) =
+    (((id * 19) % 256).toInt, ((id * 23) % 256).toInt, ((id * 29) % 256).toInt)
+  private[graft] def colD(id: Long): (Int, Int, Int) =
+    (((id * 37) % 256).toInt, ((id * 41) % 256).toInt, ((id * 43) % 256).toInt)
+
+  /** Render the doc's QUADRANT image (m06 geometry, four flat color
+    * regions split at w/2 × h/2) as real PNG bytes. */
+  def renderQuadPng(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val (w, h) = (imgW(id), imgH(id))
+        val (split, vsplit) = (w / 2, h / 2)
+        val ca = colA(id); val cb = colB(id)
+        val cc = colC(id); val cd = colD(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) =
+              if (y < vsplit) { if (x < split) ca else cb }
+              else { if (x < split) cc else cd }
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "png")
+  }
+
+  /** aHash (average hash) of PNG bytes, measured from the DECODED
+    * raster: nearest-neighbor downsample to the 8×8 grid under the
+    * documented floor mapping (⌊x·w/8⌋, ⌊y·h/8⌋ — m11's convention),
+    * per-cell luminance lum = r + g + b, bit(x,y) = 1 iff
+    * lum(x,y)·64 > Σ lums (the strict integer form of "above the
+    * mean" — no double mean ever materializes). Rows 0–3 pack into
+    * `ph_hi`, rows 4–7 into `ph_lo` (bit position 8·y + x within each
+    * half), so both halves stay far inside the positive BIGINT range
+    * on both engines. Corrupt bytes → decode_ok=false, zero hash. */
+  def phashFeatures(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, png) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            if (img == null) throw new java.io.IOException("unrecognized image")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val lum = Array.ofDim[Long](8, 8)
+            var total = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val p = img.getRGB((x * w / 8), (y * h / 8))
+                val l = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                lum(y)(x) = l; total += l
+                x += 1
+              }
+              y += 1
+            }
+            var (hi, lo) = (0L, 0L)
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (lum(y)(x) * 64L > total) {
+                  if (y < 4) hi |= 1L << (8 * y + x)
+                  else lo |= 1L << (8 * (y - 4) + x)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            PhashFeatures(id, decode_ok = true, hi, lo)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              PhashFeatures(id, decode_ok = false, 0L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
+  /** m14: PERCEPTUAL-hash image dedup — the image modality's answer to
+    * d06's content digest: aHash ignores pixel-exact differences
+    * (resize, re-encode, slight level shifts move few bits) where
+    * sha-256 changes completely, so equal-hash buckets group VISUALLY
+    * equivalent images. The full pipeline runs the REAL codec path
+    * ([[renderQuadPng]] → PNG decode → 8×8 aHash) and then d01/d06's
+    * keep-min-id census on the perceptual key: per doc, its hash, the
+    * bucket's canonical keeper and the bucket size.
+    *
+    * Oracle-ability: the quadrant raster makes every hash bit a
+    * closed-form integer comparison (cell luminance vs the 64-cell
+    * total) DuckDB replays per doc — a downsample off-by-one, a
+    * channel-weight drift, or a wrong packing order breaks the hash.
+    *
+    * Scale shape: hashing is a narrow mapPartitions over the scan
+    * (payload bytes never shuffle); the census is ONE shuffle of
+    * 16-byte hash keys + small ints — d06's exact plan with the
+    * digest swapped for the perceptual key, so the apply/compose
+    * stages (d10, t19) would slot in unchanged. At 100 TB the hash
+    * column is the persisted asset; hamming-near pairs (the d03
+    * analogue) band over the four 16-bit hash chunks if needed.
+    */
+  def imagePhash(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ph_hi"), col("ph_lo"))
+    phashFeatures(renderQuadPng(documents))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("bucket_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("decode_ok"), col("ph_hi"), col("ph_lo"),
+              col("keep_id"), col("bucket_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[imagePhash]]: per doc, which of the 8 sample
+    * columns/rows land in the A-side of each split (floor mapping),
+    * the four quadrant luminances, the 64-cell total, then the row
+    * patterns packed exactly as the Scala bit loop does. */
+  def imagePhashOracle: String =
+    """WITH p AS (SELECT doc_id,
+           8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+           (8 + doc_id % 9) // 2 AS split, (8 + doc_id % 7) // 2 AS vsplit,
+           (doc_id * 5) % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256 AS la,
+           (doc_id * 3) % 256 + (doc_id * 11) % 256 + (doc_id * 17) % 256 AS lb,
+           (doc_id * 19) % 256 + (doc_id * 23) % 256 + (doc_id * 29) % 256 AS lc,
+           (doc_id * 37) % 256 + (doc_id * 41) % 256 + (doc_id * 43) % 256 AS ld
+         FROM documents),
+       q AS (SELECT *,
+           len(list_filter(generate_series(0, 7), x -> (x * w) // 8 < split)) AS nxa,
+           len(list_filter(generate_series(0, 7), y -> (y * h) // 8 < vsplit)) AS nya
+         FROM p),
+       t AS (SELECT *,
+           nya * (nxa * la + (8 - nxa) * lb)
+             + (8 - nya) * (nxa * lc + (8 - nxa) * ld) AS total FROM q),
+       b AS (SELECT *,
+           list_sum(list_transform(generate_series(0, 7), x ->
+             CASE WHEN (CASE WHEN (x * w) // 8 < split THEN la ELSE lb END) * 64
+                       > total THEN 1 << x ELSE 0 END)) AS rowtop,
+           list_sum(list_transform(generate_series(0, 7), x ->
+             CASE WHEN (CASE WHEN (x * w) // 8 < split THEN lc ELSE ld END) * 64
+                       > total THEN 1 << x ELSE 0 END)) AS rowbot
+         FROM t),
+       hsh AS (SELECT doc_id,
+           coalesce(list_sum(list_transform(generate_series(0, 3), y ->
+             (CASE WHEN (y * h) // 8 < vsplit THEN rowtop ELSE rowbot END)
+               * (CAST(1 AS BIGINT) << (8 * y)))), 0) AS ph_hi,
+           coalesce(list_sum(list_transform(generate_series(4, 7), y ->
+             (CASE WHEN (y * h) // 8 < vsplit THEN rowtop ELSE rowbot END)
+               * (CAST(1 AS BIGINT) << (8 * (y - 4))))), 0) AS ph_lo
+         FROM b)
+       SELECT doc_id, TRUE AS decode_ok,
+         CAST(ph_hi AS BIGINT) AS ph_hi, CAST(ph_lo AS BIGINT) AS ph_lo,
+         CAST(min(doc_id) OVER (PARTITION BY ph_hi, ph_lo) AS BIGINT) AS keep_id,
+         CAST(count(*) OVER (PARTITION BY ph_hi, ph_lo) AS BIGINT) AS bucket_size
+       FROM hsh ORDER BY doc_id"""
 }

@@ -4546,6 +4546,51 @@ class GraftSpec extends AnyFunSuite {
       assert(pr(id) == p, s"vec $id: engine $p != twin ${pr(id)}") }
   }
 
+  test("m14 phash: census consistent; double-size render hashes IDENTICAL (scale invariance); corrupt degrades") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("m14_image_phash")(spark, sf).collect()
+    assert(rows.length.toLong == Tables.documents(spark, sf).count())
+    val byBucket = rows.groupBy(r => (r.getLong(2), r.getLong(3)))
+    assert(byBucket.size > 1, "hash space collapsed to one bucket")
+    byBucket.foreach { case (_, rs) =>
+      val minId = rs.map(_.getLong(0)).min
+      assert(rs.forall(_.getLong(4) == minId), "keeper is not the bucket min")
+      assert(rs.forall(_.getLong(5) == rs.length.toLong), "bucket size wrong")
+    }
+    // the PERCEPTUAL property: doc 2's image rendered at DOUBLE size
+    // (splits double with it) hashes bit-identically — the floor
+    // mapping gives (x·2w)//8 < 2s ⟺ x·w < 8s ⟺ (x·w)//8 < s — while
+    // the PNG bytes are completely different (d06's sha-256 would
+    // split them into two "documents"); that gap is what a perceptual
+    // key buys
+    val m = graft.operators.Multimodal
+    val origPng = m.renderQuadPng(Seq(2L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]]("png")
+    val (w, h) = (10, 10) // imgW(2), imgH(2)
+    val img = new java.awt.image.BufferedImage(
+      2 * w, 2 * h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cols = Seq((10, 14, 26), (6, 22, 34), (38, 46, 58), (74, 82, 86))
+    for (y <- 0 until 2 * h; x <- 0 until 2 * w) {
+      val q = (if (y < h) 0 else 2) + (if (x < w) 0 else 1)
+      val (r, g, b) = cols(q)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val big = bos.toByteArray
+    assert(!java.util.Arrays.equals(big, origPng), "test images share bytes")
+    val hashes = m.phashFeatures(
+      Seq((2L, origPng), (200L, big)).toDF("doc_id", "png")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hashes(2L)._1 && hashes(200L)._1)
+    assert(hashes(2L)._2 == hashes(200L)._2 && hashes(2L)._3 == hashes(200L)._3,
+      s"double-size render changed the perceptual hash: ${hashes}")
+    // corrupt payload is data, not a dead executor
+    val bad = m.phashFeatures(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "png")).collect().head
+    assert(!bad.getBoolean(1) && bad.getLong(2) == 0L && bad.getLong(3) == 0L)
+  }
+
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
     // the index-probe path must find EXACTLY the d02 pairs with one
     // batch member — losing any would mean incremental ingest admits

@@ -358,6 +358,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "global rank is not the distributed withGlobalRank shape")
   }
 
+  test("m14: hashing is a narrow map; the census costs one hash-key exchange plus the output sort") {
+    val p = plan("m14_image_phash")
+    assert(!p.contains("CartesianProduct"))
+    assert(count(p, "Exchange") == 2, "perceptual census grew extra shuffles")
+  }
+
   test("s09: PQ scan joins code rows against broadcast tables — no sort-merge anywhere") {
     val p = plan("s09_pq_recall")
     assert(!p.contains("SortMergeJoin"))
