@@ -221,6 +221,8 @@ object SparkEntry {
     "t26_domain_divergence" -> ((s, d) =>
       TextOps.domainDivergence(Tables.documents(s, d))),
     "q49_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(Tables.events(s, d))),
+    "q52_kmv_set_ops" -> ((s, d) => Relational.kmvSetOps(Tables.events(s, d))),
+    "t29_zipf_slope" -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
     "t27_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(Tables.documents(s, d))),
     "q50_cusum_changepoint" -> ((s, d) =>
       Relational.cusumChangepoint(Tables.events(s, d))),
@@ -574,6 +576,8 @@ object SparkEntry {
     "t25_bpe_encode" -> TextOps.bpeEncodeOracle(),
     "t26_domain_divergence" -> TextOps.domainDivergenceOracle,
     "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
+    "q52_kmv_set_ops" -> Relational.kmvSetOpsOracle(),
+    "t29_zipf_slope" -> TextOps.zipfSlopeOracle(),
     "t27_bpe_fertility" -> TextOps.bpeFertilityOracle(),
     "q50_cusum_changepoint" -> Relational.cusumChangepointOracle,
     "q51_regional_revenue" -> Relational.regionalRevenueOracle(),

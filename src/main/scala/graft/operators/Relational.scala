@@ -1090,6 +1090,159 @@ object Relational {
        FROM e ORDER BY event_type"""
   }
 
+  // ---- q52: KMV sketch SET ALGEBRA (union / intersection) -------------
+
+  /** q52: set operations on KMV sketches — the reason a platform
+    * keeps sketches at all: estimate the DISTINCT-user union,
+    * intersection and Jaccard of every event-type pair from the
+    * types' persisted 64-value sketches alone (audience overlap,
+    * cross-corpus contamination, segment reach — at 100 TB these
+    * questions must be answered WITHOUT re-scanning raw events, and
+    * sketch algebra is what answers them). Extends q49's "the sketch
+    * IS relational content" argument from one sketch to the algebra:
+    * merge = k smallest of the hash-set union (associative), the
+    * standard KMV estimators on top:
+    *   union_est = (k−1)·P div kth(merged)          (q49's estimator)
+    *   ρ = |merged ∩ A ∩ B| / |merged|              (match fraction)
+    *   inter_est = (matches · union_est) div |merged|
+    * — all INTEGER arithmetic on sketch content, so the whole algebra
+    * (not just its inputs) replays under the DuckDB hash gate; the
+    * exact union/intersection ride along so every pair carries its
+    * own measured error (accuracy as DATA — the s06/d11/q49
+    * discipline).
+    *
+    * Scale shape: the only corpus-scale work is the two distinct
+    * passes (hash sketch build = q49's shuffle; (type, user) distinct
+    * for the exact arm — which a production job would SKIP, it exists
+    * here as the oracle's ground truth). Everything pair-wise runs on
+    * types × k sketch rows (tiny, localCheckpointed once), and the
+    * pair frame is types² — grid-bounded, never data-bounded.
+    */
+  def kmvSetOps(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L
+    val h = events
+      .select(col("event_type"),
+        ((col("user_id") * lit(1103515245L) + lit(12345L)) % P).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = h.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("h"))
+      .localCheckpoint() // the persisted sketch store: types × k rows
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    // merged sketch per pair: k smallest of the two sketches' hash-set
+    // union (a hash in both sketches counts once)
+    val mh = pairs
+      .join(sk, col("event_type") === col("type_a") ||
+                col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("h")).distinct()
+    val wm = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val merged = mh.withColumn("mrank", row_number().over(wm))
+      .filter(col("mrank") <= k)
+    val ms = merged.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_merged"), max(col("h")).as("kth_m"))
+    // matches: merged-sketch hashes present in BOTH source sketches
+    val matches = merged
+      .join(sk.select(col("event_type").as("type_a"), col("h")),
+            Seq("type_a", "h"))
+      .join(sk.select(col("event_type").as("type_b"), col("h")),
+            Seq("type_b", "h"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("matches"))
+    // exact arms (ground truth): per-type distincts + pairwise overlap
+    val ut = events.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val nd = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+    val interExact = ut.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("exact_inter"))
+    pairs
+      .join(nd.withColumnRenamed("event_type", "type_a")
+              .withColumnRenamed("nd", "nd_a"), Seq("type_a"))
+      .join(nd.withColumnRenamed("event_type", "type_b")
+              .withColumnRenamed("nd", "nd_b"), Seq("type_b"))
+      .join(interExact, Seq("type_a", "type_b"), "left")
+      .join(ms, Seq("type_a", "type_b"))
+      .join(matches, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("matches", coalesce(col("matches"), lit(0L)))
+      .withColumn("union_est",
+        when(col("n_merged") < k, col("n_merged"))
+          .otherwise(expr(s"(${k - 1}L * ${P}L) div kth_m")))
+      .select(col("type_a"), col("type_b"),
+        (col("nd_a") + col("nd_b") - col("exact_inter")).as("exact_union"),
+        col("exact_inter"), col("n_merged"), col("union_est"),
+        col("matches"),
+        expr("(matches * union_est) div n_merged").as("inter_est"),
+        Rounding.roundN(col("matches").cast("double")
+          / col("n_merged").cast("double"), 4).as("jac_est"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** DuckDB twin of [[kmvSetOps]]: the identical hash, sketches,
+    * merge, match counting and integer estimators. */
+  def kmvSetOpsOracle(k: Int = 64): String = {
+    val P = 2147483647L
+    s"""WITH h AS (SELECT DISTINCT event_type,
+           (user_id * 1103515245 + 12345) % $P AS h FROM events),
+       sk AS (SELECT event_type, h FROM (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           FROM h) z WHERE rk <= $k),
+       ty AS (SELECT DISTINCT event_type FROM sk),
+       pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         FROM ty a JOIN ty b ON a.event_type < b.event_type),
+       mh AS (SELECT DISTINCT p.type_a, p.type_b, s.h
+         FROM pairs p JOIN sk s
+           ON s.event_type = p.type_a OR s.event_type = p.type_b),
+       merged AS (SELECT type_a, type_b, h FROM (
+           SELECT type_a, type_b, h, row_number() OVER (
+             PARTITION BY type_a, type_b ORDER BY h) AS mrank FROM mh) z
+         WHERE mrank <= $k),
+       ms AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(max(h) AS BIGINT) AS kth_m
+         FROM merged GROUP BY 1, 2),
+       mt AS (SELECT m.type_a, m.type_b, CAST(count(*) AS BIGINT) AS matches
+         FROM merged m
+         JOIN sk a ON a.event_type = m.type_a AND a.h = m.h
+         JOIN sk b ON b.event_type = m.type_b AND b.h = m.h
+         GROUP BY 1, 2),
+       ut AS (SELECT DISTINCT event_type, user_id FROM events),
+       nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+         FROM ut GROUP BY 1),
+       ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_inter
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2),
+       e AS (SELECT p.type_a, p.type_b,
+           na.nd + nb.nd - coalesce(ix.exact_inter, 0) AS exact_union,
+           coalesce(ix.exact_inter, 0) AS exact_inter,
+           ms.n_merged, ms.kth_m,
+           coalesce(mt.matches, 0) AS matches,
+           CAST(CASE WHEN ms.n_merged < $k THEN ms.n_merged
+                ELSE (CAST(${k - 1} AS BIGINT) * $P) // ms.kth_m
+                END AS BIGINT) AS union_est
+         FROM pairs p
+         JOIN nd na ON na.event_type = p.type_a
+         JOIN nd nb ON nb.event_type = p.type_b
+         LEFT JOIN ix ON ix.type_a = p.type_a AND ix.type_b = p.type_b
+         JOIN ms ON ms.type_a = p.type_a AND ms.type_b = p.type_b
+         LEFT JOIN mt ON mt.type_a = p.type_a AND mt.type_b = p.type_b)
+       SELECT type_a, type_b,
+         CAST(exact_union AS BIGINT) AS exact_union,
+         CAST(exact_inter AS BIGINT) AS exact_inter,
+         n_merged, union_est, matches,
+         CAST((matches * union_est) // n_merged AS BIGINT) AS inter_est,
+         round(CAST(matches AS DOUBLE) / CAST(n_merged AS DOUBLE), 4) AS jac_est
+       FROM e ORDER BY type_a, type_b"""
+  }
+
   // ---- q50: CUSUM changepoint detection -------------------------------
 
   /** q50: one-sided CUSUM drift detection over per-type daily event

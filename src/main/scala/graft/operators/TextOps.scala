@@ -1494,6 +1494,99 @@ object TextOps {
              / (cpoints * sxx - sx * sx)) * sx) / cpoints), 4) AS k
        FROM f ORDER BY source"""
 
+  // ---- t29: Zipf rank-frequency slope (corpus planning, with t28) -----
+
+  /** t29: per-source ZIPF-LAW fit — f(r) ≈ C·r^s over the top-`topR`
+    * term ranks: the STATIC companion to t28's Heaps growth (the two
+    * laws are duals — β ≈ −1/s for large corpora) and the other half
+    * of the corpus-planning pair: the slope says how head-heavy a
+    * source's term distribution is (s near −1 = natural text; s
+    * flattening toward 0 = templated/boilerplate where the head
+    * carries no skew; s steepening = a few tokens dominating, the
+    * repetition signal t11 sees per doc measured corpus-wide).
+    *
+    * Determinism: ranks are a row_number permutation over
+    * (count desc, token asc) — exact integers; the OLS log-log fit
+    * touches only ≤ topR (ln r, ln f) points per source, folded in
+    * rank order (the t28 discipline). Scale shape: ONE corpus token
+    * shuffle into (source, tok) counts (map-side partials), the
+    * rank window gets WindowGroupLimit map-side top-R, and the fit
+    * frame is topR rows per source — everything after the count agg
+    * is vocab-bounded, the fit grid-bounded.
+    */
+  def zipfSlope(documents: DataFrame, topR: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val ranked = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topR)
+    val totals = tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("n_tokens"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_ranks"),
+           collect_list(struct(col("rank"),
+             log(col("rank").cast("double")).as("x"),
+             log(col("cnt").cast("double")).as("y"))).as("pts"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("n_ranks"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.x)""").as("sx"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.y)""").as("sy"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.x * s.y)""").as("sxy"),
+        expr("""aggregate(array_sort(pts), CAST(0 AS DOUBLE),
+                 (a, s) -> a + s.x * s.x)""").as("sxx"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("n_ranks"),
+        (Rounding.roundN(
+          (col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 4)
+          + lit(0.0)).as("slope"),
+        Rounding.roundN(exp(
+          (col("sy") - ((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_ranks") * col("sxx") - col("sx") * col("sx")))
+            * col("sx")) / col("n_ranks")), 4).as("c"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[zipfSlope]]: identical rank permutation and the
+    * identical rank-ordered fold/fit arithmetic. */
+  def zipfSlopeOracle(topR: Int = 32): String =
+    s"""WITH tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents) z
+         WHERE length(tok) > 0 GROUP BY source, tok),
+       ranked AS (SELECT source, cnt,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+         FROM tf QUALIFY rank <= $topR),
+       totals AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tf GROUP BY source),
+       s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+           list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+           list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank) AS ys,
+           list(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                ORDER BY rank) AS xys,
+           list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                ORDER BY rank) AS xxs
+         FROM ranked GROUP BY source),
+       f AS (SELECT source, n_ranks,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (a, v) -> a + v) AS sx,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), ys), (a, v) -> a + v) AS sy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), xys), (a, v) -> a + v) AS sxy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), xxs), (a, v) -> a + v) AS sxx
+         FROM s)
+       SELECT f.source, t.vocab, t.n_tokens, f.n_ranks,
+         round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4)
+           + 0.0 AS slope,
+         round(exp((sy - ((n_ranks * sxy - sx * sy)
+             / (n_ranks * sxx - sx * sx)) * sx) / n_ranks), 4) AS c
+       FROM f JOIN totals t ON f.source = t.source ORDER BY f.source"""
+
   // ---- t26: pairwise domain divergence (distribution shift) ----------
 
   /** t26: Jensen-Shannon divergence between every pair of sources'

@@ -4591,6 +4591,56 @@ class GraftSpec extends AnyFunSuite {
     assert(!bad.getBoolean(1) && bad.getLong(2) == 0L && bad.getLong(3) == 0L)
   }
 
+  test("q52 kmv set algebra: sub-k pairs exact, saturated pairs within sketch error, invariants hold") {
+    val rows = SparkEntry.queries("q52_kmv_set_ops")(spark, sf).collect()
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length.toLong == nTypes * (nTypes - 1) / 2)
+    rows.foreach { r =>
+      val eu = r.getAs[Long]("exact_union"); val ei = r.getAs[Long]("exact_inter")
+      val nm = r.getAs[Long]("n_merged"); val ue = r.getAs[Long]("union_est")
+      val mt = r.getAs[Long]("matches"); val ie = r.getAs[Long]("inter_est")
+      val j = r.getAs[Double]("jac_est")
+      assert(nm <= 64 && mt <= nm && ie <= ue)
+      assert(j >= 0.0 && j <= 1.0)
+      // below k the merged sketch IS the whole union — algebra exact
+      if (nm < 64) { assert(ue == eu, s"sub-k union $ue != $eu")
+                     assert(ie == ei, s"sub-k inter $ie != $ei") }
+      else { assert(math.abs(ue - eu).toDouble / eu <= 0.5)
+             assert(math.abs(ie - ei).toDouble / math.max(ei, 1L) <= 0.5) }
+    }
+    // saturated arm, constructed: 225 users across two types with a
+    // 75-user overlap — the merged sketch truncates at k=64 and the
+    // estimators must land within the KMV error envelope (3/sqrt(k))
+    import spark.implicits._
+    val ev = ((0 until 150).map(u => ("a", u.toLong))
+      ++ (75 until 225).map(u => ("b", u.toLong))).toDF("event_type", "user_id")
+    val s = graft.operators.Relational.kmvSetOps(ev).collect().head
+    assert(s.getAs[Long]("n_merged") == 64L, "constructed pair did not saturate")
+    assert(math.abs(s.getAs[Long]("union_est") - 225L).toDouble / 225.0 <= 0.375)
+    assert(math.abs(s.getAs[Long]("inter_est") - 75L).toDouble / 75.0 <= 0.75)
+  }
+
+  test("t29 zipf: an exact power-law corpus fits slope -2 / C 1296; real sources are head-heavy") {
+    import spark.implicits._
+    // counts 1296/r^2 are INTEGER for ranks 1..4 (1296, 324, 144, 81),
+    // so the log-log points are exactly collinear: OLS must recover
+    // slope -2 and C = 1296 to rounding
+    val text = (1 to 4).flatMap(r => Seq.fill(1296 / (r * r))(s"tk$r")).mkString(" ")
+    val docs = Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = graft.operators.TextOps.zipfSlope(docs).collect().head
+    assert(f.getAs[Long]("n_ranks") == 4L)
+    assert(f.getAs[Double]("slope") == -2.0, s"slope ${f.getAs[Double]("slope")}")
+    assert(math.abs(f.getAs[Double]("c") - 1296.0) < 0.01)
+    // the real corpus: every source's head is heavier than flat, and
+    // the fit uses min(topR, vocab) ranks
+    val rows = SparkEntry.queries("t29_zipf_slope")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("slope") < 0.0, s"flat source: $r")
+      assert(r.getAs[Long]("n_ranks") == math.min(32L, r.getAs[Long]("vocab"))) }
+  }
+
   test("d12 incremental probe equals the full-corpus edge set restricted to batch-corpus pairs") {
     // the index-probe path must find EXACTLY the d02 pairs with one
     // batch member — losing any would mean incremental ingest admits

@@ -364,6 +364,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 2, "perceptual census grew extra shuffles")
   }
 
+  test("t29: the rank window is map-side rank-limited (WindowGroupLimit) like t06") {
+    val p = plan("t29_zipf_slope")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s09: PQ scan joins code rows against broadcast tables — no sort-merge anywhere") {
     val p = plan("s09_pq_recall")
     assert(!p.contains("SortMergeJoin"))
