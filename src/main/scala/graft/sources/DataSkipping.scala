@@ -703,16 +703,26 @@ object DataSkipping {
     // stays unpruned (no-stats-never-means-no-data), never a crash
     def relOf(d: String): Option[String] = readable.find(r =>
       d.endsWith("/" + r) ||
-        java.net.URI.create(d).getPath.endsWith("/" + r))
+        scala.util.Try(java.net.URI.create(d).getPath).toOption
+          .exists(_.endsWith("/" + r)))
     val built = merged.flatMap { case (d, bytes) =>
       relOf(d).map(_ -> deser(bytes))
     }.toMap
     // a readable dir with zero non-null values yields no partial;
     // persist an EMPTY filter for it so the sidecar records the dir
     // as built (build-once) AND equality probes prune it outright
-    // (nulls are never bloom members, so empty is exact here)
-    val empties = readable.filterNot(built.contains)
-      .map(_ -> BloomFilter.create(BloomMinItems, BloomFpp)).toMap
+    // (nulls are never bloom members, so empty is exact here).
+    // SAFETY: an empty filter always-prunes, so it may only be
+    // assigned to a dir POSITIVELY known to have zero non-null rows.
+    // If any raw scan dir failed relOf mapping, we can't tell which
+    // readable dir its rows belong to — emit no empties at all in
+    // that build (the unmapped dirs stay filter-less → unpruned,
+    // honoring no-stats-never-means-no-data; build-once just retries).
+    val allMapped = merged.forall { case (d, _) => relOf(d).isDefined }
+    val empties =
+      if (!allMapped) Map.empty[String, BloomFilter]
+      else readable.filterNot(built.contains)
+        .map(_ -> BloomFilter.create(BloomMinItems, BloomFpp)).toMap
     built ++ empties
   }
 
