@@ -7,12 +7,53 @@ Reads each <name>/ parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over views of the sfDir
 tables, and diffs (sorted rows, columns sorted by name).
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# ---- shared-CTE fast path (GRAFT_ORACLE_FAST=0 disables) -------------
+# Eight oracles embed the LSH verified-pairs CTE chain and five of
+# those additionally embed the recursive transitive-closure cluster
+# map built from it. At the 10x corpus the closure dominates the whole
+# replay (~3.7 h when re-derived per oracle). Both chains end at
+# unique, generator-pinned marker strings (Dedup.minhashLshCtes /
+# Dedup.clusterCtes), so we materialize `verified` and `cl` ONCE from
+# the d07 oracle's own text and textually swap the shared prefix for a
+# reference to the temp table. Semantics are identical by construction
+# (the temp tables are produced by the very same SQL); an oracle whose
+# suffix still references an intermediate CTE (sh/sig/bands/pairs:
+# d04, d11, d13) is left untouched and runs full.
+MARKER_A = "FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id)"
+MARKER_B = "FROM reach GROUP BY a)"
+INNER = re.compile(r"\b(sh|sig|bands|pairs|dup|edges|reach)\b")
+
+def prepare_shared(con, oracle):
+    d07 = oracle.get("d07_dedup_clusters")
+    if not d07 or MARKER_A not in d07 or MARKER_B not in d07:
+        return False
+    ia = d07.index(MARKER_A) + len(MARKER_A)
+    con.execute("CREATE TEMP TABLE verified_mat AS " + d07[:ia] +
+                " SELECT doc_a, doc_b, jac FROM verified")
+    rest = d07[ia:]  # ", dup AS ..., cl AS (...)  SELECT ... FROM cl ..."
+    ib = rest.index(MARKER_B) + len(MARKER_B)
+    con.execute("CREATE TEMP TABLE cl_mat AS WITH RECURSIVE verified AS "
+                "(SELECT * FROM verified_mat)" + rest[:ib] +
+                " SELECT doc_id, cluster_id FROM cl")
+    return True
+
+def rewrite_shared(sql):
+    if MARKER_B in sql:
+        suffix = sql.split(MARKER_B, 1)[1]
+        if not INNER.search(suffix) and "verified" not in suffix:
+            return "WITH RECURSIVE cl AS (SELECT * FROM cl_mat)" + suffix
+    if MARKER_A in sql:
+        suffix = sql.split(MARKER_A, 1)[1]
+        if not INNER.search(suffix):
+            return "WITH RECURSIVE verified AS (SELECT * FROM verified_mat)" + suffix
+    return sql
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -32,6 +73,9 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    fast = os.environ.get("GRAFT_ORACLE_FAST", "1") != "0"
+    if fast:
+        fast = prepare_shared(con, oracle)
     names = sorted(oracle) if not only else [n for n in sorted(oracle)
              if any(n.startswith(o) for o in only)]
     for name in names:
@@ -43,7 +87,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             continue
         got = canon(pd.concat([pd.read_parquet(fp) for fp in sorted(files)]))
         try:
-            exp = canon(con.sql(oracle[name]).df())
+            sql = rewrite_shared(oracle[name]) if fast else oracle[name]
+            exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1

@@ -12,6 +12,6 @@ for sf in sf0.001 sf0.01 sf0.1; do
   echo -n "$sf: "
   python3 scripts/compare.py "/root/testdata/$sf" "$out" | tail -1
 done
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep -oE '\{"metric".*' | tail -1
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /dev/null 2>&1
+cat /tmp/graft_bench.json
 sbt -batch test 2>&1 | grep "Tests:"

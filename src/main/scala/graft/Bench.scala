@@ -15,7 +15,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // OFF, not WARN: the driver records a bounded tail of the run's
+    // merged output and late WARNs (e.g. cancelJobGroup's "Cannot
+    // find active jobs" on streaming stops) were landing inside the
+    // tail window ahead of the JSON line. Bench is a measurement
+    // harness — query failures are reported by our own catch below,
+    // which doesn't go through log4j.
+    spark.sparkContext.setLogLevel("OFF")
     // steady-state warmup: JIT the codegen/shuffle machinery and prime
     // file-footer caches so per-query timings don't charge the first
     // query with one-time session costs
@@ -62,7 +68,20 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // pollution-proof by construction: (1) the line is ALSO written
+    // to a dedicated file local tooling reads verbatim; (2) stdout
+    // gets a leading newline so a truncated earlier fragment can
+    // never share the JSON's line; (3) stderr is flushed first so
+    // interleaving can't split the tail mid-line.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    System.err.flush()
+    println()
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -79,6 +79,28 @@ object Similarity {
            expr("percentile(n, 0.99)").as("p99_occ"),
            avg(col("n")).as("avg_occ"))
 
+  /** Candidate-volume census of the s20 kNN join's cell equi-join —
+    * the skew-exposure metric behind that one cell-key shuffle: per
+    * cell, candidates = corpus occupancy × probes into the cell (the
+    * join's actual per-partition work, which occupancy alone
+    * understates because a hot cell is hot on BOTH sides). Reports
+    * the total candidate volume (the nProbe·N²/K term made
+    * measurable), the max/p99 cell, and max/avg — the hot-cell factor
+    * AQE's skew split must absorb, pinned by the s20 skew spec. */
+  def knnJoinCensus(embeddings: DataFrame, nProbe: Int = 2,
+                    centIds: Seq[Long] = centroidIds): DataFrame = {
+    val occ = assignedCells(embeddings, centIds)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_corpus"))
+    val pro = probeCells(embeddings, Long.MaxValue, nProbe, centIds)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+    occ.join(pro, Seq("cell"))
+      .select(col("cell"), (col("n_corpus") * col("n_probes")).as("cand"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cand")).as("total_cand"),
+           max(col("cand")).as("max_cand"),
+           expr("percentile(cand, 0.99)").as("p99_cand"),
+           (max(col("cand")) / avg(col("cand"))).as("hot_factor"))
+  }
+
   private def dot(d: Dialect, a: String, b: String): String =
     if (d eq Dialect.spark)
       s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1140,7 +1162,10 @@ object Similarity {
     val edges = knnJoin(embeddings, k, nProbe)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint()
+    // materialized once beside edges: without the checkpoint every
+    // round's join tree re-derives the degree agg from the edge scan
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint()
     val nodes = embeddings.select(col("vec_id"))
     val s0 = nodes.agg(count(lit(1)).as("n"))
       .select(expr(s"$Mass div n").as("s0"))

@@ -701,10 +701,16 @@ object DataSkipping {
     // handles in the stats pass), so match both the raw and the
     // decoded form; a dir that still doesn't map is SKIPPED — it just
     // stays unpruned (no-stats-never-means-no-data), never a crash
-    def relOf(d: String): Option[String] = readable.find(r =>
-      d.endsWith("/" + r) ||
-        scala.util.Try(java.net.URI.create(d).getPath).toOption
-          .exists(_.endsWith("/" + r)))
+    // getPath returns null (without throwing) for opaque URIs —
+    // flatten it so the exists can't NPE; and when one rel is a
+    // path-suffix of another ("b" vs "a/b"), prefer the LONGEST
+    // match so the nested dir never maps to the shadowing short rel
+    def relOf(d: String): Option[String] = {
+      val decoded = scala.util.Try(java.net.URI.create(d).getPath)
+        .toOption.flatMap(Option(_))
+      readable.sortBy(-_.length).find(r =>
+        d.endsWith("/" + r) || decoded.exists(_.endsWith("/" + r)))
+    }
     val built = merged.flatMap { case (d, bytes) =>
       relOf(d).map(_ -> deser(bytes))
     }.toMap

@@ -131,6 +131,11 @@ object Soak {
         val cents = Similarity.centroidIdsFor(nEmbs)
         Similarity.cellCensus(embs, cents).collect().foreach(r =>
           println(s"[soak] ivf k=${cents.size} census=$r"))
+        // the s20 exposure: per-cell candidate volume of the kNN
+        // join (occupancy × probes) — hot_factor is what the AQE
+        // skew split must absorb at scale
+        Similarity.knnJoinCensus(embs, nProbe = 2, cents).collect().foreach(r =>
+          println(s"[soak] s20 knn-join k=${cents.size} census=$r"))
       }
 
       // ---- the persisted IVF index at scale ----------------------------

@@ -2496,6 +2496,72 @@ class GraftSpec extends AnyFunSuite {
     intercept[Exception] { VersionedTable.readAsOf(spark, root, 0L).collect() }
   }
 
+  test("VersionedTable: INTERLEAVED committers — publish race has exactly one winner; rebase loses no commit") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val root = java.nio.file.Files.createTempDirectory("graft_vtr").toString + "/t"
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    assert(VersionedTable.append(spark, root, tbl(0L -> 0.0), base = -1L) == 0L)
+
+    // Phase 1: two LIVE committers race the same base through the
+    // rename itself (a barrier releases both threads; the earlier
+    // conflict specs serialize the loser AFTER the winner, so they
+    // never exercise the in-flight window). Both target v1, so the
+    // outcome is deterministic even though the race isn't: EXACTLY one
+    // returns v1, the other throws VersionConflictException — never
+    // two winners (a silently dropped commit) and never zero (a
+    // deadlocked log).
+    val pool = Executors.newFixedThreadPool(10)
+    val gate1 = new CyclicBarrier(2)
+    val outcomes = (1 to 2).map { i =>
+      pool.submit(new Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          gate1.await(60, TimeUnit.SECONDS)
+          try Right(VersionedTable.appendRebaseFrom(
+            spark, root, tbl(i.toLong -> i * 10.0), firstBase = 0L, maxAttempts = 1))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    }.map(_.get(180, TimeUnit.SECONDS))
+    assert(outcomes.collect { case Right(v) => v } == Seq(1L),
+      s"exactly one racer must win exactly v1: $outcomes")
+    val losers = outcomes.collect { case Left(e) => e }
+    assert(losers.size == 1 &&
+      losers.head.isInstanceOf[VersionedTable.VersionConflictException])
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 2) // v0 row + winner's
+
+    // Phase 2: 8 interleaved committers through appendRebase's retry
+    // loop. Every committer must land its own version: the returned
+    // versions are exactly the contiguous range v2..v9 (no gap = no
+    // dropped commit, no duplicate = no double-publish), and every
+    // row is present at the head.
+    val n = 8
+    val gate2 = new CyclicBarrier(n)
+    val versions = (1 to n).map { i =>
+      pool.submit(new Callable[Long] {
+        def call(): Long = {
+          gate2.await(60, TimeUnit.SECONDS)
+          VersionedTable.appendRebase(
+            spark, root, tbl((100 + i).toLong -> i.toDouble), maxAttempts = 50)
+        }
+      })
+    }.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.sorted == (2L to (n + 1).toLong),
+      s"contiguous versions, one per committer: ${versions.sorted}")
+    val keys = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert((1 to n).forall(i => keys.contains(100L + i)))
+    // log protocol intact under the race: each version's dir list is
+    // its predecessor's plus exactly its own append, and every
+    // historical snapshot stays readable (append-only chain)
+    for (v <- 0L to (n + 1).toLong) {
+      assert(VersionedTable.entryPairsOf(spark, root, v).size == v + 1)
+      assert(VersionedTable.readAsOf(spark, root, v).count() == v + 1)
+    }
+  }
+
   test("Landing: manifest-gated ingest is exactly-once, resumes after failures, retries flaky sinks") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

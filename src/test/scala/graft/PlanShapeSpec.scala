@@ -338,6 +338,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("s20: a HOT CELL in the kNN join is split by AQE at runtime — the pinned skew guard") {
+    // The soak's knnJoinCensus measures the exposure (per-cell
+    // candidates = occupancy × probes; hot_factor = max/avg); this
+    // pins the MITIGATION: the cell equi-join is a shuffle join, the
+    // shape OptimizeSkewedJoin can split, and on a corpus with a
+    // deliberately hot cell the executed plan shows skew=true — the
+    // property that keeps one 27–46×-occupancy cell (the soak's
+    // measured LSH range) from wedging a single executor at 100 TB.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // test-scale artifact, found empirically: at 3000 rows AQE
+      // coalesces the upstream window stages to ONE map task, and a
+      // skewed reduce partition with a single mapper has no split
+      // boundary (OptimizeSkewedJoin splits along mapper ranges) —
+      // so the rule silently declines. At 100 TB the mapper count is
+      // the cluster's and this never binds; disabling coalescing
+      // here reproduces the many-mapper regime the split needs.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // synthetic corpus, 4 one-hot centroids (ids 0-3): 85% of
+      // vectors align with centroid 0 (v[0]=10) and give every other
+      // vector a moderate v[0]=5 so cell 0 is also everyone's second
+      // probe — hot on BOTH join sides, the worst case the census
+      // flags. Per-row float noise keeps shuffle blocks
+      // incompressible (the skew detector sees compressed sizes).
+      val n = 3000
+      val embs = spark.createDataFrame((0L until n.toLong).map { i =>
+        val e = new Array[Float](8)
+        if (i < 4) { e(i.toInt) = 1f }
+        else {
+          val dir = if (i % 20 < 17) 0 else (i % 3 + 1).toInt
+          e(dir) = 10f + (i % 97) * 0.001f
+          if (dir != 0) e(0) = 5f
+          e(4 + (i % 4).toInt) = 0.01f * (i % 89)
+        }
+        (i, e, s"l${i % 5}")
+      }).toDF("vec_id", "embedding", "label")
+      val df = graft.operators.Similarity.knnJoin(
+        embs, k = 3, nProbe = 2, centIds = Seq(0L, 1L, 2L, 3L))
+      assert(df.collect().length == n * 3) // every vector got its k edges
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"cell candidate join is not a splittable shuffle join:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot cell's join partition:\n$p")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("d21: span scrub never plans a cartesian; spans join postings on gram like d14") {
     val df = SparkEntry.queries("d21_span_scrub")(spark, sf)
     df.collect()
