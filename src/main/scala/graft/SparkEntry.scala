@@ -167,6 +167,8 @@ object SparkEntry {
     "s17_pq_rerank" -> ((s, d) => Similarity.pqRerank(Tables.embeddings(s, d))),
     "s18_hybrid_indexed" -> ((s, d) =>
       Similarity.hybridRrfIndexedAuto(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "s23_hybrid_bm25" -> ((s, d) =>
+      Similarity.hybridBm25(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -546,6 +548,7 @@ object SparkEntry {
     "s16_filtered_ann" -> Similarity.ivfFilteredTopKOracle(),
     "s17_pq_rerank" -> Similarity.pqRerankOracle(),
     "s18_hybrid_indexed" -> Similarity.hybridRrfIndexedOracle(),
+    "s23_hybrid_bm25" -> Similarity.hybridBm25Oracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

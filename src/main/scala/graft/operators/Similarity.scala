@@ -56,6 +56,28 @@ object Similarity {
     (0 until k).map(i => i.toLong * n / k)
   }
 
+  /** Rank-based centroid selection: every ⌈n/k⌉-th EXISTING vector in
+    * id order, k ~ sqrt(n) as above. The affine formula assumes a
+    * dense 0..n id domain; on a sparse/gapped one its picks land on
+    * ABSENT ids (dropped by the centroid lookup) or duplicate
+    * embeddings (tie-broken to one live cell), silently shrinking
+    * effective K and re-inflating the nProbe·N²/K candidate term —
+    * measured on the 10× key-shifted corpus: 142 slots → 15 live
+    * cells, per-doc candidates 90 → 1344 (CensusS20, PLANS round 11).
+    * Selection rides the range-partitioned global rank (never a
+    * single-partition sort) and collects k ~ sqrt(N) ids — bounded
+    * driver state even at 100 TB (sqrt(10¹⁰) = 10⁵ longs). */
+  def centroidIdsRanked(embeddings: DataFrame): Seq[Long] = {
+    val n = embeddings.count()
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val stride = math.max(1L, n / k)
+    Relational.withGlobalRank(
+        embeddings.select(col("vec_id"), lit(0L).as("z")), "vec_id", "z", "r")
+      .filter((col("r") - 1) % stride === 0)
+      .orderBy(col("r")).limit(k)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+  }
+
   /** Occupancy census of the hyperplane-LSH buckets — the evidence
     * that an index sized by [[planesFor]] stays sub-quadratic as the
     * corpus grows: one row with bucket count, max/p99/avg occupancy.
@@ -766,15 +788,13 @@ object Similarity {
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
   }
 
-  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
-                maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
-                rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): DataFrame = {
+  /** The exact-cosine vector arm (the s01 shape over the shared id
+    * space) — factored out so the TF-IDF (s15) and BM25 (s23) hybrids
+    * fuse against the IDENTICAL vector ranking. */
+  private def exactVecArm(embeddings: DataFrame, maxQueryId: Long,
+                          nArm: Int): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    // lexical arm: query-term postings probe the tf persist point,
-    // budget-pruned (impact order) and idf-weighted on the SMALL side
-    val lex = lexicalArm(documents, maxQueryId, nArm, probeDfBudgetFrac)
-    // vector arm: the s01 exact-cosine shape over the shared id space
     val corpus = embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
       .withColumn("cn", vec_norm(col("ce")))
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
@@ -782,11 +802,20 @@ object Similarity {
       .withColumn("qn", vec_norm(col("qe")))
     val wVec = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("doc_id"))
-    val vec = corpus.join(broadcast(queries), col("q_id") =!= col("doc_id"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("doc_id"))
       .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("vec_rank", row_number().over(wVec))
       .filter(col("vec_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("vec_rank"))
+  }
+
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): DataFrame = {
+    // lexical arm: query-term postings probe the tf persist point,
+    // budget-pruned (impact order) and idf-weighted on the SMALL side
+    val lex = lexicalArm(documents, maxQueryId, nArm, probeDfBudgetFrac)
+    val vec = exactVecArm(embeddings, maxQueryId, nArm)
     rrfFusion(lex, vec, kOut, rrfK)
   }
 
@@ -907,11 +936,12 @@ object Similarity {
          CAST(vec_rank AS BIGINT) AS vec_rank
        FROM rrfranked WHERE rank <= $kOut ORDER BY q_id, rank"""
 
-  def hybridRrfOracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
-                      rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): String = {
+  /** The exact-cosine vector-arm CTE tail, ending in
+    * `vec(q_id, doc_id, vec_rank)` — shared by the s15 and s23
+    * oracles, the SQL twin of [[exactVecArm]]. */
+  private def vecArmCtes(maxQueryId: Long, nArm: Int): String = {
     val d = Dialect.duck
-    s"""WITH ${lexicalArmCtes(maxQueryId, nArm, probeDfBudgetFrac)},
-       c AS (SELECT vec_id AS doc_id, embedding AS ce,
+    s"""c AS (SELECT vec_id AS doc_id, embedding AS ce,
            ${normExpr(d, "embedding")} AS cn FROM embeddings),
        q AS (SELECT vec_id AS q_id, embedding AS qe,
            ${normExpr(d, "embedding")} AS qn FROM embeddings
@@ -920,9 +950,149 @@ object Similarity {
            SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
              ORDER BY ${dot(d, "qe", "ce")} / (qn * cn) DESC, doc_id) AS vec_rank
            FROM c JOIN q ON q_id <> doc_id) t
-         WHERE vec_rank <= $nArm),
-       ${rrfFusionSql(kOut, rrfK)}"""
+         WHERE vec_rank <= $nArm)"""
   }
+
+  def hybridRrfOracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                      rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0): String =
+    s"""WITH ${lexicalArmCtes(maxQueryId, nArm, probeDfBudgetFrac)},
+       ${vecArmCtes(maxQueryId, nArm)},
+       ${rrfFusionSql(kOut, rrfK)}"""
+
+  // ---- s23: BM25 lexical arm ------------------------------------------
+
+  /** s23: the hybrid stack with the lexical arm upgraded from raw
+    * TF-IDF inner product to BM25 (Robertson & Walker 1994; the
+    * Okapi/Lucene form every production lexical index actually
+    * ships). Same tf/df persist points, same impact-ordered df-budget
+    * probe, same RRF fusion and exact vector arm as s15 — ONLY the
+    * per-(term, doc) contribution changes:
+    *
+    *   idf_t  = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene: >0 always)
+    *   w_t,d  = idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) · tfq
+    *
+    * vs TF-IDF's `tfq·tf·idf²`. The two properties that make BM25 the
+    * production choice are both SATURATIONS, spec-measured live:
+    * term-frequency saturation (contribution is concave in tf with
+    * asymptote idf·(k1+1)·tfq — a 1000-repetition spam term cannot
+    * dominate a ranking the way TF-IDF's linear tf lets it) and
+    * length normalization (the b·dl/avgdl penalty stops long docs
+    * winning on bulk). At 100 TB the plan prices identically to s15:
+    * the postings join is the same inverted-index probe, dl is one
+    * extra doc-keyed agg off the SAME tf frame (hint-free join — AQE
+    * broadcasts it when it fits), avgdl one scalar. Parity
+    * discipline: per-pair sum
+    * is a term-sorted fold rounded to 6 dp (the t10 ln-parity rule);
+    * every division is double-typed in both engines.
+    */
+  private def bm25Arm(documents: DataFrame, maxQueryId: Long, nArm: Int,
+                      probeDfBudgetFrac: Double, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextOps.tfFrame(documents)
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    // doc length + corpus average off the SAME tf persist point
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val avg = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1)).cast("double")).as("avgdl"))
+    val wBudget = Window.partitionBy(col("q_id"))
+      .orderBy(col("df").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qw = tf.filter(col("doc_id") < maxQueryId)
+      .select(col("doc_id").as("q_id"), col("term"), col("tf").as("tfq"))
+      .join(dfr, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("cum_df", sum(col("df")).over(wBudget))
+      .filter(col("cum_df").cast("double") <=
+        lit(probeDfBudgetFrac) * col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))))
+      .select(col("q_id"), col("term"), col("tfq"), col("idf"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    // dl is corpus-sized (one row per doc) — hint-free, the d10 rule:
+    // AQE broadcasts it from its real size exactly when it fits
+    tf.join(qw, Seq("term")).filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .withColumn("contrib",
+        col("idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))) *
+        col("tfq").cast("double"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("contrib"))).as("cs"))
+      .withColumn("score", Rounding.roundN(
+        expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
+                 (acc, s) -> acc + s.contrib)"""), 6))
+      .select(col("q_id"), col("doc_id"), col("score"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= nArm)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  def hybridBm25(documents: DataFrame, embeddings: DataFrame,
+                 maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                 rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lex = bm25Arm(documents, maxQueryId, nArm, probeDfBudgetFrac, k1, b)
+    val vec = exactVecArm(embeddings, maxQueryId, nArm)
+    rrfFusion(lex, vec, kOut, rrfK)
+  }
+
+  /** The BM25 arm's CTE chain, ending in `lex(q_id, doc_id,
+    * lex_rank)` — the SQL twin of [[bm25Arm]], sharing the tokenize/
+    * tf/df/budget CTE text with [[lexicalArmCtes]]'s head. */
+  private def bm25ArmCtes(maxQueryId: Long, nArm: Int,
+                          probeDfBudgetFrac: Double,
+                          k1: Double, b: Double): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+       f AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY doc_id, term),
+       dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       avgl AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avgdl FROM dls),
+       qsel AS (SELECT q_id, term, tfq, df, n_docs,
+           sum(df) OVER (PARTITION BY q_id ORDER BY df, term
+             ROWS UNBOUNDED PRECEDING) AS cum_df
+         FROM (SELECT doc_id AS q_id, term, tf AS tfq FROM tf
+               WHERE doc_id < $maxQueryId) q
+         JOIN dfr USING (term) CROSS JOIN n),
+       qw AS (SELECT q_id, term, tfq,
+           ln(1 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         FROM qsel
+         WHERE CAST(cum_df AS DOUBLE) <= $probeDfBudgetFrac * CAST(n_docs AS DOUBLE)),
+       contrib AS (SELECT q.q_id, t.doc_id, t.term,
+           q.idf * (CAST(t.tf AS DOUBLE) * ${k1 + 1.0})
+             / (CAST(t.tf AS DOUBLE) + $k1 *
+                ((1.0 - $b) + $b * CAST(d.dl AS DOUBLE) / a.avgdl))
+             * CAST(q.tfq AS DOUBLE) AS contrib
+         FROM tf t
+         JOIN qw q USING (term)
+         JOIN dls d ON t.doc_id = d.doc_id
+         CROSS JOIN avgl a
+         WHERE t.doc_id <> q.q_id),
+       lexs AS (SELECT q_id, doc_id,
+           round(list_reduce(list(contrib ORDER BY term),
+             (acc, v) -> acc + v), 6) AS score
+         FROM contrib GROUP BY q_id, doc_id),
+       lex AS (SELECT q_id, doc_id, lex_rank FROM (
+           SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id) AS lex_rank FROM lexs) t
+         WHERE lex_rank <= $nArm)"""
+
+  def hybridBm25Oracle(maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                       rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0,
+                       k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25ArmCtes(maxQueryId, nArm, probeDfBudgetFrac, k1, b)},
+       ${vecArmCtes(maxQueryId, nArm)},
+       ${rrfFusionSql(kOut, rrfK)}"""
 
   /** s18: [[hybridRrfIndexed]] with the index lifecycle managed the
     * s12 way — the IVF index is built ONCE per corpus into a temp

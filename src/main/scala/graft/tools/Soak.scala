@@ -128,7 +128,10 @@ object Soak {
         Similarity.multiTableCensus(embs, Similarity.NumTables, planes)
           .collect().foreach(r =>
             println(s"[soak] lsh-or L=${Similarity.NumTables} planes=$planes census=$r"))
-        val cents = Similarity.centroidIdsFor(nEmbs)
+        // rank-based (not the affine id formula): the soak corpus has
+        // dense ids so both agree here, but the census tool proved
+        // the formula collapses on sparse id domains (CensusS20, r11)
+        val cents = Similarity.centroidIdsRanked(embs)
         Similarity.cellCensus(embs, cents).collect().foreach(r =>
           println(s"[soak] ivf k=${cents.size} census=$r"))
         // the s20 exposure: per-cell candidate volume of the kNN

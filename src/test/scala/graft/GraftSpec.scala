@@ -293,6 +293,61 @@ class GraftSpec extends AnyFunSuite {
     })
   }
 
+  test("s23 BM25 arm: tf saturation + length norm invert a TF-IDF ranking; fused output diverges from s15") {
+    import spark.implicits._
+    // (1) the two saturations, engineered to flip a ranking: doc 10
+    // SPAMS the query term (tf=30) inside a very long doc; doc 11
+    // mentions it twice in a short doc. TF-IDF's linear tf makes the
+    // spam doc win; BM25's concave tf (asymptote idf·(k1+1)) plus the
+    // b·dl/avgdl length penalty makes the short doc win. Filler docs
+    // keep idf > 0 for both weightings.
+    val spam = Array.fill(30)("zebra").mkString(" ") + " " +
+      (1 to 2000).map(i => s"g$i").mkString(" ")
+    val short2 = "zebra zebra tiny"
+    val synthDocs = (Seq(0L -> "zebra", 10L -> spam, 11L -> short2) ++
+      (12L to 19L).map(i => i -> (1 to 50).map(j => s"f${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val synthEmbs = (Seq(0L, 10L, 11L) ++ (12L to 19L))
+      .map(i => (i, Array(1f, i * 0.001f), "l")).toDF("vec_id", "embedding", "label")
+    def lexRankOf(rows: Array[org.apache.spark.sql.Row], doc: Long): Long =
+      rows.find(r => r.getAs[Long]("q_id") == 0L && r.getAs[Long]("doc_id") == doc)
+        .filter(!_.isNullAt(rows.head.fieldIndex("lex_rank")))
+        .map(_.getAs[Long]("lex_rank")).getOrElse(Long.MaxValue)
+    val tfidf = graft.operators.Similarity
+      .hybridRrf(synthDocs, synthEmbs, maxQueryId = 1, nArm = 10, kOut = 11).collect()
+    val bm25 = graft.operators.Similarity
+      .hybridBm25(synthDocs, synthEmbs, maxQueryId = 1, nArm = 10, kOut = 11).collect()
+    assert(lexRankOf(tfidf, 10L) < lexRankOf(tfidf, 11L),
+      "TF-IDF's linear tf should rank the spam doc first")
+    assert(lexRankOf(bm25, 11L) < lexRankOf(bm25, 10L),
+      "BM25 saturation + length norm should rank the short doc first")
+
+    // (2) on the real corpus: same schema and bounds as s15, rrf
+    // consistent with the arm ranks, and the fused output DIVERGES
+    // from s15's (the arm upgrade is live, not a rename)
+    val a = SparkEntry.queries("s15_hybrid_rrf")(spark, sf).collect()
+    val b = SparkEntry.queries("s23_hybrid_bm25")(spark, sf).collect()
+    assert(b.nonEmpty && a.head.schema.fieldNames.sameElements(b.head.schema.fieldNames))
+    val perQ = b.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.values.forall(_.length <= 10)) // kOut bound
+    b.foreach { r =>
+      def optRank(c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+      val expect = optRank("lex_rank").map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        optRank("vec_rank").map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-5)
+    }
+    def fusedSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(fusedSet(a) != fusedSet(b),
+      "BM25 fused output is identical to TF-IDF's — weighting change not live")
+    // ...but they rank the SAME corpus: per-query pick overlap is real
+    val aDocs = a.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    val bDocs = b.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    assert((aDocs intersect bDocs).nonEmpty)
+  }
+
   test("s15 impact pruning is LIVE: budgeted probe touches fewer postings, recall delta measured not assumed") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
@@ -4776,6 +4831,34 @@ class GraftSpec extends AnyFunSuite {
     assert(Similarity.planesFor(2000) > Similarity.planesFor(500))
     assert(Similarity.planesFor(1L << 30) == 24)
     assert(Similarity.centroidIdsFor(1000000).size == 1000)
+  }
+
+  test("centroidIdsRanked: sparse id domains keep every centroid slot LIVE where the affine formula loses them") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // a gapped id space (the 10× key-shifted corpus shape: ids live
+    // in islands separated by decades): the affine pick i·n/k lands
+    // mostly on ABSENT ids; the ranked pick selects existing vectors
+    // by construction, so effective K — and with it the N²/K
+    // candidate bound — survives the id-space shape
+    val ids = (0L until 250L) ++ (100000L until 100750L)
+    val embs = ids.map { i =>
+      val e = new Array[Float](4)
+      e((i % 4).toInt) = 1f + (i % 31) * 0.01f
+      e(((i + 1) % 4).toInt) = 0.5f + (i % 17) * 0.01f
+      (i, e, "l")
+    }.toDF("vec_id", "embedding", "label")
+    val present = ids.toSet
+    val affine = Similarity.centroidIdsFor(1000)
+    val ranked = Similarity.centroidIdsRanked(embs)
+    assert(ranked.size == affine.size) // same K ~ sqrt(n) sizing
+    assert(ranked.forall(present), "ranked pick selected a nonexistent id")
+    assert(ranked.toSet.size == ranked.size, "ranked pick has duplicates")
+    // the failure mode being guarded: most affine picks don't exist
+    assert(affine.count(present) < affine.size / 2,
+      s"test corpus no longer sparse enough to exercise the guard: $affine")
+    // both islands are represented — the pick spans the domain
+    assert(ranked.exists(_ < 250L) && ranked.exists(_ >= 100000L))
   }
 
   test("t12 pii scrub: all masks fire and no residual digits survive") {
