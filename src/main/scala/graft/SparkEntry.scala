@@ -169,6 +169,8 @@ object SparkEntry {
       Similarity.hybridRrfIndexedAuto(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s23_hybrid_bm25" -> ((s, d) =>
       Similarity.hybridBm25(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "s24_hybrid_lexindexed" -> ((s, d) =>
+      Similarity.hybridBm25IndexedAuto(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -549,6 +551,7 @@ object SparkEntry {
     "s17_pq_rerank" -> Similarity.pqRerankOracle(),
     "s18_hybrid_indexed" -> Similarity.hybridRrfIndexedOracle(),
     "s23_hybrid_bm25" -> Similarity.hybridBm25Oracle(),
+    "s24_hybrid_lexindexed" -> Similarity.hybridBm25IndexedOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

@@ -985,8 +985,8 @@ object Similarity {
     * is a term-sorted fold rounded to 6 dp (the t10 ln-parity rule);
     * every division is double-typed in both engines.
     */
-  private def bm25Arm(documents: DataFrame, maxQueryId: Long, nArm: Int,
-                      probeDfBudgetFrac: Double, k1: Double, b: Double): DataFrame = {
+  private[graft] def bm25Arm(documents: DataFrame, maxQueryId: Long, nArm: Int,
+                             probeDfBudgetFrac: Double, k1: Double, b: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = TextOps.tfFrame(documents)
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1142,13 +1142,13 @@ object Similarity {
     * persisted-index path must equal this from-scratch relational
     * computation exactly (the s12 discipline applied to the fused
     * query). */
-  def hybridRrfIndexedOracle(maxQueryId: Long = 8, nArm: Int = 20,
-                             kOut: Int = 10, rrfK: Int = 60,
-                             probeDfBudgetFrac: Double = 2.0,
-                             nProbe: Int = 2): String = {
+  /** The IVF-probed vector-arm CTE tail (corpus top-1 assignment,
+    * query top-nProbe probing, cosine rank, self excluded), ending in
+    * `vec(q_id, doc_id, vec_rank)` — shared by the s18 and s24
+    * oracles so the index replay cannot drift between them. */
+  private def ivfVecArmCtes(maxQueryId: Long, nArm: Int, nProbe: Int): String = {
     val d = Dialect.duck
-    s"""WITH ${lexicalArmCtes(maxQueryId, nArm, probeDfBudgetFrac)},
-       $assignedCtes,
+    s"""$assignedCtes,
        qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
            ${normExpr(d, "embedding")} AS qn, cent_id AS cell
          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1162,9 +1162,108 @@ object Similarity {
        vec AS (SELECT q_id, doc_id, vec_rank FROM (
            SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, doc_id) AS vec_rank FROM vscored) t
-         WHERE vec_rank <= $nArm),
-       ${rrfFusionSql(kOut, rrfK)}"""
+         WHERE vec_rank <= $nArm)"""
   }
+
+  def hybridRrfIndexedOracle(maxQueryId: Long = 8, nArm: Int = 20,
+                             kOut: Int = 10, rrfK: Int = 60,
+                             probeDfBudgetFrac: Double = 2.0,
+                             nProbe: Int = 2): String =
+    s"""WITH ${lexicalArmCtes(maxQueryId, nArm, probeDfBudgetFrac)},
+       ${ivfVecArmCtes(maxQueryId, nArm, nProbe)},
+       ${rrfFusionSql(kOut, rrfK)}"""
+
+  // ---- s24: fully index-backed BM25 hybrid ----------------------------
+
+  /** s24: the hybrid stack with BOTH arms served by PERSISTED
+    * indexes — [[LexIndex]] postings/stats/doclens for the BM25
+    * lexical arm, [[VecIndex]] cell dirs for the vector arm — the
+    * composition a production RAG deployment actually runs: two
+    * dir-pruned index probes and a result-bounded fusion, the corpus
+    * scanned by NEITHER arm at query time (s18 still recomputed its
+    * lexical postings from the corpus; s24 retires that last scan).
+    * Probe scores are bit-identical to the from-scratch s23 arm
+    * (LexIndex's central contract), so the oracle is the same BM25
+    * SQL with the vector arm replayed through the IVF structure —
+    * the s12 discipline applied to the whole fused query. */
+  def hybridBm25Indexed(spark: org.apache.spark.sql.SparkSession,
+                        documents: DataFrame, embeddings: DataFrame,
+                        lexRoot: String, vecRoot: String,
+                        maxQueryId: Long = 8, nArm: Int = 20, kOut: Int = 10,
+                        rrfK: Int = 60, probeDfBudgetFrac: Double = 2.0,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = LexIndex.probe(spark, lexRoot,
+      documents.filter(col("doc_id") < maxQueryId),
+      nArm, probeDfBudgetFrac, k1, b)
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("embedding"))
+    val probed = VecIndex.probe(spark, vecRoot, queries,
+        k = nArm + 1, nProbe = nProbe)
+      .filter(col("neighbor_id") =!= col("q_id"))
+    val wRerank = Window.partitionBy(col("q_id")).orderBy(col("rank").asc)
+    val vecArm = probed
+      .withColumn("vec_rank", row_number().over(wRerank))
+      .filter(col("vec_rank") <= nArm)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"), col("vec_rank"))
+    rrfFusion(lex, vecArm, kOut, rrfK)
+  }
+
+  /** [[hybridBm25Indexed]] with both index lifecycles managed the s18
+    * way: each index is built ONCE per corpus into a temp root
+    * (bounded caches keyed on the scan stamps; uncacheable frames get
+    * ephemeral indexes torn down after materialization). */
+  def hybridBm25IndexedAuto(documents: DataFrame, embeddings: DataFrame,
+                            maxQueryId: Long = 8, nArm: Int = 20,
+                            kOut: Int = 10, rrfK: Int = 60,
+                            probeDfBudgetFrac: Double = 2.0,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    def buildVec(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-vecidx-s24").toString
+      VecIndex.build(spark, root,
+        embeddings.select(col("vec_id"), col("embedding")))
+      root
+    }
+    def buildLex(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-lexidx-s24").toString
+      LexIndex.build(spark, root, documents)
+      root
+    }
+    def rootFor(df: DataFrame, cache: Caching.BoundedCache[
+        (org.apache.spark.sql.SparkSession, String, Int), String],
+        key: Int, build: () => String): (String, Boolean) =
+      if (!Caching.bareScan(df)) (build(), true)
+      else {
+        val stamp = Caching.stamp(df)
+        if (stamp.isEmpty) (build(), true)
+        else (cache.getOrElseUpdate((spark, stamp, key))(build()), false)
+      }
+    // vec cache key -2: "s24 full-corpus" — disjoint from s12's
+    // batchMod keys and s18's -1 (same cache, never a collision)
+    val (vroot, vEphemeral) = rootFor(embeddings, vecIndexCache, -2, buildVec _)
+    val (lroot, lEphemeral) = rootFor(documents, lexIndexCache, 0, buildLex _)
+    val res = hybridBm25Indexed(spark, documents, embeddings, lroot, vroot,
+      maxQueryId, nArm, kOut, rrfK, probeDfBudgetFrac, k1, b, nProbe)
+    if (vEphemeral || lEphemeral) {
+      val out = res.localCheckpoint()
+      for ((eph, r) <- Seq(vEphemeral -> vroot, lEphemeral -> lroot) if eph)
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+        catch { case _: Exception => () }
+      out
+    } else res
+  }
+
+  def hybridBm25IndexedOracle(maxQueryId: Long = 8, nArm: Int = 20,
+                              kOut: Int = 10, rrfK: Int = 60,
+                              probeDfBudgetFrac: Double = 2.0,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              nProbe: Int = 2): String =
+    s"""WITH ${bm25ArmCtes(maxQueryId, nArm, probeDfBudgetFrac, k1, b)},
+       ${ivfVecArmCtes(maxQueryId, nArm, nProbe)},
+       ${rrfFusionSql(kOut, rrfK)}"""
 
   /** s13: RANGE (radius) search — all corpus vectors within a cosine
     * radius of each query, probed through the same IVF cell structure
@@ -2540,6 +2639,13 @@ object Similarity {
     * the build counter). Eviction DELETES the temp index dirs — the
     * d12 indexCache contract: on-disk tables, not GC-tracked blocks. */
   private val vecIndexCache =
+    new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4,
+      onEvict = root =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        catch { case _: Exception => () })
+
+  /** s24's per-corpus LEXICAL index roots — same eviction contract. */
+  private val lexIndexCache =
     new Caching.BoundedCache[(org.apache.spark.sql.SparkSession, String, Int), String](4,
       onEvict = root =>
         try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))

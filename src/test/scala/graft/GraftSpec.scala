@@ -348,6 +348,51 @@ class GraftSpec extends AnyFunSuite {
     assert((aDocs intersect bDocs).nonEmpty)
   }
 
+  test("s24 LexIndex: persisted-postings probe is BIT-IDENTICAL to the from-scratch BM25 arm; ingest re-weights globally") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{LexIndex, Similarity}
+    val docs = Tables.documents(spark, sf)
+    def armSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("lex_rank"))).toSet
+    // (1) the central contract: probe == from-scratch arm, exactly
+    val root1 = java.nio.file.Files.createTempDirectory("graft_lexidx").toString + "/ix"
+    LexIndex.build(spark, root1, docs)
+    val probed = LexIndex.probe(spark, root1, docs.filter(col("doc_id") < 8))
+    val scratch = Similarity.bm25Arm(docs, 8, 20, 2.0, 1.2, 0.75)
+    assert(armSet(probed) == armSet(scratch),
+      "index probe diverged from the from-scratch BM25 arm")
+
+    // (2) ingest re-weights GLOBALLY: build on 4/5 of the corpus,
+    // ingest the held-out 1/5 — df/avgdl/n_docs all shift, every
+    // doc's score legitimately changes, and the probe must equal a
+    // from-scratch build on the FULL corpus with no rescoring pass
+    val root2 = java.nio.file.Files.createTempDirectory("graft_lexidx2").toString + "/ix"
+    LexIndex.build(spark, root2, docs.filter(col("doc_id") % 5 =!= 0))
+    LexIndex.ingest(spark, root2, docs.filter(col("doc_id") % 5 === 0))
+    val probedGrown = LexIndex.probe(spark, root2, docs.filter(col("doc_id") < 8))
+    assert(armSet(probedGrown) == armSet(scratch),
+      "probe after ingest diverged from a from-scratch build on the grown corpus")
+
+    // (3) probe-only discipline (the d12 evidence): repeated s24 runs
+    // hit the cached indexes — no rebuild per query
+    val embs = Tables.embeddings(spark, sf)
+    Similarity.hybridBm25IndexedAuto(docs, embs).count()
+    val before = LexIndex.indexBuilds
+    Similarity.hybridBm25IndexedAuto(docs, embs).count()
+    assert(LexIndex.indexBuilds == before, "lexical index rebuilt instead of probed")
+
+    // (4) the corpus is not scanned at query time: a probe with an
+    // in-memory query frame must not touch documents.parquet
+    import spark.implicits._
+    val qframe = Seq((3L, "the of and")).toDF("doc_id", "text")
+    val qdf = LexIndex.probe(spark, root1, qframe)
+    qdf.collect()
+    val plan = qdf.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"probe read the corpus instead of the index:\n$plan")
+  }
+
   test("s15 impact pruning is LIVE: budgeted probe touches fewer postings, recall delta measured not assumed") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
