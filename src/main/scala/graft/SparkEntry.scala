@@ -171,6 +171,8 @@ object SparkEntry {
       Similarity.hybridBm25(Tables.documents(s, d), Tables.embeddings(s, d))),
     "s24_hybrid_lexindexed" -> ((s, d) =>
       Similarity.hybridBm25IndexedAuto(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "st15_stream_lex_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.streamLexIngestDrain(Tables.documents(s, d))),
     "s08_quantized_recall" -> ((s, d) =>
       Similarity.quantizedRecall(Tables.embeddings(s, d))),
     "q38_value_histogram" -> ((s, d) =>
@@ -552,6 +554,7 @@ object SparkEntry {
     "s18_hybrid_indexed" -> Similarity.hybridRrfIndexedOracle(),
     "s23_hybrid_bm25" -> Similarity.hybridBm25Oracle(),
     "s24_hybrid_lexindexed" -> Similarity.hybridBm25IndexedOracle(),
+    "st15_stream_lex_ingest" -> Similarity.streamLexIngestOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

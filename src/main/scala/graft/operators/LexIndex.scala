@@ -50,6 +50,11 @@ object LexIndex {
     * d12-style evidence that repeated retrieval runs are probe-only. */
   @volatile var indexBuilds: Long = 0L
 
+  /** Times [[ingest]] ran — the st15 spec's evidence that the
+    * streaming drain really fed the index one micro-batch per
+    * arrival commit. */
+  @volatile var ingests: Long = 0L
+
   /** Posting-list bucket count: probes open ≤ min(queryTerms, this)
     * dirs. 32 keeps test dirs readable; production sizes this so a
     * bucket dir is a few GB (the maxPartitionBytes split does the
@@ -62,6 +67,10 @@ object LexIndex {
   private def metaPath(root: String) = s"$root/_lex_meta"
 
   private def bucketCol = pmod(hash(col("term")), lit(NumBuckets)).cast("string")
+
+  /** doclens partition key: doc-id bucket, so [[delete]] rewrites only
+    * the victims' home buckets — never the whole doclen table. */
+  private def docBucketCol = pmod(hash(col("doc_id")), lit(NumBuckets)).cast("string")
 
   private def hfs(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -103,7 +112,8 @@ object LexIndex {
     VersionedTable.commit(spark, statsRoot(root), dfr, sv)
     val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dv = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(-1L)
-    VersionedTable.commit(spark, dlRoot(root), dls, dv)
+    VersionedTable.commitPartitioned(spark, dlRoot(root),
+      dls.withColumn("dbucket", docBucketCol), "dbucket", dv)
     val agg = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
     writeMeta(spark, root, documents.count(), agg.getAs[Long]("n"),
       agg.getAs[Long]("t"))
@@ -153,6 +163,7 @@ object LexIndex {
       try VersionedTable.readPartitions(spark, postRoot(root), buckets)
       catch { case _: java.io.FileNotFoundException => return empty }
     val dls = VersionedTable.read(spark, dlRoot(root))
+      .select(col("doc_id"), col("dl"))
     val avgdl = lit(totTok).cast("double") / lit(nDl).cast("double")
     val wLex = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -176,6 +187,85 @@ object LexIndex {
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
   }
 
+  /** DELETE documents from the index (the [[VecIndex.delete]]
+    * lifecycle op for the lexical side — GDPR erasure, retired corpus
+    * slices). Victims carry (doc_id, text) AS INGESTED: the tokenizer
+    * is deterministic, so each victim's postings buckets and doclen
+    * bucket are recomputed MAP-SIDE from its own text — no corpus
+    * scan to locate anything. Only buckets that actually hold a
+    * victim are rewritten (absent victims are a no-op — idempotent);
+    * df stats decrement by the present victims' term memberships
+    * (vocab-bounded rewrite, terms reaching df=0 leave the table);
+    * meta scalars drop by the present victims' exact counts. After
+    * delete, a probe scores the shrunken corpus with its NEW global
+    * weights — same resolve-at-probe-time property as [[ingest]],
+    * spec-pinned against a from-scratch build on corpus-minus-victims.
+    *
+    * Contract notes: victims must be passed as ingested (stale text
+    * would leave orphan postings). A victim with ZERO tokens occupies
+    * no postings/doclen state and its presence cannot be detected
+    * here, so its n_docs contribution persists — deleting tokenless
+    * docs exactly would need a doc registry (accept the one-count idf
+    * skew or rebuild). The three table commits are not one atomic
+    * transaction — delete is a maintenance op under the single-writer
+    * rule, like build. */
+  def delete(spark: SparkSession, root: String, victims: DataFrame): Unit = {
+    val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no lexical index built at $root"))
+    val vtf = TextOps.tfFrame(victims).localCheckpoint()
+    val buckets = vtf.select(bucketCol.as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (buckets.isEmpty) return
+    val slice =
+      try VersionedTable.readPartitions(spark, postRoot(root), buckets,
+                                        version = Some(pv))
+      catch { case _: java.io.FileNotFoundException => return }
+    val presentDocs = slice
+      .join(vtf.select(col("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val nPresent = presentDocs.count()
+    if (nPresent == 0) return
+    // postings: rewrite only buckets holding a victim row
+    val hitBuckets = slice.join(presentDocs, Seq("doc_id"))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val rewrite = slice.filter(col("bucket").isin(hitBuckets.toSeq: _*))
+      .join(presentDocs, Seq("doc_id"), "left_anti")
+    val hitEnc = hitBuckets.map(VersionedTable.encodePartition)
+    val carried = VersionedTable.entryPairsOf(spark, postRoot(root), pv)
+      .filterNot { case (_, p) => p.exists(hitEnc.contains) }
+    VersionedTable.commitPartitionedCarrying(
+      spark, postRoot(root), rewrite, "bucket", pv, carried)
+    // stats: df -= present victims' term memberships; df=0 rows leave
+    val dec = vtf.join(presentDocs, Seq("doc_id"))
+      .groupBy(col("term")).agg(count(lit(1)).as("dec"))
+    val old = VersionedTable.read(spark, statsRoot(root))
+    val newStats = old.join(dec, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val sv = VersionedTable.currentVersion(spark, statsRoot(root)).get
+    VersionedTable.commit(spark, statsRoot(root), newStats, sv)
+    // doclens: rewrite only the victims' home doc-buckets
+    val dv = VersionedTable.currentVersion(spark, dlRoot(root)).get
+    val dBuckets = presentDocs.select(docBucketCol.as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val dslice = VersionedTable.readPartitions(spark, dlRoot(root), dBuckets,
+                                               version = Some(dv))
+    val victimLens = dslice.join(presentDocs, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    val dRewrite = dslice.join(presentDocs, Seq("doc_id"), "left_anti")
+    val dEnc = dBuckets.map(VersionedTable.encodePartition).toSet
+    val dCarried = VersionedTable.entryPairsOf(spark, dlRoot(root), dv)
+      .filterNot { case (_, p) => p.exists(dEnc.contains) }
+    VersionedTable.commitPartitionedCarrying(
+      spark, dlRoot(root), dRewrite, "dbucket", dv, dCarried)
+    val (nDocs, nDl, totTok) = readMeta(spark, root)
+    writeMeta(spark, root, nDocs - nPresent,
+      nDl - victimLens.getAs[Long]("n"),
+      totTok - (if (victimLens.isNullAt(1)) 0L else victimLens.getAs[Long]("t")))
+  }
+
   /** Append a NEW document batch: O(batch) postings add-files into
     * the touched bucket dirs, O(batch) doclen appends, one
     * vocab-bounded stats rewrite (df = old + batch increments), meta
@@ -183,6 +273,7 @@ object LexIndex {
     * current global weights — no rescoring pass exists or is needed
     * (weights resolve at probe time). */
   def ingest(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
+    ingests += 1
     val ntf = TextOps.tfFrame(newDocs)
     val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(
       throw new IllegalStateException(s"no lexical index built at $root"))
@@ -198,7 +289,8 @@ object LexIndex {
     val ndl = ntf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
     val dv = VersionedTable.currentVersion(spark, dlRoot(root)).get
-    VersionedTable.append(spark, dlRoot(root), ndl, dv)
+    VersionedTable.appendPartitioned(spark, dlRoot(root),
+      ndl.withColumn("dbucket", docBucketCol), "dbucket", dv)
     val agg = ndl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
     val (nDocs, nDlOld, totTok) = readMeta(spark, root)
     writeMeta(spark, root, nDocs + newDocs.count(),

@@ -1256,6 +1256,18 @@ object Similarity {
     } else res
   }
 
+  /** st15 oracle: the streamed-ingest index must serve the SAME BM25
+    * ranking as a from-scratch arm over the whole corpus — the CTE
+    * text is s23's, only the projection changes (lexical ranks, no
+    * fusion: the row under test is index maintenance, not retrieval
+    * composition). */
+  def streamLexIngestOracle(maxQueryId: Long = 8, nArm: Int = 20,
+                            probeDfBudgetFrac: Double = 2.0,
+                            k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25ArmCtes(maxQueryId, nArm, probeDfBudgetFrac, k1, b)}
+       SELECT q_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank
+       FROM lex ORDER BY q_id, lex_rank"""
+
   def hybridBm25IndexedOracle(maxQueryId: Long = 8, nArm: Int = 20,
                               kOut: Int = 10, rrfK: Int = 60,
                               probeDfBudgetFrac: Double = 2.0,

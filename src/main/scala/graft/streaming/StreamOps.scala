@@ -710,6 +710,49 @@ object StreamOps {
       .orderBy(col("arrival_batch"), col("label"))
   }
 
+  /** st15: streaming LEXICAL-INDEX INGEST under the oracle gate —
+    * st12's discipline for the inverted index: a [[graft.operators.LexIndex]]
+    * seeded from doc_id%3==0 receives two arrival batches (%3==1 then
+    * %3==2; graft-table commits drained with maxVersionsPerTrigger=1
+    * → batch boundary == commit boundary), each micro-batch an
+    * O(batch) [[graft.operators.LexIndex.ingest]] (postings add-files
+    * + vocab-bounded stats merge). The drained index is then PROBED
+    * with the standard query docs; because BM25's global weights
+    * (df, avgdl, n_docs) resolve at probe time and the three batches
+    * partition the corpus, the result must equal the from-scratch
+    * BM25 arm on the WHOLE corpus bit-exactly — incremental ingest
+    * across commit-gated micro-batches converges to the batch answer
+    * (st01's equivalence discipline applied to index maintenance).
+    * DuckDB replays the full-corpus arm relationally
+    * (Similarity.streamLexIngestOracle). */
+  def streamLexIngestDrain(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import graft.operators.LexIndex
+    import graft.sources.VersionedTable
+    val work = java.nio.file.Files.createTempDirectory("graft-st15").toString
+    val idx = s"$work/lexindex"
+    val arrivals = s"$work/arrivals"
+    val docs = documents.select(col("doc_id"), col("text"))
+    LexIndex.build(spark, idx, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val v0 = VersionedTable.commit(spark, arrivals,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), -1L)
+    VersionedTable.append(spark, arrivals,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), v0)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(arrivals)
+      .writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        LexIndex.ingest(spark, idx, batch)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LexIndex.probe(spark, idx, documents.filter(col("doc_id") < 8))
+      .select(col("q_id"), col("doc_id"),
+              col("lex_rank").cast("long").as("lex_rank"))
+      .orderBy(col("q_id"), col("lex_rank"))
+  }
+
   val lakeCdcOracle: String =
     """WITH ch AS (
          SELECT o_orderkey, o_orderstatus,

@@ -393,6 +393,52 @@ class GraftSpec extends AnyFunSuite {
       s"probe read the corpus instead of the index:\n$plan")
   }
 
+  test("s24 LexIndex delete: partition-scoped erasure re-weights globally and is idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{LexIndex, Similarity}
+    val docs = Tables.documents(spark, sf)
+    def armSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("lex_rank"))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_lexdel").toString + "/ix"
+    LexIndex.build(spark, root, docs)
+    // tokenized victims, query docs kept (the delete contract: a
+    // zero-token victim has no detectable index state)
+    val victims = docs.filter(col("doc_id") % 7 === 3 &&
+      col("doc_id") >= 8 && col("n_chars") > 0)
+    LexIndex.delete(spark, root, victims)
+    val queries = docs.filter(col("doc_id") < 8)
+    val remaining = docs.join(victims.select(col("doc_id").as("v")),
+      col("doc_id") === col("v"), "left_anti").drop("v")
+    // after erasure the probe equals a FROM-SCRATCH build on
+    // corpus-minus-victims: df, avgdl and n_docs all shifted, every
+    // surviving doc re-weighted with no rescoring pass
+    val scratch = Similarity.bm25Arm(remaining, 8, 20, 2.0, 1.2, 0.75)
+    assert(armSet(LexIndex.probe(spark, root, queries)) == armSet(scratch),
+      "post-delete probe diverged from a from-scratch build on the shrunken corpus")
+    // idempotent: absent victims force no rewrite and no drift
+    LexIndex.delete(spark, root, victims)
+    assert(armSet(LexIndex.probe(spark, root, queries)) == armSet(scratch),
+      "re-deleting absent victims changed the index")
+  }
+
+  test("st15 streaming lex ingest: one micro-batch per arrival commit; drained index equals the batch arm") {
+    import graft.operators.{LexIndex, Similarity}
+    val docs = Tables.documents(spark, sf)
+    val before = LexIndex.ingests
+    val drained = SparkEntry.queries("st15_stream_lex_ingest")(spark, sf).collect()
+    // commit-gated draining: exactly one ingest per arrival commit
+    assert(LexIndex.ingests - before == 2,
+      s"expected 2 micro-batch ingests, saw ${LexIndex.ingests - before}")
+    // convergence: the incrementally-built index serves the same BM25
+    // ranking as the from-scratch arm on the whole corpus
+    val scratch = Similarity.bm25Arm(docs, 8, 20, 2.0, 1.2, 0.75).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"))
+    assert(drained.map(key).toSet == scratch.map(key).toSet,
+      "streamed index diverged from the batch BM25 arm")
+  }
+
   test("s15 impact pruning is LIVE: budgeted probe touches fewer postings, recall delta measured not assumed") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
