@@ -187,6 +187,18 @@ object LexIndex {
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
   }
 
+  /** Fold each bucket's append-fragmented dir CHAIN back into one dir
+    * per bucket (small-file hygiene after an ingest run — the
+    * [[graft.sources.VersionedTable.compactPartitioned]] contract:
+    * cost scales with the FRAGMENTED buckets, untouched buckets carry
+    * byte-for-byte; history stays time-travelable). Probe results are
+    * unchanged by construction — compaction moves bytes, not rows. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    VersionedTable.compactPartitioned(spark, postRoot(root))
+    VersionedTable.compactPartitioned(spark, dlRoot(root))
+    ()
+  }
+
   /** DELETE documents from the index (the [[VecIndex.delete]]
     * lifecycle op for the lexical side — GDPR erasure, retired corpus
     * slices). Victims carry (doc_id, text) AS INGESTED: the tokenizer

@@ -420,6 +420,10 @@ class GraftSpec extends AnyFunSuite {
     LexIndex.delete(spark, root, victims)
     assert(armSet(LexIndex.probe(spark, root, queries)) == armSet(scratch),
       "re-deleting absent victims changed the index")
+    // compaction folds ingest/delete fragmentation, moves no rows
+    LexIndex.compact(spark, root)
+    assert(armSet(LexIndex.probe(spark, root, queries)) == armSet(scratch),
+      "compaction changed probe results")
   }
 
   test("st15 streaming lex ingest: one micro-batch per arrival commit; drained index equals the batch arm") {
