@@ -64,8 +64,14 @@ object Bench {
     // st04...; full names are in SURVEY.md §2 / CORRECTNESS_r*.json).
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-query at 2 dp: the driver's tail window is 2000 chars and
+    // the 155-query line at 3 dp measured 1963 — one more operator
+    // would overflow. 10 ms resolution is ample for drift detection
+    // (min-of-N already absorbs more noise than that).
+    def fmtQ(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json =
