@@ -426,6 +426,36 @@ class GraftSpec extends AnyFunSuite {
       "compaction changed probe results")
   }
 
+  test("s24 LexIndex probe is DIR-PRUNED: only the query terms' bucket dirs are opened") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.LexIndex
+    val docs = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_lexdp").toString + "/ix"
+    LexIndex.build(spark, root, docs)
+    // a single short query doc: its few terms map to a few buckets —
+    // the probe must open THOSE postings dirs and no others (the
+    // posting-lists-are-partition-dirs claim, checked on actual IO)
+    import spark.implicits._
+    val qtext = docs.filter(col("doc_id") === 3L)
+      .select(col("text")).head.getString(0).split(" ").take(3).mkString(" ")
+    val qframe = Seq((3L, qtext)).toDF("doc_id", "text")
+    val probed = LexIndex.probe(spark, root, qframe)
+    probed.collect()
+    val postingFiles = probed.inputFiles.filter(_.contains("/postings/"))
+    assert(postingFiles.nonEmpty, "probe read no postings files")
+    val openedBuckets = postingFiles.flatMap(
+      "__graft_p=([0-9]+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    val termBuckets = qframe
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(pmod(hash(col("term")), lit(LexIndex.NumBuckets)).cast("string").as("b"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(openedBuckets.subsetOf(termBuckets),
+      s"probe opened non-query buckets: $openedBuckets vs terms' $termBuckets")
+    assert(openedBuckets.size < LexIndex.NumBuckets,
+      "probe opened every bucket — dir pruning is not happening")
+  }
+
   test("st15 streaming lex ingest: one micro-batch per arrival commit; drained index equals the batch arm") {
     import graft.operators.{LexIndex, Similarity}
     val docs = Tables.documents(spark, sf)
