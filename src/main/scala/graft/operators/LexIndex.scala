@@ -12,19 +12,25 @@ import graft.sources.VersionedTable
   * postings from the corpus scan on every query; at 100 TB the
   * postings ARE the asset. Three [[VersionedTable]]s under one root:
   *
-  *  - `<root>/postings`: (term, doc_id, tf) partition-native on
+  *  - `<root>/postings`: (term, doc_id, tf, dl) partition-native on
   *    `bucket = pmod(hash(term), NumBuckets)` — THE POSTING LISTS ARE
   *    PARTITION DIRS: a probe computes its query terms' buckets and
   *    opens only those dirs (dir-pruned IO before any scan), the
-  *    VecIndex discipline applied to terms. Rows are immutable facts;
-  *    appends are O(batch) add-file commits into touched buckets.
+  *    VecIndex discipline applied to terms. The doc length `dl` is
+  *    DENORMALIZED onto every posting (the forward-index trick), so
+  *    the probe's BM25 length norm never scans a corpus-sized side
+  *    table; dl is per-doc immutable (delete+reingest is the update
+  *    path), so no anomaly. Rows are immutable facts; appends are
+  *    O(batch) add-file commits into touched buckets.
   *  - `<root>/stats`: (term, df) — document frequencies, vocab-
-  *    bounded (Heaps' law: ~V(N) ≪ N rows). Ingest REWRITES this
-  *    table (one commit, vocab-bounded — the documented cost; the
-  *    delta alternative of df-increment dirs would push the merge
-  *    into every probe).
-  *  - `<root>/doclens`: (doc_id, dl) — per-doc token counts for the
-  *    BM25 length norm, appended O(batch).
+  *    bounded (Heaps' law: ~V(N) ≪ N rows), partition-native on the
+  *    SAME term bucket: probes dir-prune the df lookup to their own
+  *    terms' buckets, and ingest/delete rewrite ONLY the buckets a
+  *    batch's terms touch (the rest of the vocab carries
+  *    byte-for-byte).
+  *  - `<root>/doclens`: (doc_id, dl) partition-native on a doc-id
+  *    bucket — the delete-accounting registry (not in the query
+  *    path), appended O(batch), erased partition-scoped.
   *
   * Corpus scalars (n_docs, doclen rows, total tokens) live in a meta
   * sidecar as exact LONGS — the probe recomputes avgdl with the same
@@ -104,13 +110,24 @@ object LexIndex {
   def build(spark: SparkSession, root: String, documents: DataFrame): Unit = {
     indexBuilds += 1
     val tf = TextOps.tfFrame(documents)
+    val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    // dl DENORMALIZED into every posting row (the forward-index trick
+    // real engines use): the probe's length norm reads it off the
+    // posting itself — no corpus-sized doclens scan+join per query.
+    // dl is a per-doc immutable fact (a doc's text never changes in
+    // place — delete+reingest is the update path), so there is no
+    // update anomaly; the cost is 8 bytes per posting.
     val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(-1L)
     VersionedTable.commitPartitioned(spark, postRoot(root),
-      tf.withColumn("bucket", bucketCol), "bucket", pv)
+      tf.join(dls, Seq("doc_id")).withColumn("bucket", bucketCol), "bucket", pv)
+    // stats partition-native on the SAME term bucket: a probe
+    // dir-prunes the df lookup to its query terms' buckets instead of
+    // scanning the vocab table
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val sv = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(-1L)
-    VersionedTable.commit(spark, statsRoot(root), dfr, sv)
-    val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    VersionedTable.commitPartitioned(spark, statsRoot(root),
+      dfr.withColumn("bucket", bucketCol), "bucket", sv)
     val dv = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(-1L)
     VersionedTable.commitPartitioned(spark, dlRoot(root),
       dls.withColumn("dbucket", docBucketCol), "dbucket", dv)
@@ -141,7 +158,19 @@ object LexIndex {
     val (nDocs, nDl, totTok) = readMeta(spark, root)
     val qtf = TextOps.tfFrame(queryDocs)
       .select(col("doc_id").as("q_id"), col("term"), col("tf").as("tfq"))
-    val stats = VersionedTable.read(spark, statsRoot(root))
+      .localCheckpoint()
+    // df lookup is dir-pruned too: ALL query terms' buckets (the
+    // budget window needs every term's df before it prunes), still
+    // bounded by the query's own term count — never a vocab scan
+    val qBuckets = qtf.select(bucketCol.as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val emptyEarly = qtf.select(col("q_id"), col("q_id").as("doc_id"),
+      lit(0L).as("lex_rank")).limit(0)
+    if (qBuckets.isEmpty) return emptyEarly
+    val stats =
+      try VersionedTable.readPartitions(spark, statsRoot(root), qBuckets)
+            .select(col("term"), col("df"))
+      catch { case _: java.io.FileNotFoundException => return emptyEarly }
     val wBudget = Window.partitionBy(col("q_id"))
       .orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -162,14 +191,12 @@ object LexIndex {
     val postings =
       try VersionedTable.readPartitions(spark, postRoot(root), buckets)
       catch { case _: java.io.FileNotFoundException => return empty }
-    val dls = VersionedTable.read(spark, dlRoot(root))
-      .select(col("doc_id"), col("dl"))
     val avgdl = lit(totTok).cast("double") / lit(nDl).cast("double")
     val wLex = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    postings.select(col("term"), col("doc_id"), col("tf"))
+    // dl rides each posting row — no doclens read in the query path
+    postings.select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .join(qw, Seq("term")).filter(col("doc_id") =!= col("q_id"))
-      .join(dls, Seq("doc_id"))
       .withColumn("contrib",
         col("idf") *
         (col("tf").cast("double") * lit(k1 + 1.0)) /
@@ -195,6 +222,7 @@ object LexIndex {
     * unchanged by construction — compaction moves bytes, not rows. */
   def compact(spark: SparkSession, root: String): Unit = {
     VersionedTable.compactPartitioned(spark, postRoot(root))
+    VersionedTable.compactPartitioned(spark, statsRoot(root))
     VersionedTable.compactPartitioned(spark, dlRoot(root))
     ()
   }
@@ -248,16 +276,30 @@ object LexIndex {
       .filterNot { case (_, p) => p.exists(hitEnc.contains) }
     VersionedTable.commitPartitionedCarrying(
       spark, postRoot(root), rewrite, "bucket", pv, carried)
-    // stats: df -= present victims' term memberships; df=0 rows leave
+    // stats: df -= present victims' term memberships, df=0 rows leave
+    // — partition-SCOPED like ingest's merge (only the victims'
+    // term buckets are rewritten)
     val dec = vtf.join(presentDocs, Seq("doc_id"))
       .groupBy(col("term")).agg(count(lit(1)).as("dec"))
-    val old = VersionedTable.read(spark, statsRoot(root))
-    val newStats = old.join(dec, Seq("term"), "left")
-      .select(col("term"),
-        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
+      .localCheckpoint()
+    val decBuckets = dec.select(bucketCol.as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
     val sv = VersionedTable.currentVersion(spark, statsRoot(root)).get
-    VersionedTable.commit(spark, statsRoot(root), newStats, sv)
+    if (decBuckets.nonEmpty) {
+      val oldSlice = VersionedTable.readPartitions(
+        spark, statsRoot(root), decBuckets, version = Some(sv))
+        .select(col("term"), col("df"))
+      val newStats = oldSlice.join(dec, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .withColumn("bucket", bucketCol)
+      val decEnc = decBuckets.map(VersionedTable.encodePartition).toSet
+      val sCarried = VersionedTable.entryPairsOf(spark, statsRoot(root), sv)
+        .filterNot { case (_, p) => p.exists(decEnc.contains) }
+      VersionedTable.commitPartitionedCarrying(
+        spark, statsRoot(root), newStats, "bucket", sv, sCarried)
+    }
     // doclens: rewrite only the victims' home doc-buckets
     val dv = VersionedTable.currentVersion(spark, dlRoot(root)).get
     val dBuckets = presentDocs.select(docBucketCol.as("b")).distinct()
@@ -287,19 +329,38 @@ object LexIndex {
   def ingest(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
     ingests += 1
     val ntf = TextOps.tfFrame(newDocs)
+    if (ntf.isEmpty) { // an all-tokenless batch still counts as docs
+      val (nDocs0, nDl0, tot0) = readMeta(spark, root)
+      writeMeta(spark, root, nDocs0 + newDocs.count(), nDl0, tot0)
+      return
+    }
+    val ndl = ntf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
     val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(
       throw new IllegalStateException(s"no lexical index built at $root"))
     VersionedTable.appendPartitioned(spark, postRoot(root),
-      ntf.withColumn("bucket", bucketCol), "bucket", pv)
+      ntf.join(ndl, Seq("doc_id")).withColumn("bucket", bucketCol), "bucket", pv)
+    // df merge, partition-SCOPED: only buckets holding a batch term
+    // are rewritten; the rest of the vocab carries byte-for-byte
     val inc = ntf.groupBy(col("term")).agg(count(lit(1)).as("dfi"))
-    val old = VersionedTable.read(spark, statsRoot(root))
-    val merged = old.join(inc, Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("dfi"), lit(0L))).as("df"))
-    val sv = VersionedTable.currentVersion(spark, statsRoot(root)).get
-    VersionedTable.commit(spark, statsRoot(root), merged, sv)
-    val ndl = ntf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
+    val hitBuckets = inc.select(bucketCol.as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val sv = VersionedTable.currentVersion(spark, statsRoot(root)).get
+    if (hitBuckets.nonEmpty) {
+      val oldSlice = VersionedTable.readPartitions(
+        spark, statsRoot(root), hitBuckets, version = Some(sv))
+        .select(col("term"), col("df"))
+      val merged = oldSlice.join(inc, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("dfi"), lit(0L))).as("df"))
+        .withColumn("bucket", bucketCol)
+      val hitEnc = hitBuckets.map(VersionedTable.encodePartition).toSet
+      val carried = VersionedTable.entryPairsOf(spark, statsRoot(root), sv)
+        .filterNot { case (_, p) => p.exists(hitEnc.contains) }
+      VersionedTable.commitPartitionedCarrying(
+        spark, statsRoot(root), merged, "bucket", sv, carried)
+    }
     val dv = VersionedTable.currentVersion(spark, dlRoot(root)).get
     VersionedTable.appendPartitioned(spark, dlRoot(root),
       ndl.withColumn("dbucket", docBucketCol), "dbucket", dv)
