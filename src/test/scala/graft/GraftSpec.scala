@@ -454,6 +454,13 @@ class GraftSpec extends AnyFunSuite {
       s"probe opened non-query buckets: $openedBuckets vs terms' $termBuckets")
     assert(openedBuckets.size < LexIndex.NumBuckets,
       "probe opened every bucket — dir pruning is not happening")
+    // the corpus-sized doclens table is NOT in the query path at all
+    // (dl rides the postings). The stats read is dir-pruned the same
+    // way structurally (readPartitions over the query terms' buckets)
+    // but sits behind the budget frame's localCheckpoint, so its
+    // files don't surface in this lineage.
+    assert(!probed.inputFiles.exists(_.contains("/doclens/")),
+      "probe read the doclens table — the length norm should ride the postings")
   }
 
   test("st15 streaming lex ingest: one micro-batch per arrival commit; drained index equals the batch arm") {
