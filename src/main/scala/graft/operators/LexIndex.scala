@@ -139,18 +139,18 @@ object LexIndex {
   /** BM25 top-`nArm` per query doc over ONLY the probed buckets'
     * partition dirs. Query terms come from the query docs' own text
     * (the s15 query-by-document shape); df/budget/idf resolve against
-    * the PERSISTED stats, candidate postings against the opened
-    * bucket dirs, length norm against the persisted doclens — the
-    * corpus itself is never read. Scores are bit-identical to the
-    * from-scratch [[Similarity.hybridBm25]] arm: same kernels, same
-    * fold order, same 6-dp round-then-rank.
+    * the PERSISTED stats (dir-pruned to the query terms' buckets);
+    * the length norm rides the postings rows themselves — neither the
+    * corpus nor any corpus-sized side table is read at query time.
+    * Scores are bit-identical to the from-scratch
+    * [[Similarity.hybridBm25]] arm: same kernels, same fold order,
+    * same 6-dp round-then-rank.
     *
-    * Scale shape: stats join is vocab-bounded; surviving terms'
-    * buckets (≤ query terms) drive the dir-pruned read; the postings
-    * join touches ≤ budget·n_docs rows per query by the same budget
-    * window; doclens joins hint-free (corpus-sized — the d10 AQE
-    * rule); per-pair fold and rank are result-bounded. Driver-side
-    * collect = the distinct bucket list, bounded by query terms. */
+    * Scale shape: both index reads are dir-pruned by the query's own
+    * term buckets; the postings join touches ≤ budget·n_docs rows per
+    * query by the same budget window; per-pair fold and rank are
+    * result-bounded. Driver-side collects = the distinct bucket
+    * lists, bounded by query terms. */
   def probe(spark: SparkSession, root: String, queryDocs: DataFrame,
             nArm: Int = 20, probeDfBudgetFrac: Double = 2.0,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
