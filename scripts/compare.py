@@ -30,7 +30,15 @@ MARKER_A = "FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_
 MARKER_B = "FROM reach GROUP BY a)"
 INNER = re.compile(r"\b(sh|sig|bands|pairs|dup|edges|reach)\b")
 
+# set by prepare_shared: d07's exact CTE-prefix text up to each marker.
+# rewrite_shared swaps a prefix ONLY when it is byte-identical to
+# d07's — an oracle embedding the chain with different parameters but
+# the same trailing marker must run full, not silently verify against
+# d07's materialization.
+PREFIX_A = PREFIX_B = None
+
 def prepare_shared(con, oracle):
+    global PREFIX_A, PREFIX_B
     d07 = oracle.get("d07_dedup_clusters")
     if not d07 or MARKER_A not in d07 or MARKER_B not in d07:
         return False
@@ -42,16 +50,21 @@ def prepare_shared(con, oracle):
     con.execute("CREATE TEMP TABLE cl_mat AS WITH RECURSIVE verified AS "
                 "(SELECT * FROM verified_mat)" + rest[:ib] +
                 " SELECT doc_id, cluster_id FROM cl")
+    PREFIX_A = d07[:ia]
+    PREFIX_B = d07[:ia + ib]
     return True
 
 def rewrite_shared(sql):
     if MARKER_B in sql:
-        suffix = sql.split(MARKER_B, 1)[1]
-        if not INNER.search(suffix) and "verified" not in suffix:
+        prefix, suffix = sql.split(MARKER_B, 1)
+        prefix += MARKER_B
+        if (prefix == PREFIX_B and not INNER.search(suffix)
+                and "verified" not in suffix):
             return "WITH RECURSIVE cl AS (SELECT * FROM cl_mat)" + suffix
     if MARKER_A in sql:
-        suffix = sql.split(MARKER_A, 1)[1]
-        if not INNER.search(suffix):
+        prefix, suffix = sql.split(MARKER_A, 1)
+        prefix += MARKER_A
+        if prefix == PREFIX_A and not INNER.search(suffix):
             return "WITH RECURSIVE verified AS (SELECT * FROM verified_mat)" + suffix
     return sql
 

@@ -32,10 +32,20 @@ import graft.sources.VersionedTable
   *    bucket — the delete-accounting registry (not in the query
   *    path), appended O(batch), erased partition-scoped.
   *
-  * Corpus scalars (n_docs, doclen rows, total tokens) live in a meta
-  * sidecar as exact LONGS — the probe recomputes avgdl with the same
-  * double division as the from-scratch arm, so scores are
-  * bit-identical to [[Similarity.hybridBm25]]'s (the central
+  * Corpus scalars (n_docs, doclen rows, total tokens) AND the three
+  * tables' pinned versions live in a MANIFEST (`_lex_meta`) written
+  * atomically (temp file + rename-with-overwrite) as the LAST step of
+  * every mutation. The manifest is the index's consistency point:
+  * a probe reads it ONCE and reads every table AT the pinned version,
+  * so a probe concurrent with build/ingest/delete sees a wholly-old
+  * or wholly-new snapshot — never new postings with stale
+  * df/n_docs/avgdl, and never a torn scalar file. A mutation that
+  * crashes between its table commits and the manifest flip leaves
+  * only ORPHAN versions no probe can reach; the next successful
+  * mutation supersedes them (it carries forward the MANIFEST-pinned
+  * entry lists, not the orphan head's). The probe recomputes avgdl
+  * with the same double division as the from-scratch arm, so scores
+  * are bit-identical to [[Similarity.hybridBm25]]'s (the central
   * contract, spec-pinned: probe == from-scratch BM25 on every score).
   *
   * BM25's global weights (df, avgdl, n_docs) drift with every ingest;
@@ -82,24 +92,55 @@ object LexIndex {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
-  private def readMeta(spark: SparkSession, root: String): (Long, Long, Long) = {
+  /** The index's atomic consistency point: the three tables' pinned
+    * versions + the corpus scalars + the streaming sink's idempotence
+    * marker, flipped in ONE rename. `txn` is the (appId, batchId) of
+    * the last [[ingest]] that carried one — the lastTxnBatch analogue
+    * for an index whose "commit" is the manifest, not a table version. */
+  private[graft] final case class Manifest(
+      postingsV: Long, statsV: Long, doclensV: Long,
+      nDocs: Long, nDoclens: Long, totalTokens: Long,
+      txn: Option[(String, Long)])
+
+  private[graft] def readManifest(spark: SparkSession, root: String): Manifest = {
     val f = hfs(spark, root)
     val in = f.open(new org.apache.hadoop.fs.Path(metaPath(root)))
     val kv = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       .split("\n").map(_.trim).filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k -> v.toLong }.toMap
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
     finally in.close()
-    (kv("n_docs"), kv("n_doclens"), kv("total_tokens"))
+    Manifest(kv("postings_v").toLong, kv("stats_v").toLong,
+      kv("doclens_v").toLong, kv("n_docs").toLong, kv("n_doclens").toLong,
+      kv("total_tokens").toLong,
+      kv.get("txn_app").map(a =>
+        (java.net.URLDecoder.decode(a, "UTF-8"), kv("txn_batch").toLong)))
   }
 
-  private def writeMeta(spark: SparkSession, root: String, nDocs: Long,
-                        nDoclens: Long, totalTokens: Long): Unit = {
+  /** Atomic manifest flip: write a temp file, rename over the live
+    * path with OVERWRITE (atomic on HDFS and POSIX — a concurrent
+    * [[readManifest]] sees the old file or the new one, never a
+    * half-written mix). */
+  private def writeManifest(spark: SparkSession, root: String,
+                            m: Manifest): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(metaPath(root))
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath(root) + ".tmp-" + java.util.UUID.randomUUID())
     val f = hfs(spark, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)), true)
+    val out = f.create(tmp, true)
+    val txnLines = m.txn.fold("") { case (a, b) =>
+      s"txn_app=${java.net.URLEncoder.encode(a, "UTF-8")}\ntxn_batch=$b\n" }
     try out.write(
-      s"n_docs=$nDocs\nn_doclens=$nDoclens\ntotal_tokens=$totalTokens\n"
-        .getBytes("UTF-8"))
+      (s"postings_v=${m.postingsV}\nstats_v=${m.statsV}\n" +
+       s"doclens_v=${m.doclensV}\nn_docs=${m.nDocs}\n" +
+       s"n_doclens=${m.nDoclens}\ntotal_tokens=${m.totalTokens}\n" +
+       txnLines).getBytes("UTF-8"))
     finally out.close()
+    val fc = try org.apache.hadoop.fs.FileContext.getFileContext(
+        new java.net.URI(root), conf)
+      catch { case _: Exception =>
+        org.apache.hadoop.fs.FileContext.getFileContext(conf) }
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Build (or rebuild) the index from a corpus: one tokenize pass
@@ -118,22 +159,25 @@ object LexIndex {
     // dl is a per-doc immutable fact (a doc's text never changes in
     // place — delete+reingest is the update path), so there is no
     // update anomaly; the cost is 8 bytes per posting.
-    val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(-1L)
-    VersionedTable.commitPartitioned(spark, postRoot(root),
-      tf.join(dls, Seq("doc_id")).withColumn("bucket", bucketCol), "bucket", pv)
+    val pv0 = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(-1L)
+    val pv = VersionedTable.commitPartitioned(spark, postRoot(root),
+      tf.join(dls, Seq("doc_id")).withColumn("bucket", bucketCol), "bucket", pv0)
     // stats partition-native on the SAME term bucket: a probe
     // dir-prunes the df lookup to its query terms' buckets instead of
     // scanning the vocab table
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val sv = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(-1L)
-    VersionedTable.commitPartitioned(spark, statsRoot(root),
-      dfr.withColumn("bucket", bucketCol), "bucket", sv)
-    val dv = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(-1L)
-    VersionedTable.commitPartitioned(spark, dlRoot(root),
-      dls.withColumn("dbucket", docBucketCol), "dbucket", dv)
+    val sv0 = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(-1L)
+    val sv = VersionedTable.commitPartitioned(spark, statsRoot(root),
+      dfr.withColumn("bucket", bucketCol), "bucket", sv0)
+    val dv0 = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(-1L)
+    val dv = VersionedTable.commitPartitioned(spark, dlRoot(root),
+      dls.withColumn("dbucket", docBucketCol), "dbucket", dv0)
     val agg = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
-    writeMeta(spark, root, documents.count(), agg.getAs[Long]("n"),
-      agg.getAs[Long]("t"))
+    // manifest flips LAST: until this rename, probes keep reading the
+    // previous pinned snapshot (or nothing, on a first build); a txn
+    // marker from a prior index generation dies with the rebuild
+    writeManifest(spark, root, Manifest(pv, sv, dv,
+      documents.count(), agg.getAs[Long]("n"), agg.getAs[Long]("t"), None))
   }
 
   /** BM25 top-`nArm` per query doc over ONLY the probed buckets'
@@ -150,12 +194,18 @@ object LexIndex {
     * term buckets; the postings join touches ≤ budget·n_docs rows per
     * query by the same budget window; per-pair fold and rank are
     * result-bounded. Driver-side collects = the distinct bucket
-    * lists, bounded by query terms. */
+    * lists, bounded by query terms.
+    *
+    * Snapshot consistency: ONE manifest read pins stats version,
+    * postings version, and every scalar for the whole probe — a
+    * concurrent ingest/delete (the serve-while-append pattern) cannot
+    * mix its new postings into this probe's stale weights. */
   def probe(spark: SparkSession, root: String, queryDocs: DataFrame,
             nArm: Int = 20, probeDfBudgetFrac: Double = 2.0,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (nDocs, nDl, totTok) = readMeta(spark, root)
+    val man = readManifest(spark, root)
+    val (nDocs, nDl, totTok) = (man.nDocs, man.nDoclens, man.totalTokens)
     val qtf = TextOps.tfFrame(queryDocs)
       .select(col("doc_id").as("q_id"), col("term"), col("tf").as("tfq"))
       .localCheckpoint()
@@ -168,7 +218,8 @@ object LexIndex {
       lit(0L).as("lex_rank")).limit(0)
     if (qBuckets.isEmpty) return emptyEarly
     val stats =
-      try VersionedTable.readPartitions(spark, statsRoot(root), qBuckets)
+      try VersionedTable.readPartitions(spark, statsRoot(root), qBuckets,
+                                        version = Some(man.statsV))
             .select(col("term"), col("df"))
       catch { case _: java.io.FileNotFoundException => return emptyEarly }
     val wBudget = Window.partitionBy(col("q_id"))
@@ -189,7 +240,8 @@ object LexIndex {
       lit(0L).as("lex_rank")).limit(0)
     if (buckets.isEmpty) return empty
     val postings =
-      try VersionedTable.readPartitions(spark, postRoot(root), buckets)
+      try VersionedTable.readPartitions(spark, postRoot(root), buckets,
+                                        version = Some(man.postingsV))
       catch { case _: java.io.FileNotFoundException => return empty }
     val avgdl = lit(totTok).cast("double") / lit(nDl).cast("double")
     val wLex = Window.partitionBy(col("q_id"))
@@ -209,7 +261,9 @@ object LexIndex {
         expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
                  (acc, s) -> acc + s.contrib)"""), 6))
       .select(col("q_id"), col("doc_id"), col("score"))
-      .withColumn("lex_rank", row_number().over(wLex))
+      // long on BOTH exits: the empty early-returns emit lit(0L), so
+      // the ranked path must not leak row_number's IntegerType
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .filter(col("lex_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
   }
@@ -219,12 +273,25 @@ object LexIndex {
     * [[graft.sources.VersionedTable.compactPartitioned]] contract:
     * cost scales with the FRAGMENTED buckets, untouched buckets carry
     * byte-for-byte; history stays time-travelable). Probe results are
-    * unchanged by construction — compaction moves bytes, not rows. */
+    * unchanged by construction — compaction moves bytes, not rows;
+    * the manifest re-pins to the compacted versions (scalars and the
+    * streaming txn marker carry unchanged). Refuses to run over
+    * orphan versions left by a crashed mutation (compacting the raw
+    * head would fold orphan data in) — a subsequent ingest/delete
+    * supersedes orphans, after which compact is legal again. */
   def compact(spark: SparkSession, root: String): Unit = {
-    VersionedTable.compactPartitioned(spark, postRoot(root))
-    VersionedTable.compactPartitioned(spark, statsRoot(root))
-    VersionedTable.compactPartitioned(spark, dlRoot(root))
-    ()
+    val man = readManifest(spark, root)
+    def headOf(r: String) = VersionedTable.currentVersion(spark, r).getOrElse(-1L)
+    require(headOf(postRoot(root)) == man.postingsV &&
+            headOf(statsRoot(root)) == man.statsV &&
+            headOf(dlRoot(root)) == man.doclensV,
+      s"orphan versions ahead of the manifest at $root — run an ingest or " +
+      "delete (which supersedes them) before compacting")
+    val pv = VersionedTable.compactPartitioned(spark, postRoot(root))
+    val sv = VersionedTable.compactPartitioned(spark, statsRoot(root))
+    val dv = VersionedTable.compactPartitioned(spark, dlRoot(root))
+    writeManifest(spark, root,
+      man.copy(postingsV = pv, statsV = sv, doclensV = dv))
   }
 
   /** DELETE documents from the index (the [[VecIndex.delete]]
@@ -247,11 +314,14 @@ object LexIndex {
     * here, so its n_docs contribution persists — deleting tokenless
     * docs exactly would need a doc registry (accept the one-count idf
     * skew or rebuild). The three table commits are not one atomic
-    * transaction — delete is a maintenance op under the single-writer
-    * rule, like build. */
+    * transaction, but the MANIFEST flip is: probes keep the old
+    * snapshot until the last rename, and a crash mid-delete leaves
+    * only orphan versions the next mutation supersedes (everything
+    * here reads and carries from the manifest-pinned versions, never
+    * the raw head). Single-writer rule for mutations, like build. */
   def delete(spark: SparkSession, root: String, victims: DataFrame): Unit = {
-    val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(
-      throw new IllegalStateException(s"no lexical index built at $root"))
+    val man = readManifest(spark, root)
+    val pv = man.postingsV
     val vtf = TextOps.tfFrame(victims).localCheckpoint()
     val buckets = vtf.select(bucketCol.as("b")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
@@ -274,8 +344,9 @@ object LexIndex {
     val hitEnc = hitBuckets.map(VersionedTable.encodePartition)
     val carried = VersionedTable.entryPairsOf(spark, postRoot(root), pv)
       .filterNot { case (_, p) => p.exists(hitEnc.contains) }
-    VersionedTable.commitPartitionedCarrying(
-      spark, postRoot(root), rewrite, "bucket", pv, carried)
+    val pHead = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(pv)
+    val newPv = VersionedTable.commitPartitionedCarrying(
+      spark, postRoot(root), rewrite, "bucket", pHead, carried)
     // stats: df -= present victims' term memberships, df=0 rows leave
     // — partition-SCOPED like ingest's merge (only the victims'
     // term buckets are rewritten)
@@ -284,8 +355,8 @@ object LexIndex {
       .localCheckpoint()
     val decBuckets = dec.select(bucketCol.as("b")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val sv = VersionedTable.currentVersion(spark, statsRoot(root)).get
-    if (decBuckets.nonEmpty) {
+    val sv = man.statsV
+    val newSv = if (decBuckets.isEmpty) sv else {
       val oldSlice = VersionedTable.readPartitions(
         spark, statsRoot(root), decBuckets, version = Some(sv))
         .select(col("term"), col("df"))
@@ -297,11 +368,12 @@ object LexIndex {
       val decEnc = decBuckets.map(VersionedTable.encodePartition).toSet
       val sCarried = VersionedTable.entryPairsOf(spark, statsRoot(root), sv)
         .filterNot { case (_, p) => p.exists(decEnc.contains) }
+      val sHead = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(sv)
       VersionedTable.commitPartitionedCarrying(
-        spark, statsRoot(root), newStats, "bucket", sv, sCarried)
+        spark, statsRoot(root), newStats, "bucket", sHead, sCarried)
     }
     // doclens: rewrite only the victims' home doc-buckets
-    val dv = VersionedTable.currentVersion(spark, dlRoot(root)).get
+    val dv = man.doclensV
     val dBuckets = presentDocs.select(docBucketCol.as("b")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val dslice = VersionedTable.readPartitions(spark, dlRoot(root), dBuckets,
@@ -312,42 +384,72 @@ object LexIndex {
     val dEnc = dBuckets.map(VersionedTable.encodePartition).toSet
     val dCarried = VersionedTable.entryPairsOf(spark, dlRoot(root), dv)
       .filterNot { case (_, p) => p.exists(dEnc.contains) }
-    VersionedTable.commitPartitionedCarrying(
-      spark, dlRoot(root), dRewrite, "dbucket", dv, dCarried)
-    val (nDocs, nDl, totTok) = readMeta(spark, root)
-    writeMeta(spark, root, nDocs - nPresent,
-      nDl - victimLens.getAs[Long]("n"),
-      totTok - (if (victimLens.isNullAt(1)) 0L else victimLens.getAs[Long]("t")))
+    val dHead = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(dv)
+    val newDv = VersionedTable.commitPartitionedCarrying(
+      spark, dlRoot(root), dRewrite, "dbucket", dHead, dCarried)
+    // manifest flips LAST; the streaming txn marker survives a delete
+    // (a sink restart after maintenance must still skip its last batch)
+    writeManifest(spark, root, Manifest(newPv, newSv, newDv,
+      man.nDocs - nPresent,
+      man.nDoclens - victimLens.getAs[Long]("n"),
+      man.totalTokens -
+        (if (victimLens.isNullAt(1)) 0L else victimLens.getAs[Long]("t")),
+      man.txn))
   }
 
   /** Append a NEW document batch: O(batch) postings add-files into
     * the touched bucket dirs, O(batch) doclen appends, one
-    * vocab-bounded stats rewrite (df = old + batch increments), meta
-    * scalars bumped. The next [[probe]] scores the grown corpus with
-    * current global weights — no rescoring pass exists or is needed
-    * (weights resolve at probe time). */
-  def ingest(spark: SparkSession, root: String, newDocs: DataFrame): Unit = {
+    * vocab-bounded stats rewrite (df = old + batch increments), the
+    * manifest flipped LAST with the new pins + scalars. The next
+    * [[probe]] scores the grown corpus with current global weights —
+    * no rescoring pass exists or is needed (weights resolve at probe
+    * time).
+    *
+    * `txn` is the streaming sink's idempotence marker (Delta's
+    * txnAppId/txnVersion, the [[VersionedTable.appendRebaseTxn]]
+    * contract applied to an index whose commit point is the
+    * manifest): a retried or restarted micro-batch whose (appId,
+    * batchId) is ≤ the manifest's recorded pair SKIPS instead of
+    * double-appending postings and double-counting scalars. Because
+    * the marker rides the manifest — the flip that makes a batch
+    * visible — a batch is replayed iff it never became visible:
+    * exactly-once on the probe-visible state. */
+  def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
+             txn: Option[(String, Long)] = None): Unit = {
+    val man = readManifest(spark, root)
+    txn.foreach { case (appId, batchId) =>
+      man.txn.foreach { case (a, b) =>
+        if (a == appId && b >= batchId) return // replayed batch: no-op
+      }
+    }
     ingests += 1
+    val manTxn = txn.orElse(man.txn)
     val ntf = TextOps.tfFrame(newDocs)
     if (ntf.isEmpty) { // an all-tokenless batch still counts as docs
-      val (nDocs0, nDl0, tot0) = readMeta(spark, root)
-      writeMeta(spark, root, nDocs0 + newDocs.count(), nDl0, tot0)
+      writeManifest(spark, root,
+        man.copy(nDocs = man.nDocs + newDocs.count(), txn = manTxn))
       return
     }
     val ndl = ntf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
-    val pv = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(
-      throw new IllegalStateException(s"no lexical index built at $root"))
-    VersionedTable.appendPartitioned(spark, postRoot(root),
-      ntf.join(ndl, Seq("doc_id")).withColumn("bucket", bucketCol), "bucket", pv)
+    // postings append: new bucket dirs + the MANIFEST-pinned entry
+    // list carried byte-for-byte (never the raw head's — a crashed
+    // prior attempt's orphan dirs must not resurrect here)
+    val pv = man.postingsV
+    if (pv < 0) throw new IllegalStateException(s"no lexical index built at $root")
+    val pCarried = VersionedTable.entryPairsOf(spark, postRoot(root), pv)
+    val pHead = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(pv)
+    val newPv = VersionedTable.commitPartitionedCarrying(spark, postRoot(root),
+      ntf.join(ndl, Seq("doc_id")).withColumn("bucket", bucketCol),
+      "bucket", pHead, pCarried)
     // df merge, partition-SCOPED: only buckets holding a batch term
     // are rewritten; the rest of the vocab carries byte-for-byte
     val inc = ntf.groupBy(col("term")).agg(count(lit(1)).as("dfi"))
       .localCheckpoint()
     val hitBuckets = inc.select(bucketCol.as("b")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val sv = VersionedTable.currentVersion(spark, statsRoot(root)).get
-    if (hitBuckets.nonEmpty) {
+    val sv = man.statsV
+    val newSv = if (hitBuckets.isEmpty) sv else {
       val oldSlice = VersionedTable.readPartitions(
         spark, statsRoot(root), hitBuckets, version = Some(sv))
         .select(col("term"), col("df"))
@@ -358,15 +460,19 @@ object LexIndex {
       val hitEnc = hitBuckets.map(VersionedTable.encodePartition).toSet
       val carried = VersionedTable.entryPairsOf(spark, statsRoot(root), sv)
         .filterNot { case (_, p) => p.exists(hitEnc.contains) }
+      val sHead = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(sv)
       VersionedTable.commitPartitionedCarrying(
-        spark, statsRoot(root), merged, "bucket", sv, carried)
+        spark, statsRoot(root), merged, "bucket", sHead, carried)
     }
-    val dv = VersionedTable.currentVersion(spark, dlRoot(root)).get
-    VersionedTable.appendPartitioned(spark, dlRoot(root),
-      ndl.withColumn("dbucket", docBucketCol), "dbucket", dv)
+    val dv = man.doclensV
+    val dCarried = VersionedTable.entryPairsOf(spark, dlRoot(root), dv)
+    val dHead = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(dv)
+    val newDv = VersionedTable.commitPartitionedCarrying(spark, dlRoot(root),
+      ndl.withColumn("dbucket", docBucketCol), "dbucket", dHead, dCarried)
     val agg = ndl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
-    val (nDocs, nDlOld, totTok) = readMeta(spark, root)
-    writeMeta(spark, root, nDocs + newDocs.count(),
-      nDlOld + agg.getAs[Long]("n"), totTok + agg.getAs[Long]("t"))
+    writeManifest(spark, root, Manifest(newPv, newSv, newDv,
+      man.nDocs + newDocs.count(),
+      man.nDoclens + agg.getAs[Long]("n"),
+      man.totalTokens + agg.getAs[Long]("t"), manTxn))
   }
 }

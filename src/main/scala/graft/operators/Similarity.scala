@@ -783,7 +783,8 @@ object Similarity {
       // explicit prune: the term-contribution array must not ride the
       // rank shuffle (measured ~10% of the arm at sf0.1)
       .select(col("q_id"), col("doc_id"), col("score"))
-      .withColumn("lex_rank", row_number().over(wLex))
+      // long lex_rank on every lexical arm (matches LexIndex.probe)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .filter(col("lex_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
   }
@@ -1028,7 +1029,8 @@ object Similarity {
         expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
                  (acc, s) -> acc + s.contrib)"""), 6))
       .select(col("q_id"), col("doc_id"), col("score"))
-      .withColumn("lex_rank", row_number().over(wLex))
+      // long lex_rank on every lexical arm (matches LexIndex.probe)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .filter(col("lex_rank") <= nArm)
       .select(col("q_id"), col("doc_id"), col("lex_rank"))
   }

@@ -426,6 +426,57 @@ class GraftSpec extends AnyFunSuite {
       "compaction changed probe results")
   }
 
+  test("s24 LexIndex manifest: probes pin one snapshot (orphan commits invisible, superseded by the next ingest); txn replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{LexIndex, Similarity, TextOps}
+    import graft.sources.VersionedTable
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def armSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("lex_rank"))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_lexman").toString + "/ix"
+    LexIndex.build(spark, root, docs.filter(col("doc_id") % 5 =!= 0))
+    val queries = docs.filter(col("doc_id") < 8)
+    val probed = LexIndex.probe(spark, root, queries)
+    // one type on every exit path (the rrfFusion contract)
+    assert(probed.schema("lex_rank").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val p1 = armSet(probed)
+    // simulate a CRASHED ingest: postings committed, manifest never
+    // flipped — doc 3's postings land a second time at the raw head.
+    // If probes read the head instead of the manifest pin, doc 3's
+    // doubled tf shifts its score against every query.
+    val tf3 = TextOps.tfFrame(docs.filter(col("doc_id") === 3))
+    val dl3 = tf3.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val junk = tf3.join(dl3, Seq("doc_id")).withColumn("bucket",
+      pmod(hash(col("term")), lit(LexIndex.NumBuckets)).cast("string"))
+    val pRoot = s"$root/postings"
+    VersionedTable.appendPartitioned(spark, pRoot, junk, "bucket",
+      VersionedTable.currentVersion(spark, pRoot).get)
+    assert(armSet(LexIndex.probe(spark, root, queries)) == p1,
+      "a crashed ingest's orphan commit leaked into a probe")
+    // the next SUCCESSFUL ingest carries the MANIFEST-pinned entries,
+    // so the orphan is superseded: the grown index equals a
+    // from-scratch build on the true corpus (no doubled doc 3)
+    val before = LexIndex.ingests
+    LexIndex.ingest(spark, root, docs.filter(col("doc_id") % 5 === 0),
+      txn = Some(("lexman_app", 7L)))
+    val p3 = armSet(LexIndex.probe(spark, root, queries))
+    assert(p3 == armSet(Similarity.bm25Arm(docs, 8, 20, 2.0, 1.2, 0.75)),
+      "post-ingest probe diverged from from-scratch — orphan resurrected or pins stale")
+    assert(p3 != p1, "ingest did not change the served snapshot")
+    // replayed micro-batch (same appId, batchId ≤ recorded): no-op —
+    // no double postings, no double-counted scalars, counter untouched
+    LexIndex.ingest(spark, root, docs.filter(col("doc_id") % 5 === 0),
+      txn = Some(("lexman_app", 7L)))
+    LexIndex.ingest(spark, root, docs.filter(col("doc_id") % 5 === 0),
+      txn = Some(("lexman_app", 3L)))
+    assert(LexIndex.ingests - before == 1,
+      s"replayed txn batches re-ingested: ${LexIndex.ingests - before} ingests")
+    assert(armSet(LexIndex.probe(spark, root, queries)) == p3,
+      "replayed txn batch changed the index")
+  }
+
   test("s24 LexIndex probe is DIR-PRUNED: only the query terms' bucket dirs are opened") {
     import org.apache.spark.sql.functions._
     import graft.operators.LexIndex
