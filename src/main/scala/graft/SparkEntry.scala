@@ -263,6 +263,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamKmvDrain(Tables.events(s, d))),
     "st14_alert_stream" -> ((s, d) =>
       graft.streaming.StreamOps.alertStreamDrain(Tables.events(s, d))),
+    "e2e01_reference_flow" -> ((s, d) =>
+      ReferenceE2E.pipeline(Tables.events(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -555,6 +557,7 @@ object SparkEntry {
     "s23_hybrid_bm25" -> Similarity.hybridBm25Oracle(),
     "s24_hybrid_lexindexed" -> Similarity.hybridBm25IndexedOracle(),
     "st15_stream_lex_ingest" -> Similarity.streamLexIngestOracle(),
+    "e2e01_reference_flow" -> ReferenceE2E.oracle,
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

@@ -477,6 +477,39 @@ class GraftSpec extends AnyFunSuite {
       "replayed txn batch changed the index")
   }
 
+  test("e2e01 reference flow: poison dead-letters once, incremental serving equals recompute, audit covers the final table") {
+    val out = SparkEntry.queries("e2e01_reference_flow")(spark, sf).collect()
+    assert(out.map(_.getAs[String]("stage")).toSet ==
+      Set("landing", "merge", "serving", "meta", "audit"))
+    // landing: all four payload files landed exactly once (first try),
+    // the poison file dead-lettered after its retry budget with rows=-1
+    val landing = out.filter(_.getAs[String]("stage") == "landing")
+    assert(landing.count(r => r.getAs[String]("k2") == "done" &&
+      r.getAs[Double]("v") == 1.0) == 4)
+    val poison = landing.find(_.getAs[String]("k1") == "poison_004.parquet").get
+    assert(poison.getAs[String]("k2") == "dead" &&
+      poison.getAs[Double]("v") == 2.0 && poison.getAs[Long]("n") == -1L)
+    // the serving view — refreshed INCREMENTALLY from the change feed,
+    // never rescanning the table — equals the recompute (the merge
+    // census collapsed over kmod; cents arithmetic makes this exact)
+    val merge = out.filter(_.getAs[String]("stage") == "merge")
+    val recompute = merge.groupBy(_.getAs[String]("k1")).map { case (st, rs) =>
+      (st, rs.map(_.getAs[Long]("n")).sum,
+        rs.map(r => math.round(r.getAs[Double]("v") * 100)).sum)
+    }.toSet
+    val serving = out.filter(_.getAs[String]("stage") == "serving")
+      .map(r => (r.getAs[String]("k1"), r.getAs[Long]("n"),
+        math.round(r.getAs[Double]("v") * 100))).toSet
+    assert(serving == recompute,
+      "feed-refreshed serving view diverged from a recompute of the final table")
+    // audit saw BOTH verdicts and covers every row of the final table
+    val audit = out.filter(_.getAs[String]("stage") == "audit")
+    assert(audit.map(_.getAs[Double]("v")).toSet == Set(0.0, 1.0),
+      "audit did not observe both valid and invalid transitions")
+    assert(audit.map(_.getAs[Long]("n")).sum == merge.map(_.getAs[Long]("n")).sum,
+      "audit row count != final table size")
+  }
+
   test("s24 LexIndex probe is DIR-PRUNED: only the query terms' bucket dirs are opened") {
     import org.apache.spark.sql.functions._
     import graft.operators.LexIndex
