@@ -265,6 +265,8 @@ object SparkEntry {
       graft.streaming.StreamOps.alertStreamDrain(Tables.events(s, d))),
     "e2e01_reference_flow" -> ((s, d) =>
       ReferenceE2E.pipeline(Tables.events(s, d))),
+    "s25_graph_ann" -> ((s, d) =>
+      GraphIndex.probeAuto(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -558,6 +560,7 @@ object SparkEntry {
     "s24_hybrid_lexindexed" -> Similarity.hybridBm25IndexedOracle(),
     "st15_stream_lex_ingest" -> Similarity.streamLexIngestOracle(),
     "e2e01_reference_flow" -> ReferenceE2E.oracle,
+    "s25_graph_ann" -> Similarity.graphAnnTopKOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

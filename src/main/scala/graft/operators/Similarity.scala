@@ -1561,7 +1561,10 @@ object Similarity {
     picks.reduce(_.unionByName(_)).orderBy(col("rank"))
   }
 
-  def kcenterSeedOracle(k: Int = 8): String = {
+  /** The farthest-first CTE chain `e, c1, d1, …, ck` (pick r lives in
+    * CTE `c_r`) — shared by the s21 oracle and the s25 graph-walk
+    * oracle (whose entry points are these seeds). */
+  private def kcenterCtes(k: Int): String = {
     val d = Dialect.duck
     val ctes = new StringBuilder(
       """e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1578,12 +1581,163 @@ object Similarity {
            least(t.md, ${l2sq(d, "t.embedding", "c.embedding")}) AS md
          FROM d${r - 1} t CROSS JOIN c$r c)""")
     }
+    ctes.toString
+  }
+
+  def kcenterSeedOracle(k: Int = 8): String = {
     val out = (s"SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS radius FROM c1" +:
       (2 to k).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rank, vec_id, round(md, 4) AS radius FROM c$r"))
       .mkString("\n       UNION ALL ")
-    s"""WITH $ctes
+    s"""WITH ${kcenterCtes(k)}
        $out ORDER BY rank"""
+  }
+
+  // ---- s25: graph-ANN beam search over the kNN graph -------------------
+
+  /** Deterministic best-first BEAM WALK — the probe primitive of
+    * graph-ANN indexes (HNSW/NSG's search loop, de-randomized so the
+    * walk is oracle-able as an unrolled CTE chain): seed candidates
+    * are exact-scored, the top-`beam` (cos desc, lowest-id tie-break)
+    * form the frontier, and each hop expands the frontier's adjacency
+    * lists via `expand`, exact-scores only the NEW nodes, and re-takes
+    * the global top-`beam` of everything visited. Returns the VISITED
+    * frame `(q_id, c_id, cos)` — callers rank it for top-k and/or
+    * count it for the cost axis (visited = exactly the vectors whose
+    * full embedding was read).
+    *
+    * Scale shape: every frame in the loop is bounded by queries ×
+    * (seeds + hops·beam·graphK) — never the corpus. Scoring joins
+    * BROADCAST the candidate list into one pruned pass over the
+    * corpus scan (at 100 TB: a forward-index point lookup); `expand`
+    * decides how adjacency is fetched (inline edge frame here,
+    * dir-pruned partition reads in [[GraphIndex.probe]]). The walk is
+    * `hops` sequential bounded stages — graph ANN trades the one-shot
+    * candidate volume of cell probes for a handful of tiny lookups. */
+  private[graft] def beamWalk(embeddings: DataFrame, maxQueryId: Long,
+                              seedIds: DataFrame,
+                              expand: DataFrame => DataFrame,
+                              beam: Int, hops: Int): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id").as("c_id"),
+        col("embedding").as("ce"))
+      .withColumn("cn", vec_norm(col("ce")))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm(col("qe")))
+      .localCheckpoint()
+    def score(cands: DataFrame): DataFrame =
+      corpus.join(broadcast(cands), Seq("c_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .select(col("q_id"), col("c_id"), col("cos"))
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val entry = queries.select(col("q_id"))
+      .crossJoin(broadcast(seedIds.select(col("c_id"))))
+      .filter(col("c_id") =!= col("q_id"))
+    var visited = score(entry).localCheckpoint()
+    var frontier = visited.withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val fresh = expand(frontier)
+        .filter(col("c_id") =!= col("q_id")).distinct()
+        .join(visited.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"), "left_anti") // score each node ONCE
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      frontier = visited.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
+        .localCheckpoint()
+    }
+    visited
+  }
+
+  /** s25: graph-ANN top-k — the [[beamWalk]] over the s20 kNN graph,
+    * entered at the s21 k-center seeds: the recall/cost operating
+    * point graph indexes buy (tiny exact-scored candidate sets, a few
+    * sequential hops) placed on the same frontier as the LSH/IVF/PQ
+    * rows via [[recallSweep]]'s `graph[...]` row. Everything is an
+    * existing kernel: the graph is [[knnJoin]]'s table, the entries
+    * are [[kcenterSeed]]'s picks, the scorer is s01's cosine. */
+  def graphAnnTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                   beam: Int = 4, hops: Int = 3, graphK: Int = 3,
+                   nProbe: Int = 2, nSeeds: Int = 8,
+                   centIds: Seq[Long] = centroidIds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = knnJoin(embeddings, graphK, nProbe, centIds)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val seeds = kcenterSeed(embeddings, nSeeds)
+      .select(col("vec_id").as("c_id")).localCheckpoint()
+    graphWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
+      fr => fr.join(edges, fr("c_id") === edges("src"))
+        .select(fr("q_id"), edges("dst").as("c_id")))
+  }
+
+  /** [[beamWalk]] + the s01-shaped top-k ranking — shared by the
+    * inline arm above and [[GraphIndex.probe]]'s dir-pruned arm so the
+    * two cannot rank differently. */
+  private[graft] def graphWalkTopK(embeddings: DataFrame, maxQueryId: Long,
+                                   k: Int, beam: Int, hops: Int,
+                                   seedIds: DataFrame,
+                                   expand: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val visited = beamWalk(embeddings, maxQueryId, seedIds, expand, beam, hops)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    visited.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), Rounding.roundN(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB replay: seeds chain + kNN-graph chain + one CTE pair per
+    * hop (candidates, then visited = UNION dedup — the cosine
+    * expression is identical on both branches, so UNION's set
+    * semantics are exact), then the final rank. */
+  def graphAnnTopKOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                         hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
+                         nSeeds: Int = 8): String = {
+    val d = Dialect.duck
+    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    val sb = new StringBuilder(
+      s"""WITH ${knnCtes(nProbe)},
+       ${kcenterCtes(nSeeds)},
+       gedge AS (SELECT q_id AS src, c_id AS dst FROM ranked
+                 WHERE rank <= $graphK),
+       gseed AS ($seedSel),
+       gcorp AS (SELECT vec_id AS c_id, embedding AS ce,
+           ${normExpr(d, "embedding")} AS cn FROM embeddings),
+       gq AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn
+         FROM embeddings WHERE vec_id < $maxQueryId),
+       gv0 AS (SELECT q.q_id, c.c_id, ${dot(d, "q.qe", "c.ce")} / (q.qn * c.cn) AS cos
+         FROM gq q CROSS JOIN gseed s JOIN gcorp c ON c.c_id = s.vec_id
+         WHERE s.vec_id <> q.q_id)""")
+    for (h <- 1 to hops) {
+      sb.append(s""",
+       gb${h - 1} AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+           FROM gv${h - 1}) t WHERE rn <= $beam),
+       gc$h AS (SELECT DISTINCT b.q_id, e.dst AS c_id
+         FROM gb${h - 1} b JOIN gedge e ON e.src = b.c_id
+         WHERE e.dst <> b.q_id),
+       gv$h AS (SELECT q_id, c_id, cos FROM gv${h - 1}
+         UNION
+         SELECT n.q_id, n.c_id, ${dot(d, "q.qe", "c.ce")} / (q.qn * c.cn) AS cos
+         FROM gc$h n JOIN gq q ON q.q_id = n.q_id
+           JOIN gcorp c ON c.c_id = n.c_id)""")
+    }
+    sb.append(s"""
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, c_id) AS rank FROM gv$hops) t
+       WHERE rank <= $k ORDER BY q_id, rank""")
+    sb.toString
   }
 
   /** s04: the Lloyd refinement step — recompute each IVF cell's
@@ -1872,7 +2026,32 @@ object Similarity {
               ivfPqR, acc = "BIGINT"),
             frac, baseline = exactL2))
     }
-    (lshRow +: mtRow +: (ivfRows ++ pqRows ++ ivfPqRows)).reduce(_.unionByName(_))
+    // graph-ANN (s25): beam walk over the kNN graph at the SAME
+    // production sizing; cand_frac = the exact-scored (visited)
+    // fraction — the vectors whose full embedding the walk read
+    val graphRow = {
+      import org.apache.spark.sql.expressions.Window
+      val gb = 12; val gh = 3; val gk = 3
+      val gEdges = knnJoin(embeddings, gk, 2, cents)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint()
+      val gSeeds = kcenterSeed(embeddings, 8)
+        .select(col("vec_id").as("c_id")).localCheckpoint()
+      val gVisited = beamWalk(embeddings, nQueries, gSeeds,
+        fr => fr.join(gEdges, fr("c_id") === gEdges("src"))
+          .select(fr("q_id"), gEdges("dst").as("c_id")),
+        gb, gh).localCheckpoint()
+      val wG = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      val gApprox = gVisited.withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+      val gFrac = gVisited.groupBy(col("q_id")).agg(count(lit(1)).as("vis"))
+        .agg((avg(col("vis")) / n).as("cand_frac"))
+      row(s"graph[B=$gb,H=$gh,gk=$gk]", gApprox, gFrac)
+    }
+    (lshRow +: mtRow +: graphRow +: (ivfRows ++ pqRows ++ ivfPqRows))
+      .reduce(_.unionByName(_))
   }
 
   // ---- s07: kNN classification ----------------------------------------

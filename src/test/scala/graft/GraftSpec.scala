@@ -477,6 +477,38 @@ class GraftSpec extends AnyFunSuite {
       "replayed txn batch changed the index")
   }
 
+  test("s25 graph-ANN: persisted-graph probe equals the inline walk; hops are dir-pruned; repeated probes build nothing") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{GraphIndex, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_gidx").toString + "/ix"
+    GraphIndex.build(spark, root, emb)
+    val probed = Similarity.graphAnnTopK(emb)
+    assert(rset(GraphIndex.probe(spark, root, emb)) == rset(probed),
+      "persisted-graph probe diverged from the inline walk")
+    // dir-pruning, pinned on the actual per-hop IO: a single query's
+    // frontier is ≤ beam ids, so each hop opens ≤ beam bucket dirs —
+    // a full-edge scan would need all NumBuckets
+    GraphIndex.probe(spark, root, emb, maxQueryId = 1).collect()
+    assert(GraphIndex.lastProbeBucketCounts.size == 3)
+    GraphIndex.lastProbeBucketCounts.foreach { c =>
+      assert(c > 0 && c <= 4, s"hop opened $c buckets for a beam-4 frontier")
+    }
+    // repeated retrieval is probe-only
+    val before = GraphIndex.indexBuilds
+    GraphIndex.probe(spark, root, emb).collect()
+    assert(GraphIndex.indexBuilds == before, "graph index rebuilt instead of probed")
+    // the walk finds REAL neighbors: nonzero overlap with the exact
+    // top-k NEIGHBOR SETS (rank-free — the walk may order hits apart)
+    def pairs(s: Set[(Long, Long, Long)]) = s.map(t => (t._1, t._3))
+    val exact = rset(Similarity.bruteForceTopK(emb, 8, 3))
+    assert((pairs(rset(probed)) intersect pairs(exact)).nonEmpty,
+      "graph walk found none of the exact top-k")
+  }
+
   test("e2e01 reference flow: poison dead-letters once, incremental serving equals recompute, audit covers the final table") {
     val out = SparkEntry.queries("e2e01_reference_flow")(spark, sf).collect()
     assert(out.map(_.getAs[String]("stage")).toSet ==
