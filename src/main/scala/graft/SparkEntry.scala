@@ -267,6 +267,8 @@ object SparkEntry {
       ReferenceE2E.pipeline(Tables.events(s, d))),
     "s25_graph_ann" -> ((s, d) =>
       GraphIndex.probeAuto(Tables.embeddings(s, d))),
+    "s26_phrase_bm25" -> ((s, d) =>
+      Similarity.phraseBm25Auto(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -561,6 +563,7 @@ object SparkEntry {
     "st15_stream_lex_ingest" -> Similarity.streamLexIngestOracle(),
     "e2e01_reference_flow" -> ReferenceE2E.oracle,
     "s25_graph_ann" -> Similarity.graphAnnTopKOracle(),
+    "s26_phrase_bm25" -> Similarity.phraseBm25Oracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

@@ -84,6 +84,23 @@ object LexIndex {
 
   private def bucketCol = pmod(hash(col("term")), lit(NumBuckets)).cast("string")
 
+  /** Positional payload for the postings rows: per (doc, term), the
+    * sorted 1-based RAW split positions (the same `split(lower(text))`
+    * stream [[TextOps.tfFrame]] counts — empty tokens occupy a raw
+    * position but never emit a posting, so adjacency means "adjacent
+    * in the raw token stream", a fixed cross-engine contract). This is
+    * the standard positional-index payload: it rides the posting row
+    * at build time and is READ only by [[probePhrase]]'s two-term
+    * candidate join — the BM25 scoring path projects it away, so
+    * score probes never shuffle position arrays. */
+  private def positionsFrame(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+
   /** doclens partition key: doc-id bucket, so [[delete]] rewrites only
     * the victims' home buckets — never the whole doclen table. */
   private def docBucketCol = pmod(hash(col("doc_id")), lit(NumBuckets)).cast("string")
@@ -161,7 +178,9 @@ object LexIndex {
     // update anomaly; the cost is 8 bytes per posting.
     val pv0 = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(-1L)
     val pv = VersionedTable.commitPartitioned(spark, postRoot(root),
-      tf.join(dls, Seq("doc_id")).withColumn("bucket", bucketCol), "bucket", pv0)
+      tf.join(dls, Seq("doc_id"))
+        .join(positionsFrame(documents), Seq("doc_id", "term"))
+        .withColumn("bucket", bucketCol), "bucket", pv0)
     // stats partition-native on the SAME term bucket: a probe
     // dir-prunes the df lookup to its query terms' buckets instead of
     // scanning the vocab table
@@ -202,26 +221,49 @@ object LexIndex {
     * mix its new postings into this probe's stale weights. */
   def probe(spark: SparkSession, root: String, queryDocs: DataFrame,
             nArm: Int = 20, probeDfBudgetFrac: Double = 2.0,
-            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankScored(probeScoredAt(spark, root, readManifest(spark, root),
+      queryDocs, probeDfBudgetFrac, k1, b), nArm)
+
+  /** Top-`nArm` rank over a scored frame — long lex_rank on BOTH exit
+    * classes (the empty early-returns emit typed empties, the ranked
+    * path casts row_number's IntegerType away). */
+  private def rankScored(scored: DataFrame, nArm: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val man = readManifest(spark, root)
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= nArm)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** The probe's BM25-scored pair frame `(q_id, doc_id, score)` at ONE
+    * pinned manifest snapshot — shared by [[probe]] and
+    * [[probePhrase]] so the phrase arm cannot score differently, and
+    * so one manifest read covers BOTH the scoring and the phrase
+    * candidate fetch (no cross-stage snapshot skew). */
+  private def probeScoredAt(spark: SparkSession, root: String, man: Manifest,
+                            queryDocs: DataFrame, probeDfBudgetFrac: Double,
+                            k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (nDocs, nDl, totTok) = (man.nDocs, man.nDoclens, man.totalTokens)
     val qtf = TextOps.tfFrame(queryDocs)
       .select(col("doc_id").as("q_id"), col("term"), col("tf").as("tfq"))
       .localCheckpoint()
+    val emptyScored = qtf.select(col("q_id"), col("q_id").as("doc_id"),
+      lit(0.0).as("score")).limit(0)
     // df lookup is dir-pruned too: ALL query terms' buckets (the
     // budget window needs every term's df before it prunes), still
     // bounded by the query's own term count — never a vocab scan
     val qBuckets = qtf.select(bucketCol.as("b")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val emptyEarly = qtf.select(col("q_id"), col("q_id").as("doc_id"),
-      lit(0L).as("lex_rank")).limit(0)
-    if (qBuckets.isEmpty) return emptyEarly
+    if (qBuckets.isEmpty) return emptyScored
     val stats =
       try VersionedTable.readPartitions(spark, statsRoot(root), qBuckets,
                                         version = Some(man.statsV))
             .select(col("term"), col("df"))
-      catch { case _: java.io.FileNotFoundException => return emptyEarly }
+      catch { case _: java.io.FileNotFoundException => return emptyScored }
     val wBudget = Window.partitionBy(col("q_id"))
       .orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -236,17 +278,15 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val buckets = qw.select(bucketCol.as("bucket")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val empty = qtf.select(col("q_id"), col("q_id").as("doc_id"),
-      lit(0L).as("lex_rank")).limit(0)
-    if (buckets.isEmpty) return empty
+    if (buckets.isEmpty) return emptyScored
     val postings =
       try VersionedTable.readPartitions(spark, postRoot(root), buckets,
                                         version = Some(man.postingsV))
-      catch { case _: java.io.FileNotFoundException => return empty }
+      catch { case _: java.io.FileNotFoundException => return emptyScored }
     val avgdl = lit(totTok).cast("double") / lit(nDl).cast("double")
-    val wLex = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    // dl rides each posting row — no doclens read in the query path
+    // dl rides each posting row — no doclens read in the query path;
+    // the explicit select also projects the positional payload away,
+    // so score probes never shuffle position arrays
     postings.select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .join(qw, Seq("term")).filter(col("doc_id") =!= col("q_id"))
       .withColumn("contrib",
@@ -261,11 +301,56 @@ object LexIndex {
         expr("""aggregate(array_sort(cs), CAST(0 AS DOUBLE),
                  (acc, s) -> acc + s.contrib)"""), 6))
       .select(col("q_id"), col("doc_id"), col("score"))
-      // long on BOTH exits: the empty early-returns emit lit(0L), so
-      // the ranked path must not leak row_number's IntegerType
-      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
-      .filter(col("lex_rank") <= nArm)
-      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** s26: PHRASE-CONSTRAINED BM25 — the first unsupported query a real
+    * search user types against a bag-of-words index. Each query's
+    * phrase is its first two non-empty tokens; a candidate doc matches
+    * iff it contains them ADJACENTLY (position of t2 = position of t1
+    * + 1 in the raw token stream — out-of-order or gapped occurrences
+    * are excluded, spec-pinned). Matching reads the POSITIONAL
+    * postings dir-pruned to the two phrase terms' buckets (≤ 2 dirs
+    * per distinct phrase term — the cheapest probe in the file);
+    * scoring is [[probeScoredAt]] — s23's BM25 over the budgeted query
+    * terms — semi-joined to the matched pairs and re-ranked, so the
+    * result is "the BM25 ranking, restricted to exact-phrase docs".
+    * One manifest read snapshots both stages. */
+  def probePhrase(spark: SparkSession, root: String, queryDocs: DataFrame,
+                  nArm: Int = 20, probeDfBudgetFrac: Double = 2.0,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val man = readManifest(spark, root)
+    val toksNe = org.apache.spark.sql.functions.filter(
+      split(lower(col("text")), " "), x => length(x) > 0)
+    val qp = queryDocs.select(col("doc_id").as("q_id"), toksNe.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("q_id"), element_at(col("tk"), 1).as("t1"),
+        element_at(col("tk"), 2).as("t2"))
+      .localCheckpoint()
+    val empty = qp.select(col("q_id"), col("q_id").as("doc_id"),
+      lit(0L).as("lex_rank")).limit(0)
+    val pBuckets = qp.select(col("t1").as("term"))
+      .unionByName(qp.select(col("t2").as("term")))
+      .select(bucketCol.as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (pBuckets.isEmpty) return empty
+    val slice =
+      try VersionedTable.readPartitions(spark, postRoot(root), pBuckets,
+                                        version = Some(man.postingsV))
+      catch { case _: java.io.FileNotFoundException => return empty }
+    val a = slice.select(col("term"), col("doc_id"), col("positions").as("pa"))
+      .join(qp.select(col("q_id"), col("t1").as("term")), Seq("term"))
+    val b2 = slice.select(col("term"), col("doc_id"), col("positions").as("pb"))
+      .join(qp.select(col("q_id"), col("t2").as("term")), Seq("term"))
+    val matched = a.select(col("q_id"), col("doc_id"), col("pa"))
+      .join(b2.select(col("q_id"), col("doc_id"), col("pb")),
+        Seq("q_id", "doc_id"))
+      .filter(arrays_overlap(
+        transform(col("pa"), x => x + 1), col("pb")))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id")).distinct()
+    val scored = probeScoredAt(spark, root, man, queryDocs,
+      probeDfBudgetFrac, k1, b)
+    rankScored(scored.join(matched, Seq("q_id", "doc_id"), "left_semi"), nArm)
   }
 
   /** Fold each bucket's append-fragmented dir CHAIN back into one dir
@@ -440,7 +525,9 @@ object LexIndex {
     val pCarried = VersionedTable.entryPairsOf(spark, postRoot(root), pv)
     val pHead = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(pv)
     val newPv = VersionedTable.commitPartitionedCarrying(spark, postRoot(root),
-      ntf.join(ndl, Seq("doc_id")).withColumn("bucket", bucketCol),
+      ntf.join(ndl, Seq("doc_id"))
+        .join(positionsFrame(newDocs), Seq("doc_id", "term"))
+        .withColumn("bucket", bucketCol),
       "bucket", pHead, pCarried)
     // df merge, partition-SCOPED: only buckets holding a batch term
     // are rewritten; the rest of the vocab carries byte-for-byte

@@ -1258,6 +1258,70 @@ object Similarity {
     } else res
   }
 
+  /** s26: phrase-constrained BM25 with the index lifecycle managed the
+    * s24 way — ONE LexIndex build per corpus serves s24's fused probe
+    * AND this phrase probe (same cache key: the positional payload is
+    * part of every build). The query set and BM25 parameters are
+    * s23/s24's, so the three rows measure one retrieval stack. */
+  def phraseBm25Auto(documents: DataFrame, maxQueryId: Long = 8,
+                     nArm: Int = 20, probeDfBudgetFrac: Double = 2.0,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = documents.sparkSession
+    def buildLex(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-lexidx-s26").toString
+      LexIndex.build(spark, root, documents)
+      root
+    }
+    val (root, ephemeral) =
+      if (!Caching.bareScan(documents)) (buildLex(), true)
+      else {
+        val stamp = Caching.stamp(documents)
+        if (stamp.isEmpty) (buildLex(), true)
+        else (lexIndexCache.getOrElseUpdate((spark, stamp, 0))(buildLex()), false)
+      }
+    val res = LexIndex.probePhrase(spark, root,
+      documents.filter(col("doc_id") < maxQueryId),
+      nArm, probeDfBudgetFrac, k1, b)
+      .orderBy(col("q_id"), col("lex_rank"))
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      out
+    } else res
+  }
+
+  /** s26 oracle: s23's BM25 CTE chain, with the candidate set
+    * restricted to docs containing the query's two-token prefix
+    * ADJACENTLY (raw-split positions, p2 = p1 + 1) before the re-rank
+    * — the positional-postings semantics replayed relationally. */
+  def phraseBm25Oracle(maxQueryId: Long = 8, nArm: Int = 20,
+                       probeDfBudgetFrac: Double = 2.0,
+                       k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25ArmCtes(maxQueryId, nArm, probeDfBudgetFrac, k1, b)},
+       tdocs AS (SELECT doc_id, string_split(lower(text), ' ') AS tks
+           FROM documents),
+       praw AS (SELECT doc_id, unnest(generate_series(1, len(tks))) AS p, tks
+           FROM tdocs),
+       ptok AS (SELECT doc_id, tks[p] AS term, p FROM praw
+           WHERE length(tks[p]) > 0),
+       qph AS (SELECT doc_id AS q_id, tne[1] AS t1, tne[2] AS t2
+         FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                 x -> length(x) > 0) AS tne
+               FROM documents WHERE doc_id < $maxQueryId) t
+         WHERE len(tne) >= 2),
+       pmatch AS (SELECT DISTINCT qp.q_id, a.doc_id
+         FROM qph qp
+         JOIN ptok a ON a.term = qp.t1
+         JOIN ptok b2 ON b2.doc_id = a.doc_id AND b2.term = qp.t2
+           AND b2.p = a.p + 1
+         WHERE a.doc_id <> qp.q_id)
+       SELECT q_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank
+       FROM (SELECT s.q_id, s.doc_id, row_number() OVER (PARTITION BY s.q_id
+               ORDER BY s.score DESC, s.doc_id) AS lex_rank
+             FROM lexs s JOIN pmatch m
+               ON s.q_id = m.q_id AND s.doc_id = m.doc_id) t
+       WHERE lex_rank <= $nArm ORDER BY q_id, lex_rank"""
+
   /** st15 oracle: the streamed-ingest index must serve the SAME BM25
     * ranking as a from-scratch arm over the whole corpus — the CTE
     * text is s23's, only the projection changes (lexical ranks, no

@@ -542,6 +542,27 @@ class GraftSpec extends AnyFunSuite {
       "audit row count != final table size")
   }
 
+  test("s26 phrase BM25: adjacency is enforced — out-of-order, gapped, and single-term docs are excluded") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LexIndex
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta probe query text"),
+      (10L, "prefix alpha beta suffix words"),    // adjacent → match
+      (11L, "beta words alpha words more"),       // both terms, REVERSED
+      (12L, "alpha gap beta words here"),         // both terms, gapped
+      (13L, "alpha only words here today"),       // one term only
+      (14L, "some alpha beta and alpha beta again") // adjacent twice
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_lexph").toString + "/ix"
+    LexIndex.build(spark, root, docs)
+    val res = LexIndex.probePhrase(spark, root, docs.filter(col("doc_id") === 0L))
+    assert(res.schema("lex_rank").dataType == org.apache.spark.sql.types.LongType)
+    val hits = res.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits == Set(10L, 14L),
+      s"phrase filter admitted the wrong docs: $hits — order/adjacency not enforced")
+  }
+
   test("s24 LexIndex probe is DIR-PRUNED: only the query terms' bucket dirs are opened") {
     import org.apache.spark.sql.functions._
     import graft.operators.LexIndex
