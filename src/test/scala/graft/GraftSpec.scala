@@ -542,6 +542,42 @@ class GraftSpec extends AnyFunSuite {
       "audit row count != final table size")
   }
 
+  test("SQL front door: the LexIndex lifecycle driven end-to-end by CALL procedures only") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sources.GraftProcedureCatalog")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 5 =!= 0).createOrReplaceTempView("lexsql_seed")
+    docs.filter(col("doc_id") % 5 === 0).createOrReplaceTempView("lexsql_batch")
+    docs.filter(col("doc_id") < 8).createOrReplaceTempView("lexsql_queries")
+    val root = java.nio.file.Files.createTempDirectory("graft_lexsql").toString + "/ix"
+    def armSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("lex_rank"))).toSet
+    // build on 4/5 of the corpus, ingest the held-out 1/5 — PURE SQL
+    val b = spark.sql(
+      s"CALL graft_sys.lex_build(root => '$root', source => 'lexsql_seed')")
+      .collect()
+    assert(b.length == 1 && b.head.getString(0).contains("built"))
+    spark.sql(
+      s"CALL graft_sys.lex_ingest(root => '$root', source => 'lexsql_batch')")
+      .collect()
+    // the SQL probe must equal the from-scratch arm on the FULL corpus
+    // (LexIndex's central contract, now reachable without Scala)
+    val probed = spark.sql(
+      s"CALL graft_sys.lex_probe(root => '$root', source => 'lexsql_queries')")
+    val scratch = Similarity.bm25Arm(docs, 8, 20, 2.0, 1.2, 0.75)
+    assert(armSet(probed.collect()) == armSet(scratch.collect()),
+      "SQL-driven lifecycle diverged from the from-scratch BM25 arm")
+    // compact via SQL moves bytes, not rows
+    spark.sql(s"CALL graft_sys.lex_compact(root => '$root')").collect()
+    assert(armSet(spark.sql(
+      s"CALL graft_sys.lex_probe(root => '$root', source => 'lexsql_queries')")
+      .collect()) == armSet(scratch.collect()),
+      "SQL compact changed probe results")
+  }
+
   test("s26 phrase BM25: adjacency is enforced — out-of-order, gapped, and single-term docs are excluded") {
     import org.apache.spark.sql.functions.col
     import graft.operators.LexIndex
