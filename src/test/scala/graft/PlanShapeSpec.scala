@@ -761,6 +761,28 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("s26: BM25 score probes never read the positional payload; the phrase probe is cartesian-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LexIndex
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_planlex").toString + "/ix"
+    LexIndex.build(spark, root, docs)
+    val queries = docs.filter(col("doc_id") < 8)
+    // the postings rows CARRY positions, but the scoring path must
+    // prune them at the scan — a probe plan that reads the position
+    // arrays ships them through the term join at 100 TB
+    val scoreP = LexIndex.probe(spark, root, queries)
+      .queryExecution.executedPlan.toString
+    assert(!scoreP.contains("positions"),
+      s"BM25 probe reads the positional payload:\n${scoreP.take(2000)}")
+    // the phrase arm DOES read positions (its whole point) for its two
+    // bucket dirs, and composes with scoring without any cartesian
+    val phraseP = LexIndex.probePhrase(spark, root, queries)
+      .queryExecution.executedPlan.toString
+    assert(phraseP.contains("positions"), "phrase probe read no positions")
+    assert(!phraseP.contains("CartesianProduct"))
+  }
+
   test("q47: ranks are distributed — no row_number window, range-partitioned passes") {
     // The old shape was two row_number windows over an UNPARTITIONED
     // ordering — two single-partition sorts of the whole table. The
