@@ -269,6 +269,8 @@ object SparkEntry {
       GraphIndex.probeAuto(Tables.embeddings(s, d))),
     "s26_phrase_bm25" -> ((s, d) =>
       Similarity.phraseBm25Auto(Tables.documents(s, d))),
+    "s27_graph_ingest" -> ((s, d) =>
+      GraphIndex.ingestDemoAuto(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -564,6 +566,7 @@ object SparkEntry {
     "e2e01_reference_flow" -> ReferenceE2E.oracle,
     "s25_graph_ann" -> Similarity.graphAnnTopKOracle(),
     "s26_phrase_bm25" -> Similarity.phraseBm25Oracle(),
+    "s27_graph_ingest" -> Similarity.graphIngestOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

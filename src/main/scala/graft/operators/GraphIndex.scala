@@ -19,11 +19,10 @@ import graft.sources.VersionedTable
   * (s20's one cell-key shuffle), then answer queries with a handful
   * of bounded adjacency fetches + exact scores — the recall/cost
   * point [[Similarity.recallSweep]]'s `graph[...]` row measures
-  * beside LSH/IVF/PQ. Maintenance boundary, stated honestly: the
-  * graph re-builds on the s04 retrain cadence (edges of a NEW vector
-  * are cheap to add, but its EXISTING neighbors' edge lists would
-  * need repair — the incremental-graph-repair frontier real HNSW
-  * builds handle in-memory; rebuild-on-cadence is the batch answer).
+  * beside LSH/IVF/PQ. Maintenance: [[ingest]] adds arrival batches
+  * incrementally with bidirectional edge insertion (s27); old nodes'
+  * own lists are not re-ranked, so rebuild on the s04 retrain cadence
+  * restores build quality after long arrival runs.
   *
   * Reference: the engine-side index family the survey motivates as
   * "graph-ANN base layers" over the s20 kNN join. */
@@ -92,10 +91,73 @@ object GraphIndex {
       })
   }
 
+  /** INGEST an arrival batch (s27): the batch's edges are its top-k
+    * over the GROWN corpus (the same cell probe the build uses),
+    * appended O(batch·k) into the touched source buckets — PLUS the
+    * REVERSED edges into the neighbors' buckets, the bidirectional
+    * insertion real graph builds (HNSW) do, because without it an
+    * arrival has out-edges but nothing points AT it: it would be
+    * unreachable by every walk. Contract and boundaries, stated
+    * honestly: `corpus` is the grown corpus (the index stores
+    * topology; vectors live in the corpus table) and `newVecs` ⊆
+    * corpus must be NEW ids; old nodes' own lists are NOT re-ranked
+    * (their stale edges dilute as arrivals accumulate — rebuild on
+    * the s04 retrain cadence restores build quality); reverse
+    * insertion lets touched lists grow past graphK (the walk
+    * re-scores exactly, so extra edges cost IO, never correctness);
+    * seeds stay the pre-ingest picks. Within-batch mutual pairs are
+    * deduped before the append. */
+  def ingest(spark: SparkSession, root: String, corpus: DataFrame,
+             newVecs: DataFrame, graphK: Int = 3, nProbe: Int = 2,
+             centIds: Seq[Long] = Similarity.centroidIds): Unit = {
+    val fwd = Similarity.knnEdgesFor(corpus, newVecs, graphK, nProbe, centIds)
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    val edges = fwd.unionByName(rev).distinct()
+      .withColumn("bucket", bucketCol(col("src")))
+    val ev = VersionedTable.currentVersion(spark, edgeRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no graph index built at $root"))
+    VersionedTable.appendPartitioned(spark, edgeRoot(root), edges, "bucket", ev)
+    ()
+  }
+
   private val cache = new Caching.BoundedCache[
       (SparkSession, String), String](4,
     onEvict = dir =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
+
+  /** s27's managed lifecycle: build on the corpus MINUS the arrival
+    * slice (vec_id % 9 == 0 — a residue no oracle-pinned centroid id
+    * occupies), ingest the arrivals against the grown corpus, probe
+    * the grown index. The built+ingested fixture is cached per corpus
+    * (ingest-vs-build is the spec's live half); the probe is the
+    * timed/oracled half. */
+  def ingestDemoAuto(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                     beam: Int = 4, hops: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    def buildIngested(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-graphing").toString
+      val root = s"$dir/ix"
+      build(spark, root, embeddings.filter(pmod(col("vec_id"), lit(9)) =!= 0))
+      ingest(spark, root, embeddings,
+        embeddings.filter(pmod(col("vec_id"), lit(9)) === 0))
+      root
+    }
+    val (root, ephemeral) =
+      if (!Caching.bareScan(embeddings)) (buildIngested(), true)
+      else {
+        val stamp = Caching.stamp(embeddings)
+        if (stamp.isEmpty) (buildIngested(), true)
+        else (cache.getOrElseUpdate((spark, stamp + "#ingest"))(buildIngested()),
+              false)
+      }
+    val res = probe(spark, root, embeddings, maxQueryId, k, beam, hops)
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(root).getParent))
+      out
+    } else res
+  }
 
   /** Build-once-per-corpus probe (the s24 lifecycle wrapper): cached
     * on the corpus scan stamp; uncacheable frames get an ephemeral

@@ -536,6 +536,39 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** kNN edges for an ARBITRARY query frame over an arbitrary corpus —
+    * [[knnJoin]] with the probe side given explicitly (the
+    * [[GraphIndex.ingest]] kernel: an arrival batch's edges are its
+    * top-k over the GROWN corpus, probed through the same cells). Same
+    * single cell-key shuffle; the batch side fans out map-side. */
+  private[graft] def knnEdgesFor(corpus: DataFrame, queryVecs: DataFrame,
+                                 k: Int, nProbe: Int,
+                                 centIds: Seq[Long]): DataFrame = {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val cells = assignedCells(corpus, centIds)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+              col("nrm").as("cn"), col("cell"))
+    val cents = corpus.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probes = queryVecs
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", vec_dot(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+              vec_norm(col("embedding")).as("qn"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cells.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+  }
+
   /** The s20 kNN-graph CTE chain, ending at
     * `ranked(q_id, c_id, cos, rank)` — shared by the s20 oracle and
     * the s22 centrality oracle so the graph both replay is IDENTICAL. */
@@ -1626,12 +1659,14 @@ object Similarity {
   }
 
   /** The farthest-first CTE chain `e, c1, d1, …, ck` (pick r lives in
-    * CTE `c_r`) — shared by the s21 oracle and the s25 graph-walk
-    * oracle (whose entry points are these seeds). */
-  private def kcenterCtes(k: Int): String = {
+    * CTE `c_r`) — shared by the s21 oracle and the s25/s27 graph-walk
+    * oracles (whose entry points are these seeds). `where` restricts
+    * the seeded corpus (s27 seeds on the PRE-INGEST corpus). */
+  private def kcenterCtes(k: Int, where: String = ""): String = {
     val d = Dialect.duck
+    val ew = if (where.isEmpty) "" else s" WHERE $where"
     val ctes = new StringBuilder(
-      """e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""e AS (SELECT vec_id, embedding FROM embeddings$ew),
        c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
        d1 AS (SELECT e.vec_id, e.embedding,
            """ + l2sq(d, "e.embedding", "c.embedding") + """ AS md
@@ -1757,23 +1792,16 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** DuckDB replay: seeds chain + kNN-graph chain + one CTE pair per
-    * hop (candidates, then visited = UNION dedup — the cosine
-    * expression is identical on both branches, so UNION's set
+  /** The beam-walk CTE tail shared by the s25 and s27 oracles —
+    * consumes `gedge(src, dst)` and `gseed(vec_id)` and emits one CTE
+    * pair per hop (candidates, then visited = UNION dedup — the
+    * cosine expression is identical on both branches, so UNION's set
     * semantics are exact), then the final rank. */
-  def graphAnnTopKOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
-                         hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
-                         nSeeds: Int = 8): String = {
+  private def graphWalkSql(maxQueryId: Long, k: Int, beam: Int,
+                           hops: Int): String = {
     val d = Dialect.duck
-    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
-      .mkString(" UNION ALL ")
     val sb = new StringBuilder(
-      s"""WITH ${knnCtes(nProbe)},
-       ${kcenterCtes(nSeeds)},
-       gedge AS (SELECT q_id AS src, c_id AS dst FROM ranked
-                 WHERE rank <= $graphK),
-       gseed AS ($seedSel),
-       gcorp AS (SELECT vec_id AS c_id, embedding AS ce,
+      s"""gcorp AS (SELECT vec_id AS c_id, embedding AS ce,
            ${normExpr(d, "embedding")} AS cn FROM embeddings),
        gq AS (SELECT vec_id AS q_id, embedding AS qe,
            ${normExpr(d, "embedding")} AS qn
@@ -1802,6 +1830,81 @@ object Similarity {
                ORDER BY cos DESC, c_id) AS rank FROM gv$hops) t
        WHERE rank <= $k ORDER BY q_id, rank""")
     sb.toString
+  }
+
+  /** DuckDB replay of s25: seeds chain + kNN-graph chain + the shared
+    * beam-walk tail. */
+  def graphAnnTopKOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                         hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
+                         nSeeds: Int = 8): String = {
+    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${knnCtes(nProbe)},
+       ${kcenterCtes(nSeeds)},
+       gedge AS (SELECT q_id AS src, c_id AS dst FROM ranked
+                 WHERE rank <= $graphK),
+       gseed AS ($seedSel),
+       ${graphWalkSql(maxQueryId, k, beam, hops)}"""
+  }
+
+  /** [[knnCtes]] with a NAME PREFIX and corpus/source predicates — the
+    * s27 oracle needs TWO graph chains in one query (the pre-ingest
+    * build over the old corpus, the arrival batch's edges over the
+    * grown corpus). Empty predicates and prefix reproduce the plain
+    * chain. */
+  private def knnCtesP(p: String, nProbe: Int, corpusWhere: String,
+                       srcWhere: String): String = {
+    val d = Dialect.duck
+    val ids = centroidIds.mkString(", ")
+    val cw = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    val sw = if (srcWhere.isEmpty) "" else s" AND ($srcWhere)"
+    s"""${p}cents AS (SELECT vec_id AS cent_id, embedding AS cemb
+           FROM embeddings WHERE vec_id IN ($ids)),
+       ${p}scoredc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+           ${dot(d, "e.embedding", "c.cemb")} AS csim
+         FROM (SELECT * FROM embeddings$cw) e CROSS JOIN ${p}cents c),
+       ${p}assigned AS (SELECT vec_id, embedding, cent_id AS cell,
+           ${normExpr(d, "embedding")} AS nrm
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn FROM ${p}scoredc) t
+         WHERE crn = 1),
+       ${p}qprobe AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn, cent_id AS cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cent_id) AS crn
+               FROM ${p}scoredc) t
+         WHERE crn <= $nProbe$sw),
+       ${p}scored AS (SELECT q.q_id, c.vec_id AS c_id,
+           ${dot(d, "q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         FROM ${p}assigned c JOIN ${p}qprobe q ON q.cell = c.cell
+         WHERE q.q_id <> c.vec_id),
+       ${p}ranked AS (SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM ${p}scored)"""
+  }
+
+  /** s27 oracle: the grown index's adjacency is the UNION of the
+    * pre-ingest build (old corpus only), the batch's edges (computed
+    * over the grown corpus), and the batch edges REVERSED (the
+    * bidirectional insertion that makes arrivals reachable); seeds
+    * stay the pre-ingest picks; then the shared beam-walk tail. */
+  def graphIngestOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                        hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
+                        nSeeds: Int = 8,
+                        newWhere: String = "vec_id % 9 = 0"): String = {
+    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${knnCtesP("o", nProbe, s"NOT ($newWhere)", "")},
+       ${knnCtesP("n", nProbe, "", newWhere)},
+       ${kcenterCtes(nSeeds, s"NOT ($newWhere)")},
+       gedge AS (SELECT DISTINCT src, dst FROM (
+           SELECT q_id AS src, c_id AS dst FROM oranked WHERE rank <= $graphK
+           UNION ALL
+           SELECT q_id, c_id FROM nranked WHERE rank <= $graphK
+           UNION ALL
+           SELECT c_id, q_id FROM nranked WHERE rank <= $graphK) u),
+       gseed AS ($seedSel),
+       ${graphWalkSql(maxQueryId, k, beam, hops)}"""
   }
 
   /** s04: the Lloyd refinement step — recompute each IVF cell's

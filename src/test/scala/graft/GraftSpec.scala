@@ -509,6 +509,41 @@ class GraftSpec extends AnyFunSuite {
       "graph walk found none of the exact top-k")
   }
 
+  test("s27 GraphIndex ingest: an arrival is invisible pre-ingest and serves as top-1 for its twin query after bidirectional insertion") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.GraphIndex
+    import spark.implicits._
+    def v(xs: Double*) = xs.toArray
+    // engineered corpus: query 0's EXACT twin arrives as id 99 — its
+    // true rank is 1, but a walk can only reach it if ingest added
+    // edges pointing AT it (the bidirectional-insertion claim)
+    val rows = Seq(
+      (0L, v(0.9, 0.1, 0.0, 0.0), 0L),  // the query
+      (1L, v(1.0, 0.0, 0.0, 0.0), 0L),  // centroid A
+      (2L, v(0.0, 1.0, 0.0, 0.0), 0L),  // centroid B
+      (10L, v(0.8, 0.3, 0.1, 0.0), 0L),
+      (11L, v(0.7, 0.2, 0.2, 0.0), 0L),
+      (12L, v(0.1, 0.9, 0.0, 0.1), 0L),
+      (13L, v(0.2, 0.8, 0.1, 0.0), 0L),
+      (14L, v(0.6, 0.4, 0.0, 0.1), 0L),
+      (99L, v(0.9, 0.1, 0.0, 0.0), 0L)  // the arrival: the query's twin
+    ).toDF("vec_id", "embedding", "label")
+    val old = rows.filter(col("vec_id") =!= 99L)
+    val root = java.nio.file.Files.createTempDirectory("graft_ging").toString + "/ix"
+    GraphIndex.build(spark, root, old, graphK = 3, nProbe = 2, nSeeds = 4,
+      centIds = Seq(1L, 2L))
+    val pre = GraphIndex.probe(spark, root, rows, maxQueryId = 1, k = 3).collect()
+    assert(pre.nonEmpty &&
+      !pre.map(_.getAs[Long]("neighbor_id")).contains(99L),
+      "unindexed arrival surfaced before ingest")
+    GraphIndex.ingest(spark, root, rows, rows.filter(col("vec_id") === 99L),
+      graphK = 3, nProbe = 2, centIds = Seq(1L, 2L))
+    val post = GraphIndex.probe(spark, root, rows, maxQueryId = 1, k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(post.head.getAs[Long]("neighbor_id") == 99L,
+      s"arrival not served as top-1 after ingest: ${post.toSeq}")
+  }
+
   test("e2e01 reference flow: poison dead-letters once, incremental serving equals recompute, audit covers the final table") {
     val out = SparkEntry.queries("e2e01_reference_flow")(spark, sf).collect()
     assert(out.map(_.getAs[String]("stage")).toSet ==
