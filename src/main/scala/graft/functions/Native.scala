@@ -504,6 +504,21 @@ case class ArrJaccard(left: Expression, right: Expression)
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // the kernel reads getFloat: an array<double> input would not fail,
+  // it would silently fold GARBAGE (4 bytes of each 8-byte double) —
+  // found live when a spec fed synthetic Array[Double] vectors. Fail
+  // at ANALYSIS instead.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isF(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isF(left.dataType) && isF(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float> operands, got ${left.dataType} and ${right.dataType}")
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(
@@ -534,6 +549,17 @@ case class VecDot(left: Expression, right: Expression)
 case class PlaneBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  // same getFloat contract as [[VecDot]]: reject non-float arrays at
+  // analysis rather than bucketing garbage
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"plane_bucket expects array<float>, got $other")
+    }
   override protected def nullSafeEval(v: Any): Any =
     TextKernels.planeBucket(v.asInstanceOf[ArrayData], planes, offset)
   override protected def doGenCode(

@@ -43,6 +43,15 @@ object GraphIndex {
 
   private def edgeRoot(root: String) = s"$root/edges"
   private def seedRoot(root: String) = s"$root/seeds"
+  private def retireRoot(root: String) = s"$root/retired"
+
+  /** The graveyard set — empty when no delete has run. */
+  private def retiredDf(spark: SparkSession, root: String): DataFrame =
+    VersionedTable.currentVersion(spark, retireRoot(root)) match {
+      case Some(_) => VersionedTable.read(spark, retireRoot(root))
+        .select(col("vec_id").as("c_id")).distinct()
+      case None => spark.range(0).select(col("id").as("c_id"))
+    }
 
   private def bucketCol(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(NumBuckets)).cast("string")
@@ -73,8 +82,10 @@ object GraphIndex {
   def probe(spark: SparkSession, root: String, embeddings: DataFrame,
             maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
             hops: Int = 3): DataFrame = {
+    val retired = retiredDf(spark, root).localCheckpoint()
     val seeds = VersionedTable.read(spark, seedRoot(root))
       .select(col("vec_id").as("c_id"))
+      .join(retired, Seq("c_id"), "left_anti") // a retired entry point dies
     lastProbeBucketCounts = Nil
     Similarity.graphWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
       fr => {
@@ -87,8 +98,59 @@ object GraphIndex {
             spark, edgeRoot(root), buckets)
           fr.join(slice, fr("c_id") === slice("src"))
             .select(fr("q_id"), slice("dst").as("c_id"))
+            // dangling edges to retired nodes are filtered at fetch
+            // time (the graveyard read path); [[compact]] purges them
+            .join(broadcast(retired), Seq("c_id"), "left_anti")
         }
       })
+  }
+
+  /** DELETE (retire) vectors — the graveyard pattern real graph
+    * indexes use, because edges POINTING AT a victim live in every
+    * other node's list and finding them eagerly would scan the whole
+    * edge table: delete APPENDS the victim ids to a tiny retired set,
+    * O(batch); probes filter candidates and entry points against it
+    * (retired nodes never appear in results and are never expanded —
+    * their out-edges become unreachable without being touched).
+    * Contract, stated honestly: unlike LexIndex/VecIndex, a graph
+    * delete is NOT "equal to an index that never held the victim" —
+    * the victim influenced its neighbors' top-k lists at build time,
+    * and retiring it leaves HOLES, not repairs (survivors keep their
+    * remaining edges; a rebuild restores build quality). Idempotent:
+    * re-retiring is a no-op set union. [[compact]] purges the
+    * graveyard physically. */
+  def delete(spark: SparkSession, root: String, victimIds: DataFrame): Unit = {
+    val vs = victimIds.select(col("vec_id")).distinct()
+    val rv = VersionedTable.currentVersion(spark, retireRoot(root))
+    rv match {
+      case None => VersionedTable.commit(spark, retireRoot(root), vs, -1L)
+      case Some(v) => VersionedTable.append(spark, retireRoot(root), vs, v)
+    }
+    ()
+  }
+
+  /** Fold append-fragmented edge chains AND purge the graveyard: one
+    * distributed anti-join drops every edge whose src or dst is
+    * retired, the result commits partition-native, the retired set
+    * empties. Cost O(edge table) — the periodic maintenance pass, vs
+    * delete's O(batch) online path. Probe results are unchanged by
+    * construction (the probe already filtered what compact purges). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val retired = retiredDf(spark, root).localCheckpoint()
+    val ev = VersionedTable.currentVersion(spark, edgeRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no graph index built at $root"))
+    if (!retired.isEmpty) {
+      val live = VersionedTable.read(spark, edgeRoot(root))
+        .join(retired.select(col("c_id").as("src")), Seq("src"), "left_anti")
+        .join(retired.select(col("c_id").as("dst")), Seq("dst"), "left_anti")
+        .withColumn("bucket", bucketCol(col("src")))
+      VersionedTable.commitPartitioned(spark, edgeRoot(root), live, "bucket", ev)
+      val rv = VersionedTable.currentVersion(spark, retireRoot(root)).get
+      VersionedTable.commit(spark, retireRoot(root),
+        retired.select(col("c_id").as("vec_id")).limit(0), rv)
+    }
+    VersionedTable.compactPartitioned(spark, edgeRoot(root))
+    ()
   }
 
   /** INGEST an arrival batch (s27): the batch's edges are its top-k

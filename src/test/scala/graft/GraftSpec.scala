@@ -513,7 +513,7 @@ class GraftSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     import graft.operators.GraphIndex
     import spark.implicits._
-    def v(xs: Double*) = xs.toArray
+    def v(xs: Double*) = xs.map(_.toFloat).toArray // FLOAT[]: VecDot reads getFloat
     // engineered corpus: query 0's EXACT twin arrives as id 99 — its
     // true rank is 1, but a walk can only reach it if ingest added
     // edges pointing AT it (the bidirectional-insertion claim)
@@ -542,6 +542,45 @@ class GraftSpec extends AnyFunSuite {
       .collect().sortBy(_.getAs[Long]("rank"))
     assert(post.head.getAs[Long]("neighbor_id") == 99L,
       s"arrival not served as top-1 after ingest: ${post.toSeq}")
+  }
+
+  test("GraphIndex delete: retirement is O(batch) and total — victims vanish from probes; compact purges physically and changes nothing") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.GraphIndex
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray // FLOAT[]: VecDot reads getFloat
+    val rows = Seq(
+      (0L, v(0.9, 0.1, 0.0, 0.0), 0L),
+      (1L, v(1.0, 0.0, 0.0, 0.0), 0L),
+      (2L, v(0.0, 1.0, 0.0, 0.0), 0L),
+      (10L, v(0.8, 0.3, 0.1, 0.0), 0L),
+      (11L, v(0.7, 0.2, 0.2, 0.0), 0L),
+      (12L, v(0.1, 0.9, 0.0, 0.1), 0L),
+      (13L, v(0.2, 0.8, 0.1, 0.0), 0L),
+      (14L, v(0.6, 0.4, 0.0, 0.1), 0L),
+      (99L, v(0.9, 0.1, 0.0, 0.0), 0L)
+    ).toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_gdel").toString + "/ix"
+    // 6 entry points: the query's own cluster must be enterable
+    // WITHOUT the query (a query is never its own entry point)
+    GraphIndex.build(spark, root, rows, graphK = 3, nProbe = 2, nSeeds = 6,
+      centIds = Seq(1L, 2L))
+    def rset() = GraphIndex.probe(spark, root, rows, maxQueryId = 1, k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val r0 = rset()
+    assert(r0.exists { case (r, n) => r == 1L && n == 99L },
+      s"twin not served pre-delete: $r0")
+    GraphIndex.delete(spark, root, Seq(99L).toDF("vec_id"))
+    val afterDel = rset()
+    assert(!afterDel.exists(_._2 == 99L), "retired vector still served")
+    GraphIndex.delete(spark, root, Seq(99L).toDF("vec_id")) // idempotent
+    assert(rset() == afterDel, "re-retiring changed results")
+    GraphIndex.compact(spark, root)
+    assert(rset() == afterDel, "compact changed probe results")
+    val edges = VersionedTable.read(spark, s"$root/edges")
+    assert(edges.filter(col("src") === 99L || col("dst") === 99L).isEmpty,
+      "compact left retired edges in the table")
   }
 
   test("e2e01 reference flow: poison dead-letters once, incremental serving equals recompute, audit covers the final table") {
