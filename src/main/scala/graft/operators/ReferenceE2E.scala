@@ -87,8 +87,10 @@ object ReferenceE2E {
         dirty.as("status_raw"), (col("value") + 1000.0).as("value"),
         col("props"), lit(1).as("prio"),
         (col("event_type") === "error").as("deleted"))
+    // offset = 2^40: above any real event_id at ANY scale factor
+    // (a colliding "insert" would silently become an update)
     val lateInserts = src.filter(pmod(col("event_id"), lit(97)) === 0)
-      .select((col("event_id") + 1000000L).as("event_id"),
+      .select((col("event_id") + 1099511627776L).as("event_id"),
         (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"), col("user_id"),
         col("event_type").as("status_raw"), (col("value") + 5.0).as("value"),
         col("props"), lit(1).as("prio"), lit(false).as("deleted"))
@@ -224,7 +226,7 @@ object ReferenceE2E {
                 (event_type = 'error') AS deleted
          FROM srce WHERE event_id % 5 = 0
          UNION ALL
-         SELECT event_id + 1000000, ts + INTERVAL 1 HOUR, user_id,
+         SELECT event_id + 1099511627776, ts + INTERVAL 1 HOUR, user_id,
                 event_type, value + 5.0, props, 1, FALSE
          FROM srce WHERE event_id % 97 = 0),
        rawt AS (SELECT * FROM payload UNION ALL SELECT * FROM corr),
