@@ -525,16 +525,23 @@ object StreamOps {
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
+    // EXACT-CENTS sum (the e2e01 discipline): at the 30× corpus this
+    // group's double sum reaches ~4e11 over millions of rows, where
+    // cross-engine accumulation-order noise EXCEEDS the 2-dp rounding
+    // grain — a rounded float sum stops being a valid oracle at scale
+    // (found live by the 30× artifact). One 0-dp round per row, then
+    // pure BIGINT addition, is order-free at any scale.
     spark.table(sink)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-           graft.operators.Rounding.roundN(sum(col("o_totalprice")), 2).as("total"))
+           (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+             .as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
   val lakeStreamOracle: String =
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-         round(sum(o_totalprice), 2) AS total
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   // ---- st10: CDC mode under the oracle gate ---------------------------
