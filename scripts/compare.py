@@ -31,11 +31,20 @@ MARKER_B = "FROM reach GROUP BY a)"
 INNER = re.compile(r"\b(sh|sig|bands|pairs|dup|edges|reach)\b")
 
 # set by prepare_shared: d07's exact CTE-prefix text up to each marker.
-# rewrite_shared swaps a prefix ONLY when it is byte-identical to
-# d07's — an oracle embedding the chain with different parameters but
-# the same trailing marker must run full, not silently verify against
-# d07's materialization.
+# rewrite_shared swaps a prefix ONLY when it matches d07's
+# byte-for-byte after dropping the WITH [RECURSIVE] header (only the
+# closure consumers say RECURSIVE; the chain text itself must be
+# identical) — an oracle embedding the chain with different parameters
+# but the same trailing marker must run full, not silently verify
+# against d07's materialization.
 PREFIX_A = PREFIX_B = None
+
+def _norm_prefix(s):
+    s = s.lstrip()
+    for h in ("WITH RECURSIVE", "WITH"):
+        if s.startswith(h):
+            return s[len(h):].lstrip()
+    return s
 
 def prepare_shared(con, oracle):
     global PREFIX_A, PREFIX_B
@@ -58,13 +67,13 @@ def rewrite_shared(sql):
     if MARKER_B in sql:
         prefix, suffix = sql.split(MARKER_B, 1)
         prefix += MARKER_B
-        if (prefix == PREFIX_B and not INNER.search(suffix)
-                and "verified" not in suffix):
+        if (_norm_prefix(prefix) == _norm_prefix(PREFIX_B)
+                and not INNER.search(suffix) and "verified" not in suffix):
             return "WITH RECURSIVE cl AS (SELECT * FROM cl_mat)" + suffix
     if MARKER_A in sql:
         prefix, suffix = sql.split(MARKER_A, 1)
         prefix += MARKER_A
-        if prefix == PREFIX_A and not INNER.search(suffix):
+        if _norm_prefix(prefix) == _norm_prefix(PREFIX_A) and not INNER.search(suffix):
             return "WITH RECURSIVE verified AS (SELECT * FROM verified_mat)" + suffix
     return sql
 
