@@ -1706,31 +1706,43 @@ object Similarity {
     * full embedding was read).
     *
     * Scale shape: every frame in the loop is bounded by queries ×
-    * (seeds + hops·beam·graphK) — never the corpus. Scoring joins
-    * BROADCAST the candidate list into one pruned pass over the
-    * corpus scan (at 100 TB: a forward-index point lookup); `expand`
-    * decides how adjacency is fetched (inline edge frame here,
-    * dir-pruned partition reads in [[GraphIndex.probe]]). The walk is
-    * `hops` sequential bounded stages — graph ANN trades the one-shot
+    * (seeds + hops·beam·graphK) — never the corpus. Candidate-vector
+    * fetch is pluggable like adjacency: `fetchVecs` (given the hop's
+    * distinct candidate ids, return `(c_id, ce)`) lets
+    * [[GraphIndex.probe]] serve vectors from its id-bucketed forward
+    * index with dir-pruned reads — the 100 TB point-lookup shape —
+    * while the inline arm (None) broadcast-joins the candidate list
+    * into one pruned pass over the corpus scan; `expand` decides how
+    * adjacency is fetched (inline edge frame here, dir-pruned
+    * partition reads in [[GraphIndex.probe]]). The walk is `hops`
+    * sequential bounded stages — graph ANN trades the one-shot
     * candidate volume of cell probes for a handful of tiny lookups. */
   private[graft] def beamWalk(embeddings: DataFrame, maxQueryId: Long,
                               seedIds: DataFrame,
                               expand: DataFrame => DataFrame,
-                              beam: Int, hops: Int): DataFrame = {
+                              beam: Int, hops: Int,
+                              fetchVecs: Option[DataFrame => DataFrame] = None
+                             ): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    val corpus = embeddings.select(col("vec_id").as("c_id"),
+    lazy val corpus = embeddings.select(col("vec_id").as("c_id"),
         col("embedding").as("ce"))
       .withColumn("cn", vec_norm(col("ce")))
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .withColumn("qn", vec_norm(col("qe")))
       .localCheckpoint()
-    def score(cands: DataFrame): DataFrame =
-      corpus.join(broadcast(cands), Seq("c_id"))
+    def score(cands: DataFrame): DataFrame = {
+      val vecs = fetchVecs match {
+        case Some(f) => f(cands.select(col("c_id")).distinct())
+          .withColumn("cn", vec_norm(col("ce")))
+        case None => corpus
+      }
+      vecs.join(broadcast(cands), Seq("c_id"))
         .join(broadcast(queries), Seq("q_id"))
         .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .select(col("q_id"), col("c_id"), col("cos"))
+    }
     val wBeam = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     val entry = queries.select(col("q_id"))
@@ -1781,9 +1793,12 @@ object Similarity {
   private[graft] def graphWalkTopK(embeddings: DataFrame, maxQueryId: Long,
                                    k: Int, beam: Int, hops: Int,
                                    seedIds: DataFrame,
-                                   expand: DataFrame => DataFrame): DataFrame = {
+                                   expand: DataFrame => DataFrame,
+                                   fetchVecs: Option[DataFrame => DataFrame] =
+                                     None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val visited = beamWalk(embeddings, maxQueryId, seedIds, expand, beam, hops)
+    val visited = beamWalk(embeddings, maxQueryId, seedIds, expand, beam, hops,
+      fetchVecs)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     visited.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -497,6 +497,17 @@ class GraftSpec extends AnyFunSuite {
     GraphIndex.lastProbeBucketCounts.foreach { c =>
       assert(c > 0 && c <= 4, s"hop opened $c buckets for a beam-4 frontier")
     }
+    // the FORWARD index is dir-pruned the same way: candidate vectors
+    // come from ≤ candidate-id bucket dirs (entry: ≤ 8 seeds; each
+    // hop: ≤ beam·graphK = 12 fresh ids), never a corpus scan
+    assert(GraphIndex.lastVecBucketCounts.size == 4,
+      s"expected entry + 3 hop vector fetches: ${GraphIndex.lastVecBucketCounts}")
+    assert(GraphIndex.lastVecBucketCounts.head > 0 &&
+      GraphIndex.lastVecBucketCounts.head <= 8,
+      s"entry fetch opened ${GraphIndex.lastVecBucketCounts.head} vector buckets for 8 seeds")
+    GraphIndex.lastVecBucketCounts.tail.foreach { c =>
+      assert(c <= 12, s"hop fetched $c vector buckets for ≤12 fresh candidates")
+    }
     // repeated retrieval is probe-only
     val before = GraphIndex.indexBuilds
     GraphIndex.probe(spark, root, emb).collect()
@@ -581,6 +592,57 @@ class GraftSpec extends AnyFunSuite {
     val edges = VersionedTable.read(spark, s"$root/edges")
     assert(edges.filter(col("src") === 99L || col("dst") === 99L).isEmpty,
       "compact left retired edges in the table")
+    assert(VersionedTable.read(spark, s"$root/vectors")
+      .filter(col("vec_id") === 99L).isEmpty,
+      "compact left the retired vector in the forward index")
+  }
+
+  test("GraphIndex rebuild signal: churn (ingests + retirements) trips rebuildRecommended; rebuild resets it AND the graveyard") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.GraphIndex
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(0.9, 0.1, 0.0, 0.0), 0L),
+      (1L, v(1.0, 0.0, 0.0, 0.0), 0L),
+      (2L, v(0.0, 1.0, 0.0, 0.0), 0L),
+      (10L, v(0.8, 0.3, 0.1, 0.0), 0L),
+      (11L, v(0.7, 0.2, 0.2, 0.0), 0L),
+      (12L, v(0.1, 0.9, 0.0, 0.1), 0L),
+      (13L, v(0.2, 0.8, 0.1, 0.0), 0L),
+      (14L, v(0.6, 0.4, 0.0, 0.1), 0L),
+      (99L, v(0.9, 0.1, 0.0, 0.0), 0L)
+    ).toDF("vec_id", "embedding", "label")
+    val old = rows.filter(col("vec_id") =!= 99L)
+    val root = java.nio.file.Files.createTempDirectory("graft_gsig").toString + "/ix"
+    // fresh build: no churn
+    GraphIndex.build(spark, root, old, graphK = 3, nProbe = 2, nSeeds = 6,
+      centIds = Seq(1L, 2L))
+    assert(!GraphIndex.rebuildRecommended(spark, root), "fresh build flagged")
+    // one arrival into 8 built = 12.5% churn — under the 25% threshold
+    GraphIndex.ingest(spark, root, rows, rows.filter(col("vec_id") === 99L),
+      graphK = 3, nProbe = 2, centIds = Seq(1L, 2L))
+    assert(!GraphIndex.rebuildRecommended(spark, root),
+      "sub-threshold churn flagged")
+    // +2 retirements = 3/8 — the holes compact can't re-fill: over
+    GraphIndex.delete(spark, root, Seq(13L, 14L).toDF("vec_id"))
+    assert(GraphIndex.rebuildRecommended(spark, root),
+      "37.5% churn not flagged")
+    // compact purges physically but cannot re-rank: still due
+    GraphIndex.compact(spark, root)
+    assert(GraphIndex.rebuildRecommended(spark, root),
+      "compact cleared the rebuild signal")
+    // retire the twin, then REBUILD over a corpus that still holds it:
+    // rebuild resets churn AND the graveyard (every list re-ranked
+    // from the given corpus — a retained id is live again)
+    GraphIndex.delete(spark, root, Seq(99L).toDF("vec_id"))
+    GraphIndex.build(spark, root, rows, graphK = 3, nProbe = 2, nSeeds = 6,
+      centIds = Seq(1L, 2L))
+    assert(!GraphIndex.rebuildRecommended(spark, root), "rebuild left signal up")
+    val served = GraphIndex.probe(spark, root, rows, maxQueryId = 1, k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(served.contains((1L, 99L)),
+      s"rebuild inherited the graveyard — twin still suppressed: ${served.toSeq}")
   }
 
   test("e2e01 reference flow: poison dead-letters once, incremental serving equals recompute, audit covers the final table") {
