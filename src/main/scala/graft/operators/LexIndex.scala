@@ -110,14 +110,18 @@ object LexIndex {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
   /** The index's atomic consistency point: the three tables' pinned
-    * versions + the corpus scalars + the streaming sink's idempotence
-    * marker, flipped in ONE rename. `txn` is the (appId, batchId) of
-    * the last [[ingest]] that carried one — the lastTxnBatch analogue
-    * for an index whose "commit" is the manifest, not a table version. */
+    * versions + the corpus scalars + the streaming sinks' idempotence
+    * markers, flipped in ONE rename. `txn` maps each writer appId to
+    * the highest batchId it has committed — PER-APP, like the
+    * txnAppId/txnVersion tracking Delta's reference implementation
+    * keeps, so two interleaved streaming writers (or a restarted
+    * second app) cannot evict each other's replay guard: a single
+    * last-writer slot would let app A's replayed batch slip through
+    * after app B's commit overwrote the marker. */
   private[graft] final case class Manifest(
       postingsV: Long, statsV: Long, doclensV: Long,
       nDocs: Long, nDoclens: Long, totalTokens: Long,
-      txn: Option[(String, Long)])
+      txn: Map[String, Long])
 
   private[graft] def readManifest(spark: SparkSession, root: String): Manifest = {
     val f = hfs(spark, root)
@@ -129,8 +133,9 @@ object LexIndex {
     Manifest(kv("postings_v").toLong, kv("stats_v").toLong,
       kv("doclens_v").toLong, kv("n_docs").toLong, kv("n_doclens").toLong,
       kv("total_tokens").toLong,
-      kv.get("txn_app").map(a =>
-        (java.net.URLDecoder.decode(a, "UTF-8"), kv("txn_batch").toLong)))
+      kv.collect { case (k, v) if k.startsWith("txnapp.") =>
+        java.net.URLDecoder.decode(k.stripPrefix("txnapp."), "UTF-8") ->
+          v.toLong })
   }
 
   /** Atomic manifest flip: write a temp file, rename over the live
@@ -145,8 +150,8 @@ object LexIndex {
       metaPath(root) + ".tmp-" + java.util.UUID.randomUUID())
     val f = hfs(spark, root)
     val out = f.create(tmp, true)
-    val txnLines = m.txn.fold("") { case (a, b) =>
-      s"txn_app=${java.net.URLEncoder.encode(a, "UTF-8")}\ntxn_batch=$b\n" }
+    val txnLines = m.txn.toSeq.sortBy(_._1).map { case (a, b) =>
+      s"txnapp.${java.net.URLEncoder.encode(a, "UTF-8")}=$b\n" }.mkString
     try out.write(
       (s"postings_v=${m.postingsV}\nstats_v=${m.statsV}\n" +
        s"doclens_v=${m.doclensV}\nn_docs=${m.nDocs}\n" +
@@ -196,7 +201,8 @@ object LexIndex {
     // previous pinned snapshot (or nothing, on a first build); a txn
     // marker from a prior index generation dies with the rebuild
     writeManifest(spark, root, Manifest(pv, sv, dv,
-      documents.count(), agg.getAs[Long]("n"), agg.getAs[Long]("t"), None))
+      documents.count(), agg.getAs[Long]("n"), agg.getAs[Long]("t"),
+      Map.empty))
   }
 
   /** BM25 top-`nArm` per query doc over ONLY the probed buckets'
@@ -498,17 +504,18 @@ object LexIndex {
     * double-appending postings and double-counting scalars. Because
     * the marker rides the manifest — the flip that makes a batch
     * visible — a batch is replayed iff it never became visible:
-    * exactly-once on the probe-visible state. */
+    * exactly-once on the probe-visible state. The guard is PER
+    * appId: interleaved commits from a second writer never evict the
+    * first's marker. */
   def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
              txn: Option[(String, Long)] = None): Unit = {
     val man = readManifest(spark, root)
     txn.foreach { case (appId, batchId) =>
-      man.txn.foreach { case (a, b) =>
-        if (a == appId && b >= batchId) return // replayed batch: no-op
-      }
+      if (man.txn.get(appId).exists(_ >= batchId))
+        return // replayed batch: no-op
     }
     ingests += 1
-    val manTxn = txn.orElse(man.txn)
+    val manTxn = txn.fold(man.txn) { case (a, b) => man.txn + (a -> b) }
     val ntf = TextOps.tfFrame(newDocs)
     if (ntf.isEmpty) { // an all-tokenless batch still counts as docs
       writeManifest(spark, root,

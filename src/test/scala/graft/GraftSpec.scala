@@ -475,6 +475,17 @@ class GraftSpec extends AnyFunSuite {
       s"replayed txn batches re-ingested: ${LexIndex.ingests - before} ingests")
     assert(armSet(LexIndex.probe(spark, root, queries)) == p3,
       "replayed txn batch changed the index")
+    // a SECOND writer's commit must not evict the first's replay
+    // guard (per-appId map, not a single last-writer slot): app2
+    // commits, then app1's batch 7 replays — still a no-op
+    LexIndex.ingest(spark, root, docs.filter(col("doc_id") < 0),
+      txn = Some(("lexman_app2", 1L)))
+    LexIndex.ingest(spark, root, docs.filter(col("doc_id") % 5 === 0),
+      txn = Some(("lexman_app", 7L)))
+    assert(LexIndex.ingests - before == 2, // app2's one real ingest only
+      "a second app's commit evicted the first's txn marker")
+    assert(armSet(LexIndex.probe(spark, root, queries)) == p3,
+      "interleaved-writer replay changed the index")
   }
 
   test("s25 graph-ANN: persisted-graph probe equals the inline walk; hops are dir-pruned; repeated probes build nothing") {
