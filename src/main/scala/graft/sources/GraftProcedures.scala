@@ -10,32 +10,47 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The SQL front door for the persisted-index LIFECYCLES — Spark 4's
-  * DSv2 procedure surface (the Iceberg `CALL` pattern), so an index
-  * can be built, fed, probed, erased from, and compacted from PURE
-  * SQL, the way the time-travel TVFs already expose the versioned
-  * tables' read side:
+/** The SQL front door for ALL FIVE persisted-index LIFECYCLES —
+  * Spark 4's DSv2 procedure surface (the Iceberg `CALL` pattern), so
+  * every index family can be built, fed, probed, erased from, and
+  * compacted from PURE SQL, the way the time-travel TVFs already
+  * expose the versioned tables' read side:
   *
   * {{{
   *   SET spark.sql.catalog.graft_sys = graft.sources.GraftProcedureCatalog
   *   CALL graft_sys.lex_build(root => '/x/ix', source => 'docs_view')
   *   CALL graft_sys.lex_ingest(root => '/x/ix', source => 'new_docs')
-  *   SELECT * FROM ... -- or directly:
   *   CALL graft_sys.lex_probe(root => '/x/ix', source => 'query_docs')
   *   CALL graft_sys.lex_delete(root => '/x/ix', source => 'victims')
   *   CALL graft_sys.lex_compact(root => '/x/ix')
+  *   -- same verbs for the other families:
+  *   CALL graft_sys.vec_build(root => ..., source => 'embeddings_view')
+  *   CALL graft_sys.graph_probe(root => ..., source => ..., beam => 4)
+  *   CALL graft_sys.gram_ingest(root => ..., source => 'new_docs')
+  *   CALL graft_sys.band_probe(root => ..., source => ..., min_jaccard => 0.3)
   * }}}
   *
   * `source` is a table/view name resolved against the CURRENT session
   * catalog at call time (Iceberg's convention for table-valued
   * procedure inputs — DSv2 procedures take scalar arguments only).
-  * Mutations return a one-row status relation; `lex_probe` returns
-  * the probe's own rows (result-bounded: queries × nArm — a
-  * driver-side materialization the probe contract already bounds).
-  * Every procedure delegates to the SAME [[graft.operators.LexIndex]]
-  * methods the programmatic path uses, so SQL and Scala callers
-  * cannot diverge — the spec drives one full lifecycle through SQL
-  * only and checks the probe against the from-scratch arm. */
+  * Mutations return a one-row status relation; the `*_probe`
+  * procedures return the probe's own rows (result-bounded — a
+  * driver-side materialization each probe contract already bounds).
+  * Every procedure delegates to the SAME operator methods the
+  * programmatic path uses ([[graft.operators.LexIndex]],
+  * [[graft.operators.VecIndex]], [[graft.operators.GraphIndex]],
+  * [[graft.operators.GramIndex]], [[graft.operators.BandIndex]]), so
+  * SQL and Scala callers cannot diverge — one spec per family drives
+  * a full lifecycle through SQL only and checks the probe against a
+  * from-scratch arm.
+  *
+  * Verb mapping where a family's native names differ: `*_ingest` =
+  * GramIndex.append / BandIndex.ingest; `*_delete` = GramIndex.retire
+  * / BandIndex.retire (tombstones); `*_compact` =
+  * Gram/BandIndex.compactRetired. VecIndex has NO vec_compact —
+  * its delete rewrites the victims' cell dirs physically (no
+  * graveyard to purge). `cent_ids` takes a comma-separated id list
+  * ('' = the default centroid grid). */
 class GraftProcedureCatalog extends CatalogPlugin with ProcedureCatalog {
   private var catalogName: String = "graft_sys"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -54,8 +69,12 @@ private[graft] object GraftProcedures {
 
   private def strParam(n: String) =
     ProcedureParameter.in(n, StringType).build()
+  private def strParamDflt(n: String, dflt: String) =
+    ProcedureParameter.in(n, StringType).defaultValue(dflt).build()
   private def intParam(n: String, dflt: String) =
     ProcedureParameter.in(n, IntegerType).defaultValue(dflt).build()
+  private def dblParam(n: String, dflt: String) =
+    ProcedureParameter.in(n, DoubleType).defaultValue(dflt).build()
 
   private val statusSchema = new StructType().add("result", StringType)
 
@@ -69,6 +88,28 @@ private[graft] object GraftProcedures {
     java.util.List.of[Scan](RowsScan(statusSchema,
       Array(new GenericInternalRow(
         Array[Any](UTF8String.fromString(msg)))))).iterator()
+
+  /** Materialize a (result-bounded) probe frame as the procedure's
+    * relation — every probe contract bounds its own output, so the
+    * collect here is the same driver-side cost the Scala caller pays
+    * on `.collect()`. */
+  private def resultScan(df: org.apache.spark.sql.DataFrame): java.util.Iterator[Scan] = {
+    val schema = df.schema
+    val rows = df.collect().map { r =>
+      new GenericInternalRow(schema.fields.indices.map { i =>
+        if (r.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case StringType  => UTF8String.fromString(r.getString(i))
+          case LongType    => java.lang.Long.valueOf(r.getLong(i))
+          case IntegerType => java.lang.Integer.valueOf(r.getInt(i))
+          case DoubleType  => java.lang.Double.valueOf(r.getDouble(i))
+          case dt => throw new IllegalStateException(
+            s"unsupported probe column type $dt")
+        }
+      }.toArray[Any]): InternalRow
+    }
+    java.util.List.of[Scan](RowsScan(schema, rows)).iterator()
+  }
 
   /** A procedure over (root, source-view[, extra ints]) delegating to
     * a LexIndex lifecycle method. `deterministic` is false: every call
@@ -89,7 +130,14 @@ private[graft] object GraftProcedures {
         }
     }
 
-  import graft.operators.LexIndex
+  import graft.operators.{BandIndex, GramIndex, GraphIndex, LexIndex,
+    Similarity, VecIndex}
+
+  /** 'cent_ids' argument: comma-separated vec_ids, '' = the default
+    * oracle-pinned centroid grid. */
+  private def centIdsOf(s: String): Seq[Long] =
+    if (s.trim.isEmpty) Similarity.centroidIds
+    else s.split(",").map(_.trim.toLong).toSeq
 
   val byName: Map[String, UnboundProcedure] = Map(
     "lex_build" -> proc("lex_build",
@@ -123,15 +171,172 @@ private[graft] object GraftProcedures {
       (spark, in) =>
         val root = in.getUTF8String(0).toString
         val src = in.getUTF8String(1).toString
-        val nArm = in.getInt(2)
-        val schema = new StructType()
-          .add("q_id", LongType).add("doc_id", LongType)
-          .add("lex_rank", LongType)
-        val rows = LexIndex.probe(spark, root, spark.table(src), nArm)
-          .orderBy("q_id", "lex_rank")
-          .collect() // result-bounded: queries × nArm
-          .map(r => new GenericInternalRow(Array[Any](
-            r.getLong(0), r.getLong(1), r.getLong(2))): InternalRow)
-        java.util.List.of[Scan](RowsScan(schema, rows)).iterator()
+        resultScan(LexIndex.probe(spark, root, spark.table(src), in.getInt(2))
+          .orderBy("q_id", "lex_rank")) // result-bounded: queries × nArm
+    },
+
+    // ---- VecIndex (IVF): no vec_compact — delete rewrites cells ----
+    "vec_build" -> proc("vec_build",
+      Array(strParam("root"), strParam("source"),
+            strParamDflt("cent_ids", "''"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      VecIndex.build(spark, root, spark.table(src),
+        centIds = centIdsOf(in.getUTF8String(2).toString))
+      status(s"built vec index at $root from $src")
+    },
+    "vec_ingest" -> proc("vec_ingest",
+      Array(strParam("root"), strParam("source"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      VecIndex.ingest(spark, root, spark.table(src))
+      status(s"ingested $src into $root")
+    },
+    "vec_probe" -> proc("vec_probe",
+      Array(strParam("root"), strParam("source"),
+            intParam("k", "3"), intParam("n_probe", "2"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      resultScan(VecIndex.probe(spark, root, spark.table(src),
+          k = in.getInt(2), nProbe = in.getInt(3))
+        .orderBy("q_id", "rank")) // result-bounded: queries × k
+    },
+    "vec_delete" -> proc("vec_delete",
+      Array(strParam("root"), strParam("source"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      VecIndex.delete(spark, root, spark.table(src))
+      status(s"deleted $src from $root")
+    },
+
+    // ---- GraphIndex (graph-ANN) ----
+    "graph_build" -> proc("graph_build",
+      Array(strParam("root"), strParam("source"),
+            intParam("graph_k", "3"), intParam("n_probe", "2"),
+            intParam("n_seeds", "8"), strParamDflt("cent_ids", "''"))) {
+      (spark, in) =>
+        val root = in.getUTF8String(0).toString
+        val src = in.getUTF8String(1).toString
+        GraphIndex.build(spark, root, spark.table(src),
+          graphK = in.getInt(2), nProbe = in.getInt(3),
+          nSeeds = in.getInt(4),
+          centIds = centIdsOf(in.getUTF8String(5).toString))
+        status(s"built graph index at $root from $src")
+    },
+    "graph_ingest" -> proc("graph_ingest",
+      Array(strParam("root"), strParam("corpus"), strParam("source"),
+            intParam("graph_k", "3"), intParam("n_probe", "2"),
+            strParamDflt("cent_ids", "''"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val corpus = in.getUTF8String(1).toString
+      val src = in.getUTF8String(2).toString
+      GraphIndex.ingest(spark, root, spark.table(corpus), spark.table(src),
+        graphK = in.getInt(3), nProbe = in.getInt(4),
+        centIds = centIdsOf(in.getUTF8String(5).toString))
+      status(s"ingested $src into $root against $corpus")
+    },
+    "graph_probe" -> proc("graph_probe",
+      Array(strParam("root"), strParam("source"),
+            intParam("max_query_id", "8"), intParam("k", "3"),
+            intParam("beam", "4"), intParam("hops", "3"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      resultScan(GraphIndex.probe(spark, root, spark.table(src),
+        maxQueryId = in.getInt(2).toLong, k = in.getInt(3),
+        beam = in.getInt(4), hops = in.getInt(5))) // bounded: queries × k
+    },
+    "graph_delete" -> proc("graph_delete",
+      Array(strParam("root"), strParam("source"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      GraphIndex.delete(spark, root, spark.table(src))
+      status(s"retired $src from $root")
+    },
+    "graph_compact" -> proc("graph_compact",
+      Array(strParam("root"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      GraphIndex.compact(spark, root)
+      status(s"compacted $root")
+    },
+
+    // ---- GramIndex (span postings): ingest=append, delete=retire ----
+    "gram_build" -> proc("gram_build",
+      Array(strParam("root"), strParam("source"),
+            intParam("n", "8"), intParam("df_cap", "64"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      GramIndex.build(spark, root, spark.table(src),
+        n = in.getInt(2), dfCap = in.getInt(3))
+      status(s"built gram index at $root from $src")
+    },
+    "gram_ingest" -> proc("gram_ingest",
+      Array(strParam("root"), strParam("source"), intParam("n", "8"))) {
+      (spark, in) =>
+        val root = in.getUTF8String(0).toString
+        val src = in.getUTF8String(1).toString
+        GramIndex.append(spark, root, spark.table(src), n = in.getInt(2))
+        status(s"ingested $src into $root")
+    },
+    "gram_probe" -> proc("gram_probe",
+      Array(strParam("root"), strParam("source"),
+            intParam("n", "8"), intParam("min_tokens", "16"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      resultScan(GramIndex.probe(spark, root, spark.table(src),
+          n = in.getInt(2), minTokens = in.getInt(3))
+        .orderBy("batch_doc", "corpus_doc", "b_start", "c_start"))
+    },
+    "gram_delete" -> proc("gram_delete",
+      Array(strParam("root"), strParam("source"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      GramIndex.retire(spark, root, spark.table(src))
+      status(s"retired $src from $root")
+    },
+    "gram_compact" -> proc("gram_compact",
+      Array(strParam("root"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      GramIndex.compactRetired(spark, root)
+      status(s"compacted $root")
+    },
+
+    // ---- BandIndex (MinHash-LSH): ingest=dedup-gated, delete=retire ----
+    "band_build" -> proc("band_build",
+      Array(strParam("root"), strParam("source"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      BandIndex.build(spark, root, spark.table(src))
+      status(s"built band index at $root from $src")
+    },
+    "band_ingest" -> proc("band_ingest",
+      Array(strParam("root"), strParam("source"),
+            dblParam("min_jaccard", "0.3"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      val (admitted, _) = BandIndex.ingest(spark, root, spark.table(src),
+        minJaccard = in.getDouble(2))
+      status(s"ingested $src into $root (admitted ${admitted.count()})")
+    },
+    "band_probe" -> proc("band_probe",
+      Array(strParam("root"), strParam("source"),
+            dblParam("min_jaccard", "0.3"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      resultScan(BandIndex.probe(spark, root, spark.table(src),
+          minJaccard = in.getDouble(2))
+        .orderBy("batch_doc", "corpus_doc"))
+    },
+    "band_delete" -> proc("band_delete",
+      Array(strParam("root"), strParam("source"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      BandIndex.retire(spark, root, spark.table(src))
+      status(s"retired $src from $root")
+    },
+    "band_compact" -> proc("band_compact",
+      Array(strParam("root"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      BandIndex.compactRetired(spark, root)
+      status(s"compacted $root")
     })
 }

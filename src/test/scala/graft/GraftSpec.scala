@@ -725,6 +725,222 @@ class GraftSpec extends AnyFunSuite {
       "SQL compact changed probe results")
   }
 
+  test("SQL front door: the VecIndex lifecycle driven end-to-end by CALL procedures only") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.VecIndex
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sources.GraftProcedureCatalog")
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // corpus keeps the oracle-pinned centroid grid (100..107); the
+    // query batch stays OUT of the corpus (VecIndex.probe does not
+    // self-exclude); arrivals avoid the centroid ids (> 107)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(19)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(19)) === 0)
+    val arrivals = corpus.filter(
+      pmod(col("vec_id"), lit(13)) === 0 && col("vec_id") > 107)
+    val seed = corpus.except(arrivals)
+    seed.createOrReplaceTempView("vecsql_seed")
+    arrivals.createOrReplaceTempView("vecsql_arrivals")
+    batch.createOrReplaceTempView("vecsql_queries")
+    arrivals.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView("vecsql_victims")
+    val root = java.nio.file.Files.createTempDirectory("graft_vecsql")
+      .toString + "/ix"
+    def rset(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    def sqlProbe() = rset(spark.sql(
+      s"CALL graft_sys.vec_probe(root => '$root', source => 'vecsql_queries')")
+      .collect())
+    val b = spark.sql(
+      s"CALL graft_sys.vec_build(root => '$root', source => 'vecsql_seed')")
+      .collect()
+    assert(b.length == 1 && b.head.getString(0).contains("built"))
+    spark.sql(
+      s"CALL graft_sys.vec_ingest(root => '$root', source => 'vecsql_arrivals')")
+      .collect()
+    // from-scratch arm: a FRESH index built on the grown corpus — the
+    // ingest contract (appends against the persisted grid) makes the
+    // two identical, now reachable without Scala
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vecsql2")
+      .toString + "/ix"
+    VecIndex.build(spark, scratch, corpus)
+    assert(sqlProbe() == rset(VecIndex.probe(spark, scratch, batch).collect()),
+      "SQL-driven vec lifecycle diverged from the from-scratch rebuild")
+    // delete via SQL == an index that never held the victims
+    spark.sql(
+      s"CALL graft_sys.vec_delete(root => '$root', source => 'vecsql_victims')")
+      .collect()
+    val scratch2 = java.nio.file.Files.createTempDirectory("graft_vecsql3")
+      .toString + "/ix"
+    VecIndex.build(spark, scratch2, corpus.except(
+      arrivals.filter(pmod(col("vec_id"), lit(2)) === 0)))
+    assert(sqlProbe() == rset(VecIndex.probe(spark, scratch2, batch).collect()),
+      "SQL vec_delete diverged from a never-held-victim index")
+  }
+
+  test("SQL front door: the GraphIndex lifecycle driven end-to-end by CALL procedures only") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sources.GraftProcedureCatalog")
+    // the inline-walk parity half runs on the real corpus: SQL build +
+    // SQL probe must equal the from-scratch beam walk (no index)
+    val emb = Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("graphsql_corpus")
+    val root = java.nio.file.Files.createTempDirectory("graft_graphsql")
+      .toString + "/ix"
+    def rset(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    spark.sql(
+      s"CALL graft_sys.graph_build(root => '$root', source => 'graphsql_corpus')")
+      .collect()
+    assert(rset(spark.sql(
+        s"CALL graft_sys.graph_probe(root => '$root', source => 'graphsql_corpus')")
+        .collect()) ==
+      rset(Similarity.graphAnnTopK(emb).collect()),
+      "SQL-driven graph lifecycle diverged from the from-scratch walk")
+    // the s27 live property, replayed through SQL only: a twin arrival
+    // is invisible pre-ingest, top-1 post-ingest, gone post-delete
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(0.9, 0.1, 0.0, 0.0), 0L),
+      (1L, v(1.0, 0.0, 0.0, 0.0), 0L),
+      (2L, v(0.0, 1.0, 0.0, 0.0), 0L),
+      (10L, v(0.8, 0.3, 0.1, 0.0), 0L),
+      (11L, v(0.7, 0.2, 0.2, 0.0), 0L),
+      (12L, v(0.1, 0.9, 0.0, 0.1), 0L),
+      (13L, v(0.2, 0.8, 0.1, 0.0), 0L),
+      (14L, v(0.6, 0.4, 0.0, 0.1), 0L),
+      (99L, v(0.9, 0.1, 0.0, 0.0), 0L)  // query 0's exact twin
+    ).toDF("vec_id", "embedding", "label")
+    rows.createOrReplaceTempView("graphsql_grown")
+    rows.filter(col("vec_id") =!= 99L).createOrReplaceTempView("graphsql_old")
+    rows.filter(col("vec_id") === 99L).createOrReplaceTempView("graphsql_batch")
+    Seq(99L).toDF("vec_id").createOrReplaceTempView("graphsql_victims")
+    val root2 = java.nio.file.Files.createTempDirectory("graft_graphsql2")
+      .toString + "/ix"
+    spark.sql(s"CALL graft_sys.graph_build(root => '$root2', " +
+      "source => 'graphsql_old', n_seeds => 6, cent_ids => '1,2')").collect()
+    def probe2() = spark.sql(s"CALL graft_sys.graph_probe(root => '$root2', " +
+      "source => 'graphsql_grown', max_query_id => 1)").collect()
+    assert(!probe2().map(_.getAs[Long]("neighbor_id")).contains(99L),
+      "unindexed arrival surfaced before SQL ingest")
+    spark.sql(s"CALL graft_sys.graph_ingest(root => '$root2', " +
+      "corpus => 'graphsql_grown', source => 'graphsql_batch', " +
+      "cent_ids => '1,2')").collect()
+    assert(probe2().sortBy(_.getAs[Long]("rank")).head
+      .getAs[Long]("neighbor_id") == 99L,
+      "arrival not served top-1 after SQL ingest")
+    spark.sql(s"CALL graft_sys.graph_delete(root => '$root2', " +
+      "source => 'graphsql_victims')").collect()
+    val afterDel = probe2()
+    assert(!afterDel.map(_.getAs[Long]("neighbor_id")).contains(99L),
+      "retired vector still served after SQL delete")
+    spark.sql(s"CALL graft_sys.graph_compact(root => '$root2')").collect()
+    assert(probe2().map(r => (r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet ==
+      afterDel.map(r => (r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet,
+      "SQL compact changed graph probe results")
+  }
+
+  test("SQL front door: the GramIndex lifecycle driven end-to-end by CALL procedures only") {
+    import spark.implicits._
+    import graft.operators.GramIndex
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sources.GraftProcedureCatalog")
+    val quote = (1 to 20).map(i => s"q$i")
+    val docA = ((1 to 30).map(i => s"a$i") ++ quote).mkString(" ")
+    val docB = ((1 to 30).map(i => s"b$i") ++ quote).mkString(" ")
+    val novelDoc = ((1 to 30).map(i => s"b$i") ++ (1 to 20).map(i => s"z$i")).mkString(" ")
+    val probeDoc = "intro words " + quote.mkString(" ")
+    Seq((10L, docA), (11L, docB)).toDF("doc_id", "text")
+      .createOrReplaceTempView("gramsql_seed")
+    Seq((21L, novelDoc)).toDF("doc_id", "text")
+      .createOrReplaceTempView("gramsql_batch")
+    Seq((20L, probeDoc)).toDF("doc_id", "text")
+      .createOrReplaceTempView("gramsql_queries")
+    Seq(10L).toDF("doc_id").createOrReplaceTempView("gramsql_victims")
+    val root = java.nio.file.Files.createTempDirectory("graft_gramsql")
+      .toString + "/ix"
+    def spans(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    def sqlProbe() = spans(spark.sql(
+      s"CALL graft_sys.gram_probe(root => '$root', source => 'gramsql_queries')")
+      .collect())
+    spark.sql(
+      s"CALL graft_sys.gram_build(root => '$root', source => 'gramsql_seed')")
+      .collect()
+    spark.sql(
+      s"CALL graft_sys.gram_ingest(root => '$root', source => 'gramsql_batch')")
+      .collect()
+    assert(sqlProbe().map(_._2) == Set(10L, 11L),
+      "SQL gram probe missed a quoting corpus doc")
+    spark.sql(
+      s"CALL graft_sys.gram_delete(root => '$root', source => 'gramsql_victims')")
+      .collect()
+    spark.sql(s"CALL graft_sys.gram_compact(root => '$root')").collect()
+    // from-scratch arm: an index that never held doc 10
+    val clean = java.nio.file.Files.createTempDirectory("graft_gramsql2")
+      .toString + "/ix"
+    GramIndex.build(spark, clean,
+      Seq((11L, docB), (21L, novelDoc)).toDF("doc_id", "text"))
+    assert(sqlProbe() == spans(GramIndex.probe(spark, clean,
+        Seq((20L, probeDoc)).toDF("doc_id", "text")).collect()),
+      "SQL-driven gram lifecycle diverged from the never-held-victim rebuild")
+  }
+
+  test("SQL front door: the BandIndex lifecycle driven end-to-end by CALL procedures only") {
+    import spark.implicits._
+    import graft.operators.BandIndex
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sources.GraftProcedureCatalog")
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val tC = "red orange yellow green blue indigo violet black white gray pink brown"
+    Seq((10L, tA), (11L, tB)).toDF("doc_id", "text")
+      .createOrReplaceTempView("bandsql_seed")
+    Seq((20L, tA), (21L, tC)).toDF("doc_id", "text") // 20 dups the live 10
+      .createOrReplaceTempView("bandsql_batch")
+    Seq((30L, tA)).toDF("doc_id", "text")
+      .createOrReplaceTempView("bandsql_queries")
+    Seq(10L).toDF("doc_id").createOrReplaceTempView("bandsql_victims")
+    val root = java.nio.file.Files.createTempDirectory("graft_bandsql")
+      .toString + "/ix"
+    def pairs(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("corpus_doc"), r.getAs[Double]("jac"))).toSet
+    def sqlProbe() = pairs(spark.sql(
+      s"CALL graft_sys.band_probe(root => '$root', source => 'bandsql_queries')")
+      .collect())
+    spark.sql(
+      s"CALL graft_sys.band_build(root => '$root', source => 'bandsql_seed')")
+      .collect()
+    // dedup-gated ingest via SQL: 20 (dup of live 10) rejected, 21 in
+    val ing = spark.sql(
+      s"CALL graft_sys.band_ingest(root => '$root', source => 'bandsql_batch')")
+      .collect()
+    assert(ing.head.getString(0).contains("admitted 1"),
+      s"band_ingest admission gate dead: ${ing.head.getString(0)}")
+    assert(sqlProbe().map(_._1) == Set(10L), "query twin should match doc 10")
+    spark.sql(
+      s"CALL graft_sys.band_delete(root => '$root', source => 'bandsql_victims')")
+      .collect()
+    spark.sql(s"CALL graft_sys.band_compact(root => '$root')").collect()
+    // from-scratch arm: an index that never held doc 10
+    val clean = java.nio.file.Files.createTempDirectory("graft_bandsql2")
+      .toString + "/ix"
+    BandIndex.build(spark, clean,
+      Seq((11L, tB), (21L, tC)).toDF("doc_id", "text"))
+    assert(sqlProbe() == pairs(BandIndex.probe(spark, clean,
+        Seq((30L, tA)).toDF("doc_id", "text")).collect()),
+      "SQL-driven band lifecycle diverged from the never-held-victim rebuild")
+  }
+
   test("s26 phrase BM25: adjacency is enforced — out-of-order, gapped, and single-term docs are excluded") {
     import org.apache.spark.sql.functions.col
     import graft.operators.LexIndex
