@@ -40,8 +40,13 @@ object Bench {
     // false drift need three concurrent collisions, not two. A failed
     // query reports -1, never a plausible-looking elapsed time.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // optional args = exact query names, for targeted local timing;
+    // the driver passes none (full battery)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
     def onePass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>

@@ -79,4 +79,18 @@ private[graft] object Caching {
   def bareScan(df: DataFrame): Boolean =
     df.queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode]
+
+  /** Cache stamp for a DETERMINISTIC derived frame (projection/filter
+    * over a scan — e.g. Tables.events' ts-type normalization, which
+    * is not a LeafNode so [[bareScan]] rejects it): the input-file
+    * stamp PLUS the canonicalized analyzed plan's semantic hash, so
+    * two different derivations over the same files never share a key.
+    * Callers assert determinism (a frame with rand()/uuid() would
+    * wrongly hit). Empty when the frame has no input files
+    * (synthetic/in-memory — uncacheable). */
+  def planStamp(df: DataFrame): String = {
+    val s = stamp(df)
+    if (s.isEmpty) ""
+    else s + "#" + df.queryExecution.analyzed.canonicalized.semanticHash()
+  }
 }

@@ -57,20 +57,27 @@ object ReferenceE2E {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
-  def pipeline(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    val work = java.nio.file.Files.createTempDirectory("graft-e2e01").toString
-    val land = s"$work/landing"
-    val manifest = s"$work/manifest"
-    val rawRoot = s"$work/raw"
-    val recsRoot = s"$work/records"
-    val metaRoot = s"$work/metadata"
-    new java.io.File(land).mkdirs()
+  // the landed fixture is READ-ONLY downstream (flatten reads raw/,
+  // the landing census reads manifest/; records/metadata live in a
+  // per-run dir), so it caches per corpus stamp with no per-run copy
+  private val fixtureCache = new Caching.BoundedCache[
+      (SparkSession, String), String](2,
+    onEvict = dir =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
 
-    // ---- fetch-writer fixture: what the reference's workers PRODUCE.
-    // Three arrival shards, one correction feed (value restatements,
-    // error tombstones, late inserts), one poison file. All derived
-    // deterministically from `events` so DuckDB replays the whole run.
+  /** Build the LANDED fixture — what the reference's fetch workers
+    * produce plus the Landing.ingest that consumes it: three arrival
+    * shards, one correction feed (value restatements, error
+    * tombstones, late inserts), one poison file, manifest-gated into
+    * `raw/` with per-file retry (the poison dead-letters after
+    * maxAttempts). All derived deterministically from `events` so
+    * DuckDB replays the whole run. Returns the fixture dir holding
+    * `manifest/` + `raw/`. */
+  private def buildFixture(spark: SparkSession, events: DataFrame): String = {
+    fixtureBuilds += 1
+    val fix = java.nio.file.Files.createTempDirectory("graft-e2e01-fix").toString
+    val land = s"$fix/landing"
+    new java.io.File(land).mkdirs()
     val src = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), col("props"))
     val dirty = when(pmod(col("event_id"), lit(7)) === 0, lit("N/A"))
@@ -99,12 +106,33 @@ object ReferenceE2E {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$land/poison_004.parquet"),
       "not a parquet footer".getBytes("UTF-8"))
-
-    // ---- Landing ingest: manifest-gated, per-file retry, poison
+    // Landing ingest: manifest-gated, per-file retry, poison
     // dead-letters after maxAttempts and STOPS consuming retries
-    Landing.ingest(spark, land, "*.parquet", manifest,
-      process = df => { VersionedTable.appendRebase(spark, rawRoot, df); () },
+    Landing.ingest(spark, land, "*.parquet", s"$fix/manifest",
+      process = df => { VersionedTable.appendRebase(spark, s"$fix/raw", df); () },
       maxAttempts = 2, backoffMs = 1)
+    fix
+  }
+
+  /** Times the landed fixture was actually BUILT (not cache-served) —
+    * the bench-cost evidence that repeated runs pay the FLOW. */
+  @volatile var fixtureBuilds: Long = 0L
+
+  def pipeline(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    def build() = buildFixture(spark, events)
+    // planStamp, not bareScan+stamp: Tables.events normalizes the ts
+    // type with a deterministic projection, which is cacheable but
+    // not a leaf plan
+    val stamp = Caching.planStamp(events)
+    val (fix, ephemeral) =
+      if (stamp.isEmpty) (build(), true)
+      else (fixtureCache.getOrElseUpdate((spark, stamp))(build()), false)
+    val manifest = s"$fix/manifest"
+    val rawRoot = s"$fix/raw"
+    val work = java.nio.file.Files.createTempDirectory("graft-e2e01").toString
+    val recsRoot = s"$work/records"
+    val metaRoot = s"$work/metadata"
 
     // ---- flatten + normalize (q17 + q10 kernels), money → exact cents
     val statusNorm = coalesce(
@@ -200,6 +228,8 @@ object ReferenceE2E {
       .orderBy(col("stage"), col("k1"), col("k2"))
       .localCheckpoint() // materialize BEFORE the state dirs are reclaimed
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fix))
     res
   }
 

@@ -687,6 +687,17 @@ class GraftSpec extends AnyFunSuite {
       "audit did not observe both valid and invalid transitions")
     assert(audit.map(_.getAs[Long]("n")).sum == merge.map(_.getAs[Long]("n")).sum,
       "audit row count != final table size")
+    // repeated runs on the same corpus pay the FLOW, not the
+    // fetch-writer setup: the landed fixture is cache-served
+    val builds = graft.operators.ReferenceE2E.fixtureBuilds
+    val again = SparkEntry.queries("e2e01_reference_flow")(spark, sf).collect()
+    assert(graft.operators.ReferenceE2E.fixtureBuilds == builds,
+      "second e2e01 run rebuilt the landed fixture")
+    assert(again.map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet ==
+      out.map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet,
+      "cache-served fixture changed the census")
   }
 
   test("SQL front door: the LexIndex lifecycle driven end-to-end by CALL procedures only") {
