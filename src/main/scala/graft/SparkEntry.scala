@@ -271,6 +271,8 @@ object SparkEntry {
       Similarity.phraseBm25Auto(Tables.documents(s, d))),
     "s27_graph_ingest" -> ((s, d) =>
       GraphIndex.ingestDemoAuto(Tables.embeddings(s, d))),
+    "s28_graph_filtered" -> ((s, d) =>
+      Similarity.graphFilteredTopK(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -567,6 +569,7 @@ object SparkEntry {
     "s25_graph_ann" -> Similarity.graphAnnTopKOracle(),
     "s26_phrase_bm25" -> Similarity.phraseBm25Oracle(),
     "s27_graph_ingest" -> Similarity.graphIngestOracle(),
+    "s28_graph_filtered" -> Similarity.graphFilteredTopKOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

@@ -1807,13 +1807,73 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** The beam-walk CTE tail shared by the s25 and s27 oracles —
+  /** s28: FILTERED graph-ANN — top-k within a metadata predicate
+    * (same `label` as the query, the s16 convention), searched
+    * through the beam walk. The filtered-graph shape DIFFERS from
+    * s16's cell-probe filtering, and the difference is the point:
+    * ineligible nodes stay in the FRONTIER (they carry connectivity —
+    * dropping them from the walk disconnects regions whose only
+    * bridges fail the predicate, filtered-DiskANN's core
+    * observation), while the RESULT ranks only eligible ones. So the
+    * predicate lands post-walk at rank time, the walk and its visited
+    * census (the cost axis) are exactly s25's, and the k results are
+    * the k best eligible VISITED vectors. The spec pins the
+    * connectivity property live: a query whose every nearby node is
+    * ineligible still reaches its eligible twin THROUGH them. */
+  def graphFilteredTopK(embeddings: DataFrame, maxQueryId: Long = 8,
+                        k: Int = 3, beam: Int = 4, hops: Int = 3,
+                        graphK: Int = 3, nProbe: Int = 2, nSeeds: Int = 8,
+                        centIds: Seq[Long] = centroidIds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = knnJoin(embeddings, graphK, nProbe, centIds)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val seeds = kcenterSeed(embeddings, nSeeds)
+      .select(col("vec_id").as("c_id")).localCheckpoint()
+    val visited = beamWalk(embeddings, maxQueryId, seeds,
+      fr => fr.join(edges, fr("c_id") === edges("src"))
+        .select(fr("q_id"), edges("dst").as("c_id")),
+      beam, hops)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val ql = labels.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    labels.select(col("vec_id").as("c_id"), col("label").as("clabel"))
+      .join(broadcast(visited), Seq("c_id")) // bounded: queries × visited
+      .join(broadcast(ql), Seq("q_id"))
+      .filter(col("clabel") === col("qlabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        Rounding.roundN(col("cos"), 4).as("cos"), col("clabel").as("label"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB replay of s28: the s25 walk verbatim, label-filtered at
+    * the final rank only. */
+  def graphFilteredTopKOracle(maxQueryId: Long = 8, k: Int = 3,
+                              beam: Int = 4, hops: Int = 3, graphK: Int = 3,
+                              nProbe: Int = 2, nSeeds: Int = 8): String = {
+    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${knnCtes(nProbe)},
+       ${kcenterCtes(nSeeds)},
+       gedge AS (SELECT q_id AS src, c_id AS dst FROM ranked
+                 WHERE rank <= $graphK),
+       gseed AS ($seedSel),
+       ${graphWalkSql(maxQueryId, k, beam, hops, labelFiltered = true)}"""
+  }
+
+  /** The beam-walk CTE tail shared by the s25/s27/s28 oracles —
     * consumes `gedge(src, dst)` and `gseed(vec_id)` and emits one CTE
     * pair per hop (candidates, then visited = UNION dedup — the
     * cosine expression is identical on both branches, so UNION's set
-    * semantics are exact), then the final rank. */
+    * semantics are exact), then the final rank (label-filtered for
+    * s28: the walk is identical, only ranking restricts to the
+    * query's label). */
   private def graphWalkSql(maxQueryId: Long, k: Int, beam: Int,
-                           hops: Int): String = {
+                           hops: Int, labelFiltered: Boolean = false): String = {
     val d = Dialect.duck
     val sb = new StringBuilder(
       s"""gcorp AS (SELECT vec_id AS c_id, embedding AS ce,
@@ -1838,7 +1898,20 @@ object Similarity {
          FROM gc$h n JOIN gq q ON q.q_id = n.q_id
            JOIN gcorp c ON c.c_id = n.c_id)""")
     }
-    sb.append(s"""
+    if (labelFiltered)
+      sb.append(s"""
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos, label
+       FROM (SELECT v.q_id, v.c_id, v.cos, cl.label,
+               row_number() OVER (PARTITION BY v.q_id
+                 ORDER BY v.cos DESC, v.c_id) AS rank
+             FROM gv$hops v
+             JOIN embeddings cl ON cl.vec_id = v.c_id
+             JOIN embeddings ql ON ql.vec_id = v.q_id
+             WHERE cl.label = ql.label) t
+       WHERE rank <= $k ORDER BY q_id, rank""")
+    else
+      sb.append(s"""
        SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
          round(cos, 4) AS cos
        FROM (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id

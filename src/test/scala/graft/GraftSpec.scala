@@ -531,6 +531,36 @@ class GraftSpec extends AnyFunSuite {
       "graph walk found none of the exact top-k")
   }
 
+  test("s28 filtered graph-ANN: ineligible nodes carry connectivity, results rank eligible only") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // query 0 (label 0) sits inside a tight INELIGIBLE cluster
+    // (10/11/13, label 1); its eligible twin 99 is inside that same
+    // cluster. Every walk step toward 99 passes through label-1
+    // nodes — a frontier that dropped them would never arrive.
+    val rows = Seq(
+      (0L, v(0.9, 0.1, 0.0, 0.0), 0),   // the query, label 0
+      (1L, v(1.0, 0.0, 0.0, 0.0), 1),   // centroid A
+      (2L, v(0.0, 1.0, 0.0, 0.0), 1),   // centroid B
+      (10L, v(0.88, 0.12, 0.0, 0.0), 1), // ineligible, nearest to 0
+      (11L, v(0.86, 0.14, 0.0, 0.0), 1), // ineligible
+      (13L, v(0.84, 0.16, 0.02, 0.0), 1), // ineligible
+      (99L, v(0.89, 0.11, 0.0, 0.0), 0), // the eligible twin
+      (12L, v(0.1, 0.9, 0.0, 0.1), 0),  // far eligible
+      (14L, v(0.0, 0.95, 0.2, 0.1), 0)  // far eligible
+    ).toDF("vec_id", "embedding", "label")
+    val res = Similarity.graphFilteredTopK(rows, maxQueryId = 1, k = 3,
+      nSeeds = 4, centIds = Seq(1L, 2L))
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(res.nonEmpty, "filtered walk returned nothing")
+    assert(res.forall(_.getAs[Int]("label") == 0),
+      s"ineligible label leaked into results: ${res.toSeq}")
+    assert(res.head.getAs[Long]("neighbor_id") == 99L,
+      s"eligible twin not found through the ineligible cluster: ${res.toSeq}")
+  }
+
   test("s27 GraphIndex ingest: an arrival is invisible pre-ingest and serves as top-1 for its twin query after bidirectional insertion") {
     import org.apache.spark.sql.functions.col
     import graft.operators.GraphIndex
