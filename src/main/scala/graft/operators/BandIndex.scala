@@ -91,6 +91,15 @@ object BandIndex {
     import graft.functions.GraftFunctions._
     val batchBands = Dedup.bandFrame(batch)
       .select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
+    // ORDERING INVARIANT (serve-while-mutate, the LexIndex-manifest
+    // concern solved by commit order here): the BAND version must
+    // resolve BEFORE the shingle version. ingest commits bands first,
+    // shingles second, and both are append-only — so a bands-first
+    // probe can only pair bands@k with shingles@≥k, and every band
+    // candidate finds its shingles (newer shingle rows are simply
+    // unused). Resolving shingles first could pair newer bands with
+    // older shingles and silently DROP verified pairs. compact (the
+    // one remover) stays under the single-writer maintenance rule.
     val allBands = VersionedTable.read(spark, bandsRoot(root))
       .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey"))
     // retired docs are tombstoned, not yet physically removed: a probe

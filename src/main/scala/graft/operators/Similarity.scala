@@ -1749,18 +1749,26 @@ object Similarity {
       .crossJoin(broadcast(seedIds.select(col("c_id"))))
       .filter(col("c_id") =!= col("q_id"))
     var visited = score(entry).localCheckpoint()
-    var frontier = visited.withColumn("rn", row_number().over(wBeam))
-      .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
+    // EXPANSION-TRACKED best-first (HNSW's search loop, de-randomized):
+    // each hop expands the top-beam UNEXPANDED visited nodes. Without
+    // the tracking, the global top-beam stabilizes after a hop or two
+    // and re-expands the same nodes — the walk stalls while paying for
+    // the hops (measured live: hops 3/4 added ZERO visits across the
+    // whole (gk, beam, hops) grid at n=20k before this fix).
+    var expanded = visited.select(col("q_id"), col("c_id")).limit(0)
       .localCheckpoint()
     (1 to hops).foreach { _ =>
+      val frontier = visited
+        .join(expanded, Seq("q_id", "c_id"), "left_anti") // expand ONCE
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
+        .localCheckpoint()
       val fresh = expand(frontier)
         .filter(col("c_id") =!= col("q_id")).distinct()
         .join(visited.select(col("q_id"), col("c_id")),
           Seq("q_id", "c_id"), "left_anti") // score each node ONCE
+      expanded = expanded.unionByName(frontier).localCheckpoint()
       visited = visited.unionByName(score(fresh)).localCheckpoint()
-      frontier = visited.withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
-        .localCheckpoint()
     }
     visited
   }
@@ -1867,8 +1875,10 @@ object Similarity {
 
   /** The beam-walk CTE tail shared by the s25/s27/s28 oracles —
     * consumes `gedge(src, dst)` and `gseed(vec_id)` and emits one CTE
-    * pair per hop (candidates, then visited = UNION dedup — the
-    * cosine expression is identical on both branches, so UNION's set
+    * TRIPLE per hop (frontier = top-beam UNEXPANDED visited, the
+    * expansion-tracking anti-join mirroring the Spark walk; expanded
+    * set; candidates; then visited = UNION dedup — the cosine
+    * expression is identical on both branches, so UNION's set
     * semantics are exact), then the final rank (label-filtered for
     * s28: the walk is identical, only ranking restricts to the
     * query's label). */
@@ -1883,12 +1893,18 @@ object Similarity {
          FROM embeddings WHERE vec_id < $maxQueryId),
        gv0 AS (SELECT q.q_id, c.c_id, ${dot(d, "q.qe", "c.ce")} / (q.qn * c.cn) AS cos
          FROM gq q CROSS JOIN gseed s JOIN gcorp c ON c.c_id = s.vec_id
-         WHERE s.vec_id <> q.q_id)""")
+         WHERE s.vec_id <> q.q_id),
+       ge0 AS (SELECT q_id, c_id FROM gv0 WHERE FALSE)""")
     for (h <- 1 to hops) {
       sb.append(s""",
-       gb${h - 1} AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
-           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
-           FROM gv${h - 1}) t WHERE rn <= $beam),
+       gb${h - 1} AS (SELECT q_id, c_id FROM (SELECT v.q_id, v.c_id,
+           row_number() OVER (PARTITION BY v.q_id
+             ORDER BY v.cos DESC, v.c_id) AS rn
+           FROM gv${h - 1} v LEFT JOIN ge${h - 1} x
+             ON x.q_id = v.q_id AND x.c_id = v.c_id
+           WHERE x.c_id IS NULL) t WHERE rn <= $beam),
+       ge$h AS (SELECT q_id, c_id FROM ge${h - 1}
+         UNION SELECT q_id, c_id FROM gb${h - 1}),
        gc$h AS (SELECT DISTINCT b.q_id, e.dst AS c_id
          FROM gb${h - 1} b JOIN gedge e ON e.src = b.c_id
          WHERE e.dst <> b.q_id),
