@@ -2302,7 +2302,12 @@ object Similarity {
     // fraction — the vectors whose full embedding the walk read
     val graphRow = {
       import org.apache.spark.sql.expressions.Window
-      val gb = 12; val gh = 3; val gk = 3
+      // the (gk, beam, hops) knee from tools.GraphGrid at the jittered
+      // 10x corpus (PLANS round 13): gk is the recall lever (0.011 →
+      // 0.033 @ ~same scored%), beam > 4 buys visits but no recall,
+      // hops are cheap with the expansion-tracked walk — so the row
+      // advertises gk=12, B=4, H=4 instead of the smallest passing point
+      val gb = 4; val gh = 4; val gk = 12
       val gEdges = knnJoin(embeddings, gk, 2, cents)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
         .localCheckpoint()
