@@ -1763,11 +1763,18 @@ object Similarity {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
         .localCheckpoint()
-      val fresh = expand(frontier)
+      val freshPlan = expand(frontier)
         .filter(col("c_id") =!= col("q_id")).distinct()
         .join(visited.select(col("q_id"), col("c_id")),
           Seq("q_id", "c_id"), "left_anti") // score each node ONCE
-      expanded = expanded.unionByName(frontier).localCheckpoint()
+      // with an external fetcher the fresh set is consumed TWICE
+      // (bucket-list pass + the score join) — materialize the bounded
+      // frame once so the adjacency dirs are read once per hop
+      val fresh =
+        if (fetchVecs.isDefined) freshPlan.localCheckpoint() else freshPlan
+      // union of checkpointed frontiers: tiny and lineage-shallow, no
+      // checkpoint needed
+      expanded = expanded.unionByName(frontier)
       visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
     visited
