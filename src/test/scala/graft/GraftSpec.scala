@@ -531,6 +531,25 @@ class GraftSpec extends AnyFunSuite {
       "graph walk found none of the exact top-k")
   }
 
+  test("Caching.planStamp: equal derivations share a stamp, different ones never collide, synthetic frames are uncacheable") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Caching
+    import spark.implicits._
+    val a = Tables.events(spark, sf)
+    val b = Tables.events(spark, sf) // separately-built identical plan
+    assert(Caching.planStamp(a).nonEmpty)
+    assert(Caching.planStamp(a) == Caching.planStamp(b),
+      "identical derivations got different stamps — cache can never hit")
+    // same files, different derivation: must NOT share (the wrong-hit
+    // hazard bareScan existed to prevent)
+    assert(Caching.planStamp(a.filter(col("event_id") % 2 === 0)) !=
+      Caching.planStamp(a), "a filtered frame collided with its scan")
+    assert(Caching.planStamp(a.select(col("event_id"))) !=
+      Caching.planStamp(a), "a projection collided with its scan")
+    // no input files = no identity = uncacheable
+    assert(Caching.planStamp(Seq((1L, "x")).toDF("k", "v")).isEmpty)
+  }
+
   test("s28 filtered graph-ANN: ineligible nodes carry connectivity, results rank eligible only") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
