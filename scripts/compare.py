@@ -88,6 +88,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
+    # cap DuckDB so big-SF oracle replays SPILL instead of OOM-dying:
+    # the 30x s25 walk oracle (kNN CTE + kcenter chain + hop CTEs all
+    # pinned concurrently) grew past 130 GB RSS unbounded and took a
+    # SIGKILL; with a limit DuckDB pages the pinned CTEs to temp.
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+    con.execute("SET temp_directory='.tmp'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
