@@ -86,6 +86,33 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+# --- staged replay for the kNN-CTE-embedding oracles -----------------
+# The graph-walk / pagerank oracles embed the 29M-candidate kNN chain
+# and reference its `ranked` CTE from several downstream CTEs; at 30x
+# DuckDB's working set for the MONOLITHIC query exceeds a single box
+# (measured: >170 GB on s25). Same semantics, linear cost: materialize
+# the heavy chain ONCE as a temp table, then run the tail against it.
+# Each entry: query name -> (first CTE of the tail, staged CTE names).
+STAGED = {
+    "s22_knn_pagerank": ("edges AS (", ["ranked"]),
+    "s25_graph_ann": ("e AS (", ["ranked"]),
+    "s28_graph_filtered": ("e AS (", ["ranked"]),
+    "s27_graph_ingest": ("e AS (", ["oranked", "nranked"]),
+}
+
+def run_staged(con, name, sql):
+    plan = STAGED.get(name)
+    marker = plan and (",\n       " + plan[0])
+    if not plan or marker not in sql:
+        return con.sql(sql)
+    head, tail = sql.split(marker, 1)  # head = "WITH <heavy ctes>"
+    for t in plan[1]:
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _staged_{t} AS "
+                    f"{head}\n SELECT * FROM {t}")
+    repl = ",\n       ".join(
+        f"{t} AS (SELECT * FROM _staged_{t})" for t in plan[1])
+    return con.sql(f"WITH {repl},\n       {plan[0]}{tail}")
+
 def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     # cap DuckDB so big-SF oracle replays SPILL instead of OOM-dying:
@@ -116,7 +143,7 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         got = canon(pd.concat([pd.read_parquet(fp) for fp in sorted(files)]))
         try:
             sql = rewrite_shared(oracle[name]) if fast else oracle[name]
-            exp = canon(con.sql(sql).df())
+            exp = canon(run_staged(con, name, sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
