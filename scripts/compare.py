@@ -98,19 +98,39 @@ STAGED = {
     "s25_graph_ann": ("e AS (", ["ranked"]),
     "s28_graph_filtered": ("e AS (", ["ranked"]),
     "s27_graph_ingest": ("e AS (", ["oranked", "nranked"]),
+    "s29_graph_pq": ("e AS (", ["ranked"]),
 }
 
+_staged_cache = {}  # (head text, cte name) -> temp table name
+_staged_n = 0
+
 def run_staged(con, name, sql):
+    global _staged_n
     plan = STAGED.get(name)
     marker = plan and (",\n       " + plan[0])
     if not plan or marker not in sql:
         return con.sql(sql)
     head, tail = sql.split(marker, 1)  # head = "WITH <heavy ctes>"
+    # s22/s25/s28/s29 share a byte-identical head (the kNN chain), so
+    # the staged table is derived ONCE and reused; tables from a
+    # DIFFERENT head are dropped first — at 30x a staged `ranked` is
+    # tens of GB of spill, and two families alive at once is what
+    # filled the disk on the first staged run
+    for (h, t), tab in list(_staged_cache.items()):
+        if h != head:
+            con.execute(f"DROP TABLE IF EXISTS {tab}")
+            del _staged_cache[(h, t)]
+    refs = []
     for t in plan[1]:
-        con.execute(f"CREATE OR REPLACE TEMP TABLE _staged_{t} AS "
-                    f"{head}\n SELECT * FROM {t}")
+        key = (head, t)
+        if key not in _staged_cache:
+            tab = f"_staged_{t}_{_staged_n}"
+            _staged_n += 1
+            con.execute(f"CREATE TEMP TABLE {tab} AS {head}\n SELECT * FROM {t}")
+            _staged_cache[key] = tab
+        refs.append((t, _staged_cache[key]))
     repl = ",\n       ".join(
-        f"{t} AS (SELECT * FROM _staged_{t})" for t in plan[1])
+        f"{t} AS (SELECT * FROM {tab})" for t, tab in refs)
     return con.sql(f"WITH {repl},\n       {plan[0]}{tail}")
 
 def main(sf_dir: str, out_dir: str, only=None) -> int:

@@ -273,6 +273,8 @@ object SparkEntry {
       GraphIndex.ingestDemoAuto(Tables.embeddings(s, d))),
     "s28_graph_filtered" -> ((s, d) =>
       Similarity.graphFilteredTopK(Tables.embeddings(s, d))),
+    "s29_graph_pq" -> ((s, d) =>
+      GraphIndex.probePqAuto(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -570,6 +572,7 @@ object SparkEntry {
     "s26_phrase_bm25" -> Similarity.phraseBm25Oracle(),
     "s27_graph_ingest" -> Similarity.graphIngestOracle(),
     "s28_graph_filtered" -> Similarity.graphFilteredTopKOracle(),
+    "s29_graph_pq" -> Similarity.graphPqTopKOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,

@@ -4,22 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.VersionedTable
 
-/** The PERSISTED kNN-graph index — s20's graph stored the way
-  * [[VecIndex]] stores cells and [[LexIndex]] stores postings: THE
-  * ADJACENCY LISTS ARE PARTITION DIRS. Edges commit partition-native
-  * on `bucket = pmod(hash(src), NumBuckets)`, so each beam-walk hop
-  * opens ONLY the frontier's source buckets (dir-pruned IO before any
-  * scan) instead of scanning N·k edges; the s21 k-center entry points
-  * commit alongside as a tiny seeds table; and the corpus VECTORS
-  * commit alongside as an id-bucketed FORWARD INDEX
-  * (`pmod(hash(vec_id), NumBuckets)` partition dirs — the same layout
-  * the edge table uses), so scoring a hop's candidates is a
-  * dir-pruned point lookup, never a corpus scan. Probe = the
-  * deterministic [[Similarity.beamWalk]] (fixed beam, lowest-id
-  * tie-break); BOTH per-hop fetches — adjacency and candidate
-  * vectors — open ≤ the frontier's bucket dirs
-  * ([[lastProbeBucketCounts]] / [[lastVecBucketCounts]] pin it on
-  * actual IO).
+/** The PERSISTED kNN-graph index — s20's graph stored as NODE
+  * RECORDS, DiskANN's literal serving layout: one record per vector
+  * holding `(vec_id, embedding, nbrs)` — the vector AND its adjacency
+  * list — committed partition-native on
+  * `bucket = pmod(hash(vec_id), NumBuckets)` dirs, with the s21
+  * k-center entry points alongside as a tiny seeds table. Each
+  * beam-walk pass then makes ONE dir-pruned fetch (the pass's
+  * candidate-id buckets) that serves BOTH the exact scores and the
+  * next hop's expansion — where a split edges/vectors layout pays an
+  * adjacency fetch plus a vector fetch per hop, this halves the
+  * per-hop round-trips, the latency that dominates a probe at 100 TB
+  * (and never scans the corpus or the full index). Probe = the
+  * deterministic [[Similarity.beamWalkRecords]] (fixed beam,
+  * lowest-id tie-break); [[lastProbeBucketCounts]] pins the per-pass
+  * dir-pruning on actual IO.
   *
   * This is the graph-ANN serving shape: build the graph ONCE
   * (s20's one cell-key shuffle), then answer queries with a handful
@@ -38,17 +37,12 @@ object GraphIndex {
     * evidence that repeated retrieval runs are probe-only. */
   @volatile var indexBuilds: Long = 0L
 
-  /** Per-hop count of edge-bucket dirs the last [[probe]] actually
-    * opened — the spec's dir-pruning evidence (each hop must open ≤
-    * frontier-id buckets, never the full bucket set). */
-  @volatile var lastProbeBucketCounts: Seq[Int] = Nil
-
-  /** Per-score-pass count of VECTOR-bucket dirs the last [[probe]]
+  /** Per-PASS count of node-bucket dirs the last [[probe]] actually
     * opened (one entry for the seed scoring + one per hop) — the
-    * forward-index dir-pruning evidence: each pass must open ≤ the
-    * candidate-id buckets (≤ seeds, then ≤ beam·graphK per hop),
-    * never the full bucket set. */
-  @volatile var lastVecBucketCounts: Seq[Int] = Nil
+    * dir-pruning evidence: each pass opens ≤ the pass's candidate-id
+    * buckets (≤ seeds at entry, then ≤ beam·graphK per hop), never
+    * the full bucket set. */
+  @volatile var lastProbeBucketCounts: Seq[Int] = Nil
 
   /** Adjacency/vector bucket count: a fetch opens ≤ min(wanted ids,
     * this) dirs. Production sizes this so a bucket dir is a few GB. */
@@ -61,10 +55,9 @@ object GraphIndex {
     * [[VecIndex.RebuildFraction]] / [[GramIndex.rebuildRecommended]]. */
   val RebuildFraction = 0.25
 
-  private def edgeRoot(root: String) = s"$root/edges"
+  private def nodeRoot(root: String) = s"$root/nodes"
   private def seedRoot(root: String) = s"$root/seeds"
   private def retireRoot(root: String) = s"$root/retired"
-  private def vecRoot(root: String) = s"$root/vectors"
   private def metaPath(root: String) = s"$root/_graph_meta"
 
   private def hfs(spark: SparkSession, root: String) =
@@ -120,27 +113,35 @@ object GraphIndex {
     pmod(hash(c), lit(NumBuckets)).cast("string")
 
   /** Build (or REBUILD): one s20 kNN join (the single cell-key
-    * shuffle), committed partition-native on the source-id bucket;
-    * one s21 farthest-first pass for the entry points; one
-    * id-bucketed commit of the corpus vectors (the forward index
-    * [[probe]] scores against). A rebuild RESETS the retired
-    * graveyard — every list is re-ranked from `embeddings`, so a
-    * previously-retired id that is still in the corpus is live again
-    * (callers wanting it gone must exclude it from the corpus), and
-    * resets the churn meta [[rebuildRecommended]] reads. */
+    * shuffle) folded into per-node adjacency lists and joined with the
+    * vectors into NODE RECORDS, committed partition-native on the id
+    * bucket; one s21 farthest-first pass for the entry points. A
+    * rebuild RESETS the retired graveyard — every list is re-ranked
+    * from `embeddings`, so a previously-retired id that is still in
+    * the corpus is live again (callers wanting it gone must exclude it
+    * from the corpus), and resets the churn meta
+    * [[rebuildRecommended]] reads. */
   def build(spark: SparkSession, root: String, embeddings: DataFrame,
             graphK: Int = 3, nProbe: Int = 2, nSeeds: Int = 8,
-            centIds: Seq[Long] = Similarity.centroidIds): Unit = {
+            centIds: Seq[Long] = Similarity.centroidIds,
+            withCodes: Boolean = false): Unit = {
     indexBuilds += 1
-    val edges = Similarity.knnJoin(embeddings, graphK, nProbe, centIds)
-      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .withColumn("bucket", bucketCol(col("src")))
-    val ev = VersionedTable.currentVersion(spark, edgeRoot(root)).getOrElse(-1L)
-    VersionedTable.commitPartitioned(spark, edgeRoot(root), edges, "bucket", ev)
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val adj = Similarity.knnJoin(embeddings, graphK, nProbe, centIds)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_set(col("neighbor_id"))).as("nbrs"))
+    val bare = embeddings.select(col("vec_id"), col("embedding"))
+      .join(adj, Seq("vec_id"), "left") // an isolated node keeps its vector
+      .withColumn("nbrs", coalesce(col("nbrs"), array().cast("array<bigint>")))
+    // withCodes: each record also stores the vector's PQ codes (the
+    // s09 encoder, one map-side pass) so [[probePq]] can navigate
+    // hops from codes+adjacency alone — the embedding column is only
+    // column-pruned away at probe time if it was stored beside codes
+    val nodes = (if (withCodes)
+        bare.join(Similarity.pqCodesFor(embeddings), Seq("vec_id"), "left")
+      else bare)
       .withColumn("bucket", bucketCol(col("vec_id")))
-    val vv = VersionedTable.currentVersion(spark, vecRoot(root)).getOrElse(-1L)
-    VersionedTable.commitPartitioned(spark, vecRoot(root), vecs, "bucket", vv)
+    val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(-1L)
+    VersionedTable.commitPartitioned(spark, nodeRoot(root), nodes, "bucket", nv)
     val sv = VersionedTable.currentVersion(spark, seedRoot(root)).getOrElse(-1L)
     VersionedTable.commit(spark, seedRoot(root),
       Similarity.kcenterSeed(embeddings, nSeeds).select(col("vec_id")), sv)
@@ -152,60 +153,140 @@ object GraphIndex {
       ingestedVecs = 0L, retiredVecs = 0L)
   }
 
-  /** Probe: the shared [[Similarity.graphWalkTopK]] walk, with each
-    * hop's adjacency fetch AND candidate-vector fetch DIR-PRUNED to
-    * the frontier's buckets — the per-fetch driver-side collect is
-    * the distinct bucket list, bounded by queries × beam × graphK
-    * (≤ NumBuckets strings). Candidate vectors come from the index's
-    * own forward table, never a corpus scan: `embeddings` supplies
-    * ONLY the query vectors (one predicate-pushed scan, read once).
+  /** Probe: the shared [[Similarity.graphWalkRecordsTopK]] walk, each
+    * pass making ONE fetch DIR-PRUNED to the pass's candidate-id
+    * buckets — the per-fetch driver-side collect is the distinct
+    * bucket list, bounded by queries × beam × graphK (≤ NumBuckets
+    * strings) — that serves both the exact scores and the next hop's
+    * adjacency (the node-record payoff). Never a corpus scan:
+    * `embeddings` supplies ONLY the query vectors (one
+    * predicate-pushed scan, read once).
     *
-    * Consistency: every table version is resolved ONCE at probe
-    * start — the walk's hops all read the edge/vector tables AT those
-    * pinned versions, so a probe concurrent with [[ingest]] or
-    * [[compact]] sees a wholly-pre- or wholly-post-mutation snapshot,
-    * never a mixed one (the LexIndex manifest contract, applied with
-    * per-table pins since the tables here mutate independently). */
+    * Consistency: the node-table version is resolved ONCE at probe
+    * start — every hop reads AT that pin, so a probe concurrent with
+    * [[ingest]] or [[compact]] sees a wholly-pre- or
+    * wholly-post-mutation snapshot, never a mixed one (the LexIndex
+    * manifest contract; one pin suffices because the records are one
+    * table). */
   def probe(spark: SparkSession, root: String, embeddings: DataFrame,
             maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
             hops: Int = 3): DataFrame = {
-    val ev = VersionedTable.currentVersion(spark, edgeRoot(root)).getOrElse(
+    val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
-    val vv = VersionedTable.currentVersion(spark, vecRoot(root)).getOrElse(
-      throw new IllegalStateException(s"no vector forward index at $root"))
     val retired = retiredDf(spark, root).localCheckpoint()
     val seeds = VersionedTable.read(spark, seedRoot(root))
       .select(col("vec_id").as("c_id"))
       .join(retired, Seq("c_id"), "left_anti") // a retired entry point dies
     lastProbeBucketCounts = Nil
-    lastVecBucketCounts = Nil
-    val fetchVecs: DataFrame => DataFrame = ids => {
+    val fetchRecs: DataFrame => DataFrame = ids => {
       val buckets = ids.select(bucketCol(col("c_id")).as("b")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
-      lastVecBucketCounts = lastVecBucketCounts :+ buckets.size
+      lastProbeBucketCounts = lastProbeBucketCounts :+ buckets.size
       if (buckets.isEmpty)
         ids.select(col("c_id"))
-          .withColumn("ce", lit(null).cast("array<float>")).limit(0)
-      else VersionedTable.readPartitions(spark, vecRoot(root), buckets,
-          version = Some(vv))
-        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+          .withColumn("ce", lit(null).cast("array<float>"))
+          .withColumn("nbrs", lit(null).cast("array<bigint>")).limit(0)
+      else VersionedTable.readPartitions(spark, nodeRoot(root), buckets,
+          version = Some(nv))
+        .withColumnRenamed("vec_id", "c_id")
+        // keep only the WANTED ids: a bucket holds unrelated nodes
+        // whose adjacency must not leak into the walk's bounded state
+        .join(broadcast(ids), Seq("c_id"))
+        .select(col("c_id"), col("embedding").as("ce"), col("nbrs"))
     }
-    Similarity.graphWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
-      fr => {
-        val buckets = fr.select(bucketCol(col("c_id")).as("b")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-        lastProbeBucketCounts = lastProbeBucketCounts :+ buckets.size
-        if (buckets.isEmpty) fr.select(col("q_id"), col("c_id")).limit(0)
-        else {
-          val slice = VersionedTable.readPartitions(
-            spark, edgeRoot(root), buckets, version = Some(ev))
-          fr.join(slice, fr("c_id") === slice("src"))
-            .select(fr("q_id"), slice("dst").as("c_id"))
-            // dangling edges to retired nodes are filtered at fetch
-            // time (the graveyard read path); [[compact]] purges them
-            .join(broadcast(retired), Seq("c_id"), "left_anti")
-        }
-      }, fetchVecs = Some(fetchVecs))
+    Similarity.graphWalkRecordsTopK(embeddings, maxQueryId, k, beam, hops,
+      seeds, fetchRecs,
+      // retired candidates are filtered BEFORE the fetch (the graveyard
+      // read path): never scored, never expanded; [[compact]] purges
+      candFilter = cands =>
+        cands.join(broadcast(retired), Seq("c_id"), "left_anti"))
+  }
+
+  /** The hop-fetch frame's pruned read schema from the last
+    * [[probePq]] — the evidence that PQ navigation never reads the
+    * embedding column during the walk (captured from the fetch
+    * frame's own physical plan, whose scan the hop joins consume). */
+  @volatile var lastNavReadSchema: String = ""
+
+  /** s29's PQ-NAVIGATED probe — DiskANN's serving split made literal
+    * on the node-record table, REQUIRES [[build]] `withCodes = true`:
+    * hops navigate by asymmetric PQ distance using only the records'
+    * `(nbrs, codes)` columns — the fat embedding column is COLUMN-
+    * PRUNED out of every hop read ([[lastNavReadSchema]] pins it on
+    * the actual scan plan) — and the final top-k is an exact-cosine
+    * re-rank fetching full vectors ONCE, dir-pruned to the visited
+    * ids. Per-hop IO drops ~10× per candidate vs [[probe]] (codes are
+    * 8 ints vs a 64-float vector); the exact vectors are touched for
+    * ≤ the visited set. Distance tables come from the codebook
+    * vectors read FROM THE INDEX at the pinned version — the same
+    * codebook the stored codes were encoded with, so a probe is
+    * self-consistent whatever the live corpus does.
+    * [[lastProbeBucketCounts]] gains one trailing entry for the
+    * re-rank fetch (entry + hops + rerank). */
+  def probePq(spark: SparkSession, root: String, embeddings: DataFrame,
+              maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+              hops: Int = 3): DataFrame = {
+    val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no graph index built at $root"))
+    require(VersionedTable.read(spark, nodeRoot(root)).columns.contains("codes"),
+      s"probePq requires an index built with withCodes=true at $root")
+    val retired = retiredDf(spark, root).localCheckpoint()
+    val seeds = VersionedTable.read(spark, seedRoot(root))
+      .select(col("vec_id").as("c_id"))
+      .join(retired, Seq("c_id"), "left_anti")
+    lastProbeBucketCounts = Nil
+    lastNavReadSchema = ""
+    def bucketsOf(ids: DataFrame): Seq[String] = {
+      val bs = ids.select(bucketCol(col("c_id")).as("b")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      lastProbeBucketCounts = lastProbeBucketCounts :+ bs.size
+      bs
+    }
+    val cbIds = Similarity.PqCodebookIds
+    import spark.implicits._
+    // the codebook's bucket dirs via the SAME bucket expression the
+    // table was written with (a 16-row job, not counted as a pass —
+    // it's probe setup, not walk IO)
+    val cbBuckets = cbIds.toDF("c_id")
+      .select(bucketCol(col("c_id")).as("b")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val cb = VersionedTable.readPartitions(spark, nodeRoot(root), cbBuckets,
+        version = Some(nv))
+      .filter(col("vec_id").isin(cbIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("embedding"))
+    val dts = Similarity.pqDistTablesAgainst(cb, queries).localCheckpoint()
+    val fetchNav: DataFrame => DataFrame = ids => {
+      val bs = bucketsOf(ids)
+      if (bs.isEmpty)
+        ids.select(col("c_id"))
+          .withColumn("nbrs", lit(null).cast("array<bigint>"))
+          .withColumn("codes", lit(null).cast("array<int>")).limit(0)
+      else {
+        val slice = VersionedTable.readPartitions(spark, nodeRoot(root), bs,
+            version = Some(nv))
+          .select(col("vec_id").as("c_id"), col("nbrs"), col("codes"))
+        if (lastNavReadSchema.isEmpty)
+          lastNavReadSchema = slice.queryExecution.executedPlan.toString
+        slice.join(broadcast(ids), Seq("c_id"))
+      }
+    }
+    val fetchExact: DataFrame => DataFrame = ids => {
+      val bs = bucketsOf(ids)
+      if (bs.isEmpty)
+        ids.select(col("c_id"))
+          .withColumn("ce", lit(null).cast("array<float>")).limit(0)
+      else VersionedTable.readPartitions(spark, nodeRoot(root), bs,
+          version = Some(nv))
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .join(broadcast(ids), Seq("c_id"))
+    }
+    Similarity.graphPqWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
+      fetchNav, dts, fetchExact,
+      candFilter = cands =>
+        cands.join(broadcast(retired), Seq("c_id"), "left_anti"))
   }
 
   /** DELETE (retire) vectors — the graveyard pattern real graph
@@ -234,33 +315,39 @@ object GraphIndex {
     ()
   }
 
-  /** Fold append-fragmented edge chains AND purge the graveyard: one
-    * distributed anti-join drops every edge whose src or dst is
-    * retired, the result commits partition-native, the retired set
-    * empties. Cost O(edge table) — the periodic maintenance pass, vs
-    * delete's O(batch) online path. Probe results are unchanged by
-    * construction (the probe already filtered what compact purges). */
+  /** Purge the graveyard AND fold record fragments: drop retired
+    * nodes, scrub retired ids out of survivors' adjacency, and merge
+    * each survivor's fragments (its built/ingested record + any
+    * reverse-edge fragments) into ONE record — then fold the remaining
+    * append-fragmented dir chains. Cost O(node table) — the periodic
+    * maintenance pass, vs delete's O(batch) online path. Probe results
+    * are unchanged by construction (the probe already filtered what
+    * compact purges, and the walk merges fragments at read). */
   def compact(spark: SparkSession, root: String): Unit = {
     val retired = retiredDf(spark, root).localCheckpoint()
-    val ev = VersionedTable.currentVersion(spark, edgeRoot(root)).getOrElse(
+    val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
     if (!retired.isEmpty) {
-      val live = VersionedTable.read(spark, edgeRoot(root))
-        .join(retired.select(col("c_id").as("src")), Seq("src"), "left_anti")
-        .join(retired.select(col("c_id").as("dst")), Seq("dst"), "left_anti")
-        .withColumn("bucket", bucketCol(col("src")))
-      VersionedTable.commitPartitioned(spark, edgeRoot(root), live, "bucket", ev)
-      val vv = VersionedTable.currentVersion(spark, vecRoot(root)).get
-      val liveVecs = VersionedTable.read(spark, vecRoot(root))
+      val live = VersionedTable.read(spark, nodeRoot(root))
         .join(retired.select(col("c_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val adj = live.select(col("vec_id"), explode(col("nbrs")).as("dst"))
+        .join(retired.select(col("c_id").as("dst")), Seq("dst"), "left_anti")
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      val keep = Seq(col("vec_id"), col("embedding")) ++
+        (if (live.columns.contains("codes")) Seq(col("codes")) else Nil)
+      val folded = live.filter(col("embedding").isNotNull)
+        .select(keep: _*)
+        .join(adj, Seq("vec_id"), "left")
+        .withColumn("nbrs", coalesce(col("nbrs"), array().cast("array<bigint>")))
         .withColumn("bucket", bucketCol(col("vec_id")))
-      VersionedTable.commitPartitioned(spark, vecRoot(root), liveVecs, "bucket", vv)
+      VersionedTable.commitPartitioned(spark, nodeRoot(root), folded, "bucket", nv)
       val rv = VersionedTable.currentVersion(spark, retireRoot(root)).get
       VersionedTable.commit(spark, retireRoot(root),
         retired.select(col("c_id").as("vec_id")).limit(0), rv)
     }
-    VersionedTable.compactPartitioned(spark, edgeRoot(root))
-    VersionedTable.compactPartitioned(spark, vecRoot(root))
+    VersionedTable.compactPartitioned(spark, nodeRoot(root))
     // churn meta survives on purpose: purging holes is not re-filling
     // them — [[rebuildRecommended]] stays due until a [[build]]
     ()
@@ -286,21 +373,47 @@ object GraphIndex {
              newVecs: DataFrame, graphK: Int = 3, nProbe: Int = 2,
              centIds: Seq[Long] = Similarity.centroidIds): Unit = {
     val fwd = Similarity.knnEdgesFor(corpus, newVecs, graphK, nProbe, centIds)
-    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
-    val edges = fwd.unionByName(rev).distinct()
-      .withColumn("bucket", bucketCol(col("src")))
-    val ev = VersionedTable.currentVersion(spark, edgeRoot(root)).getOrElse(
-      throw new IllegalStateException(s"no graph index built at $root"))
-    VersionedTable.appendPartitioned(spark, edgeRoot(root), edges, "bucket", ev)
-    // the arrivals' vectors join the forward index: O(batch) add-files
-    // into their id buckets, so the very next probe can score them
-    val arrivals = newVecs.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    // each arrival gets a FULL record (vector + its own top-k list):
+    // O(batch) add-files into its id bucket, so the very next probe
+    // can score it
+    val fwdAdj = fwd.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .withColumnRenamed("src", "vec_id")
+    val embType = newVecs.schema("embedding").dataType
+    val bare = newVecs.select(col("vec_id"), col("embedding"))
+      .join(fwdAdj, Seq("vec_id"), "left")
+      .withColumn("nbrs", coalesce(col("nbrs"), array().cast("array<bigint>")))
+    // a codes-bearing index ([[build]] withCodes) encodes arrivals
+    // against the SAME fixed codebook ids — stable rows of the same
+    // corpus table, so stored and fresh codes agree by construction
+    val hasCodes =
+      VersionedTable.read(spark, nodeRoot(root)).columns.contains("codes")
+    val own = if (hasCodes)
+        bare.join(Similarity.pqCodesAgainst(corpus, newVecs),
+          Seq("vec_id"), "left")
+      else bare
+    // reverse-edge FRAGMENTS (vector-less records) land in the touched
+    // neighbors' buckets; the probe merges fragments at read. A
+    // within-batch mutual pair already present forward is not
+    // re-appended (the dedup the edge-table layout did with distinct).
+    val revBare = fwd.select(col("dst").as("src"), col("src").as("dst"))
+      .join(fwd, Seq("src", "dst"), "left_anti")
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .withColumnRenamed("src", "vec_id")
+      .withColumn("embedding", lit(null).cast(embType))
+      .select(col("vec_id"), col("embedding"), col("nbrs"))
+    val revFrag = if (hasCodes)
+        revBare.withColumn("codes", lit(null).cast("array<int>"))
+      else revBare
+    val records = own.unionByName(revFrag)
       .withColumn("bucket", bucketCol(col("vec_id"))).localCheckpoint()
-    val vv = VersionedTable.currentVersion(spark, vecRoot(root)).getOrElse(
-      throw new IllegalStateException(s"no vector forward index at $root"))
-    VersionedTable.appendPartitioned(spark, vecRoot(root), arrivals, "bucket", vv)
+    val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no graph index built at $root"))
+    VersionedTable.appendPartitioned(spark, nodeRoot(root), records, "bucket", nv)
     readMeta(spark, root).foreach { case (b, i, r) =>
-      writeMeta(spark, root, b, i + arrivals.count(), r) }
+      writeMeta(spark, root, b, i + newVecs.count(), r) }
     ()
   }
 
@@ -338,6 +451,33 @@ object GraphIndex {
               false)
       }
     val res = probe(spark, s"$dir/ix", embeddings, maxQueryId, k, beam, hops)
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      out
+    } else res
+  }
+
+  /** s29's managed lifecycle: build WITH stored PQ codes once per
+    * corpus, then PQ-navigated probes ([[probePq]]) — cached under a
+    * distinct stamp so the plain s25 index and the codes-bearing one
+    * never collide. */
+  def probePqAuto(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                  beam: Int = 4, hops: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    def buildTemp(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-graphpq").toString
+      build(spark, s"$dir/ix", embeddings, withCodes = true)
+      dir
+    }
+    val (dir, ephemeral) =
+      if (!Caching.bareScan(embeddings)) (buildTemp(), true)
+      else {
+        val stamp = Caching.stamp(embeddings)
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (cache.getOrElseUpdate((spark, stamp + "#pq"))(buildTemp()), false)
+      }
+    val res = probePq(spark, s"$dir/ix", embeddings, maxQueryId, k, beam, hops)
     if (ephemeral) {
       val out = res.localCheckpoint()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

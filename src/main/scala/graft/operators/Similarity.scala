@@ -1706,23 +1706,18 @@ object Similarity {
     * full embedding was read).
     *
     * Scale shape: every frame in the loop is bounded by queries ×
-    * (seeds + hops·beam·graphK) — never the corpus. Candidate-vector
-    * fetch is pluggable like adjacency: `fetchVecs` (given the hop's
-    * distinct candidate ids, return `(c_id, ce)`) lets
-    * [[GraphIndex.probe]] serve vectors from its id-bucketed forward
-    * index with dir-pruned reads — the 100 TB point-lookup shape —
-    * while the inline arm (None) broadcast-joins the candidate list
-    * into one pruned pass over the corpus scan; `expand` decides how
-    * adjacency is fetched (inline edge frame here, dir-pruned
-    * partition reads in [[GraphIndex.probe]]). The walk is `hops`
-    * sequential bounded stages — graph ANN trades the one-shot
-    * candidate volume of cell probes for a handful of tiny lookups. */
+    * (seeds + hops·beam·graphK) — never the corpus. This inline arm
+    * broadcast-joins each hop's candidate list into one pruned pass
+    * over the corpus scan; `expand` decides how adjacency is fetched
+    * (an in-memory edge frame here). [[GraphIndex.probe]] walks its
+    * persisted NODE RECORDS through [[beamWalkRecords]] instead — the
+    * 100 TB point-lookup shape. The walk is `hops` sequential bounded
+    * stages — graph ANN trades the one-shot candidate volume of cell
+    * probes for a handful of tiny lookups. */
   private[graft] def beamWalk(embeddings: DataFrame, maxQueryId: Long,
                               seedIds: DataFrame,
                               expand: DataFrame => DataFrame,
-                              beam: Int, hops: Int,
-                              fetchVecs: Option[DataFrame => DataFrame] = None
-                             ): DataFrame = {
+                              beam: Int, hops: Int): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
     lazy val corpus = embeddings.select(col("vec_id").as("c_id"),
@@ -1732,17 +1727,11 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .withColumn("qn", vec_norm(col("qe")))
       .localCheckpoint()
-    def score(cands: DataFrame): DataFrame = {
-      val vecs = fetchVecs match {
-        case Some(f) => f(cands.select(col("c_id")).distinct())
-          .withColumn("cn", vec_norm(col("ce")))
-        case None => corpus
-      }
-      vecs.join(broadcast(cands), Seq("c_id"))
+    def score(cands: DataFrame): DataFrame =
+      corpus.join(broadcast(cands), Seq("c_id"))
         .join(broadcast(queries), Seq("q_id"))
         .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .select(col("q_id"), col("c_id"), col("cos"))
-    }
     val wBeam = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     val entry = queries.select(col("q_id"))
@@ -1763,19 +1752,115 @@ object Similarity {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
         .localCheckpoint()
-      val freshPlan = expand(frontier)
+      val fresh = expand(frontier)
         .filter(col("c_id") =!= col("q_id")).distinct()
         .join(visited.select(col("q_id"), col("c_id")),
           Seq("q_id", "c_id"), "left_anti") // score each node ONCE
-      // with an external fetcher the fresh set is consumed TWICE
-      // (bucket-list pass + the score join) — materialize the bounded
-      // frame once so the adjacency dirs are read once per hop
-      val fresh =
-        if (fetchVecs.isDefined) freshPlan.localCheckpoint() else freshPlan
       // union of checkpointed frontiers: tiny and lineage-shallow, no
       // checkpoint needed
       expanded = expanded.unionByName(frontier)
       visited = visited.unionByName(score(fresh)).localCheckpoint()
+    }
+    visited
+  }
+
+  /** [[beamWalk]] over persisted NODE RECORDS — DiskANN's literal
+    * serving layout, where a node's vector and its adjacency list are
+    * ONE record, so each pass makes ONE bounded fetch that serves BOTH
+    * the exact scores and the next hop's expansion (the two-table walk
+    * paid an adjacency fetch + a vector fetch per hop; this halves the
+    * per-hop round-trips, which at 100 TB is the latency of a probe).
+    *
+    * `fetchRecs` receives the pass's distinct candidate ids `(c_id)`
+    * and returns their record FRAGMENTS `(c_id, ce, nbrs)` — exactly
+    * one fragment per live id carries the vector (`ce` non-null);
+    * reverse-edge fragments appended by [[GraphIndex.ingest]] carry
+    * `ce` null and extra neighbors. The walk merges at read: scores
+    * come from the vector-bearing fragment, adjacency is the exploded
+    * union of every fragment's `nbrs`. `candFilter` drops candidate
+    * `(q_id, c_id)` pairs before the fetch ([[GraphIndex.probe]]'s
+    * graveyard anti-join). Visit semantics, scores, and tie-breaks are
+    * IDENTICAL to [[beamWalk]] by construction: the fetched adjacency
+    * of a frontier node is the same edge set, and scoring is the same
+    * cosine on the same vectors — [[GraftSpec]] pins the two arms
+    * equal on the real corpus. */
+  private[graft] def beamWalkRecords(embeddings: DataFrame, maxQueryId: Long,
+                                     seedIds: DataFrame,
+                                     fetchRecs: DataFrame => DataFrame,
+                                     beam: Int, hops: Int,
+                                     candFilter: DataFrame => DataFrame =
+                                       identity): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm(col("qe")))
+      .localCheckpoint()
+    // one bounded fetch (records of the pass's candidate ids) feeds
+    // both halves; dropDuplicates guards the one-vector-per-id
+    // contract against a double-committed fragment
+    def score(pairs: DataFrame, recs: DataFrame): DataFrame =
+      recs.filter(col("ce").isNotNull).select(col("c_id"), col("ce"))
+        .dropDuplicates("c_id")
+        .withColumn("cn", vec_norm(col("ce")))
+        .join(broadcast(pairs), Seq("c_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .select(col("q_id"), col("c_id"), col("cos"))
+    val entry = queries.select(col("q_id"))
+      .crossJoin(broadcast(seedIds.select(col("c_id"))))
+      .filter(col("c_id") =!= col("q_id"))
+    recordsWalkLoop(entry, fetchRecs, score, "cos", asc = false, beam, hops,
+      candFilter)
+  }
+
+  /** The shared node-record walk loop: `entry` is the seed candidate
+    * pairs `(q_id, c_id)`, `fetchRecs` fetches record fragments for a
+    * pass's distinct candidate ids, `score` turns (pairs, fragments)
+    * into `(q_id, c_id, <sCol>)`, and the frontier is the top-beam
+    * UNEXPANDED visited by `sCol` (`asc` false = similarity, true =
+    * distance; lowest-id tie-break either way). Every frame is bounded
+    * by queries × (seeds + hops·beam·graphK) — never the corpus. */
+  private def recordsWalkLoop(entry: DataFrame,
+                              fetchRecs: DataFrame => DataFrame,
+                              score: (DataFrame, DataFrame) => DataFrame,
+                              sCol: String, asc: Boolean,
+                              beam: Int, hops: Int,
+                              candFilter: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def adjOf(recs: DataFrame): DataFrame =
+      recs.select(col("c_id").as("src"), explode(col("nbrs")).as("dst"))
+        .distinct()
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(if (asc) col(sCol).asc else col(sCol).desc, col("c_id"))
+    val entryC = entry.localCheckpoint()
+    val recs0 = fetchRecs(entryC.select(col("c_id")).distinct())
+      .localCheckpoint()
+    var visited = score(entryC, recs0).localCheckpoint()
+    // adjacency of everything fetched so far — bounded by fetched
+    // candidates × graphK, and every future frontier node is already
+    // in it (frontier ⊆ visited ⊆ fetched)
+    var adjSeen = adjOf(recs0).localCheckpoint()
+    var expanded = visited.select(col("q_id"), col("c_id")).limit(0)
+      .localCheckpoint()
+    (1 to hops).foreach { hop =>
+      val frontier = visited
+        .join(expanded, Seq("q_id", "c_id"), "left_anti") // expand ONCE
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
+        .localCheckpoint()
+      val fresh = candFilter(
+          frontier.join(adjSeen, frontier("c_id") === adjSeen("src"))
+            .select(frontier("q_id"), adjSeen("dst").as("c_id"))
+            .filter(col("c_id") =!= col("q_id")).distinct()
+            .join(visited.select(col("q_id"), col("c_id")),
+              Seq("q_id", "c_id"), "left_anti")) // score each node ONCE
+        .localCheckpoint()
+      val recsH = fetchRecs(fresh.select(col("c_id")).distinct())
+        .localCheckpoint()
+      expanded = expanded.unionByName(frontier)
+      visited = visited.unionByName(score(fresh, recsH)).localCheckpoint()
+      if (hop < hops) // the last hop's adjacency has no consumer
+        adjSeen = adjSeen.unionByName(adjOf(recsH)).localCheckpoint()
     }
     visited
   }
@@ -1808,12 +1893,24 @@ object Similarity {
   private[graft] def graphWalkTopK(embeddings: DataFrame, maxQueryId: Long,
                                    k: Int, beam: Int, hops: Int,
                                    seedIds: DataFrame,
-                                   expand: DataFrame => DataFrame,
-                                   fetchVecs: Option[DataFrame => DataFrame] =
-                                     None): DataFrame = {
+                                   expand: DataFrame => DataFrame): DataFrame =
+    rankWalkTopK(
+      beamWalk(embeddings, maxQueryId, seedIds, expand, beam, hops), k)
+
+  /** [[beamWalkRecords]] + the same ranking — [[GraphIndex.probe]]'s
+    * arm, guaranteed to rank identically to the inline arm. */
+  private[graft] def graphWalkRecordsTopK(embeddings: DataFrame,
+                                          maxQueryId: Long, k: Int, beam: Int,
+                                          hops: Int, seedIds: DataFrame,
+                                          fetchRecs: DataFrame => DataFrame,
+                                          candFilter: DataFrame => DataFrame =
+                                            identity): DataFrame =
+    rankWalkTopK(
+      beamWalkRecords(embeddings, maxQueryId, seedIds, fetchRecs, beam, hops,
+        candFilter), k)
+
+  private def rankWalkTopK(visited: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val visited = beamWalk(embeddings, maxQueryId, seedIds, expand, beam, hops,
-      fetchVecs)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     visited.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1878,6 +1975,175 @@ object Similarity {
                  WHERE rank <= $graphK),
        gseed AS ($seedSel),
        ${graphWalkSql(maxQueryId, k, beam, hops, labelFiltered = true)}"""
+  }
+
+  // ---- s29: PQ-NAVIGATED graph walk (DiskANN's serving shape) --------
+
+  /** ADC navigation score over a record's stored PQ `codes` against
+    * the query's broadcast distance table — 8 list lookups per
+    * (query, candidate), NO vector arithmetic in the hop (the s09
+    * asymmetric-distance kernel applied as the walk's compass). */
+  private def adcRecExpr = expr(
+    s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
+    s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
+
+  /** The ADC record scorer for [[recordsWalkLoop]]: codes come from
+    * the fetched fragments (the vector-bearing fragment carries them),
+    * distance tables broadcast from the query side. */
+  private[graft] def scoreAdcRecs(dts: DataFrame)(
+      pairs: DataFrame, recs: DataFrame): DataFrame =
+    recs.filter(col("codes").isNotNull).select(col("c_id"), col("codes"))
+      .dropDuplicates("c_id")
+      .join(broadcast(pairs), Seq("c_id"))
+      .join(broadcast(dts), Seq("q_id"))
+      .withColumn("adc", adcRecExpr)
+      .select(col("q_id"), col("c_id"), col("adc"))
+
+  /** Exact-cosine re-rank of a walk's visited set — DiskANN's final
+    * step: the ADC-guided walk only DECIDES what to visit; the
+    * answers are ranked by one exact pass over the visited ids'
+    * full vectors (`fetchVecs`: one dir-pruned point fetch in the
+    * indexed arm, a broadcast-pruned corpus pass inline). */
+  private[graft] def rerankExactTopK(queries: DataFrame,
+                                     fetchVecs: DataFrame => DataFrame,
+                                     visited: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val scored = fetchVecs(visited.select(col("c_id")).distinct())
+      .withColumn("cn", vec_norm(col("ce")))
+      .join(broadcast(visited.select(col("q_id"), col("c_id")).distinct()),
+        Seq("c_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankWalkTopK(scored, k)
+  }
+
+  /** s29: the PQ-navigated beam walk — DiskANN's complete serving
+    * shape on the s25 graph: hops navigate by ASYMMETRIC PQ DISTANCE
+    * (4-byte codes + per-query distance tables — the hop reads no
+    * full vectors at all), and the final top-k is an EXACT-cosine
+    * re-rank of everything visited (one bounded vector pass). The
+    * operating point this buys at 100 TB: per-hop IO drops from
+    * (vector + adjacency) to (codes + adjacency) — ~10× fewer bytes
+    * per candidate — and full vectors are touched once, for ≤ the
+    * visited set. Inline arm; [[GraphIndex.probePq]] is the persisted
+    * twin serving codes+adjacency from pruned node-record columns. */
+  def graphPqTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                  beam: Int = 4, hops: Int = 3, graphK: Int = 3,
+                  nProbe: Int = 2, nSeeds: Int = 8,
+                  centIds: Seq[Long] = centroidIds): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val adj = knnJoin(embeddings, graphK, nProbe, centIds)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_set(col("neighbor_id"))).as("nbrs"))
+    val nodes = embeddings.select(col("vec_id"), col("embedding"))
+      .join(adj, Seq("vec_id"), "left")
+      .withColumn("nbrs", coalesce(col("nbrs"), array().cast("array<bigint>")))
+      .join(pqCodes(embeddings), Seq("vec_id"), "left")
+      .withColumnRenamed("vec_id", "c_id")
+      .withColumnRenamed("embedding", "ce")
+      .localCheckpoint()
+    val seeds = kcenterSeed(embeddings, nSeeds)
+      .select(col("vec_id").as("c_id")).localCheckpoint()
+    val dts = pqDistTables(embeddings, maxQueryId).localCheckpoint()
+    graphPqWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
+      ids => nodes.join(broadcast(ids), Seq("c_id")), dts,
+      ids => nodes.join(broadcast(ids), Seq("c_id"))
+        .select(col("c_id"), col("ce")))
+  }
+
+  /** The ADC walk + exact re-rank shared by the inline arm above and
+    * [[GraphIndex.probePq]]'s dir-pruned arm — the two cannot rank
+    * differently. */
+  private[graft] def graphPqWalkTopK(embeddings: DataFrame, maxQueryId: Long,
+                                     k: Int, beam: Int, hops: Int,
+                                     seedIds: DataFrame,
+                                     fetchRecs: DataFrame => DataFrame,
+                                     dts: DataFrame,
+                                     fetchVecs: DataFrame => DataFrame,
+                                     candFilter: DataFrame => DataFrame =
+                                       identity): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val queries = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm(col("qe"))).localCheckpoint()
+    val entry = queries.select(col("q_id"))
+      .crossJoin(broadcast(seedIds.select(col("c_id"))))
+      .filter(col("c_id") =!= col("q_id"))
+    val visited = recordsWalkLoop(entry, fetchRecs, scoreAdcRecs(dts), "adc",
+      asc = true, beam, hops, candFilter)
+    rerankExactTopK(queries, fetchVecs, visited, k)
+  }
+
+  /** DuckDB replay of s29: the s25 graph + seed chains, the s09 PQ
+    * code/distance-table chains, the walk ranked by ADC ascending,
+    * and the exact-cosine re-rank of the final visited set. */
+  def graphPqTopKOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                        hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
+                        nSeeds: Int = 8): String = {
+    val d = Dialect.duck
+    val lo = PqCodebookIds.head
+    val hi = PqCodebookIds.last
+    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    val adcSql = s"list_reduce(list_transform(generate_series(0, " +
+      s"${PqSubspaces - 1}), j -> q.dt[j * $PqK + k.codes[j + 1] + 1]), " +
+      "(a, b) -> a + b)"
+    val sb = new StringBuilder(
+      s"""WITH ${knnCtes(nProbe)},
+       ${kcenterCtes(nSeeds)},
+       gedge AS (SELECT q_id AS src, c_id AS dst FROM ranked
+                 WHERE rank <= $graphK),
+       gseed AS ($seedSel),
+       pqcb AS (SELECT vec_id - $lo AS cidx, embedding AS cemb
+         FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
+       pqsub AS (SELECT s.vec_id, c.cidx, t.j,
+           ${pqSubDist(d, "s.embedding", "c.cemb", "t.j")} AS sd
+         FROM embeddings s CROSS JOIN pqcb c
+         CROSS JOIN generate_series(0, ${PqSubspaces - 1}) t(j)),
+       pqcodes AS (SELECT vec_id, list(cidx ORDER BY j) AS codes
+         FROM (SELECT vec_id, j, cidx, row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY sd, cidx) AS rn FROM pqsub) x
+         WHERE rn = 1 GROUP BY vec_id),
+       pqdt AS (SELECT vec_id AS q_id, list(sd ORDER BY j, cidx) AS dt
+         FROM pqsub WHERE vec_id < $maxQueryId GROUP BY vec_id),
+       gv0 AS (SELECT q.q_id, s.vec_id AS c_id, $adcSql AS adc
+         FROM pqdt q CROSS JOIN gseed s JOIN pqcodes k ON k.vec_id = s.vec_id
+         WHERE s.vec_id <> q.q_id),
+       ge0 AS (SELECT q_id, c_id FROM gv0 WHERE FALSE)""")
+    for (h <- 1 to hops) {
+      sb.append(s""",
+       gb${h - 1} AS (SELECT q_id, c_id FROM (SELECT v.q_id, v.c_id,
+           row_number() OVER (PARTITION BY v.q_id
+             ORDER BY v.adc ASC, v.c_id) AS rn
+           FROM gv${h - 1} v LEFT JOIN ge${h - 1} x
+             ON x.q_id = v.q_id AND x.c_id = v.c_id
+           WHERE x.c_id IS NULL) t WHERE rn <= $beam),
+       ge$h AS (SELECT q_id, c_id FROM ge${h - 1}
+         UNION SELECT q_id, c_id FROM gb${h - 1}),
+       gc$h AS (SELECT DISTINCT b.q_id, e.dst AS c_id
+         FROM gb${h - 1} b JOIN gedge e ON e.src = b.c_id
+         WHERE e.dst <> b.q_id),
+       gv$h AS (SELECT q_id, c_id, adc FROM gv${h - 1}
+         UNION
+         SELECT n.q_id, n.c_id, $adcSql AS adc
+         FROM gc$h n JOIN pqdt q ON q.q_id = n.q_id
+           JOIN pqcodes k ON k.vec_id = n.c_id)""")
+    }
+    sb.append(s"""
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM (SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM (SELECT v.q_id, v.c_id,
+                     ${dot(d, "q.embedding", "c.embedding")} /
+                     (${normExpr(d, "q.embedding")} *
+                      ${normExpr(d, "c.embedding")}) AS cos
+                   FROM gv$hops v JOIN embeddings q ON q.vec_id = v.q_id
+                     JOIN embeddings c ON c.vec_id = v.c_id) t0) t
+       WHERE rank <= $k ORDER BY q_id, rank""")
+    sb.toString
   }
 
   /** The beam-walk CTE tail shared by the s25/s27/s28 oracles —
@@ -2531,22 +2797,42 @@ object Similarity {
     * (tie-break lowest entry), assembled in subspace order. The index
     * BUILD: one map-side pass against the broadcast codebook; after
     * it the scan side never touches vectors again. */
-  private def pqCodes(embeddings: DataFrame): DataFrame = {
+  private def pqCodes(embeddings: DataFrame): DataFrame =
+    pqCodesAgainst(embeddings, embeddings)
+
+  /** [[pqCodes]] with the codebook source given explicitly — the
+    * [[GraphIndex]] encode kernel: arrivals/corpora are coded against
+    * the 16 codebook vectors extracted from `codebookSrc` (the stored
+    * index's own records, so stored and fresh codes agree). */
+  private[graft] def pqCodesAgainst(codebookSrc: DataFrame,
+                                    side: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("sd").asc, col("cidx").asc)
-    pqSubDists(embeddings, embeddings)
+    pqSubDists(codebookSrc, side)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, cidx))), s -> s.cidx)")
         .as("codes"))
   }
 
+  /** Public alias for the encoder ([[GraphIndex.build]] stores codes
+    * inside node records). */
+  private[graft] def pqCodesFor(embeddings: DataFrame): DataFrame =
+    pqCodes(embeddings)
+
   /** Per-query ADC distance tables: dt[j*K + c] = subdist(query, entry
     * c, subspace j) — 128 doubles per query, the only thing the scan
     * needs from the query side. */
   private def pqDistTables(embeddings: DataFrame, maxQueryId: Long): DataFrame =
-    pqSubDists(embeddings, embeddings.filter(col("vec_id") < maxQueryId))
+    pqDistTablesAgainst(embeddings,
+      embeddings.filter(col("vec_id") < maxQueryId))
+
+  /** [[pqDistTables]] with the codebook source given explicitly
+    * (the [[GraphIndex.probePq]] query-side kernel). */
+  private[graft] def pqDistTablesAgainst(codebookSrc: DataFrame,
+                                         queries: DataFrame): DataFrame =
+    pqSubDists(codebookSrc, queries)
       .groupBy(col("vec_id").as("q_id"))
       .agg(expr("transform(array_sort(collect_list(struct(j, cidx, sd))), s -> s.sd)")
         .as("dt"))

@@ -500,24 +500,20 @@ class GraftSpec extends AnyFunSuite {
     val probed = Similarity.graphAnnTopK(emb)
     assert(rset(GraphIndex.probe(spark, root, emb)) == rset(probed),
       "persisted-graph probe diverged from the inline walk")
-    // dir-pruning, pinned on the actual per-hop IO: a single query's
-    // frontier is ≤ beam ids, so each hop opens ≤ beam bucket dirs —
-    // a full-edge scan would need all NumBuckets
+    // dir-pruning, pinned on the actual per-pass IO: each pass makes
+    // ONE node-record fetch opening ≤ the pass's candidate-id buckets
+    // (entry: ≤ 8 seeds; each hop: ≤ beam·graphK = 12 fresh ids for a
+    // single query) — a corpus or full-index scan would need all
+    // NumBuckets, and a split edges/vectors layout would need TWO
+    // fetches per hop
     GraphIndex.probe(spark, root, emb, maxQueryId = 1).collect()
-    assert(GraphIndex.lastProbeBucketCounts.size == 3)
-    GraphIndex.lastProbeBucketCounts.foreach { c =>
-      assert(c > 0 && c <= 4, s"hop opened $c buckets for a beam-4 frontier")
-    }
-    // the FORWARD index is dir-pruned the same way: candidate vectors
-    // come from ≤ candidate-id bucket dirs (entry: ≤ 8 seeds; each
-    // hop: ≤ beam·graphK = 12 fresh ids), never a corpus scan
-    assert(GraphIndex.lastVecBucketCounts.size == 4,
-      s"expected entry + 3 hop vector fetches: ${GraphIndex.lastVecBucketCounts}")
-    assert(GraphIndex.lastVecBucketCounts.head > 0 &&
-      GraphIndex.lastVecBucketCounts.head <= 8,
-      s"entry fetch opened ${GraphIndex.lastVecBucketCounts.head} vector buckets for 8 seeds")
-    GraphIndex.lastVecBucketCounts.tail.foreach { c =>
-      assert(c <= 12, s"hop fetched $c vector buckets for ≤12 fresh candidates")
+    assert(GraphIndex.lastProbeBucketCounts.size == 4,
+      s"expected entry + 3 hop fetches: ${GraphIndex.lastProbeBucketCounts}")
+    assert(GraphIndex.lastProbeBucketCounts.head > 0 &&
+      GraphIndex.lastProbeBucketCounts.head <= 8,
+      s"entry fetch opened ${GraphIndex.lastProbeBucketCounts.head} buckets for 8 seeds")
+    GraphIndex.lastProbeBucketCounts.tail.foreach { c =>
+      assert(c <= 12, s"hop fetched $c buckets for ≤12 fresh candidates")
     }
     // repeated retrieval is probe-only
     val before = GraphIndex.indexBuilds
@@ -529,6 +525,48 @@ class GraftSpec extends AnyFunSuite {
     val exact = rset(Similarity.bruteForceTopK(emb, 8, 3))
     assert((pairs(rset(probed)) intersect pairs(exact)).nonEmpty,
       "graph walk found none of the exact top-k")
+  }
+
+  test("s29 PQ-navigated walk: indexed probe equals the inline arm; hop reads never touch the embedding column; the re-rank is one bounded fetch") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{GraphIndex, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_gpq").toString + "/ix"
+    GraphIndex.build(spark, root, emb, withCodes = true)
+    val inline = Similarity.graphPqTopK(emb)
+    assert(rset(GraphIndex.probePq(spark, root, emb)) == rset(inline),
+      "PQ-navigated indexed probe diverged from the inline walk")
+    // the DiskANN split, pinned on actual IO: per-pass fetches are
+    // dir-pruned (entry ≤ 8 seed buckets, hops ≤ beam·graphK = 12,
+    // re-rank ≤ visited buckets = NumBuckets) and the hop fetch's
+    // scan plan reads ONLY (vec_id, nbrs, codes) — the fat embedding
+    // column is touched once, by the final exact re-rank
+    GraphIndex.probePq(spark, root, emb, maxQueryId = 1).collect()
+    assert(GraphIndex.lastProbeBucketCounts.size == 5, // entry + 3 hops + rerank
+      s"expected entry + 3 hops + rerank: ${GraphIndex.lastProbeBucketCounts}")
+    assert(GraphIndex.lastProbeBucketCounts.head <= 8 &&
+      GraphIndex.lastProbeBucketCounts.slice(1, 4).forall(_ <= 12),
+      s"unpruned pass: ${GraphIndex.lastProbeBucketCounts}")
+    val schemaLine = GraphIndex.lastNavReadSchema.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.nonEmpty && !schemaLine.contains("embedding"),
+      s"hop fetch reads the embedding column: $schemaLine")
+    // a plain (code-less) index refuses PQ probes instead of failing
+    // deep inside the walk
+    val bare = java.nio.file.Files.createTempDirectory("graft_gpqb").toString + "/ix"
+    GraphIndex.build(spark, bare, emb)
+    intercept[IllegalArgumentException] {
+      GraphIndex.probePq(spark, bare, emb)
+    }
+    // the ADC-guided walk finds REAL neighbors: nonzero overlap with
+    // the exact top-k neighbor sets (rank-free)
+    def pairs(s: Set[(Long, Long, Long)]) = s.map(t => (t._1, t._3))
+    val exact = rset(Similarity.bruteForceTopK(emb, 8, 3))
+    assert((pairs(rset(inline)) intersect pairs(exact)).nonEmpty,
+      "PQ-guided walk found none of the exact top-k")
   }
 
   test("Caching.planStamp: equal derivations share a stamp, different ones never collide, synthetic frames are uncacheable") {
@@ -649,12 +687,17 @@ class GraftSpec extends AnyFunSuite {
     assert(rset() == afterDel, "re-retiring changed results")
     GraphIndex.compact(spark, root)
     assert(rset() == afterDel, "compact changed probe results")
-    val edges = VersionedTable.read(spark, s"$root/edges")
-    assert(edges.filter(col("src") === 99L || col("dst") === 99L).isEmpty,
-      "compact left retired edges in the table")
-    assert(VersionedTable.read(spark, s"$root/vectors")
-      .filter(col("vec_id") === 99L).isEmpty,
-      "compact left the retired vector in the forward index")
+    import org.apache.spark.sql.functions.{array_contains, explode}
+    val nodes = VersionedTable.read(spark, s"$root/nodes")
+    assert(nodes.filter(col("vec_id") === 99L ||
+        array_contains(col("nbrs"), 99L)).isEmpty,
+      "compact left the retired node or dangling edges in the table")
+    // compact also FOLDS fragments: one record per survivor, each
+    // carrying its vector (the read-merge contract collapses to 1:1)
+    assert(nodes.filter(col("embedding").isNull).isEmpty &&
+      nodes.groupBy(col("vec_id")).count()
+        .filter(col("count") > 1).isEmpty,
+      "compact left vector-less or duplicate record fragments")
   }
 
   test("GraphIndex rebuild signal: churn (ingests + retirements) trips rebuildRecommended; rebuild resets it AND the graveyard") {
