@@ -213,14 +213,16 @@ private[graft] object GraftProcedures {
     "graph_build" -> proc("graph_build",
       Array(strParam("root"), strParam("source"),
             intParam("graph_k", "3"), intParam("n_probe", "2"),
-            intParam("n_seeds", "8"), strParamDflt("cent_ids", "''"))) {
+            intParam("n_seeds", "8"), strParamDflt("cent_ids", "''"),
+            intParam("with_codes", "0"))) {
       (spark, in) =>
         val root = in.getUTF8String(0).toString
         val src = in.getUTF8String(1).toString
         GraphIndex.build(spark, root, spark.table(src),
           graphK = in.getInt(2), nProbe = in.getInt(3),
           nSeeds = in.getInt(4),
-          centIds = centIdsOf(in.getUTF8String(5).toString))
+          centIds = centIdsOf(in.getUTF8String(5).toString),
+          withCodes = in.getInt(6) != 0)
         status(s"built graph index at $root from $src")
     },
     "graph_ingest" -> proc("graph_ingest",
@@ -242,6 +244,16 @@ private[graft] object GraftProcedures {
       val root = in.getUTF8String(0).toString
       val src = in.getUTF8String(1).toString
       resultScan(GraphIndex.probe(spark, root, spark.table(src),
+        maxQueryId = in.getInt(2).toLong, k = in.getInt(3),
+        beam = in.getInt(4), hops = in.getInt(5))) // bounded: queries × k
+    },
+    "graph_probe_pq" -> proc("graph_probe_pq",
+      Array(strParam("root"), strParam("source"),
+            intParam("max_query_id", "8"), intParam("k", "3"),
+            intParam("beam", "4"), intParam("hops", "3"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      resultScan(GraphIndex.probePq(spark, root, spark.table(src),
         maxQueryId = in.getInt(2).toLong, k = in.getInt(3),
         beam = in.getInt(4), hops = in.getInt(5))) // bounded: queries × k
     },

@@ -906,6 +906,17 @@ class GraftSpec extends AnyFunSuite {
         .collect()) ==
       rset(Similarity.graphAnnTopK(emb).collect()),
       "SQL-driven graph lifecycle diverged from the from-scratch walk")
+    // the s29 PQ tier through SQL only: build with stored codes, probe
+    // PQ-navigated, equal to the from-scratch inline ADC walk
+    val rootPq = java.nio.file.Files.createTempDirectory("graft_graphsqlpq")
+      .toString + "/ix"
+    spark.sql(s"CALL graft_sys.graph_build(root => '$rootPq', " +
+      "source => 'graphsql_corpus', with_codes => 1)").collect()
+    assert(rset(spark.sql(
+        s"CALL graft_sys.graph_probe_pq(root => '$rootPq', " +
+        "source => 'graphsql_corpus')").collect()) ==
+      rset(Similarity.graphPqTopK(emb).collect()),
+      "SQL-driven PQ-navigated probe diverged from the inline ADC walk")
     // the s27 live property, replayed through SQL only: a twin arrival
     // is invisible pre-ingest, top-1 post-ingest, gone post-delete
     def v(xs: Double*) = xs.map(_.toFloat).toArray
