@@ -92,13 +92,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # DuckDB's working set for the MONOLITHIC query exceeds a single box
 # (measured: >170 GB on s25). Same semantics, linear cost: materialize
 # the heavy chain ONCE as a temp table, then run the tail against it.
-# Each entry: query name -> (first CTE of the tail, staged CTE names).
+# Each entry: query name -> (first CTE of the tail, staged CTEs).
+# A staged CTE is a name or (name, predicate): EVERY tail reference to
+# these chains filters `rank <= 3` (verified against the generators),
+# so staging only those rows shrinks the retained temp table from the
+# full ranked candidate set (~10^8 rows / tens of GB of spill at 30x —
+# holding one while deriving the next is what filled the disk) to
+# corpus x 3 rows; the tail's own filter then no-ops.
 STAGED = {
-    "s22_knn_pagerank": ("edges AS (", ["ranked"]),
-    "s25_graph_ann": ("e AS (", ["ranked"]),
-    "s28_graph_filtered": ("e AS (", ["ranked"]),
-    "s27_graph_ingest": ("e AS (", ["oranked", "nranked"]),
-    "s29_graph_pq": ("e AS (", ["ranked"]),
+    "s22_knn_pagerank": ("edges AS (", [("ranked", "rank <= 3")]),
+    "s25_graph_ann": ("e AS (", [("ranked", "rank <= 3")]),
+    "s28_graph_filtered": ("e AS (", [("ranked", "rank <= 3")]),
+    "s27_graph_ingest": ("e AS (", [("oranked", "rank <= 3"),
+                                    ("nranked", "rank <= 3")]),
+    "s29_graph_pq": ("e AS (", [("ranked", "rank <= 3")]),
 }
 
 _staged_cache = {}  # (head text, cte name) -> temp table name
@@ -116,17 +123,20 @@ def run_staged(con, name, sql):
     # DIFFERENT head are dropped first — at 30x a staged `ranked` is
     # tens of GB of spill, and two families alive at once is what
     # filled the disk on the first staged run
-    for (h, t), tab in list(_staged_cache.items()):
-        if h != head:
+    for key, tab in list(_staged_cache.items()):
+        if key[0] != head:
             con.execute(f"DROP TABLE IF EXISTS {tab}")
-            del _staged_cache[(h, t)]
+            del _staged_cache[key]
     refs = []
-    for t in plan[1]:
-        key = (head, t)
+    for entry in plan[1]:
+        t, pred = entry if isinstance(entry, tuple) else (entry, None)
+        where = f" WHERE {pred}" if pred else ""
+        key = (head, t, pred)
         if key not in _staged_cache:
             tab = f"_staged_{t}_{_staged_n}"
             _staged_n += 1
-            con.execute(f"CREATE TEMP TABLE {tab} AS {head}\n SELECT * FROM {t}")
+            con.execute(f"CREATE TEMP TABLE {tab} AS {head}\n"
+                        f" SELECT * FROM {t}{where}")
             _staged_cache[key] = tab
         refs.append((t, _staged_cache[key]))
     repl = ",\n       ".join(
