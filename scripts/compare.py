@@ -106,6 +106,13 @@ STAGED = {
     "s27_graph_ingest": ("e AS (", [("oranked", "rank <= 3"),
                                     ("nranked", "rank <= 3")]),
     "s29_graph_pq": ("e AS (", [("ranked", "rank <= 3")]),
+    # s30's tail starts after the level chains; all three ranked chains
+    # are multi-referenced by the walk CTEs, so all three stage (each
+    # CREATE runs the full head — 3 head passes, still linear, vs the
+    # per-hop re-derivation of the monolithic form)
+    "s30_graph_hier": ("gedge AS (", [("ranked", "rank <= 3"),
+                                      ("l1ranked", "rank <= 3"),
+                                      ("l2ranked", "rank <= 3")]),
 }
 
 _staged_cache = {}  # (head text, cte name) -> temp table name

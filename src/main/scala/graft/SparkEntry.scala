@@ -229,6 +229,7 @@ object SparkEntry {
     "q49_kmv_distinct" -> ((s, d) => Relational.kmvDistinct(Tables.events(s, d))),
     "q52_kmv_set_ops" -> ((s, d) => Relational.kmvSetOps(Tables.events(s, d))),
     "t29_zipf_slope" -> ((s, d) => TextOps.zipfSlope(Tables.documents(s, d))),
+    "t30_chunk_windows" -> ((s, d) => TextOps.chunkWindows(Tables.documents(s, d))),
     "t27_bpe_fertility" -> ((s, d) => TextOps.bpeFertility(Tables.documents(s, d))),
     "q50_cusum_changepoint" -> ((s, d) =>
       Relational.cusumChangepoint(Tables.events(s, d))),
@@ -275,6 +276,8 @@ object SparkEntry {
       Similarity.graphFilteredTopK(Tables.embeddings(s, d))),
     "s29_graph_pq" -> ((s, d) =>
       GraphIndex.probePqAuto(Tables.embeddings(s, d))),
+    "s30_graph_hier" -> ((s, d) =>
+      Similarity.graphHierTopK(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -573,6 +576,7 @@ object SparkEntry {
     "s27_graph_ingest" -> Similarity.graphIngestOracle(),
     "s28_graph_filtered" -> Similarity.graphFilteredTopKOracle(),
     "s29_graph_pq" -> Similarity.graphPqTopKOracle(),
+    "s30_graph_hier" -> Similarity.graphHierTopKOracle(),
     "q38_value_histogram" -> Relational.valueHistogramOracle,
     "q39_data_profile" -> Relational.dataProfileOracle,
     "q40_funnel" -> Relational.conversionFunnelOracle,
@@ -605,6 +609,7 @@ object SparkEntry {
     "q49_kmv_distinct" -> Relational.kmvDistinctOracle(),
     "q52_kmv_set_ops" -> Relational.kmvSetOpsOracle(),
     "t29_zipf_slope" -> TextOps.zipfSlopeOracle(),
+    "t30_chunk_windows" -> TextOps.chunkWindowsOracle(),
     "t27_bpe_fertility" -> TextOps.bpeFertilityOracle(),
     "q50_cusum_changepoint" -> Relational.cusumChangepointOracle,
     "q51_regional_revenue" -> Relational.regionalRevenueOracle(),

@@ -372,11 +372,18 @@ object Similarity {
     * (broadcast K centroids + top-1 window) — shared by s03 search and
     * s04 centroid refinement. */
   private def assignedCells(embeddings: DataFrame,
-                            centIds: Seq[Long] = centroidIds): DataFrame = {
+                            centIds: Seq[Long] = centroidIds): DataFrame =
+    assignedCellsWith(embeddings,
+      embeddings.filter(col("vec_id").isin(centIds: _*))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cemb")))
+
+  /** [[assignedCells]] with the centroid frame given explicitly —
+    * [[knnEdgesFor]]'s `centsFrom` hook (a level-restricted corpus
+    * assigned against the FULL corpus's centroid vectors). */
+  private def assignedCellsWith(embeddings: DataFrame,
+                                cents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    val cents = embeddings.filter(col("vec_id").isin(centIds: _*))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
     embeddings
@@ -540,17 +547,24 @@ object Similarity {
     * [[knnJoin]] with the probe side given explicitly (the
     * [[GraphIndex.ingest]] kernel: an arrival batch's edges are its
     * top-k over the GROWN corpus, probed through the same cells). Same
-    * single cell-key shuffle; the batch side fans out map-side. */
+    * single cell-key shuffle; the batch side fans out map-side.
+    * `centsFrom` (default: the corpus) is where the centroid VECTORS
+    * are looked up — [[graphHierWalk]]'s upper-level chains pass the
+    * full corpus so a level subset that happens to exclude a centroid
+    * id still assigns against the same cell geometry as every other
+    * level (the oracle's `knnCtesP` reads cents from the full table). */
   private[graft] def knnEdgesFor(corpus: DataFrame, queryVecs: DataFrame,
                                  k: Int, nProbe: Int,
-                                 centIds: Seq[Long]): DataFrame = {
+                                 centIds: Seq[Long],
+                                 centsFrom: DataFrame = null): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
-    val cells = assignedCells(corpus, centIds)
+    val cents = Option(centsFrom).getOrElse(corpus)
+      .filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cells = assignedCellsWith(corpus, cents)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
               col("nrm").as("cn"), col("cell"))
-    val cents = corpus.filter(col("vec_id").isin(centIds: _*))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
     val probes = queryVecs
@@ -1718,6 +1732,23 @@ object Similarity {
                               seedIds: DataFrame,
                               expand: DataFrame => DataFrame,
                               beam: Int, hops: Int): DataFrame = {
+    val entry = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(seedIds.select(col("c_id"))))
+      .filter(col("c_id") =!= col("q_id"))
+    beamWalkFrom(embeddings, maxQueryId, entry, expand, beam, hops)
+  }
+
+  /** [[beamWalk]] with the entry CANDIDATE PAIRS `(q_id, c_id)` given
+    * explicitly instead of a global seed set crossed onto every query
+    * — the [[graphHierWalk]] kernel, where each level's entry is the
+    * PREVIOUS level's per-query best node (HNSW's descent), so the
+    * entry is per-query by construction. Semantics past the entry are
+    * identical to [[beamWalk]] (same scoring, frontier, tie-breaks). */
+  private[graft] def beamWalkFrom(embeddings: DataFrame, maxQueryId: Long,
+                                  entry: DataFrame,
+                                  expand: DataFrame => DataFrame,
+                                  beam: Int, hops: Int): DataFrame = {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.expressions.Window
     lazy val corpus = embeddings.select(col("vec_id").as("c_id"),
@@ -1734,10 +1765,7 @@ object Similarity {
         .select(col("q_id"), col("c_id"), col("cos"))
     val wBeam = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
-    val entry = queries.select(col("q_id"))
-      .crossJoin(broadcast(seedIds.select(col("c_id"))))
-      .filter(col("c_id") =!= col("q_id"))
-    var visited = score(entry).localCheckpoint()
+    var visited = score(entry.select(col("q_id"), col("c_id"))).localCheckpoint()
     // EXPANSION-TRACKED best-first (HNSW's search loop, de-randomized):
     // each hop expands the top-beam UNEXPANDED visited nodes. Without
     // the tracking, the global top-beam stabilizes after a hop or two
@@ -1975,6 +2003,183 @@ object Similarity {
                  WHERE rank <= $graphK),
        gseed AS ($seedSel),
        ${graphWalkSql(maxQueryId, k, beam, hops, labelFiltered = true)}"""
+  }
+
+  // ---- s30: HIERARCHICAL graph-ANN (HNSW's layered descent) ----------
+
+  /** Deterministic layer assignment for the s30 hierarchy: a vector
+    * sits on every level `l` with `h(vec_id) % 2^l == 0`, where `h`
+    * is the q49 LCG hash — the geometric p=1/2 level distribution
+    * HNSW samples randomly, DE-RANDOMIZED so both engines derive the
+    * same layers from the ids alone (no level column is stored; the
+    * level IS a function of the id). Level >= 1 holds ~half the
+    * corpus, level >= 2 a quarter, exactly HNSW's expected shape. */
+  private[graft] def levelCondSql(l: Int): String =
+    s"((vec_id * 1103515245 + 12345) % 2147483647) % ${1L << l} = 0"
+  private def levelCond(l: Int): org.apache.spark.sql.Column =
+    expr(levelCondSql(l))
+
+  /** s30: HIERARCHICAL-entry graph walk — HNSW's actual serving shape
+    * (Malkov & Yashunin 2016), where s25's weakness is fixed at the
+    * ENTRY: a flat walk enters at fixed global seeds, so a query far
+    * from every seed burns its whole hop budget travelling; the
+    * hierarchy instead descends a pyramid of sparser kNN graphs
+    * (level l = the deterministic [[levelCondSql]] subset, ~n/2^l
+    * nodes) whose edges are LONG-RANGE precisely because the subsets
+    * are sparse — each level's greedy walk localizes the entry for
+    * the level below, and only level 0 runs the full-budget beam
+    * search. Upper levels are kNN graphs over id-derived subsets
+    * built by the SAME [[knnEdgesFor]] kernel (cells from the full
+    * corpus's centroids, so cell geometry is level-invariant).
+    *
+    * Scale shape: every level's walk is bounded by queries ×
+    * (2 + upperHops·upperBeam·graphK) and level 0 by queries ×
+    * (1 + hops·beam·graphK) — never the corpus; upper-level graph
+    * CONSTRUCTION is the same one cell-key shuffle as s20 over
+    * geometrically shrinking subsets (total build cost < 2× the
+    * level-0 graph). Entry: the two lowest ids on the top level (two,
+    * so a query that IS one of them still has an entry). Returns the
+    * union of every level's visited frame `(q_id, c_id, cos)` —
+    * everything exact-scored, so upper-level visits contribute recall
+    * for free; the census of this frame is the probe's cost axis. */
+  private[graft] def graphHierWalk(embeddings: DataFrame, maxQueryId: Long,
+                                   beam: Int, hops: Int, graphK: Int,
+                                   nProbe: Int, maxLevel: Int,
+                                   upperBeam: Int, upperHops: Int,
+                                   centIds: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def expandWith(edges: DataFrame): DataFrame => DataFrame =
+      fr => fr.join(edges, fr("c_id") === edges("src"))
+        .select(fr("q_id"), edges("dst").as("c_id"))
+    val qIds = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"))
+    val htop = embeddings.filter(levelCond(maxLevel))
+      .select(col("vec_id").as("c_id")).orderBy(col("c_id")).limit(2)
+    var entry: DataFrame = qIds.crossJoin(broadcast(htop))
+      .filter(col("c_id") =!= col("q_id"))
+    val wBest = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (l <- maxLevel to 1 by -1) {
+      val sub = embeddings.filter(levelCond(l))
+      val edgesL = knnEdgesFor(sub, sub, graphK, nProbe, centIds,
+          centsFrom = embeddings)
+        .localCheckpoint()
+      val vis = beamWalkFrom(embeddings, maxQueryId, entry,
+        expandWith(edgesL), upperBeam, upperHops)
+      visited += vis
+      entry = vis.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1).select(col("q_id"), col("c_id"))
+    }
+    val edges0 = knnJoin(embeddings, graphK, nProbe, centIds)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    visited += beamWalkFrom(embeddings, maxQueryId, entry,
+      expandWith(edges0), beam, hops)
+    // cos is the same codegen'd expression on the same inputs at every
+    // level, so re-visited nodes collapse under set-distinct exactly
+    // like the oracle's UNION
+    visited.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** s30 ranked top-k — [[graphHierWalk]] + the shared s01-shaped
+    * ranking, so hier and flat arms cannot rank differently. */
+  def graphHierTopK(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                    beam: Int = 4, hops: Int = 3, graphK: Int = 3,
+                    nProbe: Int = 2, maxLevel: Int = 2, upperBeam: Int = 1,
+                    upperHops: Int = 2,
+                    centIds: Seq[Long] = centroidIds): DataFrame =
+    rankWalkTopK(graphHierWalk(embeddings, maxQueryId, beam, hops, graphK,
+      nProbe, maxLevel, upperBeam, upperHops, centIds), k)
+
+  /** One unrolled walk chain with a NAME PREFIX, an edge CTE, and an
+    * ENTRY-PAIRS subquery — the [[graphWalkSql]] triple-per-hop shape
+    * generalized so the s30 oracle can stack one chain per level
+    * (consumes `gcorp`/`gq`; the entry subquery yields (q_id, c_id)). */
+  private def walkChainSql(p: String, edgeCte: String, entrySql: String,
+                           beam: Int, hops: Int): String = {
+    val d = Dialect.duck
+    val sb = new StringBuilder(
+      s"""${p}v0 AS (SELECT en.q_id, en.c_id,
+           ${dot(d, "q.qe", "c.ce")} / (q.qn * c.cn) AS cos
+         FROM ($entrySql) en JOIN gq q ON q.q_id = en.q_id
+           JOIN gcorp c ON c.c_id = en.c_id),
+       ${p}e0 AS (SELECT q_id, c_id FROM ${p}v0 WHERE FALSE)""")
+    for (h <- 1 to hops) {
+      sb.append(s""",
+       ${p}b${h - 1} AS (SELECT q_id, c_id FROM (SELECT v.q_id, v.c_id,
+           row_number() OVER (PARTITION BY v.q_id
+             ORDER BY v.cos DESC, v.c_id) AS rn
+           FROM ${p}v${h - 1} v LEFT JOIN ${p}e${h - 1} x
+             ON x.q_id = v.q_id AND x.c_id = v.c_id
+           WHERE x.c_id IS NULL) t WHERE rn <= $beam),
+       ${p}e$h AS (SELECT q_id, c_id FROM ${p}e${h - 1}
+         UNION SELECT q_id, c_id FROM ${p}b${h - 1}),
+       ${p}c$h AS (SELECT DISTINCT b.q_id, e.dst AS c_id
+         FROM ${p}b${h - 1} b JOIN $edgeCte e ON e.src = b.c_id
+         WHERE e.dst <> b.q_id),
+       ${p}v$h AS (SELECT q_id, c_id, cos FROM ${p}v${h - 1}
+         UNION
+         SELECT n.q_id, n.c_id, ${dot(d, "q.qe", "c.ce")} / (q.qn * c.cn) AS cos
+         FROM ${p}c$h n JOIN gq q ON q.q_id = n.q_id
+           JOIN gcorp c ON c.c_id = n.c_id)""")
+    }
+    sb.toString
+  }
+
+  /** DuckDB replay of s30: the s25 kNN chain + one `knnCtesP` chain
+    * per level (corpus restricted by [[levelCondSql]], cents from the
+    * full table), then one [[walkChainSql]] per level descending —
+    * each level's entry is the previous chain's per-query best — and
+    * the final rank over the UNION of every level's visited. */
+  def graphHierTopKOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                          hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
+                          maxLevel: Int = 2, upperBeam: Int = 1,
+                          upperHops: Int = 2): String = {
+    val d = Dialect.duck
+    val lvlChains = (1 to maxLevel)
+      .map(l => knnCtesP(s"l$l", nProbe, levelCondSql(l), ""))
+      .mkString(",\n       ")
+    val lvlEdges = (1 to maxLevel).map(l =>
+        s"""he$l AS (SELECT q_id AS src, c_id AS dst FROM l${l}ranked
+                 WHERE rank <= $graphK)""")
+      .mkString(",\n       ")
+    val sb = new StringBuilder(
+      s"""WITH ${knnCtes(nProbe)},
+       $lvlChains,
+       gedge AS (SELECT q_id AS src, c_id AS dst FROM ranked
+                 WHERE rank <= $graphK),
+       $lvlEdges,
+       htop AS (SELECT vec_id AS c_id FROM embeddings
+                WHERE ${levelCondSql(maxLevel)} ORDER BY vec_id LIMIT 2),
+       gcorp AS (SELECT vec_id AS c_id, embedding AS ce,
+           ${normExpr(d, "embedding")} AS cn FROM embeddings),
+       gq AS (SELECT vec_id AS q_id, embedding AS qe,
+           ${normExpr(d, "embedding")} AS qn
+         FROM embeddings WHERE vec_id < $maxQueryId),
+       """)
+    var entry =
+      "SELECT q.q_id, t.c_id FROM gq q CROSS JOIN htop t WHERE t.c_id <> q.q_id"
+    val unions = scala.collection.mutable.ArrayBuffer[String]()
+    for (l <- maxLevel to 1 by -1) {
+      sb.append(walkChainSql(s"w$l", s"he$l", entry, upperBeam, upperHops))
+      sb.append(",\n       ")
+      unions += s"SELECT q_id, c_id, cos FROM w${l}v$upperHops"
+      entry = s"""SELECT q_id, c_id FROM (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, c_id) AS rn FROM w${l}v$upperHops) t
+           WHERE rn = 1"""
+    }
+    sb.append(walkChainSql("w0", "gedge", entry, beam, hops))
+    unions += s"SELECT q_id, c_id, cos FROM w0v$hops"
+    sb.append(s"""
+       SELECT q_id, c_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         round(cos, 4) AS cos
+       FROM (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, c_id) AS rank
+             FROM (${unions.mkString("\n               UNION ")}) u) t
+       WHERE rank <= $k ORDER BY q_id, rank""")
+    sb.toString
   }
 
   // ---- s29: PQ-NAVIGATED graph walk (DiskANN's serving shape) --------
@@ -2599,7 +2804,26 @@ object Similarity {
         .agg((avg(col("vis")) / n).as("cand_frac"))
       row(s"graph[B=$gb,H=$gh,gk=$gk]", gApprox, gFrac)
     }
-    (lshRow +: mtRow +: graphRow +: (ivfRows ++ pqRows ++ ivfPqRows))
+    // s30: the SAME level-0 budget as the graph row, entered through
+    // the hierarchy instead of the k-center seeds — the recall delta
+    // between these two rows is exactly what the layered descent buys
+    // (localized entry), and its cost delta is the upper-level visits
+    val hierRow = {
+      import org.apache.spark.sql.expressions.Window
+      val gb = 4; val gh = 4; val gk = 12
+      val hVisited = graphHierWalk(embeddings, nQueries, gb, gh, gk,
+          nProbe = 2, maxLevel = 2, upperBeam = 1, upperHops = 2, cents)
+        .localCheckpoint()
+      val wG = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      val hApprox = hVisited.withColumn("rn", row_number().over(wG))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+      val hFrac = hVisited.groupBy(col("q_id")).agg(count(lit(1)).as("vis"))
+        .agg((avg(col("vis")) / n).as("cand_frac"))
+      row(s"hier[L=2,B=$gb,H=$gh,gk=$gk]", hApprox, hFrac)
+    }
+    (lshRow +: mtRow +: graphRow +: hierRow +: (ivfRows ++ pqRows ++ ivfPqRows))
       .reduce(_.unionByName(_))
   }
 

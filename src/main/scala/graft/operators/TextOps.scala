@@ -145,6 +145,73 @@ object TextOps {
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
        FROM documents ORDER BY doc_id"""
 
+  // ---- t30: sliding token-window chunking -----------------------------
+
+  /** t30: OVERLAPPING token-window chunking — the long-document
+    * splitting step between cleaning and packing: pretraining slices
+    * documents longer than the context into stride-overlapped windows
+    * (the overlap preserves cross-boundary context the hard cut of
+    * t08's greedy packer would sever), and RAG corpora chunk documents
+    * the same way before embedding. Windows are t03's whitespace
+    * tokens; chunk i starts at `i*stride`, the LAST window is clamped
+    * to `n-window` so it is always full-width (every token is covered,
+    * no degenerate tail), and a document at or under `window` tokens
+    * is exactly one (short) chunk. Sentence-boundary snapping is a
+    * tokenizer-side refinement, deliberately out of scope here — the
+    * window math is tokenizer-agnostic.
+    *
+    * Scale shape: one narrow projection per document (split + explode
+    * of the per-doc start list — starts are O(n/stride) longs, the
+    * token array never leaves its row, nothing shuffles but the
+    * result sort); the amplification factor is exactly
+    * window/stride ≈ 1.33 at the defaults, carried as data so the
+    * packer downstream can budget for it. At 100 TB this is the same
+    * embarrassingly-parallel map as t01-t04. */
+  def chunkWindows(documents: DataFrame, window: Int = 32,
+                   stride: Int = 24): DataFrame = {
+    require(stride >= 1 && stride <= window,
+      s"stride $stride must be in [1, window=$window]")
+    documents
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // starts = {k*stride : k*stride < n-window} ++ {n-window}, or
+      // {0} for short docs — pure integer math, engine-identical
+      .withColumn("starts", when(col("n") <= window, array(lit(0L)))
+        .otherwise(expr(
+          s"concat(transform(sequence(0L, (n - ${window + 1}L) div $stride), " +
+          s"k -> k * ${stride}L), array(n - ${window}L))")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(col("starts")).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(window.toLong), col("n") - col("start_tok")).as("n_tok"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB twin of [[chunkWindows]]: the identical start set derived
+    * as a FILTER over token subscripts (st is a chunk start iff it is
+    * a stride multiple short of the clamp, or the clamp itself) — the
+    * per-row `sequence` spelled relationally. */
+  def chunkWindowsOracle(window: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+         FROM documents),
+       ix AS (SELECT doc_id, toks, n, g.i - 1 AS st
+         FROM t, LATERAL (SELECT generate_subscripts(toks, 1) AS i) g),
+       cs AS (SELECT doc_id, toks, n, st,
+           row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS chunk_id
+         FROM ix WHERE (n <= $window AND st = 0)
+            OR (n > $window AND ((st < n - $window AND st % $stride = 0)
+                                 OR st = n - $window)))
+       SELECT doc_id, chunk_id, st AS start_tok,
+         least($window, n - st) AS n_tok,
+         array_to_string(toks[CAST(st + 1 AS BIGINT):CAST(st + $window AS BIGINT)], ' ')
+           AS chunk_text
+       FROM cs ORDER BY doc_id, chunk_id"""
+
   // ---- corpus distribution stats (t05) --------------------------------
 
   /** Per-language corpus statistics with exact interpolated

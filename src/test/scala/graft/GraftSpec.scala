@@ -618,6 +618,130 @@ class GraftSpec extends AnyFunSuite {
       s"eligible twin not found through the ineligible cluster: ${res.toSeq}")
   }
 
+  test("s30 hierarchical graph-ANN: the layered descent localizes the entry a flat walk misses; levels are geometric and the walk is budget-bounded") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // Three clusters on an arc (A=0°, B=50°, C=80°), 4+ nodes each, so
+    // every node's level-0 top-3 stays INSIDE its cluster — no flat
+    // path crosses clusters. Levels are id-derived (the LCG hash):
+    // exactly ids 2/5/10 sit on level >= 2 (one per cluster, the only
+    // non-level-0 ids in the corpus), so the upper-level kNN graphs are
+    // forced cross-cluster (a sparse layer's neighbors CANNOT be local)
+    // — the long-range links the hierarchy claims to provide.
+    val rows = Seq(
+      (0L, v(0.170, 0.9855, 0.0, 0.0), 0),  // the query, cluster C
+      (2L, v(1.0, 0.0, 0.0, 0.0), 0),       // a2: level>=2, cluster A
+      (3L, v(0.999, 0.045, 0.0, 0.0), 0),   // centroid A (level 0)
+      (4L, v(0.998, 0.063, 0.0, 0.0), 0),
+      (7L, v(0.9995, 0.0314, 0.0, 0.0), 0),
+      (5L, v(0.643, 0.766, 0.0, 0.0), 0),   // b2: level>=2, cluster B
+      (8L, v(0.646, 0.763, 0.0, 0.0), 0),   // centroid B (level 0)
+      (11L, v(0.640, 0.768, 0.01, 0.0), 0),
+      (12L, v(0.649, 0.760, 0.0, 0.01), 0),
+      (10L, v(0.172, 0.9851, 0.0, 0.0), 0), // c2: level>=2, cluster C
+      (15L, v(0.176, 0.9844, 0.0, 0.0), 0), // centroid C (level 0)
+      (16L, v(0.180, 0.9837, 0.0, 0.0), 0),
+      (19L, v(0.184, 0.9829, 0.0, 0.0), 0),
+      (23L, v(0.171, 0.9853, 0.0, 0.0), 0)  // the query's twin, cluster C
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq(3L, 8L, 15L)
+    // FLAT walk at the same level-0 budget: k-center entry (pick 1 is
+    // the query itself, excluded; pick 2 is the farthest node = cluster
+    // A) — stuck in A because no level-0 edge leaves a cluster
+    val flat = Similarity.graphAnnTopK(rows, maxQueryId = 1, k = 3,
+        nSeeds = 2, centIds = cents)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(flat.nonEmpty && !flat.contains(23L),
+      s"flat walk reached the twin — the corpus does not isolate clusters: $flat")
+    // HIERARCHICAL walk, same level-0 budget: enters at {2,5} on the
+    // top layer, descends A->B->C through the forced long-range edges,
+    // and the level-0 walk starts INSIDE cluster C
+    val hier = Similarity.graphHierTopK(rows, maxQueryId = 1, k = 3,
+        centIds = cents)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(hier.nonEmpty && hier.head.getAs[Long]("neighbor_id") == 23L,
+      s"hierarchical descent did not localize the entry: ${hier.toSeq}")
+    // level membership is GEOMETRIC on the real corpus (p=1/2 per
+    // level, the HNSW shape) — the id-hash is a real level sampler
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toDouble
+    val n1 = emb.filter(org.apache.spark.sql.functions.expr(
+      Similarity.levelCondSql(1))).count().toDouble
+    val n2 = emb.filter(org.apache.spark.sql.functions.expr(
+      Similarity.levelCondSql(2))).count().toDouble
+    assert(math.abs(n1 / n - 0.5) < 0.1, s"level>=1 fraction ${n1 / n}")
+    assert(math.abs(n2 / n - 0.25) < 0.1, s"level>=2 fraction ${n2 / n}")
+    // the whole descent is budget-bounded: per query, visited <=
+    // (2 + uH*uB*gk) + (maxLevel-1)*(1 + uH*uB*gk) + (1 + hops*beam*gk)
+    // = 52 at the defaults — never a corpus-shaped frame
+    val vis = Similarity.graphHierWalk(emb, maxQueryId = 8, beam = 4,
+        hops = 3, graphK = 3, nProbe = 2, maxLevel = 2, upperBeam = 1,
+        upperHops = 2, Similarity.centroidIds)
+      .groupBy(col("q_id")).count().collect()
+    assert(vis.nonEmpty && vis.forall(_.getAs[Long]("count") <= 52),
+      s"visited exceeded the hop budget: ${vis.map(_.getAs[Long]("count")).max}")
+  }
+
+  test("t30 chunk windows: full coverage, stride-bounded overlap, clamped full-width tail, one chunk for short docs") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    // n=10 (one stride past the window), n=3 (short), n=13 (clamped
+    // tail), n=8 (exactly the window), n=9 (minimal overflow)
+    val docs = Seq(doc(1, 10), doc(2, 3), doc(3, 13), doc(4, 8), doc(5, 9))
+      .toDF("doc_id", "text")
+    val W = 8; val S = 4
+    val out = TextOps.chunkWindows(docs, window = W, stride = S).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.sortBy(_.getAs[Long]("chunk_id"))).toMap
+    // short doc: exactly one chunk, the whole doc
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[Long]("n_tok") == 3
+      && byDoc(2L).head.getAs[String]("chunk_text") == "w1 w2 w3")
+    // exactly-window doc: one full chunk
+    assert(byDoc(4L).length == 1 && byDoc(4L).head.getAs[Long]("n_tok") == W)
+    // minimal overflow (n=W+1): two chunks, the second clamped to
+    // start 1 — NOT stride-aligned, still full-width
+    assert(byDoc(5L).map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 1L))
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs.filter(col("doc_id") === id).select(
+        org.apache.spark.sql.functions.expr("size(split(trim(text), '\\\\s+'))"))
+        .head().getInt(0).toLong
+      // every token index is inside some chunk window
+      val covered = chunks.flatMap { c =>
+        val st = c.getAs[Long]("start_tok")
+        st until (st + c.getAs[Long]("n_tok"))
+      }.toSet
+      assert(covered == (0L until n).toSet, s"doc $id coverage hole")
+      // chunks over the window are ALWAYS full-width (the clamp's
+      // point: no degenerate tail), consecutive starts advance by <= S
+      if (n > W) assert(chunks.forall(_.getAs[Long]("n_tok") == W), s"doc $id short tail")
+      chunks.map(_.getAs[Long]("start_tok")).sliding(2).foreach {
+        case Array(a, b) => assert(b > a && b - a <= S, s"doc $id stride gap $a->$b")
+        case _ =>
+      }
+      // chunk text IS the token slice (reconstruction, not a digest)
+      val c0 = chunks.head
+      assert(c0.getAs[String]("chunk_text") ==
+        (1 to math.min(W.toLong, n).toInt).map(i => s"w$i").mkString(" "))
+    }
+    // amplification at the defaults on the real corpus is the designed
+    // window/stride ratio, not an accident: chunks/doc stays bounded
+    val real = TextOps.chunkWindows(Tables.documents(spark, sf))
+    val docsN = Tables.documents(spark, sf).count()
+    val chunksN = real.count()
+    assert(chunksN >= docsN, "fewer chunks than documents")
+    val tokSum = Tables.documents(spark, sf).select(
+      org.apache.spark.sql.functions.expr(
+        "sum(size(split(trim(text), '\\\\s+')))")).head().getLong(0)
+    // upper bound: one chunk per stride of corpus tokens + one
+    // clamped tail per doc
+    assert(chunksN <= tokSum / 24 + 2 * docsN,
+      s"chunk blowup: $chunksN chunks for $tokSum tokens / $docsN docs")
+  }
+
   test("s27 GraphIndex ingest: an arrival is invisible pre-ingest and serves as top-1 for its twin query after bidirectional insertion") {
     import org.apache.spark.sql.functions.col
     import graft.operators.GraphIndex
