@@ -277,7 +277,7 @@ object SparkEntry {
     "s29_graph_pq" -> ((s, d) =>
       GraphIndex.probePqAuto(Tables.embeddings(s, d))),
     "s30_graph_hier" -> ((s, d) =>
-      Similarity.graphHierTopK(Tables.embeddings(s, d))),
+      GraphIndex.probeHierAuto(Tables.embeddings(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB

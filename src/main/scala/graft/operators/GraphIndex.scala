@@ -59,6 +59,8 @@ object GraphIndex {
   private def seedRoot(root: String) = s"$root/seeds"
   private def retireRoot(root: String) = s"$root/retired"
   private def metaPath(root: String) = s"$root/_graph_meta"
+  private def hnodeRoot(root: String) = s"$root/hnodes"
+  private def hierMetaPath(root: String) = s"$root/_hier_meta"
 
   private def hfs(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -200,6 +202,197 @@ object GraphIndex {
       // read path): never scored, never expanded; [[compact]] purges
       candFilter = cands =>
         cands.join(broadcast(retired), Seq("c_id"), "left_anti"))
+  }
+
+  // ---- s30: persisted hierarchy (HNSW's layered serving shape) -------
+
+  private def writeHierMeta(spark: SparkSession, root: String,
+                            maxLevel: Int, htop: Seq[Long]): Unit = {
+    val f = hfs(spark, root)
+    val out = f.create(new org.apache.hadoop.fs.Path(hierMetaPath(root)),
+      /* overwrite = */ true)
+    try out.write(
+      s"max_level=$maxLevel\nhtop=${htop.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readHierMeta(spark: SparkSession,
+                           root: String): Option[(Int, Seq[Long])] =
+    try {
+      val f = hfs(spark, root)
+      val in = f.open(new org.apache.hadoop.fs.Path(hierMetaPath(root)))
+      val kv = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      finally in.close()
+      Some((kv("max_level").toInt,
+        kv("htop").split(",").filter(_.nonEmpty).map(_.toLong).toSeq))
+    } catch { case _: Exception => None }
+
+  /** s30's persisted build: [[build]] plus one HIERARCHY table —
+    * per-level adjacency lists `(vec_id, lvl, nbrs)` for the
+    * [[Similarity.levelCondSql]] id-hash layers, committed on the
+    * SAME id-bucket partition dirs as the node records so upper-level
+    * fetches dir-prune identically. Upper layers store ADJACENCY ONLY
+    * (HNSW's in-practice layout — vectors live once, in the level-0
+    * node records; an upper pass pays one extra tiny fetch for them,
+    * acceptable because upper walks are beam=1 over geometrically
+    * shrinking subsets while level 0 keeps the single-fetch node-
+    * record shape where the budget actually goes). The top-level
+    * entry ids (two lowest on the top layer) are pinned in the hier
+    * meta at build — probes never scan for them.
+    *
+    * Maintenance boundary, stated honestly: [[ingest]] maintains
+    * LEVEL 0 only (arrivals join the base graph bidirectionally and
+    * are immediately findable; they join the upper layers at the next
+    * [[buildHier]] on the s04 retrain cadence) — upper layers are
+    * ENTRY ROUTING, so a stale upper layer degrades entry quality,
+    * never correctness or reachability of level-0 content. */
+  def buildHier(spark: SparkSession, root: String, embeddings: DataFrame,
+                graphK: Int = 3, nProbe: Int = 2, nSeeds: Int = 8,
+                maxLevel: Int = 2,
+                centIds: Seq[Long] = Similarity.centroidIds,
+                withCodes: Boolean = false): Unit = {
+    require(maxLevel >= 1, s"maxLevel $maxLevel must be >= 1")
+    build(spark, root, embeddings, graphK, nProbe, nSeeds, centIds, withCodes)
+    val hn = (1 to maxLevel).map { l =>
+      val sub = embeddings.filter(expr(Similarity.levelCondSql(l)))
+      Similarity.knnEdgesFor(sub, sub, graphK, nProbe, centIds,
+          centsFrom = embeddings)
+        .groupBy(col("src"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+        .select(col("src").as("vec_id"), lit(l).as("lvl"), col("nbrs"))
+    }.reduce(_.unionByName(_))
+      .withColumn("bucket", bucketCol(col("vec_id")))
+    val hv = VersionedTable.currentVersion(spark, hnodeRoot(root)).getOrElse(-1L)
+    VersionedTable.commitPartitioned(spark, hnodeRoot(root), hn, "bucket", hv)
+    val htop = embeddings.filter(expr(Similarity.levelCondSql(maxLevel)))
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    writeHierMeta(spark, root, maxLevel, htop)
+  }
+
+  /** s30's persisted probe — [[Similarity.graphHierTopK]]'s descent
+    * served from the index: each upper level walks greedy
+    * (upperBeam/upperHops) over its hierarchy adjacency, scoring
+    * candidates from the node records (both fetches dir-pruned to the
+    * pass's candidate-id buckets, both at versions pinned ONCE at
+    * probe start), each level's per-query best seeding the level
+    * below; level 0 is the full-budget node-record walk. The final
+    * top-k ranks the UNION of every level's exact-scored visited —
+    * bit-identical to the inline arm by construction (same edges,
+    * same scores, same tie-breaks; spec-pinned). Retired ids are
+    * dropped before every fetch, including at upper levels and the
+    * pinned entry ids. */
+  def probeHier(spark: SparkSession, root: String, embeddings: DataFrame,
+                maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                hops: Int = 3, upperBeam: Int = 1,
+                upperHops: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
+      throw new IllegalStateException(s"no graph index built at $root"))
+    val hv = VersionedTable.currentVersion(spark, hnodeRoot(root)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graph index at $root has no hierarchy — buildHier it"))
+    val (maxLevel, htopIds) = readHierMeta(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graph index at $root has no hierarchy meta — buildHier it"))
+    val retired = retiredDf(spark, root).localCheckpoint()
+    val graveyard: DataFrame => DataFrame = cands =>
+      cands.join(broadcast(retired), Seq("c_id"), "left_anti")
+    lastProbeBucketCounts = Nil
+    def bucketsOf(ids: DataFrame): Seq[String] = {
+      val bs = ids.select(bucketCol(col("c_id")).as("b")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      lastProbeBucketCounts = lastProbeBucketCounts :+ bs.size
+      bs
+    }
+    def emptyRecs(ids: DataFrame) = ids.select(col("c_id"))
+      .withColumn("ce", lit(null).cast("array<float>"))
+      .withColumn("nbrs", lit(null).cast("array<bigint>")).limit(0)
+    // vector fragments from the node records, adjacency NULLED — the
+    // level-0 nbrs must not leak into an upper level's expansion
+    def vecFrags(ids: DataFrame): DataFrame = {
+      val bs = bucketsOf(ids)
+      if (bs.isEmpty) emptyRecs(ids)
+      else VersionedTable.readPartitions(spark, nodeRoot(root), bs,
+          version = Some(nv))
+        .withColumnRenamed("vec_id", "c_id")
+        .join(broadcast(ids), Seq("c_id"))
+        .select(col("c_id"), col("embedding").as("ce"),
+          lit(null).cast("array<bigint>").as("nbrs"))
+    }
+    // adjacency fragments from the hierarchy table at level l
+    def adjFrags(l: Int)(ids: DataFrame): DataFrame = {
+      val bs = bucketsOf(ids)
+      if (bs.isEmpty) emptyRecs(ids)
+      else VersionedTable.readPartitions(spark, hnodeRoot(root), bs,
+          version = Some(hv))
+        .filter(col("lvl") === l)
+        .withColumnRenamed("vec_id", "c_id")
+        .join(broadcast(ids), Seq("c_id"))
+        .select(col("c_id"), lit(null).cast("array<float>").as("ce"),
+          col("nbrs"))
+    }
+    def fetchUpper(l: Int): DataFrame => DataFrame =
+      ids => vecFrags(ids).unionByName(adjFrags(l)(ids))
+    def fetchL0(ids: DataFrame): DataFrame = {
+      val bs = bucketsOf(ids)
+      if (bs.isEmpty) emptyRecs(ids)
+      else VersionedTable.readPartitions(spark, nodeRoot(root), bs,
+          version = Some(nv))
+        .withColumnRenamed("vec_id", "c_id")
+        .join(broadcast(ids), Seq("c_id"))
+        .select(col("c_id"), col("embedding").as("ce"), col("nbrs"))
+    }
+    val htop = htopIds.foldLeft(
+        spark.range(0).select(col("id").as("c_id")))((df, id) =>
+        df.unionByName(spark.range(id, id + 1).select(col("id").as("c_id"))))
+      .join(retired, Seq("c_id"), "left_anti") // a retired entry dies
+    var entry: DataFrame = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(htop))
+      .filter(col("c_id") =!= col("q_id"))
+    val wBest = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (l <- maxLevel to 1 by -1) {
+      val vis = Similarity.beamWalkRecordsFrom(embeddings, maxQueryId, entry,
+        fetchUpper(l), upperBeam, upperHops, graveyard)
+      visited += vis
+      entry = vis.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1).select(col("q_id"), col("c_id"))
+    }
+    visited += Similarity.beamWalkRecordsFrom(embeddings, maxQueryId, entry,
+      fetchL0, beam, hops, graveyard)
+    Similarity.rankWalkTopK(visited.reduce(_.unionByName(_)).distinct(), k)
+  }
+
+  /** s30's managed lifecycle: [[buildHier]] once per corpus, then
+    * hierarchical probes — cached under a distinct stamp so the flat
+    * s25 index and the hierarchy-bearing one never collide. */
+  def probeHierAuto(embeddings: DataFrame, maxQueryId: Long = 8, k: Int = 3,
+                    beam: Int = 4, hops: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    def buildTemp(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-graphhier").toString
+      buildHier(spark, s"$dir/ix", embeddings)
+      dir
+    }
+    val (dir, ephemeral) =
+      if (!Caching.bareScan(embeddings)) (buildTemp(), true)
+      else {
+        val stamp = Caching.stamp(embeddings)
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (cache.getOrElseUpdate((spark, stamp + "#hier"))(buildTemp()),
+              false)
+      }
+    val res = probeHier(spark, s"$dir/ix", embeddings, maxQueryId, k, beam, hops)
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      out
+    } else res
   }
 
   /** The hop-fetch frame's pruned read schema from the last

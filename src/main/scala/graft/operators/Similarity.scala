@@ -1818,6 +1818,24 @@ object Similarity {
                                      beam: Int, hops: Int,
                                      candFilter: DataFrame => DataFrame =
                                        identity): DataFrame = {
+    val entry = embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(broadcast(seedIds.select(col("c_id"))))
+      .filter(col("c_id") =!= col("q_id"))
+    beamWalkRecordsFrom(embeddings, maxQueryId, entry, fetchRecs, beam, hops,
+      candFilter)
+  }
+
+  /** [[beamWalkRecords]] with the entry candidate PAIRS given
+    * explicitly — [[GraphIndex.probeHier]]'s kernel (each level's
+    * entry is the previous level's per-query best), mirroring
+    * [[beamWalkFrom]] on the records arm. */
+  private[graft] def beamWalkRecordsFrom(embeddings: DataFrame,
+                                         maxQueryId: Long, entry: DataFrame,
+                                         fetchRecs: DataFrame => DataFrame,
+                                         beam: Int, hops: Int,
+                                         candFilter: DataFrame => DataFrame =
+                                           identity): DataFrame = {
     import graft.functions.GraftFunctions._
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -1834,11 +1852,8 @@ object Similarity {
         .join(broadcast(queries), Seq("q_id"))
         .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .select(col("q_id"), col("c_id"), col("cos"))
-    val entry = queries.select(col("q_id"))
-      .crossJoin(broadcast(seedIds.select(col("c_id"))))
-      .filter(col("c_id") =!= col("q_id"))
-    recordsWalkLoop(entry, fetchRecs, score, "cos", asc = false, beam, hops,
-      candFilter)
+    recordsWalkLoop(entry.select(col("q_id"), col("c_id")), fetchRecs, score,
+      "cos", asc = false, beam, hops, candFilter)
   }
 
   /** The shared node-record walk loop: `entry` is the seed candidate
@@ -1937,7 +1952,7 @@ object Similarity {
       beamWalkRecords(embeddings, maxQueryId, seedIds, fetchRecs, beam, hops,
         candFilter), k)
 
-  private def rankWalkTopK(visited: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankWalkTopK(visited: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     visited.withColumn("rank", row_number().over(w))

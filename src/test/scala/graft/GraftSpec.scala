@@ -684,6 +684,45 @@ class GraftSpec extends AnyFunSuite {
       s"visited exceeded the hop budget: ${vis.map(_.getAs[Long]("count")).max}")
   }
 
+  test("s30 persisted hierarchy: indexed descent == inline bit-identical; fetches dir-pruned; deletes suppress; plain index refuses") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{GraphIndex, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+       r.getAs[Long]("neighbor_id"))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_ghier").toString + "/ix"
+    GraphIndex.buildHier(spark, root, emb)
+    val indexed = GraphIndex.probeHier(spark, root, emb)
+    assert(rset(indexed) == rset(Similarity.graphHierTopK(emb)),
+      "persisted hierarchical probe diverged from the inline descent")
+    // dir-pruning pinned on actual IO: every fetch (upper vec + upper
+    // adj + level-0) opens <= the pass's candidate-id buckets — entry
+    // <= 2 top ids, upper hops <= upperBeam*graphK, level-0 hops <=
+    // beam*graphK = 12 — never the full bucket set
+    GraphIndex.probeHier(spark, root, emb, maxQueryId = 1).collect()
+    val counts = GraphIndex.lastProbeBucketCounts
+    // per upper level: (entry + upperHops passes) x 2 fetches = 6;
+    // level 0: 1 entry + 3 hops = 4 single fetches -> 16 total
+    assert(counts.size == 16, s"unexpected fetch passes: $counts")
+    assert(counts.forall(_ <= 12), s"unpruned fetch: $counts")
+    // a delete is total across ALL levels: the victim (an upper-level
+    // id guaranteed by the hash) vanishes from hier probes
+    val victim = indexed.collect().map(_.getAs[Long]("neighbor_id")).head
+    GraphIndex.delete(spark, root,
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")))
+    val after = GraphIndex.probeHier(spark, root, emb)
+    assert(!after.collect().map(_.getAs[Long]("neighbor_id")).contains(victim),
+      s"retired id $victim still served by the hierarchical probe")
+    // a hierarchy-less index REFUSES hier probes instead of walking
+    // a half-built layout
+    val bare = java.nio.file.Files.createTempDirectory("graft_ghb").toString + "/ix"
+    GraphIndex.build(spark, bare, emb)
+    intercept[IllegalArgumentException] {
+      GraphIndex.probeHier(spark, bare, emb)
+    }
+  }
+
   test("t30 chunk windows: full coverage, stride-bounded overlap, clamped full-width tail, one chunk for short docs") {
     import org.apache.spark.sql.functions.col
     import graft.operators.TextOps
