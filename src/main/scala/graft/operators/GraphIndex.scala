@@ -310,32 +310,32 @@ object GraphIndex {
     def emptyRecs(ids: DataFrame) = ids.select(col("c_id"))
       .withColumn("ce", lit(null).cast("array<float>"))
       .withColumn("nbrs", lit(null).cast("array<bigint>")).limit(0)
-    // vector fragments from the node records, adjacency NULLED — the
-    // level-0 nbrs must not leak into an upper level's expansion
-    def vecFrags(ids: DataFrame): DataFrame = {
+    // an upper pass fetches the SAME candidate-id buckets from both
+    // tables — one bucket-list collect, one lazily-unioned frame (the
+    // two scans run inside the walk's single per-pass checkpoint job):
+    // vector fragments from the node records with adjacency NULLED
+    // (the level-0 nbrs must not leak into an upper level's
+    // expansion) + adjacency fragments from the hierarchy table
+    def fetchUpper(l: Int): DataFrame => DataFrame = ids => {
       val bs = bucketsOf(ids)
       if (bs.isEmpty) emptyRecs(ids)
-      else VersionedTable.readPartitions(spark, nodeRoot(root), bs,
-          version = Some(nv))
-        .withColumnRenamed("vec_id", "c_id")
-        .join(broadcast(ids), Seq("c_id"))
-        .select(col("c_id"), col("embedding").as("ce"),
-          lit(null).cast("array<bigint>").as("nbrs"))
+      else {
+        val vecs = VersionedTable.readPartitions(spark, nodeRoot(root), bs,
+            version = Some(nv))
+          .withColumnRenamed("vec_id", "c_id")
+          .join(broadcast(ids), Seq("c_id"))
+          .select(col("c_id"), col("embedding").as("ce"),
+            lit(null).cast("array<bigint>").as("nbrs"))
+        val adj = VersionedTable.readPartitions(spark, hnodeRoot(root), bs,
+            version = Some(hv))
+          .filter(col("lvl") === l)
+          .withColumnRenamed("vec_id", "c_id")
+          .join(broadcast(ids), Seq("c_id"))
+          .select(col("c_id"), lit(null).cast("array<float>").as("ce"),
+            col("nbrs"))
+        vecs.unionByName(adj)
+      }
     }
-    // adjacency fragments from the hierarchy table at level l
-    def adjFrags(l: Int)(ids: DataFrame): DataFrame = {
-      val bs = bucketsOf(ids)
-      if (bs.isEmpty) emptyRecs(ids)
-      else VersionedTable.readPartitions(spark, hnodeRoot(root), bs,
-          version = Some(hv))
-        .filter(col("lvl") === l)
-        .withColumnRenamed("vec_id", "c_id")
-        .join(broadcast(ids), Seq("c_id"))
-        .select(col("c_id"), lit(null).cast("array<float>").as("ce"),
-          col("nbrs"))
-    }
-    def fetchUpper(l: Int): DataFrame => DataFrame =
-      ids => vecFrags(ids).unionByName(adjFrags(l)(ids))
     def fetchL0(ids: DataFrame): DataFrame = {
       val bs = bucketsOf(ids)
       if (bs.isEmpty) emptyRecs(ids)

@@ -214,16 +214,24 @@ private[graft] object GraftProcedures {
       Array(strParam("root"), strParam("source"),
             intParam("graph_k", "3"), intParam("n_probe", "2"),
             intParam("n_seeds", "8"), strParamDflt("cent_ids", "''"),
-            intParam("with_codes", "0"))) {
+            intParam("with_codes", "0"), intParam("with_hier", "0"))) {
       (spark, in) =>
         val root = in.getUTF8String(0).toString
         val src = in.getUTF8String(1).toString
-        GraphIndex.build(spark, root, spark.table(src),
+        val maxLevel = in.getInt(7)
+        if (maxLevel > 0)
+          GraphIndex.buildHier(spark, root, spark.table(src),
+            graphK = in.getInt(2), nProbe = in.getInt(3),
+            nSeeds = in.getInt(4), maxLevel = maxLevel,
+            centIds = centIdsOf(in.getUTF8String(5).toString),
+            withCodes = in.getInt(6) != 0)
+        else GraphIndex.build(spark, root, spark.table(src),
           graphK = in.getInt(2), nProbe = in.getInt(3),
           nSeeds = in.getInt(4),
           centIds = centIdsOf(in.getUTF8String(5).toString),
           withCodes = in.getInt(6) != 0)
-        status(s"built graph index at $root from $src")
+        status(s"built graph index at $root from $src" +
+          (if (maxLevel > 0) s" (hier levels=$maxLevel)" else ""))
     },
     "graph_ingest" -> proc("graph_ingest",
       Array(strParam("root"), strParam("corpus"), strParam("source"),
@@ -256,6 +264,20 @@ private[graft] object GraftProcedures {
       resultScan(GraphIndex.probePq(spark, root, spark.table(src),
         maxQueryId = in.getInt(2).toLong, k = in.getInt(3),
         beam = in.getInt(4), hops = in.getInt(5))) // bounded: queries × k
+    },
+    "graph_probe_hier" -> proc("graph_probe_hier",
+      Array(strParam("root"), strParam("source"),
+            intParam("max_query_id", "8"), intParam("k", "3"),
+            intParam("beam", "4"), intParam("hops", "3"),
+            intParam("upper_beam", "1"), intParam("upper_hops", "2"))) {
+      (spark, in) =>
+        val root = in.getUTF8String(0).toString
+        val src = in.getUTF8String(1).toString
+        resultScan(GraphIndex.probeHier(spark, root, spark.table(src),
+          maxQueryId = in.getInt(2).toLong, k = in.getInt(3),
+          beam = in.getInt(4), hops = in.getInt(5),
+          upperBeam = in.getInt(6),
+          upperHops = in.getInt(7))) // bounded: queries × k
     },
     "graph_delete" -> proc("graph_delete",
       Array(strParam("root"), strParam("source"))) { (spark, in) =>

@@ -702,9 +702,9 @@ class GraftSpec extends AnyFunSuite {
     // beam*graphK = 12 — never the full bucket set
     GraphIndex.probeHier(spark, root, emb, maxQueryId = 1).collect()
     val counts = GraphIndex.lastProbeBucketCounts
-    // per upper level: (entry + upperHops passes) x 2 fetches = 6;
-    // level 0: 1 entry + 3 hops = 4 single fetches -> 16 total
-    assert(counts.size == 16, s"unexpected fetch passes: $counts")
+    // per upper level: entry + upperHops passes = 3 (one bucket list
+    // serves BOTH tables' fragments); level 0: entry + 3 hops = 4
+    assert(counts.size == 10, s"unexpected fetch passes: $counts")
     assert(counts.forall(_ <= 12), s"unpruned fetch: $counts")
     // a delete is total across ALL levels: the victim (an upper-level
     // id guaranteed by the hash) vanishes from hier probes
@@ -1080,6 +1080,17 @@ class GraftSpec extends AnyFunSuite {
         "source => 'graphsql_corpus')").collect()) ==
       rset(Similarity.graphPqTopK(emb).collect()),
       "SQL-driven PQ-navigated probe diverged from the inline ADC walk")
+    // the s30 hierarchy tier through SQL only: build with levels,
+    // probe the layered descent, equal to the from-scratch inline one
+    val rootH = java.nio.file.Files.createTempDirectory("graft_graphsqlh")
+      .toString + "/ix"
+    spark.sql(s"CALL graft_sys.graph_build(root => '$rootH', " +
+      "source => 'graphsql_corpus', with_hier => 2)").collect()
+    assert(rset(spark.sql(
+        s"CALL graft_sys.graph_probe_hier(root => '$rootH', " +
+        "source => 'graphsql_corpus')").collect()) ==
+      rset(Similarity.graphHierTopK(emb).collect()),
+      "SQL-driven hierarchical probe diverged from the inline descent")
     // the s27 live property, replayed through SQL only: a twin arrival
     // is invisible pre-ingest, top-1 post-ingest, gone post-delete
     def v(xs: Double*) = xs.map(_.toFloat).toArray
