@@ -215,31 +215,52 @@ object VersionedTable {
     * with `#` are commit METADATA (e.g. the `#txn` idempotence marker
     * the streaming sink writes), not data entries — skipped here, and
     * never copied into checkpoints or carried entry lists. */
-  private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] = {
+  /** Read a committed marker's text. On Hadoop's ChecksumFileSystem
+    * (local FS) the publish rename moves the data file and its .crc
+    * sidecar as TWO operations, so a reader racing a concurrent
+    * publish can observe a transient data/crc mismatch — a
+    * ChecksumException here is a RACE, not corruption (the marker was
+    * written whole behind an atomic data-file rename). Bounded retry,
+    * then rethrow: persistent mismatch IS corruption and must
+    * surface. HDFS renames atomically; the retry never triggers
+    * there. (Found live: an interleaved-committer race under heavy
+    * box load read v5's marker between the two renames.) */
+  private def readCommitText(spark: SparkSession, root: String,
+                             v: Long): String = {
     val f = fs(spark, root)
-    val in = f.open(commitPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    var attempt = 0
+    while (true) {
+      try {
+        val in = f.open(commitPath(root, v))
+        try return scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L << attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] =
+    readCommitText(spark, root, v)
       .split("\n").map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .toSeq.map(parseEntry)
-    finally in.close()
-  }
 
   /** The `#txn` markers a version's commit file carries:
     * (appId, batchId) pairs, committed ATOMICALLY with the version's
     * entry list (same rename) — the exactly-once hook the streaming
     * sink's replay check reads. */
   private[graft] def txnOf(spark: SparkSession, root: String,
-                           v: Long): Seq[(String, Long)] = {
-    val f = fs(spark, root)
-    val in = f.open(commitPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                           v: Long): Seq[(String, Long)] =
+    readCommitText(spark, root, v)
       .split("\n").map(_.trim).filter(_.startsWith("#txn\t")).toSeq
       .map { l =>
         val parts = l.split("\t", -1)
         (java.net.URLDecoder.decode(parts(1), "UTF-8"), parts(2).toLong)
       }
-    finally in.close()
-  }
 
   /** `#partcol` metadata line: partition-native commits record WHICH
     * column their entry annotations partition by, so a reader
@@ -254,10 +275,8 @@ object VersionedTable {
                                        v: Long): Option[String] = {
     val f = fs(spark, root)
     if (!committed(f, root, v)) return None
-    val in = f.open(commitPath(root, v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    text.split("\n").map(_.trim).find(_.startsWith("#partcol\t"))
+    readCommitText(spark, root, v)
+      .split("\n").map(_.trim).find(_.startsWith("#partcol\t"))
       .map(l => java.net.URLDecoder.decode(l.split("\t", -1)(1), "UTF-8"))
   }
 
