@@ -106,6 +106,9 @@ STAGED = {
     "s27_graph_ingest": ("e AS (", [("oranked", "rank <= 3"),
                                     ("nranked", "rank <= 3")]),
     "s29_graph_pq": ("e AS (", [("ranked", "rank <= 3")]),
+    "st16_stream_graph_ingest": ("e AS (", [("oranked", "rank <= 3"),
+                                            ("aranked", "rank <= 3"),
+                                            ("branked", "rank <= 3")]),
     # s30's tail starts after the level chains; all three ranked chains
     # are multi-referenced by the walk CTEs, so all three stage (each
     # CREATE runs the full head — 3 head passes, still linear, vs the
@@ -113,42 +116,67 @@ STAGED = {
     "s30_graph_hier": ("gedge AS (", [("ranked", "rank <= 3"),
                                       ("l1ranked", "rank <= 3"),
                                       ("l2ranked", "rank <= 3")]),
+    # d-family shared chains (3rd field keep=True): the staged tables
+    # are PAIR-BOUNDED (candidate pairs / detected spans / tokenized
+    # docs), tiny next to the walk family's ranked chains, so they are
+    # kept for the whole replay instead of joining the eviction cycle
+    # (sorted order interleaves the two families' heads — evicting
+    # would re-derive each chain). d09/d20 share the
+    # deletion-neighborhood levenshtein pair chain `p`; d14/d21 share
+    # the positional-gram span chain `spans` (the gram self-join is
+    # the d-family's single heaviest oracle step at 30x). A tail
+    # marker starting with SELECT means the query has no tail CTEs —
+    # the final select runs directly against the staged tables.
+    "d09_fuzzy_keys": ("SELECT c_custkey, count(*) AS n_fuzzy", ["p"], True),
+    "d20_er_score": ("ka AS (", ["p"], True),
+    "d14_dup_spans": ("SELECT doc_a, doc_b, a_start, b_start, span_toks",
+                      ["spans"], True),
+    "d21_span_scrub": ("rem AS (", ["spans", "t"], True),
 }
 
-_staged_cache = {}  # (head text, cte name) -> temp table name
+_staged_cache = {}  # evictable: (head text, cte name, pred) -> temp table
+_staged_keep = {}   # kept for the whole replay (small d-family tables)
 _staged_n = 0
 
 def run_staged(con, name, sql):
     global _staged_n
     plan = STAGED.get(name)
-    marker = plan and (",\n       " + plan[0])
-    if not plan or marker not in sql:
+    if not plan:
+        return con.sql(sql)
+    tail_cte, ctes = plan[0], plan[1]
+    keep = len(plan) > 2 and plan[2]
+    select_tail = tail_cte.startswith("SELECT")
+    marker = ("\n       " if select_tail else ",\n       ") + tail_cte
+    if marker not in sql:
         return con.sql(sql)
     head, tail = sql.split(marker, 1)  # head = "WITH <heavy ctes>"
+    cache = _staged_keep if keep else _staged_cache
     # s22/s25/s28/s29 share a byte-identical head (the kNN chain), so
-    # the staged table is derived ONCE and reused; tables from a
-    # DIFFERENT head are dropped first — at 30x a staged `ranked` is
-    # tens of GB of spill, and two families alive at once is what
-    # filled the disk on the first staged run
-    for key, tab in list(_staged_cache.items()):
-        if key[0] != head:
-            con.execute(f"DROP TABLE IF EXISTS {tab}")
-            del _staged_cache[key]
+    # the staged table is derived ONCE and reused; EVICTABLE tables
+    # from a DIFFERENT head are dropped first — at 30x a staged
+    # `ranked` is tens of GB of spill, and two families alive at once
+    # is what filled the disk on the first staged run
+    if not keep:
+        for key, tab in list(_staged_cache.items()):
+            if key[0] != head:
+                con.execute(f"DROP TABLE IF EXISTS {tab}")
+                del _staged_cache[key]
     refs = []
-    for entry in plan[1]:
+    for entry in ctes:
         t, pred = entry if isinstance(entry, tuple) else (entry, None)
         where = f" WHERE {pred}" if pred else ""
         key = (head, t, pred)
-        if key not in _staged_cache:
+        if key not in cache:
             tab = f"_staged_{t}_{_staged_n}"
             _staged_n += 1
             con.execute(f"CREATE TEMP TABLE {tab} AS {head}\n"
                         f" SELECT * FROM {t}{where}")
-            _staged_cache[key] = tab
-        refs.append((t, _staged_cache[key]))
+            cache[key] = tab
+        refs.append((t, cache[key]))
     repl = ",\n       ".join(
         f"{t} AS (SELECT * FROM {tab})" for t, tab in refs)
-    return con.sql(f"WITH {repl},\n       {plan[0]}{tail}")
+    joiner = "\n       " if select_tail else ",\n       "
+    return con.sql(f"WITH {repl}{joiner}{tail_cte}{tail}")
 
 def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()

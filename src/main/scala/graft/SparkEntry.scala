@@ -278,6 +278,10 @@ object SparkEntry {
       GraphIndex.probePqAuto(Tables.embeddings(s, d))),
     "s30_graph_hier" -> ((s, d) =>
       GraphIndex.probeHierAuto(Tables.embeddings(s, d))),
+    "st16_stream_graph_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.streamGraphIngestDrain(Tables.embeddings(s, d))),
+    "st17_stream_gram_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.streamGramIngestDrain(Tables.documents(s, d))),
   )
 
   /** All oracle SQL passes through Rounding.rewriteOracle so DuckDB
@@ -633,5 +637,7 @@ object SparkEntry {
     "st12_stream_ann_ingest" -> Similarity.streamAnnIngestOracle(),
     "st13_stream_kmv" -> graft.streaming.StreamOps.kmvStreamOracle(),
     "st14_alert_stream" -> graft.operators.Relational.cusumMonitorOracle(),
+    "st16_stream_graph_ingest" -> Similarity.streamGraphIngestOracle(),
+    "st17_stream_gram_ingest" -> Dedup.streamGramIngestOracle(),
   )
 }

@@ -660,8 +660,13 @@ object Dedup {
       .distinct()
   }
 
-  def fuzzyKeysOracle(maxDist: Int = 1): String =
-    s"""WITH k AS (SELECT c_custkey, upper(trim(c_name)) AS k FROM customer),
+  /** The d09 blocking chain `k, b, p` ending at the distinct
+    * levenshtein-verified candidate pairs — ONE text shared by the
+    * d09 and d20 oracles (the spanCtes discipline) so the staged
+    * replay (scripts/compare.py) can derive the pair set once per
+    * corpus and serve both. */
+  private def fuzzyPairCtes(maxDist: Int): String =
+    s"""k AS (SELECT c_custkey, upper(trim(c_name)) AS k FROM customer),
        b AS (SELECT c_custkey, k,
            unnest(list_distinct(list_transform(generate_series(0, length(k)),
              i -> CASE WHEN i = 0 THEN k
@@ -669,7 +674,10 @@ object Dedup {
          FROM k),
        p AS (SELECT DISTINCT x.c_custkey AS c_custkey, y.c_custkey AS match_key
          FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
-           AND levenshtein(x.k, y.k) <= $maxDist)
+           AND levenshtein(x.k, y.k) <= $maxDist)"""
+
+  def fuzzyKeysOracle(maxDist: Int = 1): String =
+    s"""WITH ${fuzzyPairCtes(maxDist)}
        SELECT c_custkey, count(*) AS n_fuzzy, min(match_key) AS first_match
        FROM p GROUP BY c_custkey ORDER BY c_custkey"""
 
@@ -739,34 +747,27 @@ object Dedup {
   /** DuckDB twin of [[erScore]]: the d09 blocking CTE + the identical
     * u-estimates and score expression, term order preserved. */
   val erScoreOracle: String =
-    """WITH k AS (SELECT c_custkey, upper(trim(c_name)) AS k, c_nationkey,
+    s"""WITH ${fuzzyPairCtes(1)},
+       ka AS (SELECT c_custkey, upper(trim(c_name)) AS k, c_nationkey,
            c_mktsegment,
            CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
          FROM customer),
-       b AS (SELECT c_custkey, k,
-           unnest(list_distinct(list_transform(generate_series(0, length(k)),
-             i -> CASE WHEN i = 0 THEN k
-                  ELSE substring(k, 1, i - 1) || substring(k, i + 1, length(k)) END))) AS blk
-         FROM k),
-       p AS (SELECT DISTINCT x.c_custkey AS c_custkey, y.c_custkey AS match_key
-         FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
-           AND levenshtein(x.k, y.k) <= 1),
-       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ka),
        un AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_nat FROM
-         (SELECT count(*) AS nv FROM k GROUP BY c_nationkey) z),
+         (SELECT count(*) AS nv FROM ka GROUP BY c_nationkey) z),
        us AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_seg FROM
-         (SELECT count(*) AS nv FROM k GROUP BY c_mktsegment) z),
+         (SELECT count(*) AS nv FROM ka GROUP BY c_mktsegment) z),
        ub AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_bal FROM
-         (SELECT count(*) AS nv FROM k GROUP BY bal_bucket) z),
+         (SELECT count(*) AS nv FROM ka GROUP BY bal_bucket) z),
        uk AS (SELECT CAST(sum(nv * nv) AS BIGINT) AS s2_name FROM
-         (SELECT count(*) AS nv FROM k GROUP BY k) z),
+         (SELECT count(*) AS nv FROM ka GROUP BY k) z),
        j AS (SELECT p.c_custkey, p.match_key,
            a.c_nationkey = bb.c_nationkey AS agree_nation,
            a.c_mktsegment = bb.c_mktsegment AS agree_segment,
            a.bal_bucket = bb.bal_bucket AS agree_balance,
            a.k = bb.k AS exact_name
-         FROM p JOIN k a ON a.c_custkey = p.c_custkey
-              JOIN k bb ON bb.c_custkey = p.match_key),
+         FROM p JOIN ka a ON a.c_custkey = p.c_custkey
+              JOIN ka bb ON bb.c_custkey = p.match_key),
        f AS (SELECT c_custkey, match_key, agree_nation, agree_segment,
            agree_balance, exact_name,
            round(
@@ -1322,6 +1323,53 @@ object Dedup {
        FROM i GROUP BY batch_doc, corpus_doc, diag, isl
        HAVING max(pos_b) - min(pos_b) + $n >= $minTokens
        ORDER BY batch_doc, corpus_doc, b_start, c_start"""
+  }
+
+  /** st17 oracle: [[dupSpansIncrementalOracle]] extended to TWO
+    * commit-gated arrival batches — batch 0 (doc_id%3==1) probes the
+    * hot-capped seed postings (%3==0 corpus, the [[GramIndex.build]]
+    * gate); batch 1 (%3==2) probes the seed postings PLUS batch 0's
+    * postings appended WITHOUT a cap re-check (the literal
+    * [[GramIndex.append]] contract: appends never re-level the cap —
+    * [[GramIndex.rebuildRecommended]] says when that drift is due).
+    * Probe-before-append order makes the split deterministic per
+    * commit; same span kernel as d14/d15. */
+  def streamGramIngestOracle(n: Int = 8, minTokens: Int = 16,
+                             dfCap: Int = 64): String = {
+    val charHash = "list_reduce(list_transform(generate_series(1, length(s)), " +
+      s"k -> CAST(ascii(substring(s, k, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       th AS (SELECT doc_id, len(toks) AS nt,
+           list_transform(toks, s -> $charHash) AS th FROM t),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, nt - $n + 1),
+           i -> {'pos': i - 1, 'gram': list_reduce(th[i:i+$n-1], (a, b) -> (a * 131 + b) % $P)})) AS s
+         FROM th WHERE nt >= $n),
+       g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram AS gram FROM g0),
+       sg AS (SELECT * FROM g WHERE doc_id % 3 = 0),
+       hot AS (SELECT gram FROM sg GROUP BY gram
+               HAVING count(DISTINCT doc_id) > $dfCap),
+       idx0 AS (SELECT * FROM sg WHERE gram NOT IN (SELECT gram FROM hot)),
+       b1 AS (SELECT * FROM g WHERE doc_id % 3 = 1),
+       b2 AS (SELECT * FROM g WHERE doc_id % 3 = 2),
+       idx1 AS (SELECT * FROM idx0 UNION ALL SELECT * FROM b1),
+       m AS (SELECT CAST(0 AS BIGINT) AS arrival_batch, b.doc_id AS batch_doc,
+               c.doc_id AS corpus_doc, b.pos AS pos_b, c.pos AS pos_c
+             FROM b1 b JOIN idx0 c ON b.gram = c.gram
+             UNION ALL
+             SELECT CAST(1 AS BIGINT), b.doc_id, c.doc_id, b.pos, c.pos
+             FROM b2 b JOIN idx1 c ON b.gram = c.gram),
+       i AS (SELECT arrival_batch, batch_doc, corpus_doc, pos_b, pos_c,
+               pos_b - pos_c AS diag,
+               pos_b - row_number() OVER (
+                 PARTITION BY batch_doc, corpus_doc, pos_b - pos_c
+                 ORDER BY pos_b) AS isl
+             FROM m)
+       SELECT arrival_batch, batch_doc, corpus_doc,
+         min(pos_b) AS b_start, min(pos_c) AS c_start,
+         max(pos_b) - min(pos_b) + $n AS span_toks
+       FROM i GROUP BY arrival_batch, batch_doc, corpus_doc, diag, isl
+       HAVING max(pos_b) - min(pos_b) + $n >= $minTokens
+       ORDER BY arrival_batch, batch_doc, corpus_doc, b_start, c_start"""
   }
 
   /** The d14 span-detection CTE chain, ending at

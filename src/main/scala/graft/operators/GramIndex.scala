@@ -117,10 +117,18 @@ object GramIndex {
 
   /** Append a batch's postings (no cap re-check — see class doc;
     * [[rebuildRecommended]] says when the drift is due a re-level):
-    * O(batch) add-file commit. */
-  def append(spark: SparkSession, root: String, docs: DataFrame, n: Int = 8): Unit = {
+    * O(batch) add-file commit. `txn`: an (appId, batchId) idempotence
+    * marker riding the posting table's atomic commit — a re-executed
+    * micro-batch (streaming sink restart, retried foreachBatch) is
+    * detected via [[VersionedTable.lastTxnBatch]] and skipped whole
+    * (no double-appended postings, no double-counted churn meta). */
+  def append(spark: SparkSession, root: String, docs: DataFrame, n: Int = 8,
+             txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, b) =>
+          VersionedTable.lastTxnBatch(spark, root, app).exists(_ >= b) })
+      return
     val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
-    VersionedTable.append(spark, root, postings(docs, n), v)
+    VersionedTable.append(spark, root, postings(docs, n), v, txn = txn)
     val batchDocs = docs.select(col("doc_id")).distinct().count()
     readMeta(spark, root).foreach { case (built, appended, retired) =>
       writeMeta(spark, root, built, appended + batchDocs, retired)

@@ -114,6 +114,26 @@ object GraphIndex {
   private def bucketCol(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(NumBuckets)).cast("string")
 
+  /** One driver job per fetch pass: the pass's distinct candidate ids
+    * AND their bucket dirs, collected together (both are bounded by
+    * queries × beam × graphK — the documented driver-state bound).
+    * Records the bucket count in [[lastProbeBucketCounts]]. */
+  private def collectIdBuckets(ids: DataFrame): (Seq[Long], Seq[String]) = {
+    val pairs = ids.select(col("c_id"), bucketCol(col("c_id")).as("b"))
+      .distinct().collect()
+    val buckets = pairs.map(_.getString(1)).distinct.sorted.toSeq
+    lastProbeBucketCounts = lastProbeBucketCounts :+ buckets.size
+    (pairs.map(_.getLong(0)).toSeq, buckets)
+  }
+
+  /** Bucket values that actually have dirs at a table version — a
+    * requested bucket with no rows (sparse upper level, tiny corpus)
+    * is a legitimate empty fetch, not a missing-partition error; the
+    * fetches intersect against this ONE commit-file read per probe. */
+  private def presentBuckets(spark: SparkSession, root: String,
+                             v: Long): Set[String] =
+    VersionedTable.entryPairsOf(spark, root, v).flatMap(_._2).toSet
+
   /** Build (or REBUILD): one s20 kNN join (the single cell-key
     * shuffle) folded into per-node adjacency lists and joined with the
     * vectors into NODE RECORDS, committed partition-native on the id
@@ -180,10 +200,16 @@ object GraphIndex {
       .select(col("vec_id").as("c_id"))
       .join(retired, Seq("c_id"), "left_anti") // a retired entry point dies
     lastProbeBucketCounts = Nil
+    val nodeHave = presentBuckets(spark, nodeRoot(root), nv)
     val fetchRecs: DataFrame => DataFrame = ids => {
-      val buckets = ids.select(bucketCol(col("c_id")).as("b")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      lastProbeBucketCounts = lastProbeBucketCounts :+ buckets.size
+      // ONE driver job resolves the pass's candidate ids AND their
+      // buckets together (bounded by queries × beam × graphK — the
+      // documented driver-state bound); the fetch frame is then a pure
+      // dir-pruned scan + literal id filter, so the fetch's checkpoint
+      // job never re-evaluates the candidate subtree (the broadcast
+      // join it replaces re-ran the ids' distinct shuffle per fetch)
+      val (idList, allBuckets) = collectIdBuckets(ids)
+      val buckets = allBuckets.filter(nodeHave)
       if (buckets.isEmpty)
         ids.select(col("c_id"))
           .withColumn("ce", lit(null).cast("array<float>"))
@@ -193,7 +219,7 @@ object GraphIndex {
         .withColumnRenamed("vec_id", "c_id")
         // keep only the WANTED ids: a bucket holds unrelated nodes
         // whose adjacency must not leak into the walk's bounded state
-        .join(broadcast(ids), Seq("c_id"))
+        .filter(col("c_id").isin(idList: _*))
         .select(col("c_id"), col("embedding").as("ce"), col("nbrs"))
     }
     Similarity.graphWalkRecordsTopK(embeddings, maxQueryId, k, beam, hops,
@@ -206,16 +232,30 @@ object GraphIndex {
 
   // ---- s30: persisted hierarchy (HNSW's layered serving shape) -------
 
+  /** Write the hierarchy meta whole-file to a writer-unique temp path,
+    * then rename into place (VersionedTable's publish discipline) — a
+    * probe racing a concurrent [[buildHier]] reads either the old meta
+    * or the new one, never a torn file. */
   private def writeHierMeta(spark: SparkSession, root: String,
                             maxLevel: Int, htop: Seq[Long]): Unit = {
     val f = hfs(spark, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(hierMetaPath(root)),
-      /* overwrite = */ true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${hierMetaPath(root)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /* overwrite = */ false)
     try out.write(
       s"max_level=$maxLevel\nhtop=${htop.mkString(",")}\n".getBytes("UTF-8"))
     finally out.close()
+    val target = new org.apache.hadoop.fs.Path(hierMetaPath(root))
+    f.delete(target, false) // replace the previous build's meta
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish hier meta at $root")
+    }
   }
 
+  /** None means exactly "no hierarchy built here" (missing file) —
+    * genuine IO errors and corruption SURFACE instead of masquerading
+    * as the misleading no-hierarchy-meta message. */
   private def readHierMeta(spark: SparkSession,
                            root: String): Option[(Int, Seq[Long])] =
     try {
@@ -227,7 +267,7 @@ object GraphIndex {
       finally in.close()
       Some((kv("max_level").toInt,
         kv("htop").split(",").filter(_.nonEmpty).map(_.toLong).toSeq))
-    } catch { case _: Exception => None }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** s30's persisted build: [[build]] plus one HIERARCHY table —
     * per-level adjacency lists `(vec_id, lvl, nbrs)` for the
@@ -301,48 +341,51 @@ object GraphIndex {
     val graveyard: DataFrame => DataFrame = cands =>
       cands.join(broadcast(retired), Seq("c_id"), "left_anti")
     lastProbeBucketCounts = Nil
-    def bucketsOf(ids: DataFrame): Seq[String] = {
-      val bs = ids.select(bucketCol(col("c_id")).as("b")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      lastProbeBucketCounts = lastProbeBucketCounts :+ bs.size
-      bs
-    }
+    val nodeHave = presentBuckets(spark, nodeRoot(root), nv)
+    val hnodeHave = presentBuckets(spark, hnodeRoot(root), hv)
     def emptyRecs(ids: DataFrame) = ids.select(col("c_id"))
       .withColumn("ce", lit(null).cast("array<float>"))
       .withColumn("nbrs", lit(null).cast("array<bigint>")).limit(0)
     // an upper pass fetches the SAME candidate-id buckets from both
-    // tables — one bucket-list collect, one lazily-unioned frame (the
-    // two scans run inside the walk's single per-pass checkpoint job):
-    // vector fragments from the node records with adjacency NULLED
-    // (the level-0 nbrs must not leak into an upper level's
-    // expansion) + adjacency fragments from the hierarchy table
+    // tables — ONE driver job resolves ids + buckets together
+    // ([[collectIdBuckets]]), one lazily-unioned frame (the two scans
+    // run inside the walk's single per-pass checkpoint job): vector
+    // fragments from the node records with adjacency NULLED (the
+    // level-0 nbrs must not leak into an upper level's expansion) +
+    // adjacency fragments from the hierarchy table. Each table reads
+    // only the buckets it actually has dirs for (a sparse upper level
+    // legitimately has rows in few buckets).
     def fetchUpper(l: Int): DataFrame => DataFrame = ids => {
-      val bs = bucketsOf(ids)
-      if (bs.isEmpty) emptyRecs(ids)
+      val (idList, bs) = collectIdBuckets(ids)
+      val nbs = bs.filter(nodeHave); val hbs = bs.filter(hnodeHave)
+      if (idList.isEmpty || (nbs.isEmpty && hbs.isEmpty)) emptyRecs(ids)
       else {
-        val vecs = VersionedTable.readPartitions(spark, nodeRoot(root), bs,
-            version = Some(nv))
-          .withColumnRenamed("vec_id", "c_id")
-          .join(broadcast(ids), Seq("c_id"))
-          .select(col("c_id"), col("embedding").as("ce"),
-            lit(null).cast("array<bigint>").as("nbrs"))
-        val adj = VersionedTable.readPartitions(spark, hnodeRoot(root), bs,
-            version = Some(hv))
-          .filter(col("lvl") === l)
-          .withColumnRenamed("vec_id", "c_id")
-          .join(broadcast(ids), Seq("c_id"))
-          .select(col("c_id"), lit(null).cast("array<float>").as("ce"),
-            col("nbrs"))
-        vecs.unionByName(adj)
+        val vecs = if (nbs.isEmpty) None else Some(
+          VersionedTable.readPartitions(spark, nodeRoot(root), nbs,
+              version = Some(nv))
+            .withColumnRenamed("vec_id", "c_id")
+            .filter(col("c_id").isin(idList: _*))
+            .select(col("c_id"), col("embedding").as("ce"),
+              lit(null).cast("array<bigint>").as("nbrs")))
+        val adj = if (hbs.isEmpty) None else Some(
+          VersionedTable.readPartitions(spark, hnodeRoot(root), hbs,
+              version = Some(hv))
+            .filter(col("lvl") === l)
+            .withColumnRenamed("vec_id", "c_id")
+            .filter(col("c_id").isin(idList: _*))
+            .select(col("c_id"), lit(null).cast("array<float>").as("ce"),
+              col("nbrs")))
+        (vecs.toSeq ++ adj.toSeq).reduce(_.unionByName(_))
       }
     }
     def fetchL0(ids: DataFrame): DataFrame = {
-      val bs = bucketsOf(ids)
-      if (bs.isEmpty) emptyRecs(ids)
-      else VersionedTable.readPartitions(spark, nodeRoot(root), bs,
+      val (idList, bs) = collectIdBuckets(ids)
+      val nbs = bs.filter(nodeHave)
+      if (nbs.isEmpty) emptyRecs(ids)
+      else VersionedTable.readPartitions(spark, nodeRoot(root), nbs,
           version = Some(nv))
         .withColumnRenamed("vec_id", "c_id")
-        .join(broadcast(ids), Seq("c_id"))
+        .filter(col("c_id").isin(idList: _*))
         .select(col("c_id"), col("embedding").as("ce"), col("nbrs"))
     }
     val htop = htopIds.foldLeft(
@@ -355,16 +398,18 @@ object GraphIndex {
       .filter(col("c_id") =!= col("q_id"))
     val wBest = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
+    // one query-frame materialization shared by all maxLevel+1 walks
+    val queriesPre = Similarity.walkQueries(embeddings, maxQueryId)
     val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (l <- maxLevel to 1 by -1) {
       val vis = Similarity.beamWalkRecordsFrom(embeddings, maxQueryId, entry,
-        fetchUpper(l), upperBeam, upperHops, graveyard)
+        fetchUpper(l), upperBeam, upperHops, graveyard, queriesPre)
       visited += vis
       entry = vis.withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1).select(col("q_id"), col("c_id"))
     }
     visited += Similarity.beamWalkRecordsFrom(embeddings, maxQueryId, entry,
-      fetchL0, beam, hops, graveyard)
+      fetchL0, beam, hops, graveyard, queriesPre)
     Similarity.rankWalkTopK(visited.reduce(_.unionByName(_)).distinct(), k)
   }
 
@@ -429,12 +474,7 @@ object GraphIndex {
       .join(retired, Seq("c_id"), "left_anti")
     lastProbeBucketCounts = Nil
     lastNavReadSchema = ""
-    def bucketsOf(ids: DataFrame): Seq[String] = {
-      val bs = ids.select(bucketCol(col("c_id")).as("b")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      lastProbeBucketCounts = lastProbeBucketCounts :+ bs.size
-      bs
-    }
+    val nodeHave = presentBuckets(spark, nodeRoot(root), nv)
     val cbIds = Similarity.PqCodebookIds
     import spark.implicits._
     // the codebook's bucket dirs via the SAME bucket expression the
@@ -451,7 +491,8 @@ object GraphIndex {
       .select(col("vec_id"), col("embedding"))
     val dts = Similarity.pqDistTablesAgainst(cb, queries).localCheckpoint()
     val fetchNav: DataFrame => DataFrame = ids => {
-      val bs = bucketsOf(ids)
+      val (idList, allBs) = collectIdBuckets(ids)
+      val bs = allBs.filter(nodeHave)
       if (bs.isEmpty)
         ids.select(col("c_id"))
           .withColumn("nbrs", lit(null).cast("array<bigint>"))
@@ -462,11 +503,12 @@ object GraphIndex {
           .select(col("vec_id").as("c_id"), col("nbrs"), col("codes"))
         if (lastNavReadSchema.isEmpty)
           lastNavReadSchema = slice.queryExecution.executedPlan.toString
-        slice.join(broadcast(ids), Seq("c_id"))
+        slice.filter(col("c_id").isin(idList: _*))
       }
     }
     val fetchExact: DataFrame => DataFrame = ids => {
-      val bs = bucketsOf(ids)
+      val (idList, allBs) = collectIdBuckets(ids)
+      val bs = allBs.filter(nodeHave)
       if (bs.isEmpty)
         ids.select(col("c_id"))
           .withColumn("ce", lit(null).cast("array<float>")).limit(0)
@@ -474,7 +516,7 @@ object GraphIndex {
           version = Some(nv))
         .filter(col("embedding").isNotNull)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        .join(broadcast(ids), Seq("c_id"))
+        .filter(col("c_id").isin(idList: _*))
     }
     Similarity.graphPqWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
       fetchNav, dts, fetchExact,
@@ -561,10 +603,31 @@ object GraphIndex {
     * insertion lets touched lists grow past graphK (the walk
     * re-scores exactly, so extra edges cost IO, never correctness);
     * seeds stay the pre-ingest picks. Within-batch mutual pairs are
-    * deduped before the append. */
+    * deduped before the append.
+    *
+    * HIERARCHY-AWARE: when the index has a [[buildHier]] hierarchy,
+    * levels are pure id functions ([[Similarity.levelCondSql]]), so
+    * each arrival's level membership is DERIVABLE AT INGEST TIME —
+    * every touched level gets the arrival's per-level adjacency plus
+    * the reverse edges appended O(batch_l·graphK), so a high-level
+    * arrival ROUTES ENTRIES immediately instead of waiting for the
+    * next buildHier. Remaining staleness, stated honestly: old upper
+    * nodes' lists are not re-ranked (same contract as level 0), and
+    * the pinned top-entry ids stay the build-time picks.
+    *
+    * `txn`: an (appId, batchId) idempotence marker riding the NODE
+    * table's atomic commit — a re-executed batch (streaming sink
+    * restart, retried foreachBatch) is detected via
+    * [[VersionedTable.lastTxnBatch]] and skipped whole (no
+    * double-appended records, no double-counted churn meta, no
+    * re-appended hierarchy rows). */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              newVecs: DataFrame, graphK: Int = 3, nProbe: Int = 2,
-             centIds: Seq[Long] = Similarity.centroidIds): Unit = {
+             centIds: Seq[Long] = Similarity.centroidIds,
+             txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, b) =>
+          VersionedTable.lastTxnBatch(spark, nodeRoot(root), app).exists(_ >= b) })
+      return
     val fwd = Similarity.knnEdgesFor(corpus, newVecs, graphK, nProbe, centIds)
       .localCheckpoint()
     // each arrival gets a FULL record (vector + its own top-k list):
@@ -604,7 +667,41 @@ object GraphIndex {
       .withColumn("bucket", bucketCol(col("vec_id"))).localCheckpoint()
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
-    VersionedTable.appendPartitioned(spark, nodeRoot(root), records, "bucket", nv)
+    VersionedTable.appendPartitioned(spark, nodeRoot(root), records, "bucket", nv,
+      txn = txn)
+    // hierarchy maintenance (see scaladoc): one bounded kNN probe +
+    // O(batch_l·graphK) append per TOUCHED level — the id-hash level
+    // condition selects each level's arrivals and its grown sub-corpus
+    readHierMeta(spark, root).foreach { case (maxLevel, _) =>
+      if (VersionedTable.currentVersion(spark, hnodeRoot(root)).isDefined) {
+        val hrows = (1 to maxLevel).flatMap { l =>
+          val batchL = newVecs.filter(expr(Similarity.levelCondSql(l)))
+          if (batchL.isEmpty) None
+          else {
+            val corpusL = corpus.filter(expr(Similarity.levelCondSql(l)))
+            val fwdL = Similarity.knnEdgesFor(corpusL, batchL, graphK, nProbe,
+                centIds, centsFrom = corpus) // buildHier's cell geometry
+              .localCheckpoint()
+            val ownL = fwdL.groupBy(col("src"))
+              .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+              .select(col("src").as("vec_id"), lit(l).as("lvl"), col("nbrs"))
+            val revL = fwdL.select(col("dst").as("src"), col("src").as("dst"))
+              .join(fwdL, Seq("src", "dst"), "left_anti")
+              .groupBy(col("src"))
+              .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+              .select(col("src").as("vec_id"), lit(l).as("lvl"), col("nbrs"))
+            Some(ownL.unionByName(revL))
+          }
+        }
+        if (hrows.nonEmpty) {
+          val hv = VersionedTable.currentVersion(spark, hnodeRoot(root)).get
+          VersionedTable.appendPartitioned(spark, hnodeRoot(root),
+            hrows.reduce(_.unionByName(_))
+              .withColumn("bucket", bucketCol(col("vec_id"))),
+            "bucket", hv)
+        }
+      }
+    }
     readMeta(spark, root).foreach { case (b, i, r) =>
       writeMeta(spark, root, b, i + newVecs.count(), r) }
     ()

@@ -1830,17 +1830,27 @@ object Similarity {
     * explicitly — [[GraphIndex.probeHier]]'s kernel (each level's
     * entry is the previous level's per-query best), mirroring
     * [[beamWalkFrom]] on the records arm. */
+  /** The materialized (q_id, qe, qn) query frame a record walk scores
+    * against — exposed so a caller running SEVERAL walks over the
+    * same queries (probeHier's descent) pays its checkpoint ONCE. */
+  private[graft] def walkQueries(embeddings: DataFrame,
+                                 maxQueryId: Long): DataFrame = {
+    import graft.functions.GraftFunctions._
+    embeddings.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm(col("qe")))
+      .localCheckpoint()
+  }
+
   private[graft] def beamWalkRecordsFrom(embeddings: DataFrame,
                                          maxQueryId: Long, entry: DataFrame,
                                          fetchRecs: DataFrame => DataFrame,
                                          beam: Int, hops: Int,
                                          candFilter: DataFrame => DataFrame =
-                                           identity): DataFrame = {
+                                           identity,
+                                         queriesPre: DataFrame = null): DataFrame = {
     import graft.functions.GraftFunctions._
-    val queries = embeddings.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .withColumn("qn", vec_norm(col("qe")))
-      .localCheckpoint()
+    val queries = Option(queriesPre).getOrElse(walkQueries(embeddings, maxQueryId))
     // one bounded fetch (records of the pass's candidate ids) feeds
     // both halves; dropDuplicates guards the one-vector-per-id
     // contract against a double-committed fragment
@@ -1875,35 +1885,43 @@ object Similarity {
         .distinct()
     val wBeam = Window.partitionBy(col("q_id"))
       .orderBy(if (asc) col(sCol).asc else col(sCol).desc, col("c_id"))
-    val entryC = entry.localCheckpoint()
-    val recs0 = fetchRecs(entryC.select(col("c_id")).distinct())
+    // Checkpoint discipline (the s30 latency lever — every checkpoint
+    // is a Spark job, and a probe is a sequential chain of them):
+    // only the frames that BOUND recomputation are materialized —
+    // each pass's fetched records and the visited union. The entry
+    // pairs, frontier, fresh candidates, expanded set, and the
+    // adjacency union are cheap DERIVATIONS over those checkpoints
+    // (windows, anti-joins, unions of exploded checkpointed
+    // fragments); re-evaluating one inside the pass's 1-2 consumer
+    // jobs costs less than a materialization job of its own. The
+    // fetch needs no materialized input at all: its candidate ids
+    // arrive as driver literals (GraphIndex.collectIdBuckets) or a
+    // broadcast of a bounded frame.
+    val recs0 = fetchRecs(entry.select(col("c_id")).distinct())
       .localCheckpoint()
-    var visited = score(entryC, recs0).localCheckpoint()
+    var visited = score(entry, recs0).localCheckpoint()
     // adjacency of everything fetched so far — bounded by fetched
     // candidates × graphK, and every future frontier node is already
     // in it (frontier ⊆ visited ⊆ fetched)
-    var adjSeen = adjOf(recs0).localCheckpoint()
+    var adjSeen = adjOf(recs0)
     var expanded = visited.select(col("q_id"), col("c_id")).limit(0)
-      .localCheckpoint()
     (1 to hops).foreach { hop =>
       val frontier = visited
         .join(expanded, Seq("q_id", "c_id"), "left_anti") // expand ONCE
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
-        .localCheckpoint()
       val fresh = candFilter(
           frontier.join(adjSeen, frontier("c_id") === adjSeen("src"))
             .select(frontier("q_id"), adjSeen("dst").as("c_id"))
             .filter(col("c_id") =!= col("q_id")).distinct()
             .join(visited.select(col("q_id"), col("c_id")),
               Seq("q_id", "c_id"), "left_anti")) // score each node ONCE
-        .localCheckpoint()
       val recsH = fetchRecs(fresh.select(col("c_id")).distinct())
         .localCheckpoint()
       expanded = expanded.unionByName(frontier)
       visited = visited.unionByName(score(fresh, recsH)).localCheckpoint()
       if (hop < hops) // the last hop's adjacency has no consumer
-        adjSeen = adjSeen.unionByName(adjOf(recsH)).localCheckpoint()
+        adjSeen = adjSeen.unionByName(adjOf(recsH))
     }
     visited
   }
@@ -2028,9 +2046,15 @@ object Similarity {
     * HNSW samples randomly, DE-RANDOMIZED so both engines derive the
     * same layers from the ids alone (no level column is stored; the
     * level IS a function of the id). Level >= 1 holds ~half the
-    * corpus, level >= 2 a quarter, exactly HNSW's expected shape. */
+    * corpus, level >= 2 a quarter, exactly HNSW's expected shape.
+    * `vec_id` is reduced mod P BEFORE the LCG multiply: the raw
+    * product overflows BIGINT for vec_id >= ~8.36e9, where Spark
+    * (non-ANSI) wraps silently but DuckDB raises out-of-range — the
+    * reduction keeps the product <= (P-1)·1103515245 < 2^63 for ALL
+    * long ids and leaves the hash unchanged for in-range ids (mod-P
+    * congruence is preserved by reducing a factor mod P). */
   private[graft] def levelCondSql(l: Int): String =
-    s"((vec_id * 1103515245 + 12345) % 2147483647) % ${1L << l} = 0"
+    s"(((vec_id % 2147483647) * 1103515245 + 12345) % 2147483647) % ${1L << l} = 0"
   private def levelCond(l: Int): org.apache.spark.sql.Column =
     expr(levelCondSql(l))
 
@@ -2450,9 +2474,10 @@ object Similarity {
     * grown corpus). Empty predicates and prefix reproduce the plain
     * chain. */
   private def knnCtesP(p: String, nProbe: Int, corpusWhere: String,
-                       srcWhere: String): String = {
+                       srcWhere: String,
+                       cents: Seq[Long] = centroidIds): String = {
     val d = Dialect.duck
-    val ids = centroidIds.mkString(", ")
+    val ids = cents.mkString(", ")
     val cw = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     val sw = if (srcWhere.isEmpty) "" else s" AND ($srcWhere)"
     s"""${p}cents AS (SELECT vec_id AS cent_id, embedding AS cemb
@@ -2500,6 +2525,40 @@ object Similarity {
            SELECT q_id, c_id FROM nranked WHERE rank <= $graphK
            UNION ALL
            SELECT c_id, q_id FROM nranked WHERE rank <= $graphK) u),
+       gseed AS ($seedSel),
+       ${graphWalkSql(maxQueryId, k, beam, hops)}"""
+  }
+
+  /** st16 oracle: [[graphIngestOracle]] extended to TWO commit-gated
+    * arrival batches — the grown index's adjacency is the union of the
+    * seed build's edges (vec_id%3==0 corpus only), batch 1's edges
+    * (%3==1 arrivals against the seed∪batch-1 corpus) forward AND
+    * reversed, and batch 2's edges (%3==2 arrivals against the full
+    * corpus) forward AND reversed; seeds stay the seed-corpus picks;
+    * then the shared beam-walk tail. Centroids are the
+    * [[streamIngestCentroids]] (ids ≡ 0 mod 3 — present in every
+    * grown corpus). Three prefixed kNN chains per batch boundary: the
+    * literal replay of batch == commit ingest. */
+  def streamGraphIngestOracle(maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                              hops: Int = 3, graphK: Int = 3, nProbe: Int = 2,
+                              nSeeds: Int = 8): String = {
+    val cents = streamIngestCentroids
+    val seedSel = (1 to nSeeds).map(r => s"SELECT vec_id FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${knnCtesP("o", nProbe, "vec_id % 3 = 0", "", cents)},
+       ${knnCtesP("a", nProbe, "vec_id % 3 <> 2", "vec_id % 3 = 1", cents)},
+       ${knnCtesP("b", nProbe, "", "vec_id % 3 = 2", cents)},
+       ${kcenterCtes(nSeeds, "vec_id % 3 = 0")},
+       gedge AS (SELECT DISTINCT src, dst FROM (
+           SELECT q_id AS src, c_id AS dst FROM oranked WHERE rank <= $graphK
+           UNION ALL
+           SELECT q_id, c_id FROM aranked WHERE rank <= $graphK
+           UNION ALL
+           SELECT c_id, q_id FROM aranked WHERE rank <= $graphK
+           UNION ALL
+           SELECT q_id, c_id FROM branked WHERE rank <= $graphK
+           UNION ALL
+           SELECT c_id, q_id FROM branked WHERE rank <= $graphK) u),
        gseed AS ($seedSel),
        ${graphWalkSql(maxQueryId, k, beam, hops)}"""
   }
@@ -2793,14 +2852,8 @@ object Similarity {
     // graph-ANN (s25): beam walk over the kNN graph at the SAME
     // production sizing; cand_frac = the exact-scored (visited)
     // fraction — the vectors whose full embedding the walk read
-    val graphRow = {
+    def mkGraphRow(gb: Int, gh: Int, gk: Int, tag: String = ""): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      // the (gk, beam, hops) knee from tools.GraphGrid at the jittered
-      // 10x corpus (PLANS round 13): gk is the recall lever (0.011 →
-      // 0.033 @ ~same scored%), beam > 4 buys visits but no recall,
-      // hops are cheap with the expansion-tracked walk — so the row
-      // advertises gk=12, B=4, H=4 instead of the smallest passing point
-      val gb = 4; val gh = 4; val gk = 12
       val gEdges = knnJoin(embeddings, gk, 2, cents)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
         .localCheckpoint()
@@ -2817,15 +2870,14 @@ object Similarity {
         .select(col("q_id"), col("c_id").as("neighbor_id"))
       val gFrac = gVisited.groupBy(col("q_id")).agg(count(lit(1)).as("vis"))
         .agg((avg(col("vis")) / n).as("cand_frac"))
-      row(s"graph[B=$gb,H=$gh,gk=$gk]", gApprox, gFrac)
+      row(s"graph$tag[B=$gb,H=$gh,gk=$gk]", gApprox, gFrac)
     }
     // s30: the SAME level-0 budget as the graph row, entered through
     // the hierarchy instead of the k-center seeds — the recall delta
     // between these two rows is exactly what the layered descent buys
     // (localized entry), and its cost delta is the upper-level visits
-    val hierRow = {
+    def mkHierRow(gb: Int, gh: Int, gk: Int, tag: String = ""): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val gb = 4; val gh = 4; val gk = 12
       val hVisited = graphHierWalk(embeddings, nQueries, gb, gh, gk,
           nProbe = 2, maxLevel = 2, upperBeam = 1, upperHops = 2, cents)
         .localCheckpoint()
@@ -2836,9 +2888,32 @@ object Similarity {
         .select(col("q_id"), col("c_id").as("neighbor_id"))
       val hFrac = hVisited.groupBy(col("q_id")).agg(count(lit(1)).as("vis"))
         .agg((avg(col("vis")) / n).as("cand_frac"))
-      row(s"hier[L=2,B=$gb,H=$gh,gk=$gk]", hApprox, hFrac)
+      row(s"hier$tag[L=2,B=$gb,H=$gh,gk=$gk]", hApprox, hFrac)
     }
-    (lshRow +: mtRow +: graphRow +: hierRow +: (ivfRows ++ pqRows ++ ivfPqRows))
+    // the (gk, beam, hops) knee from tools.GraphGrid at the jittered
+    // 10x corpus (PLANS round 13): gk is the recall lever (0.011 →
+    // 0.033 @ ~same scored%), beam > 4 buys visits but no recall,
+    // hops are cheap with the expansion-tracked walk — so the row
+    // advertises gk=12, B=4, H=4 instead of the smallest passing point
+    val graphRow = mkGraphRow(4, 4, 12)
+    val hierRow = mkHierRow(4, 4, 12)
+    // BUDGET-PARITY rows (round 14): the knee rows above exact-score a
+    // smaller candidate fraction than ivf[probe=2], so the sweep's
+    // frontier compared rows at DIFFERENT scored budgets. graph-b /
+    // hier-b walk with the hop count raised until the walk's visit
+    // budget (seeds + H·B·gk per query) reaches ivf[probe=2]'s
+    // measured per-query candidate count — the like-for-like frontier
+    // point that makes "does the graph family ever cross?" a measured
+    // statement instead of a caveat.
+    val ivf2Budget = probeCells(embeddings, nQueries, 2, cents)
+      .join(csizes, "cell")
+      .groupBy(col("q_id")).agg(sum(col("cn")).as("probed"))
+      .agg(avg(col("probed")).as("b")).head().getDouble(0)
+    val bHops = math.max(4, math.ceil((ivf2Budget - 8.0) / (4 * 12)).toInt)
+    val graphBudgetRow = mkGraphRow(4, bHops, 12, tag = "-b")
+    val hierBudgetRow = mkHierRow(4, bHops, 12, tag = "-b")
+    (lshRow +: mtRow +: graphRow +: hierRow +: graphBudgetRow +:
+      hierBudgetRow +: (ivfRows ++ pqRows ++ ivfPqRows))
       .reduce(_.unionByName(_))
   }
 

@@ -372,5 +372,61 @@ private[graft] object GraftProcedures {
       val root = in.getUTF8String(0).toString
       BandIndex.compactRetired(spark, root)
       status(s"compacted $root")
+    },
+
+    // ---- VersionedTable DML (the write verbs the read-side TVFs and
+    // CREATE TABLE ... USING graft lack): every proc delegates to the
+    // SAME VersionedTable/DataSkipping methods the Scala path uses,
+    // so the reference's most important write op (the keyed merge,
+    // queue_for_delta.py:741-799) is reachable from SQL alone ----
+    "table_merge" -> proc("table_merge",
+      Array(strParam("root"), strParam("source"), strParam("keys"),
+            strParamDflt("tie_break", "''"),
+            intParam("column_update", "0"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val src = in.getUTF8String(1).toString
+      val keys = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
+      val tb = in.getUTF8String(3).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val v = VersionedTable.merge(spark, root, spark.table(src), keys, tb,
+        columnUpdate = in.getInt(4) != 0)
+      status(s"merged $src into $root as v$v")
+    },
+    "table_delete" -> proc("table_delete",
+      Array(strParam("root"), strParam("source"), strParam("keys"))) {
+      (spark, in) =>
+        val root = in.getUTF8String(0).toString
+        val src = in.getUTF8String(1).toString
+        val keys = in.getUTF8String(2).toString.split(",").map(_.trim).toSeq
+        val v = VersionedTable.deleteKeys(spark, root, spark.table(src), keys)
+        status(s"deleted $src keys from $root as v$v")
+    },
+    "table_compact" -> proc("table_compact",
+      Array(strParam("root"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val base = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed version at $root"))
+      val v = if (VersionedTable.partitionNative(spark, root, base))
+          VersionedTable.compactPartitioned(spark, root)
+        else VersionedTable.compact(spark, root)
+      status(s"compacted $root as v$v")
+    },
+    "table_zorder" -> proc("table_zorder",
+      Array(strParam("root"), strParam("c1"), strParam("c2"),
+            intParam("n_dirs", "16"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      val base = VersionedTable.currentVersion(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed version at $root"))
+      val v = DataSkipping.zOrderCommit(spark, root,
+        VersionedTable.readAsOf(spark, root, base),
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+        in.getInt(3), base)
+      status(s"z-ordered $root as v$v")
+    },
+    "table_vacuum" -> proc("table_vacuum",
+      Array(strParam("root"), intParam("keep_last", "1"))) { (spark, in) =>
+      val root = in.getUTF8String(0).toString
+      VersionedTable.vacuum(spark, root, keepLast = in.getInt(1))
+      status(s"vacuumed $root keeping ${in.getInt(1)}")
     })
 }

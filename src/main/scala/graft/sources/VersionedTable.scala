@@ -34,14 +34,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Defensively, a zero-length commit file (a legacy writer's crash
   *     window) is treated as UNCOMMITTED everywhere.
   *
-  *     Atomicity caveat, stated honestly: rename-no-replace is truly
-  *     atomic on HDFS; Hadoop's local filesystem and most object
-  *     stores implement it as exists-check-then-rename, so two
-  *     same-instant winners are detectable but not impossible there —
-  *     the same caveat Delta handles with per-store LogStore
-  *     implementations (S3 needs a coordination service; Azure/GCS
-  *     rename is atomic). On a real cluster this class sits on
-  *     HDFS-semantics storage.
+  *     The no-replace arbiter is KERNEL/NAMENODE-atomic on the two
+  *     filesystems this class runs on: link(2) (`Files.createLink`)
+  *     on file:// — EEXIST vs link resolve in one syscall — and
+  *     `FileContext.rename` without OVERWRITE on HDFS
+  *     ([[atomicNoReplace]]). Object stores without atomic
+  *     put-if-absent need external coordination — the same caveat
+  *     Delta handles with per-store LogStore implementations (S3
+  *     needs a coordination service; Azure/GCS rename is atomic).
+  *     All `_log` marker IO additionally runs on the RAW filesystem
+  *     ([[logFs]]), so on a ChecksumFileSystem no `.crc` sidecar
+  *     exists to interleave across concurrent publishes.
   *
   * What this buys over [[LakehouseWriter.mergeInto]]'s
   * merge-and-rewrite: readers NEVER observe a window where the table
@@ -94,6 +97,26 @@ object VersionedTable {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
+  /** The filesystem `_log` MARKER IO runs on. On Hadoop's local FS
+    * (a ChecksumFileSystem) every create writes a hidden `.f.crc`
+    * sidecar and every open verifies against it — so a marker file
+    * and its sidecar are two separate objects that concurrent
+    * publishes can interleave, leaving a committed marker carrying a
+    * foreign checksum (permanently unreadable = a poisoned commit;
+    * reproduced by the interleaved-committers spec). Markers are
+    * tiny, written whole behind an atomic arbiter, and their content
+    * is self-validating (version-named, line-structured), so
+    * client-side checksumming buys nothing here: route ALL `_log`
+    * reads/writes through the RAW filesystem — no sidecar can ever
+    * exist, so none can ever poison. HDFS and object stores are not
+    * ChecksumFileSystems; there this is the plain FS. Data-file IO
+    * (parquet snapshots) keeps the checksummed FS untouched. */
+  private def logFs(spark: SparkSession, root: String): org.apache.hadoop.fs.FileSystem =
+    fs(spark, root) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def verName(v: Long) = f"v$v%08d"
@@ -135,10 +158,13 @@ object VersionedTable {
     catch { case _: java.io.FileNotFoundException => false }
 
   /** Version the newest checkpoint covers, if a readable pointer
-    * exists. Best-effort: any failure falls back to the listing. */
-  private def lastCheckpointVersion(f: org.apache.hadoop.fs.FileSystem,
+    * exists. Best-effort: any failure falls back to the listing.
+    * Raw-FS reads ([[logFs]]): the pointer is create-overwrite, so a
+    * checksummed read racing a rewrite could fail on a stale sidecar. */
+  private def lastCheckpointVersion(spark: SparkSession,
                                     root: String): Option[Long] =
     try {
+      val f = logFs(spark, root)
       val in = f.open(p(s"$root/_log/_last_checkpoint"))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
               finally in.close()
@@ -147,9 +173,10 @@ object VersionedTable {
     } catch { case _: Exception => None }
 
   /** Full version->entries state at the newest checkpoint, if any. */
-  private def checkpointState(f: org.apache.hadoop.fs.FileSystem,
+  private def checkpointState(spark: SparkSession,
                               root: String): Option[Map[Long, Seq[Entry]]] =
-    lastCheckpointVersion(f, root).map { cp =>
+    lastCheckpointVersion(spark, root).map { cp =>
+      val f = logFs(spark, root)
       val in = f.open(p(s"$root/_log/${verName(cp)}.checkpoint"))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
@@ -167,7 +194,7 @@ object VersionedTable {
     * listing. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
-    lastCheckpointVersion(f, root) match {
+    lastCheckpointVersion(spark, root) match {
       case Some(cp) =>
         var v = cp
         var reads = 1 // the pointer
@@ -211,23 +238,18 @@ object VersionedTable {
     * against entry pairs. */
   private[graft] def encodePartition(v: String): String = enc(v)
 
-  /** The entries a version's commit file publishes. Lines starting
-    * with `#` are commit METADATA (e.g. the `#txn` idempotence marker
-    * the streaming sink writes), not data entries — skipped here, and
-    * never copied into checkpoints or carried entry lists. */
-  /** Read a committed marker's text. On Hadoop's ChecksumFileSystem
-    * (local FS) the publish rename moves the data file and its .crc
-    * sidecar as TWO operations, so a reader racing a concurrent
-    * publish can observe a transient data/crc mismatch — a
-    * ChecksumException here is a RACE, not corruption (the marker was
-    * written whole behind an atomic data-file rename). Bounded retry,
-    * then rethrow: persistent mismatch IS corruption and must
-    * surface. HDFS renames atomically; the retry never triggers
-    * there. (Found live: an interleaved-committer race under heavy
-    * box load read v5's marker between the two renames.) */
+  /** Read a committed marker's text — through the raw FS ([[logFs]]),
+    * so on the local filesystem no `.crc` sidecar is ever consulted
+    * (markers written by the current protocol never have one; a
+    * legacy sidecar from an older layout is simply ignored). The
+    * bounded ChecksumException retry below is kept purely as
+    * DOCUMENTED DEFENSE for checksummed remote stores where a
+    * replication-lagged replica can serve a transient mismatch; with
+    * raw local marker IO it cannot trigger locally. Persistent
+    * mismatch IS corruption and must surface. */
   private def readCommitText(spark: SparkSession, root: String,
                              v: Long): String = {
-    val f = fs(spark, root)
+    val f = logFs(spark, root)
     var attempt = 0
     while (true) {
       try {
@@ -244,6 +266,10 @@ object VersionedTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The entries a version's commit file publishes. Lines starting
+    * with `#` are commit METADATA (e.g. the `#txn` idempotence marker
+    * the streaming sink writes), not data entries — skipped here, and
+    * never copied into checkpoints or carried entry lists. */
   private def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] =
     readCommitText(spark, root, v)
       .split("\n").map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -382,9 +408,17 @@ object VersionedTable {
     * scan planning. Same optimistic-concurrency protocol as
     * [[commit]].
     */
-  def append(spark: SparkSession, root: String, df: DataFrame, base: Long): Long =
+  def append(spark: SparkSession, root: String, df: DataFrame, base: Long,
+             txn: Option[(String, Long)] = None): Long =
     stageAndCommit(spark, root, df, base,
-      carryOver = if (base < 0) Nil else entriesOf(spark, root, base))
+      carryOver = if (base < 0) Nil else entriesOf(spark, root, base),
+      meta = txnLines(txn))
+
+  /** The `#txn appId batchId` meta line an idempotent write carries
+    * in its atomic commit (see [[appendRebaseTxn]]), if any. */
+  private def txnLines(txn: Option[(String, Long)]): Seq[String] =
+    txn.toSeq.map { case (a, b) =>
+      s"#txn\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$b" }
 
   /** Append with AUTOMATIC conflict rebase — Delta's append-only
     * conflict rule realized on this log: a pure add-file commit reads
@@ -589,7 +623,8 @@ object VersionedTable {
     * the partition layout. Same optimistic-concurrency protocol as
     * [[append]]. */
   def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
-                        partitionCol: String, base: Long): Long = {
+                        partitionCol: String, base: Long,
+                        txn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, root)
     val next = base + 1
     val src = df.localCheckpoint()
@@ -600,7 +635,7 @@ object VersionedTable {
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next, carry ++ entries,
             onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
-            meta = Seq(partColMetaLine(partitionCol)))
+            meta = Seq(partColMetaLine(partitionCol)) ++ txnLines(txn))
     next
   }
 
@@ -745,27 +780,56 @@ object VersionedTable {
     next
   }
 
+  /** The lose-or-win point: move `tmp` onto `target` iff `target`
+    * does not exist, ATOMICALLY. On file:// the arbiter is link(2)
+    * via `Files.createLink` — the kernel resolves EEXIST vs link
+    * inside one syscall, so two same-instant publishers get exactly
+    * one winner. (Hadoop's local rename and Java's `Files.move`
+    * without REPLACE_EXISTING both pre-check existence in userspace —
+    * a check-then-act window this path used to have; two
+    * barrier-released committers both passed it and double-published,
+    * reproduced by the interleaved-committers spec.) On HDFS,
+    * `FileContext.rename` without OVERWRITE is atomic in the
+    * NameNode; object stores need external coordination (Delta's
+    * LogStore caveat — class doc). Returns whether we won; the link
+    * arbiter intentionally leaves `tmp` for the caller to remove. */
+  private def atomicNoReplace(spark: SparkSession,
+                              f: org.apache.hadoop.fs.FileSystem,
+                              tmp: org.apache.hadoop.fs.Path,
+                              target: org.apache.hadoop.fs.Path): Boolean = {
+    val uri = f.makeQualified(target).toUri
+    if (uri.getScheme == "file") {
+      val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      try { java.nio.file.Files.createLink(java.nio.file.Paths.get(uri), src); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      org.apache.hadoop.fs.FileContext.getFileContext(uri,
+        spark.sparkContext.hadoopConfiguration).rename(tmp, target)
+      true
+    }
+  }
+
   /** The atomic publish: full commit content to a writer-unique temp
-    * file, then rename-no-replace onto the commit name. Also writes
-    * the periodic log checkpoint after winning. */
+    * file (raw FS — [[logFs]] — so no checksum sidecar ever exists to
+    * race), then [[atomicNoReplace]] onto the commit name. Also
+    * writes the periodic log checkpoint after winning. */
   private def publish(spark: SparkSession, root: String, next: Long,
                       entries: Seq[Entry], onConflictCleanup: () => Unit,
                       meta: Seq[String] = Nil): Unit = {
-    val f = fs(spark, root)
+    val f = logFs(spark, root)
     f.mkdirs(p(s"$root/_log"))
     val tmp = p(s"$root/_log/.tmp-${verName(next)}-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, /* overwrite = */ false)
     try out.write((entries.map(_.line) ++ meta).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = commitPath(root, next)
-    // defensive pre-check + no-replace rename: on HDFS the rename is
-    // the atomic arbiter; on local FS / object stores the pre-check
-    // narrows (not closes) the race window — see class doc caveat.
+    // fast-path pre-check (skip the arbiter when the version is
+    // visibly taken), then the ATOMIC no-replace arbiter decides.
     // A ZERO-LENGTH target is a crashed legacy writer's garbage, which
     // currentVersion already treats as uncommitted — it must not win
     // the pre-check or the version would be permanently unwritable
     // (every writer re-resolving to the same base and conflicting
-    // forever); delete it and let the rename arbitrate.
+    // forever); delete it and let the arbiter arbitrate.
     val won =
       try {
         val existingLen =
@@ -774,13 +838,11 @@ object VersionedTable {
         if (existingLen.exists(_ > 0)) false
         else {
           existingLen.foreach(_ => f.delete(target, false))
-          org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
-            spark.sparkContext.hadoopConfiguration).rename(tmp, target)
-          true
+          atomicNoReplace(spark, f, tmp, target)
         }
       } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    f.delete(tmp, false) // link arbiter leaves tmp behind; no-op after a rename
     if (!won) {
-      f.delete(tmp, false)
       onConflictCleanup()
       throw new VersionConflictException(next)
     }
@@ -793,8 +855,8 @@ object VersionedTable {
     * fallback listing path stays correct. */
   private def writeCheckpoint(spark: SparkSession, root: String, v: Long): Unit =
     try {
-      val f = fs(spark, root)
-      val prior = checkpointState(f, root).getOrElse(Map.empty)
+      val f = logFs(spark, root)
+      val prior = checkpointState(spark, root).getOrElse(Map.empty)
       val versions = f.listStatus(p(s"$root/_log"))
         .filter(st => st.getPath.getName.matches("v\\d{8}\\.commit") && st.getLen > 0)
         .map(_.getPath.getName.stripPrefix("v").stripSuffix(".commit").toLong)
@@ -996,6 +1058,24 @@ object VersionedTable {
     stageAndCommit(spark, root, df, base,
                    carryOver = carried.map { case (rel, pv) => Entry(rel, pv) },
                    meta = inheritMeta(spark, root, base))
+
+  /** KEYED DELETE: commit a new version holding every current row
+    * whose key does NOT appear in `victims` — the `whenMatchedDelete`
+    * half of the reference's merge (queue_for_delta.py tombstones),
+    * as its own verb. O(table) rewrite by design (the simple tier;
+    * [[mergePartitioned]] with a tombstone column is the O(touched)
+    * tier) under the same optimistic-concurrency publish as
+    * [[merge]]. Returns the new version. */
+  def deleteKeys(spark: SparkSession, root: String, victims: DataFrame,
+                 keys: Seq[String]): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val kept = readAsOf(spark, root, base)
+      .join(victims.select(keys.map(org.apache.spark.sql.functions.col): _*)
+              .distinct(),
+            keys, "left_anti")
+    commit(spark, root, kept, base)
+  }
 
   /** The shared PARTITION-SCOPED REWRITE primitive: stage `df` one dir
     * per touched partition value, and publish `base + 1` with
@@ -1217,7 +1297,7 @@ object VersionedTable {
       val names = f.listStatus(ld).map(_.getPath.getName)
       val versions = names.filter(_.matches("v\\d{8}\\.commit"))
         .map(_.stripPrefix("v").stripSuffix(".commit").toLong)
-      val cpMap = checkpointState(f, root).getOrElse(Map.empty)
+      val cpMap = checkpointState(spark, root).getOrElse(Map.empty)
       def entries(v: Long): Seq[Entry] =
         cpMap.getOrElse(v, entriesOf(spark, root, v))
       // refresh the checkpoint to the current version BEFORE expiring
@@ -1226,7 +1306,7 @@ object VersionedTable {
       // at the gap and resolve currentVersion to a deleted version —
       // after which a writer could commit over it and shadow the real
       // head. With this order a crash mid-vacuum only redoes deletions.
-      if (lastCheckpointVersion(f, root).exists(_ < cur))
+      if (lastCheckpointVersion(spark, root).exists(_ < cur))
         writeCheckpoint(spark, root, cur)
       val retained: Set[String] = versions.filter(_ >= cutoff)
         .flatMap(v => entries(v).map(_.rel)).toSet
@@ -1245,7 +1325,7 @@ object VersionedTable {
         .map(_.stripPrefix("v").stripSuffix(".stats").toLong)
         .filter(v => v < cutoff)
         .foreach(v => f.delete(p(s"$root/_log/${verName(v)}.stats"), false))
-      val newestCp = lastCheckpointVersion(f, root).getOrElse(Long.MinValue)
+      val newestCp = lastCheckpointVersion(spark, root).getOrElse(Long.MinValue)
       names.filter(_.matches("v\\d{8}\\.checkpoint"))
         .map(_.stripPrefix("v").stripSuffix(".checkpoint").toLong)
         .filter(v => v != newestCp && v != cur)

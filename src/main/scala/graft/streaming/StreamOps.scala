@@ -801,6 +801,184 @@ object StreamOps {
     out
   }
 
+  // ---- st16/st17: streaming graph-/gram-index ingest -------------------
+
+  /** Pristine per-corpus st16 fixtures (the st15 discipline): seed
+    * GraphIndex built on vec_id%3==0 + the two-commit arrivals table.
+    * Each drain COPIES the seed index (ingest mutates it) and reads
+    * the arrivals in place. */
+  private val st16FixtureCache = new graft.operators.Caching.BoundedCache[
+      (org.apache.spark.sql.SparkSession, String), String](4,
+    onEvict = dir =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
+
+  private def st16Fixture(spark: org.apache.spark.sql.SparkSession,
+                          embeddings: DataFrame): (String, Boolean) = {
+    import graft.operators.{Caching, GraphIndex, Similarity}
+    import graft.sources.VersionedTable
+    def build(): String = {
+      // keep the full frame: knnJoin's cell assignment carries `label`
+      val emb = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-st16-fix").toString
+      GraphIndex.build(spark, s"$dir/graphindex",
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        centIds = Similarity.streamIngestCentroids)
+      val v0 = VersionedTable.commit(spark, s"$dir/arrivals",
+        emb.filter(pmod(col("vec_id"), lit(3)) === 1), -1L)
+      VersionedTable.append(spark, s"$dir/arrivals",
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2), v0)
+      dir
+    }
+    if (!graft.operators.Caching.bareScan(embeddings)) (build(), true)
+    else {
+      val stamp = graft.operators.Caching.stamp(embeddings)
+      if (stamp.isEmpty) (build(), true)
+      else (st16FixtureCache.getOrElseUpdate((spark, stamp))(build()), false)
+    }
+  }
+
+  /** st16: streaming GRAPH-INDEX INGEST under the oracle gate —
+    * st12's discipline for the kNN graph: a [[graft.operators.GraphIndex]]
+    * seeded from vec_id%3==0 receives two arrival batches (%3==1 then
+    * %3==2; graft-table commits drained with maxVersionsPerTrigger=1 →
+    * batch boundary == commit boundary), each micro-batch ONE
+    * [[graft.operators.GraphIndex.ingest]] against the corpus AS GROWN
+    * AT ITS COMMIT (deterministic because batch == commit), txn-marked
+    * so a re-executed batch appends nothing twice. The drained index
+    * is then probed with the standard walk. Cross-batch reachability
+    * is the live property the spec pins: a batch-2 walk reaches a
+    * batch-1 arrival through the REVERSED edges its ingest appended a
+    * commit earlier. DuckDB replays the grown adjacency as three
+    * prefixed kNN chains + the shared beam-walk tail
+    * (Similarity.streamGraphIngestOracle). */
+  def streamGraphIngestDrain(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import graft.operators.{GraphIndex, Similarity}
+    val (fixture, ephemeral) = st16Fixture(spark, embeddings)
+    val work = java.nio.file.Files.createTempDirectory("graft-st16").toString
+    val idx = s"$work/graphindex"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$fixture/graphindex"), new java.io.File(idx))
+    val emb = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(s"$fixture/arrivals")
+      .writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the grown corpus at this commit: seed ∪ arrival commits
+        // <= batchId (newVecs ⊆ corpus, the ingest contract)
+        val corpus = if (batchId == 0L)
+          emb.filter(pmod(col("vec_id"), lit(3)) =!= 2) else emb
+        GraphIndex.ingest(spark, idx, corpus,
+          batch.select(col("vec_id"), col("embedding")),
+          centIds = Similarity.streamIngestCentroids,
+          txn = Some(("st16_graph_ingest", batchId)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val out = GraphIndex.probe(spark, idx, embeddings).localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    out
+  }
+
+  /** Pristine per-corpus st17 fixtures: seed GramIndex built on
+    * doc_id%3==0 + the two-commit arrivals table (the st16 shape for
+    * the positional-gram posting index). */
+  private val st17FixtureCache = new graft.operators.Caching.BoundedCache[
+      (org.apache.spark.sql.SparkSession, String), String](4,
+    onEvict = dir =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
+
+  private def st17Fixture(spark: org.apache.spark.sql.SparkSession,
+                          documents: DataFrame): (String, Boolean) = {
+    import graft.operators.GramIndex
+    import graft.sources.VersionedTable
+    def build(): String = {
+      val docs = documents.select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-st17-fix").toString
+      GramIndex.build(spark, s"$dir/gramindex",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+      val v0 = VersionedTable.commit(spark, s"$dir/arrivals",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), -1L)
+      VersionedTable.append(spark, s"$dir/arrivals",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2), v0)
+      dir
+    }
+    if (!graft.operators.Caching.bareScan(documents)) (build(), true)
+    else {
+      val stamp = graft.operators.Caching.stamp(documents)
+      if (stamp.isEmpty) (build(), true)
+      else (st17FixtureCache.getOrElseUpdate((spark, stamp))(build()), false)
+    }
+  }
+
+  /** st17: streaming GRAM-INDEX INGEST under the oracle gate — st16's
+    * twin for the positional-gram span index (d15's probe as the
+    * scoring kernel): a [[graft.operators.GramIndex]] seeded from
+    * doc_id%3==0 receives two arrival batches (%3==1 then %3==2;
+    * batch == commit), each micro-batch PROBES the index at its batch
+    * start (cross spans against everything already indexed) and then
+    * APPENDS its own postings txn-marked — so batch 2's spans include
+    * matches against batch 1's documents through the O(batch) posting
+    * append one commit earlier (the cross-batch property), and a
+    * re-executed batch neither double-appends nor double-lands.
+    * Output: landed spans per arrival batch. DuckDB replays both
+    * probes relationally — batch 0 against the hot-capped seed
+    * postings, batch 1 against seed ∪ batch-0 postings appended
+    * WITHOUT a cap re-check, the literal append contract
+    * (Dedup.streamGramIngestOracle). */
+  def streamGramIngestDrain(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import graft.operators.GramIndex
+    import graft.sources.VersionedTable
+    val (fixture, ephemeral) = st17Fixture(spark, documents)
+    val work = java.nio.file.Files.createTempDirectory("graft-st17").toString
+    val idx = s"$work/gramindex"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$fixture/gramindex"), new java.io.File(idx))
+    val landedT = s"$work/landed"
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(s"$fixture/arrivals")
+      .writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // probe BEFORE append: a batch's spans are judged against the
+        // index at its commit boundary, never against itself
+        val spans = GramIndex.probe(spark, idx, batch)
+          .withColumn("arrival_batch", lit(batchId))
+          .select(col("arrival_batch"), col("batch_doc"), col("corpus_doc"),
+                  col("b_start"), col("c_start"), col("span_toks"))
+          .localCheckpoint()
+        GramIndex.append(spark, idx, batch,
+          txn = Some(("st17_gram_ingest", batchId)))
+        if (!spans.isEmpty)
+          VersionedTable.currentVersion(spark, landedT) match {
+            case Some(v) => VersionedTable.append(spark, landedT, spans, v)
+            case None    => VersionedTable.commit(spark, landedT, spans, -1L)
+          }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val landedAll = VersionedTable.currentVersion(spark, landedT) match {
+      case Some(_) => VersionedTable.read(spark, landedT)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("arrival_batch", "long").add("batch_doc", "long")
+          .add("corpus_doc", "long").add("b_start", "long")
+          .add("c_start", "long").add("span_toks", "long"))
+    }
+    val out = landedAll
+      .orderBy(col("arrival_batch"), col("batch_doc"), col("corpus_doc"),
+               col("b_start"), col("c_start"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    out
+  }
+
   val lakeCdcOracle: String =
     """WITH ch AS (
          SELECT o_orderkey, o_orderstatus,

@@ -816,6 +816,211 @@ class GraftSpec extends AnyFunSuite {
       s"arrival not served as top-1 after ingest: ${post.toSeq}")
   }
 
+  test("GraphIndex hierarchy-aware ingest: a high-level arrival routes entries immediately; ingested hierarchy equals a from-scratch rebuild") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{GraphIndex, Similarity}
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // the s30 arc fixture: clusters A/B/C, level-0 edges never cross
+    // clusters; ids 2/5/10 are the only level>=1 ids (one per
+    // cluster). Build WITHOUT cluster C's upper node (10) and the
+    // query's twin (23) — then ingest both. Pre-fix, ingest appended
+    // level 0 only: the descent entered at {2,5}, no upper edge led
+    // to C, and the twin stayed unreachable until the next buildHier.
+    val rows = Seq(
+      (0L, v(0.170, 0.9855, 0.0, 0.0), 0),
+      (2L, v(1.0, 0.0, 0.0, 0.0), 0),
+      (3L, v(0.999, 0.045, 0.0, 0.0), 0),
+      (4L, v(0.998, 0.063, 0.0, 0.0), 0),
+      (7L, v(0.9995, 0.0314, 0.0, 0.0), 0),
+      (5L, v(0.643, 0.766, 0.0, 0.0), 0),
+      (8L, v(0.646, 0.763, 0.0, 0.0), 0),
+      (11L, v(0.640, 0.768, 0.01, 0.0), 0),
+      (12L, v(0.649, 0.760, 0.0, 0.01), 0),
+      (10L, v(0.172, 0.9851, 0.0, 0.0), 0), // arrival: level>=2, cluster C
+      (15L, v(0.176, 0.9844, 0.0, 0.0), 0),
+      (16L, v(0.180, 0.9837, 0.0, 0.0), 0),
+      (19L, v(0.184, 0.9829, 0.0, 0.0), 0),
+      (23L, v(0.171, 0.9853, 0.0, 0.0), 0)  // arrival: level 0, the twin
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq(3L, 8L, 15L)
+    val old = rows.filter(!col("vec_id").isin(10L, 23L))
+    val root = java.nio.file.Files.createTempDirectory("graft_hing").toString + "/ix"
+    GraphIndex.buildHier(spark, root, old, nSeeds = 2, centIds = cents)
+    val pre = GraphIndex.probeHier(spark, root, rows, maxQueryId = 1, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!pre.contains(23L) && !pre.contains(10L),
+      s"unindexed arrivals surfaced before ingest: $pre")
+    GraphIndex.ingest(spark, root, rows, rows.filter(col("vec_id").isin(10L, 23L)),
+      centIds = cents)
+    // the high-level arrival routes entries NOW: the descent crosses
+    // to cluster C through 10's upper-level (reverse) edges and the
+    // level-0 walk finds the twin
+    val post = GraphIndex.probeHier(spark, root, rows, maxQueryId = 1, k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(post.nonEmpty && post.head.getAs[Long]("neighbor_id") == 23L,
+      s"descent did not route through the ingested upper node: ${post.toSeq}")
+    // ...and it was the HIERARCHY that did it: the flat walk over the
+    // same ingested index (same level-0 budget, build-time seeds)
+    // still cannot cross into cluster C
+    val flat = GraphIndex.probe(spark, root, rows, maxQueryId = 1, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!flat.contains(23L),
+      s"flat walk reached the twin — the fixture no longer isolates: $flat")
+    // hierarchy row census: the arrival owns a row per touched level,
+    // and its upper-level peers carry reverse fragments pointing at it
+    val hn = VersionedTable.read(spark, s"$root/hnodes")
+    for (l <- 1 to 2) {
+      assert(!hn.filter(col("vec_id") === 10L && col("lvl") === l).isEmpty,
+        s"ingested arrival missing its level-$l record")
+      assert(!hn.filter(col("lvl") === l &&
+          org.apache.spark.sql.functions.array_contains(col("nbrs"), 10L) &&
+          col("vec_id") =!= 10L).isEmpty,
+        s"no reverse edge to the arrival at level $l")
+    }
+    // level-0 arrival (23) must NOT leak into the hierarchy
+    assert(hn.filter(col("vec_id") === 23L).isEmpty,
+      "level-0 arrival got hierarchy rows")
+    // on this fixture the ingested hierarchy's edge SET equals a
+    // from-scratch buildHier on the grown corpus (upper subsets are
+    // {2,5,10}, graphK=3 keeps every mutual pair), so the descent
+    // must match the rebuild bit-for-bit
+    val root2 = java.nio.file.Files.createTempDirectory("graft_hing2").toString + "/ix"
+    GraphIndex.buildHier(spark, root2, rows, nSeeds = 2, centIds = cents)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+       r.getAs[Long]("neighbor_id"))).toSet
+    assert(rset(GraphIndex.probeHier(spark, root, rows, maxQueryId = 1, k = 3))
+        == rset(GraphIndex.probeHier(spark, root2, rows, maxQueryId = 1, k = 3)),
+      "ingested hierarchy diverged from the from-scratch rebuild")
+  }
+
+  test("st16 streaming graph ingest: drain equals the batch twin; a non-seed arrival is served; ingest is txn-idempotent per commit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{GraphIndex, Similarity}
+    import graft.sources.VersionedTable
+    def rset(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+       r.getAs[Long]("neighbor_id"))).toSet
+    val out = SparkEntry.queries("st16_stream_graph_ingest")(spark, sf).collect()
+    // batch twin: the same build → ingest(commit 0) → ingest(commit 1)
+    // → probe sequence through the public API outside any stream
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val root = java.nio.file.Files.createTempDirectory("graft_st16_twin")
+      .toString + "/ix"
+    GraphIndex.build(spark, root, emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      centIds = Similarity.streamIngestCentroids)
+    GraphIndex.ingest(spark, root, emb.filter(pmod(col("vec_id"), lit(3)) =!= 2),
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      centIds = Similarity.streamIngestCentroids)
+    val nvAfter1 = VersionedTable.currentVersion(spark, s"$root/nodes").get
+    // txn idempotence: replaying commit 0's ingest appends NOTHING
+    GraphIndex.ingest(spark, root, emb.filter(pmod(col("vec_id"), lit(3)) =!= 2),
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      centIds = Similarity.streamIngestCentroids, txn = Some(("st16_twin", 0L)))
+    // (the first ingest carried no marker, so batch 0 must be
+    // replayed ONCE with the marker to establish it, then skipped)
+    val nvMarked = VersionedTable.currentVersion(spark, s"$root/nodes").get
+    GraphIndex.ingest(spark, root, emb.filter(pmod(col("vec_id"), lit(3)) =!= 2),
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      centIds = Similarity.streamIngestCentroids, txn = Some(("st16_twin", 0L)))
+    assert(VersionedTable.currentVersion(spark, s"$root/nodes").get == nvMarked,
+      "a replayed txn-marked ingest appended a new version")
+    assert(nvMarked == nvAfter1 + 1, "marker-establishing ingest did not append")
+    // rebuild the twin cleanly (the marker experiment double-ingested
+    // batch 1's edges — harmless for reachability, wrong for equality)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_st16_twin2")
+      .toString + "/ix"
+    GraphIndex.build(spark, root2, emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      centIds = Similarity.streamIngestCentroids)
+    GraphIndex.ingest(spark, root2, emb.filter(pmod(col("vec_id"), lit(3)) =!= 2),
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      centIds = Similarity.streamIngestCentroids)
+    GraphIndex.ingest(spark, root2, emb,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 2),
+      centIds = Similarity.streamIngestCentroids)
+    val twin = GraphIndex.probe(spark, root2, Tables.embeddings(spark, sf))
+      .collect()
+    assert(rset(out) == rset(twin),
+      s"stream drain diverged from the batch twin")
+    // the ingested arrivals are LIVE in the served results: some
+    // non-seed id (an arrival from either commit) ranks in the top-k
+    assert(out.exists(_.getAs[Long]("neighbor_id") % 3 != 0),
+      "no arrival served — the ingest rows are dead weight")
+  }
+
+  test("st17 streaming gram ingest: drain equals the batch twin; batch-2 spans reach batch-1 docs; append is txn-idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.GramIndex
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val out = SparkEntry.queries("st17_stream_gram_ingest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSet
+    // batch twin: build seed → probe b1 → append b1 → probe b2 outside
+    // any stream
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_st17_twin")
+      .toString + "/gx"
+    GramIndex.build(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    def spansOf(mod: Int, b: Long): Set[(Long, Long, Long, Long, Long, Long)] =
+      GramIndex.probe(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === mod))
+        .collect().map(r => (b, r.getAs[Long]("batch_doc"),
+          r.getAs[Long]("corpus_doc"), r.getAs[Long]("b_start"),
+          r.getAs[Long]("c_start"), r.getAs[Long]("span_toks"))).toSet
+    val s1 = spansOf(1, 0L)
+    GramIndex.append(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val vAfter = VersionedTable.currentVersion(spark, root).get
+    // txn idempotence: a marked replay of the same batch is a no-op
+    GramIndex.append(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      txn = Some(("st17_twin", 0L)))
+    val vMarked = VersionedTable.currentVersion(spark, root).get
+    assert(vMarked == vAfter + 1, "marker-establishing append did not commit")
+    GramIndex.append(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      txn = Some(("st17_twin", 0L)))
+    assert(VersionedTable.currentVersion(spark, root).get == vMarked,
+      "a replayed txn-marked append committed a new version")
+    // the marker experiment double-appended batch 1 — rebuild cleanly
+    val root2 = java.nio.file.Files.createTempDirectory("graft_st17_twin2")
+      .toString + "/gx"
+    GramIndex.build(spark, root2, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    def spansOf2(mod: Int, b: Long): Set[(Long, Long, Long, Long, Long, Long)] =
+      GramIndex.probe(spark, root2, docs.filter(pmod(col("doc_id"), lit(3)) === mod))
+        .collect().map(r => (b, r.getAs[Long]("batch_doc"),
+          r.getAs[Long]("corpus_doc"), r.getAs[Long]("b_start"),
+          r.getAs[Long]("c_start"), r.getAs[Long]("span_toks"))).toSet
+    val s1b = spansOf2(1, 0L)
+    assert(s1 == s1b)
+    GramIndex.append(spark, root2, docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val s2 = spansOf2(2, 1L)
+    assert(out == (s1b ++ s2), "stream drain diverged from the batch twin")
+    // cross-batch reachability, engineered: a 20-token span shared by
+    // a batch-1 doc (id%3==1) and a batch-2 doc (id%3==2), seed
+    // unrelated — batch 2's probe must match THROUGH batch 1's
+    // appended postings
+    val shared = (1 to 20).map(i => s"xq$i").mkString(" ")
+    val mini = Seq(
+      (3L, "seed words only nothing shared here at all " +
+        (1 to 12).map(i => s"z$i").mkString(" ")),
+      (7L, s"prefix one $shared suffix one"),
+      (11L, s"other lead-in $shared and a tail")
+    ).toDF("doc_id", "text")
+    val root3 = java.nio.file.Files.createTempDirectory("graft_st17_x")
+      .toString + "/gx"
+    GramIndex.build(spark, root3, mini.filter(col("doc_id") === 3L))
+    assert(GramIndex.probe(spark, root3,
+      mini.filter(col("doc_id") === 7L)).isEmpty)
+    GramIndex.append(spark, root3, mini.filter(col("doc_id") === 7L))
+    val cross = GramIndex.probe(spark, root3, mini.filter(col("doc_id") === 11L))
+      .collect()
+    assert(cross.nonEmpty &&
+      cross.forall(_.getAs[Long]("corpus_doc") == 7L) &&
+      cross.exists(_.getAs[Long]("span_toks") >= 16L),
+      s"batch-2 probe did not reach the batch-1 doc: ${cross.toSeq}")
+  }
+
   test("GraphIndex delete: retirement is O(batch) and total — victims vanish from probes; compact purges physically and changes nothing") {
     import org.apache.spark.sql.functions.col
     import graft.operators.GraphIndex
@@ -1181,6 +1386,56 @@ class GraftSpec extends AnyFunSuite {
     assert(sqlProbe() == spans(GramIndex.probe(spark, clean,
         Seq((20L, probeDoc)).toDF("doc_id", "text")).collect()),
       "SQL-driven gram lifecycle diverged from the never-held-victim rebuild")
+  }
+
+  test("SQL front door: VersionedTable DML (merge/delete/zorder/compact/vacuum) driven by CALL procedures only, pinned to the Scala arm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{DataSkipping, VersionedTable}
+    spark.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sources.GraftProcedureCatalog")
+    val base = java.nio.file.Files.createTempDirectory("graft_tblsql").toString
+    val rootSql = s"$base/sqlarm"; val rootSc = s"$base/scalaarm"
+    def tbl(rows: (Long, String, Double)*) = rows.toSeq.toDF("k", "rt", "qty")
+    val seed = tbl((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+    val upd = tbl((2L, "a", 25.0), (4L, "b", 40.0)) // update + insert
+    val vic = Seq(3L).toDF("k")
+    seed.createOrReplaceTempView("tblsql_seed")
+    upd.createOrReplaceTempView("tblsql_upd")
+    vic.createOrReplaceTempView("tblsql_vic")
+    // SQL arm: the reference's whole write lifecycle (keyed merge =
+    // queue_for_delta.py's op, tombstone delete, layout maintenance,
+    // history reclaim) with no Scala in the loop
+    spark.sql(s"CALL graft_sys.table_merge(root => '$rootSql', " +
+      "source => 'tblsql_seed', keys => 'k', tie_break => 'qty')").collect()
+    spark.sql(s"CALL graft_sys.table_merge(root => '$rootSql', " +
+      "source => 'tblsql_upd', keys => 'k', tie_break => 'qty')").collect()
+    spark.sql(s"CALL graft_sys.table_delete(root => '$rootSql', " +
+      "source => 'tblsql_vic', keys => 'k')").collect()
+    spark.sql(s"CALL graft_sys.table_zorder(root => '$rootSql', " +
+      "c1 => 'k', c2 => 'qty', n_dirs => 4)").collect()
+    spark.sql(s"CALL graft_sys.table_compact(root => '$rootSql')").collect()
+    spark.sql(s"CALL graft_sys.table_vacuum(root => '$rootSql', " +
+      "keep_last => 1)").collect()
+    // Scala arm: the SAME methods, called directly
+    VersionedTable.merge(spark, rootSc, seed, Seq("k"), Seq("qty"))
+    VersionedTable.merge(spark, rootSc, upd, Seq("k"), Seq("qty"))
+    VersionedTable.deleteKeys(spark, rootSc, vic, Seq("k"))
+    DataSkipping.zOrderCommit(spark, rootSc, VersionedTable.read(spark, rootSc),
+      "k", "qty", 4, VersionedTable.currentVersion(spark, rootSc).get)
+    VersionedTable.compactPartitioned(spark, rootSc)
+    VersionedTable.vacuum(spark, rootSc, keepLast = 1)
+    def rows(root: String) = VersionedTable.read(spark, root)
+      .select(col("k"), col("rt"), col("qty")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows(rootSql) == rows(rootSc),
+      "SQL-driven table DML diverged from the Scala arm")
+    assert(rows(rootSql) ==
+      Set((1L, "a", 10.0), (2L, "a", 25.0), (4L, "b", 40.0)))
+    // vacuum reclaimed history but kept the head readable
+    intercept[Exception] {
+      VersionedTable.readAsOf(spark, rootSql, 0L).collect()
+    }
   }
 
   test("SQL front door: the BandIndex lifecycle driven end-to-end by CALL procedures only") {
@@ -3570,6 +3825,69 @@ class GraftSpec extends AnyFunSuite {
     for (v <- 0L to (n + 1).toLong) {
       assert(VersionedTable.entryPairsOf(spark, root, v).size == v + 1)
       assert(VersionedTable.readAsOf(spark, root, v).count() == v + 1)
+    }
+  }
+
+  test("VersionedTable: publish arbiter STRESS — 50 barrier-released races, " +
+       "one winner each, no marker ever carries a foreign checksum") {
+    // The round-13 failure mode: the old exists-check-then-rename
+    // arbiter let two barrier-released committers BOTH pass the
+    // pre-check; the marker and its ChecksumFileSystem .crc sidecar
+    // interleaved across the two winners, leaving a committed marker
+    // permanently unreadable (ChecksumException) and a silent
+    // double-publish. The fix is structural (link(2) arbiter + raw-FS
+    // marker IO), so the proof is a stress loop, not a single shot.
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val root = java.nio.file.Files.createTempDirectory("graft_vtstress").toString + "/t"
+    def tbl(rows: (Long, Double)*) = rows.toSeq.toDF("suppkey", "qty")
+    assert(VersionedTable.append(spark, root, tbl(0L -> 0.0), base = -1L) == 0L)
+    val pool = Executors.newFixedThreadPool(2)
+    val rounds = 50
+    for (r <- 0 until rounds) {
+      val gate = new CyclicBarrier(2)
+      val outcomes = (1 to 2).map { i =>
+        pool.submit(new Callable[Either[Throwable, Long]] {
+          def call(): Either[Throwable, Long] = {
+            gate.await(60, TimeUnit.SECONDS)
+            try Right(VersionedTable.appendRebaseFrom(
+              spark, root, tbl((1000L * (r + 1) + i) -> i.toDouble),
+              firstBase = r.toLong, maxAttempts = 1))
+            catch { case e: Throwable => Left(e) }
+          }
+        })
+      }.map(_.get(180, TimeUnit.SECONDS))
+      assert(outcomes.collect { case Right(v) => v } == Seq(r + 1L),
+        s"round $r: exactly one racer must win exactly v${r + 1}: $outcomes")
+      assert(outcomes.collect { case Left(e) => e }.forall(
+        _.isInstanceOf[VersionedTable.VersionConflictException]),
+        s"round $r: the loser must lose with VersionConflictException: $outcomes")
+    }
+    pool.shutdown()
+    assert(VersionedTable.currentVersion(spark, root).contains(rounds.toLong))
+    assert(VersionedTable.read(spark, root).count() == rounds + 1L)
+    // no foreign checksum, structurally: marker IO runs on the raw FS,
+    // so no commit marker may have a .crc sidecar at all (raw listing
+    // shows hidden sidecars; the checksummed listing filters them)...
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val raw = lfs.getRawFileSystem
+    val logDir = new org.apache.hadoop.fs.Path(s"$root/_log")
+    val rawNames = raw.listStatus(logDir).map(_.getPath.getName).toSeq
+    assert(rawNames.exists(_.matches("v\\d{8}\\.commit")))
+    assert(!rawNames.exists(_.endsWith(".commit.crc")),
+      s"a commit marker carries a checksum sidecar: $rawNames")
+    // ...and behaviorally: every marker opens clean through the
+    // CHECKSUMMED local FS (a poisoned marker would throw
+    // ChecksumException here), with intact content — each version's
+    // entry list is its predecessor's plus exactly one dir.
+    for (v <- 0L to rounds.toLong) {
+      val in = lfs.open(new org.apache.hadoop.fs.Path(
+        f"$root/_log/v$v%08d.commit"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      assert(text.linesIterator.count(l => l.nonEmpty && !l.startsWith("#")) == v + 1)
     }
   }
 
