@@ -1887,19 +1887,19 @@ object Similarity {
       .orderBy(if (asc) col(sCol).asc else col(sCol).desc, col("c_id"))
     // Checkpoint discipline (the s30 latency lever — every checkpoint
     // is a Spark job, and a probe is a sequential chain of them):
-    // only the frames that BOUND recomputation are materialized —
-    // each pass's fetched records and the visited union. The entry
-    // pairs, frontier, fresh candidates, expanded set, and the
-    // adjacency union are cheap DERIVATIONS over those checkpoints
-    // (windows, anti-joins, unions of exploded checkpointed
-    // fragments); re-evaluating one inside the pass's 1-2 consumer
-    // jobs costs less than a materialization job of its own. The
-    // fetch needs no materialized input at all: its candidate ids
-    // arrive as driver literals (GraphIndex.collectIdBuckets) or a
-    // broadcast of a bounded frame.
-    val recs0 = fetchRecs(entry.select(col("c_id")).distinct())
+    // materialize the frames with MULTIPLE shuffle-bearing consumers
+    // (entry pairs, each pass's fetched records, the fresh candidate
+    // pairs, the visited union); leave frontier / expanded / the
+    // adjacency union as derivations over those checkpoints (windows
+    // and unions of exploded checkpointed fragments — measured
+    // cheaper re-evaluated than materialized; dropping the FRESH
+    // checkpoint instead was measured 45% SLOWER at sf0.1: its
+    // distinct+anti-join subtree re-ran in both the fetch's id
+    // collect and the visited job).
+    val entryC = entry.localCheckpoint()
+    val recs0 = fetchRecs(entryC.select(col("c_id")).distinct())
       .localCheckpoint()
-    var visited = score(entry, recs0).localCheckpoint()
+    var visited = score(entryC, recs0).localCheckpoint()
     // adjacency of everything fetched so far — bounded by fetched
     // candidates × graphK, and every future frontier node is already
     // in it (frontier ⊆ visited ⊆ fetched)
@@ -1916,6 +1916,7 @@ object Similarity {
             .filter(col("c_id") =!= col("q_id")).distinct()
             .join(visited.select(col("q_id"), col("c_id")),
               Seq("q_id", "c_id"), "left_anti")) // score each node ONCE
+        .localCheckpoint()
       val recsH = fetchRecs(fresh.select(col("c_id")).distinct())
         .localCheckpoint()
       expanded = expanded.unionByName(frontier)
