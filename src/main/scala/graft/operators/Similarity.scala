@@ -2913,8 +2913,19 @@ object Similarity {
     val bHops = math.max(4, math.ceil((ivf2Budget - 8.0) / (4 * 12)).toInt)
     val graphBudgetRow = mkGraphRow(4, bHops, 12, tag = "-b")
     val hierBudgetRow = mkHierRow(4, bHops, 12, tag = "-b")
+    // ...and the BEAM lever at the same nominal budget: a deep
+    // narrow walk saturates its reachable frontier (expansion
+    // overlap) long before spending the budget, so the second parity
+    // row widens the beam 3× and re-derives hops — if the family
+    // still does not cross, that is a statement about the graph, not
+    // about one walk shape
+    val bBeam = 12
+    val bHops2 = math.max(2, math.ceil((ivf2Budget - 8.0) / (bBeam * 12)).toInt)
+    val graphBudgetRow2 = mkGraphRow(bBeam, bHops2, 12, tag = "-b")
+    val hierBudgetRow2 = mkHierRow(bBeam, bHops2, 12, tag = "-b")
     (lshRow +: mtRow +: graphRow +: hierRow +: graphBudgetRow +:
-      hierBudgetRow +: (ivfRows ++ pqRows ++ ivfPqRows))
+      hierBudgetRow +: graphBudgetRow2 +: hierBudgetRow2 +:
+      (ivfRows ++ pqRows ++ ivfPqRows))
       .reduce(_.unionByName(_))
   }
 
