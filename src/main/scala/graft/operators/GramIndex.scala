@@ -57,13 +57,22 @@ object GramIndex {
 
   private def writeMeta(spark: SparkSession, root: String, builtDocs: Long,
                         appendedDocs: Long, retiredDocs: Long = 0L): Unit = {
+    // temp + rename (GraphIndex's meta discipline): a reader racing a
+    // concurrent maintenance pass sees old-or-new, never a torn file
     val f = hfs(spark, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
-      /* overwrite = */ true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${metaPath(root)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /* overwrite = */ false)
     try out.write(
       s"built_docs=$builtDocs\nappended_docs=$appendedDocs\nretired_docs=$retiredDocs\n"
       .getBytes("UTF-8"))
     finally out.close()
+    val target = new org.apache.hadoop.fs.Path(metaPath(root))
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish gram meta at $root")
+    }
   }
 
   /** Whether the periodic [[build]] is DUE: appends never re-apply the

@@ -79,13 +79,22 @@ object GraphIndex {
 
   private def writeMeta(spark: SparkSession, root: String, builtVecs: Long,
                         ingestedVecs: Long, retiredVecs: Long): Unit = {
+    // temp + rename (the _hier_meta discipline): a reader racing a
+    // concurrent maintenance pass sees old-or-new, never a torn file
     val f = hfs(spark, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
-      /* overwrite = */ true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${metaPath(root)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /* overwrite = */ false)
     try out.write(
       (s"built_vecs=$builtVecs\ningested_vecs=$ingestedVecs\n" +
        s"retired_vecs=$retiredVecs\n").getBytes("UTF-8"))
     finally out.close()
+    val target = new org.apache.hadoop.fs.Path(metaPath(root))
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish graph meta at $root")
+    }
   }
 
   /** Whether a rebuild is DUE. Graph-specific churn semantics, stated

@@ -67,13 +67,22 @@ object VecIndex {
 
   private def writeMeta(spark: SparkSession, root: String, builtVecs: Long,
                         appendedVecs: Long, deletedVecs: Long = 0L): Unit = {
+    // temp + rename (GraphIndex's meta discipline): a reader racing a
+    // concurrent maintenance pass sees old-or-new, never a torn file
     val f = hfs(spark, root)
-    val out = f.create(new org.apache.hadoop.fs.Path(metaPath(root)),
-      /* overwrite = */ true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${metaPath(root)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /* overwrite = */ false)
     try out.write(
       s"built_vecs=$builtVecs\nappended_vecs=$appendedVecs\ndeleted_vecs=$deletedVecs\n"
       .getBytes("UTF-8"))
     finally out.close()
+    val target = new org.apache.hadoop.fs.Path(metaPath(root))
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish vec meta at $root")
+    }
   }
 
   /** Whether centroid re-training is DUE (same contract as
