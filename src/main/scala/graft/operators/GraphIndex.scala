@@ -265,8 +265,8 @@ object GraphIndex {
   /** None means exactly "no hierarchy built here" (missing file) —
     * genuine IO errors and corruption SURFACE instead of masquerading
     * as the misleading no-hierarchy-meta message. */
-  private def readHierMeta(spark: SparkSession,
-                           root: String): Option[(Int, Seq[Long])] =
+  private[graft] def readHierMeta(spark: SparkSession,
+                                  root: String): Option[(Int, Seq[Long])] =
     try {
       val f = hfs(spark, root)
       val in = f.open(new org.apache.hadoop.fs.Path(hierMetaPath(root)))
@@ -291,12 +291,12 @@ object GraphIndex {
     * entry ids (two lowest on the top layer) are pinned in the hier
     * meta at build — probes never scan for them.
     *
-    * Maintenance boundary, stated honestly: [[ingest]] maintains
-    * LEVEL 0 only (arrivals join the base graph bidirectionally and
-    * are immediately findable; they join the upper layers at the next
-    * [[buildHier]] on the s04 retrain cadence) — upper layers are
-    * ENTRY ROUTING, so a stale upper layer degrades entry quality,
-    * never correctness or reachability of level-0 content. */
+    * Maintenance: [[ingest]] maintains every layer — each arrival's
+    * per-level adjacency + reverse edges append at ingest, and a
+    * top-layer arrival refreshes the pinned entry ids (see ingest's
+    * scaladoc). Upper layers are ENTRY ROUTING, so even residual
+    * staleness (old upper lists not re-ranked) degrades entry
+    * quality, never correctness or reachability of level-0 content. */
   def buildHier(spark: SparkSession, root: String, embeddings: DataFrame,
                 graphK: Int = 3, nProbe: Int = 2, nSeeds: Int = 8,
                 maxLevel: Int = 2,
@@ -620,16 +620,21 @@ object GraphIndex {
     * every touched level gets the arrival's per-level adjacency plus
     * the reverse edges appended O(batch_l·graphK), so a high-level
     * arrival ROUTES ENTRIES immediately instead of waiting for the
-    * next buildHier. Remaining staleness, stated honestly: old upper
-    * nodes' lists are not re-ranked (same contract as level 0), and
-    * the pinned top-entry ids stay the build-time picks.
+    * next buildHier — and a TOP-layer arrival also refreshes the
+    * pinned entry ids (two-lowest-of-grown-top-layer, the exact rule
+    * buildHier applies, so pins never lag a rebuild). Remaining
+    * staleness, stated honestly: old upper nodes' lists are not
+    * re-ranked (same contract as level 0).
     *
     * `txn`: an (appId, batchId) idempotence marker riding the NODE
     * table's atomic commit — a re-executed batch (streaming sink
     * restart, retried foreachBatch) is detected via
     * [[VersionedTable.lastTxnBatch]] and skipped whole (no
-    * double-appended records, no double-counted churn meta, no
-    * re-appended hierarchy rows). */
+    * double-appended records, no double-counted churn meta). The
+    * hierarchy append is a SECOND table, so it carries its own
+    * `appId#hier` marker and runs FIRST — every crash point between
+    * the two commits replays to exactly-once on both tables (see the
+    * ordering comment in the body). */
   def ingest(spark: SparkSession, root: String, corpus: DataFrame,
              newVecs: DataFrame, graphK: Int = 3, nProbe: Int = 2,
              centIds: Seq[Long] = Similarity.centroidIds,
@@ -676,13 +681,20 @@ object GraphIndex {
       .withColumn("bucket", bucketCol(col("vec_id"))).localCheckpoint()
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
-    VersionedTable.appendPartitioned(spark, nodeRoot(root), records, "bucket", nv,
-      txn = txn)
     // hierarchy maintenance (see scaladoc): one bounded kNN probe +
     // O(batch_l·graphK) append per TOUCHED level — the id-hash level
-    // condition selects each level's arrivals and its grown sub-corpus
-    readHierMeta(spark, root).foreach { case (maxLevel, _) =>
-      if (VersionedTable.currentVersion(spark, hnodeRoot(root)).isDefined) {
+    // condition selects each level's arrivals and its grown sub-corpus.
+    // Ordered BEFORE the node append and marker-guarded on its own
+    // table (appId#hier), so every crash point replays to
+    // exactly-once: a crash after the hierarchy append skips it on
+    // replay and still lands the nodes; a crash after the node append
+    // skips the whole batch (whose hierarchy rows already landed).
+    val hierTxn = txn.map { case (app, b) => (s"$app#hier", b) }
+    val hierDone = hierTxn.exists { case (app, b) =>
+      VersionedTable.lastTxnBatch(spark, hnodeRoot(root), app).exists(_ >= b) }
+    readHierMeta(spark, root).foreach { case (maxLevel, htop) =>
+      if (!hierDone &&
+          VersionedTable.currentVersion(spark, hnodeRoot(root)).isDefined) {
         val hrows = (1 to maxLevel).flatMap { l =>
           val batchL = newVecs.filter(expr(Similarity.levelCondSql(l)))
           if (batchL.isEmpty) None
@@ -707,10 +719,33 @@ object GraphIndex {
           VersionedTable.appendPartitioned(spark, hnodeRoot(root),
             hrows.reduce(_.unionByName(_))
               .withColumn("bucket", bucketCol(col("vec_id"))),
-            "bucket", hv)
+            "bucket", hv, txn = hierTxn)
+          // ENTRY-PIN maintenance: buildHier pins the two lowest ids on
+          // the top layer; old-htop ∪ top-layer-arrivals, two lowest, is
+          // exactly that rule on the grown corpus — so the pins stay
+          // what a from-scratch rebuild would pick (no build-time
+          // staleness). O(batch_top) driver state; temp+rename publish.
+          // The meta write is last-writer-wins: two RACING top-layer
+          // ingests could each fold only their own arrival (node-table
+          // conflicts serialize the commits, but this write runs
+          // pre-commit) — entry ROUTING quality only, never
+          // correctness, and the next top arrival or rebuild heals it.
+          val arrivedTop = newVecs
+            .filter(expr(Similarity.levelCondSql(maxLevel)))
+            .select(col("vec_id")).orderBy(col("vec_id")).limit(2)
+            .collect().map(_.getLong(0)).toSeq
+          if (arrivedTop.nonEmpty) {
+            val grownTop = (htop ++ arrivedTop).distinct.sorted.take(2)
+            if (grownTop != htop)
+              writeHierMeta(spark, root, maxLevel, grownTop)
+          }
         }
       }
     }
+    // the node append carries the batch's OWN marker and runs LAST —
+    // the whole batch's commit point (see the ordering comment above)
+    VersionedTable.appendPartitioned(spark, nodeRoot(root), records, "bucket", nv,
+      txn = txn)
     readMeta(spark, root).foreach { case (b, i, r) =>
       writeMeta(spark, root, b, i + newVecs.count(), r) }
     ()

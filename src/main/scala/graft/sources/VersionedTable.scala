@@ -632,6 +632,16 @@ object VersionedTable {
     val carry = if (base < 0) Nil else entriesOf(spark, root, base)
     require(carry.forall(_.part.isDefined),
       s"appendPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
+    // an EMPTY append is a marker-only commit (carry + meta, nothing
+    // staged) — an idle streaming micro-batch still lands its txn
+    // marker instead of crashing the loop on "no bucket values"
+    if (src.isEmpty) {
+      require(base >= 0,
+        s"cannot create a partitioned table at $root from an empty append")
+      publish(spark, root, next, carry, onConflictCleanup = () => (),
+              meta = Seq(partColMetaLine(partitionCol)) ++ txnLines(txn))
+      return next
+    }
     val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
     publish(spark, root, next, carry ++ entries,
             onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),

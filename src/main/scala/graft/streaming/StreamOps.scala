@@ -945,19 +945,29 @@ object StreamOps {
       .option("checkpointLocation", s"$work/ck")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // probe BEFORE append: a batch's spans are judged against the
-        // index at its commit boundary, never against itself
-        val spans = GramIndex.probe(spark, idx, batch)
-          .withColumn("arrival_batch", lit(batchId))
-          .select(col("arrival_batch"), col("batch_doc"), col("corpus_doc"),
-                  col("b_start"), col("c_start"), col("span_toks"))
-          .localCheckpoint()
+        // index at its commit boundary, never against itself. The
+        // landing runs BEFORE the index append and both writes carry
+        // txn markers, so every crash point replays to exactly-once:
+        // until the index append lands, a replayed probe sees the
+        // SAME index (same spans), and each table's marker skips its
+        // own re-execution — no double-landing, no self-span garbage
+        // from probing an index that already contains the batch. The
+        // landing is unconditional (empty batches land a 0-row
+        // marker commit) so the marker exists at every crash point.
+        val landedDone = VersionedTable.lastTxnBatch(spark, landedT,
+          "st17_gram_land").exists(_ >= batchId)
+        if (!landedDone) {
+          val spans = GramIndex.probe(spark, idx, batch)
+            .withColumn("arrival_batch", lit(batchId))
+            .select(col("arrival_batch"), col("batch_doc"), col("corpus_doc"),
+                    col("b_start"), col("c_start"), col("span_toks"))
+            .localCheckpoint()
+          VersionedTable.append(spark, landedT, spans,
+            VersionedTable.currentVersion(spark, landedT).getOrElse(-1L),
+            txn = Some(("st17_gram_land", batchId)))
+        }
         GramIndex.append(spark, idx, batch,
           txn = Some(("st17_gram_ingest", batchId)))
-        if (!spans.isEmpty)
-          VersionedTable.currentVersion(spark, landedT) match {
-            case Some(v) => VersionedTable.append(spark, landedT, spans, v)
-            case None    => VersionedTable.commit(spark, landedT, spans, -1L)
-          }
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()

@@ -896,6 +896,90 @@ class GraftSpec extends AnyFunSuite {
       "ingested hierarchy diverged from the from-scratch rebuild")
   }
 
+  test("GraphIndex ingest refreshes the pinned hierarchy entries: a top-layer arrival with a lower id becomes an entry pin; level-0 ingest leaves pins alone") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.GraphIndex
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // the arc fixture again, but built WITHOUT id 2 — the only
+    // level>=2 ids then are {5, 10}, so buildHier pins htop=[5,10].
+    // Ingesting 2 (level 2, LOWER than both pins) must move the pins
+    // to [2,5] — exactly what a from-scratch buildHier on the grown
+    // corpus picks (two lowest of the grown top layer).
+    val rows = Seq(
+      (0L, v(0.170, 0.9855, 0.0, 0.0), 0),
+      (2L, v(1.0, 0.0, 0.0, 0.0), 0),     // arrival: level 2
+      (3L, v(0.999, 0.045, 0.0, 0.0), 0),
+      (4L, v(0.998, 0.063, 0.0, 0.0), 0),
+      (7L, v(0.9995, 0.0314, 0.0, 0.0), 0),
+      (5L, v(0.643, 0.766, 0.0, 0.0), 0),
+      (8L, v(0.646, 0.763, 0.0, 0.0), 0),
+      (11L, v(0.640, 0.768, 0.01, 0.0), 0),
+      (12L, v(0.649, 0.760, 0.0, 0.01), 0),
+      (10L, v(0.172, 0.9851, 0.0, 0.0), 0),
+      (15L, v(0.176, 0.9844, 0.0, 0.0), 0),
+      (16L, v(0.180, 0.9837, 0.0, 0.0), 0),
+      (23L, v(0.171, 0.9853, 0.0, 0.0), 0) // arrival: level 0
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq(3L, 8L, 15L)
+    val old = rows.filter(!col("vec_id").isin(2L, 23L))
+    val root = java.nio.file.Files.createTempDirectory("graft_hpin").toString + "/ix"
+    GraphIndex.buildHier(spark, root, old, nSeeds = 2, centIds = cents)
+    assert(GraphIndex.readHierMeta(spark, root).map(_._2) == Some(Seq(5L, 10L)),
+      "build-time pins are not the two lowest top-layer ids")
+    // a level-0 arrival must not rewrite the meta
+    GraphIndex.ingest(spark, root, rows.filter(col("vec_id") =!= 2L),
+      rows.filter(col("vec_id") === 23L), centIds = cents)
+    assert(GraphIndex.readHierMeta(spark, root).map(_._2) == Some(Seq(5L, 10L)),
+      "a level-0 ingest moved the entry pins")
+    // the top-layer arrival becomes a pin (two lowest of the grown top)
+    GraphIndex.ingest(spark, root, rows,
+      rows.filter(col("vec_id") === 2L), centIds = cents)
+    assert(GraphIndex.readHierMeta(spark, root).map(_._2) == Some(Seq(2L, 5L)),
+      "a top-layer ingest did not refresh the entry pins")
+    // ...and the refreshed pins serve: descent equals a from-scratch
+    // buildHier on the grown corpus (which pins [2,5] at build)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_hpin2").toString + "/ix"
+    GraphIndex.buildHier(spark, root2, rows, nSeeds = 2, centIds = cents)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+       r.getAs[Long]("neighbor_id"))).toSet
+    assert(rset(GraphIndex.probeHier(spark, root, rows, maxQueryId = 1, k = 3))
+        == rset(GraphIndex.probeHier(spark, root2, rows, maxQueryId = 1, k = 3)),
+      "pin-refreshed descent diverged from the from-scratch rebuild")
+    // exactly-once across the TWO commits (nodes + hnodes): simulate
+    // the replay of an ingest that crashed between the hierarchy
+    // append and the node append — the hier marker exists, the node
+    // marker does not. The replay must SKIP the hierarchy (no
+    // duplicate upper rows) and still land the nodes; a second full
+    // replay must then change neither table.
+    import graft.sources.VersionedTable
+    val root3 = java.nio.file.Files.createTempDirectory("graft_hpin3").toString + "/ix"
+    GraphIndex.buildHier(spark, root3, old, nSeeds = 2, centIds = cents)
+    val hnT = s"$root3/hnodes"
+    val hv0 = VersionedTable.currentVersion(spark, hnT).get
+    VersionedTable.appendPartitioned(spark, hnT, // plant the crash point
+      VersionedTable.read(spark, hnT).limit(0)
+        .withColumn("bucket", org.apache.spark.sql.functions.lit(0L)),
+      "bucket", hv0, txn = Some(("st16x#hier", 0L)))
+    GraphIndex.ingest(spark, root3, rows.filter(col("vec_id") =!= 23L),
+      rows.filter(col("vec_id") === 2L), centIds = cents,
+      txn = Some(("st16x", 0L)))
+    val ndT = s"$root3/nodes"
+    assert(VersionedTable.currentVersion(spark, hnT).get == hv0 + 1,
+      "a replay with the hier marker present re-appended hierarchy rows")
+    val nv1 = VersionedTable.currentVersion(spark, ndT).get
+    assert(VersionedTable.read(spark, ndT)
+        .filter(col("vec_id") === 2L).count() >= 1,
+      "the crash-point replay did not land the node records")
+    GraphIndex.ingest(spark, root3, rows.filter(col("vec_id") =!= 23L),
+      rows.filter(col("vec_id") === 2L), centIds = cents,
+      txn = Some(("st16x", 0L)))
+    assert(VersionedTable.currentVersion(spark, ndT).get == nv1 &&
+           VersionedTable.currentVersion(spark, hnT).get == hv0 + 1,
+      "a full replay after the commit point wrote again")
+  }
+
   test("st16 streaming graph ingest: drain equals the batch twin; a non-seed arrival is served; ingest is txn-idempotent per commit") {
     import org.apache.spark.sql.functions._
     import graft.operators.{GraphIndex, Similarity}
