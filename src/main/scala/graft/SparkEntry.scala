@@ -273,7 +273,7 @@ object SparkEntry {
     "s27_graph_ingest" -> ((s, d) =>
       GraphIndex.ingestDemoAuto(Tables.embeddings(s, d))),
     "s28_graph_filtered" -> ((s, d) =>
-      Similarity.graphFilteredTopK(Tables.embeddings(s, d))),
+      GraphIndex.probeFilteredAuto(Tables.embeddings(s, d))),
     "s29_graph_pq" -> ((s, d) =>
       GraphIndex.probePqAuto(Tables.embeddings(s, d))),
     "s30_graph_hier" -> ((s, d) =>

@@ -112,27 +112,39 @@ object GraphIndex {
       case None => true
     }
 
-  /** The graveyard set — empty when no delete has run. */
-  private def retiredDf(spark: SparkSession, root: String): DataFrame =
+  /** The graveyard set — empty when no delete has run. Collected to
+    * the driver: the tombstone list is delete-bounded and tiny (the
+    * class doc's contract), and the walk used to BROADCAST it per pass
+    * anyway — same driver residency, zero per-pass jobs. */
+  private def retiredSet(spark: SparkSession, root: String): Set[Long] =
     VersionedTable.currentVersion(spark, retireRoot(root)) match {
       case Some(_) => VersionedTable.read(spark, retireRoot(root))
-        .select(col("vec_id").as("c_id")).distinct()
-      case None => spark.range(0).select(col("id").as("c_id"))
+        .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+      case None => Set.empty
     }
 
   private def bucketCol(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(NumBuckets)).cast("string")
 
-  /** One driver job per fetch pass: the pass's distinct candidate ids
-    * AND their bucket dirs, collected together (both are bounded by
-    * queries × beam × graphK — the documented driver-state bound).
-    * Records the bucket count in [[lastProbeBucketCounts]]. */
-  private def collectIdBuckets(ids: DataFrame): (Seq[Long], Seq[String]) = {
-    val pairs = ids.select(col("c_id"), bucketCol(col("c_id")).as("b"))
-      .distinct().collect()
-    val buckets = pairs.map(_.getString(1)).distinct.sorted.toSeq
+  /** Driver twin of [[bucketCol]] for a BIGINT id: Spark's `hash()` on
+    * a long is Murmur3_x86_32.hashLong at seed 42, and pmod is the
+    * non-negative remainder — replicated here so a probe pass resolves
+    * its candidate ids' bucket dirs with ZERO Spark jobs (the ids are
+    * already driver state; the round-13 loop paid one collect job per
+    * pass just to evaluate this expression). Equality with the SQL
+    * expression is spec-pinned over a wide id range. */
+  private[graft] def bucketOfId(id: Long): String = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+    (((h % NumBuckets) + NumBuckets) % NumBuckets).toString
+  }
+
+  /** Bucket dirs of a pass's candidate ids — pure driver computation
+    * ([[bucketOfId]]); records the bucket count in
+    * [[lastProbeBucketCounts]] (the dir-pruning evidence). */
+  private def collectIdBuckets(ids: Seq[Long]): Seq[String] = {
+    val buckets = ids.map(bucketOfId).distinct.sorted
     lastProbeBucketCounts = lastProbeBucketCounts :+ buckets.size
-    (pairs.map(_.getLong(0)).toSeq, buckets)
+    buckets
   }
 
   /** Bucket values that actually have dirs at a table version — a
@@ -199,44 +211,101 @@ object GraphIndex {
     * wholly-post-mutation snapshot, never a mixed one (the LexIndex
     * manifest contract; one pin suffices because the records are one
     * table). */
-  def probe(spark: SparkSession, root: String, embeddings: DataFrame,
-            maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
-            hops: Int = 3): DataFrame = {
+  /** Typed empty record frame for a pass with no present buckets. */
+  private def emptyRecsDf(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("c_id"),
+      lit(null).cast("array<float>").as("ce"),
+      lit(null).cast("array<bigint>").as("nbrs"))
+
+  /** The probe's shared setup: node version, graveyard set, live
+    * seeds, and the dir-pruned record fetch — one construction serving
+    * [[probe]] and [[probeFiltered]]. */
+  private def probeSetup(spark: SparkSession, root: String)
+      : (Set[Long], Seq[Long], Seq[Long] => DataFrame) = {
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
-    val retired = retiredDf(spark, root).localCheckpoint()
-    val seeds = VersionedTable.read(spark, seedRoot(root))
-      .select(col("vec_id").as("c_id"))
-      .join(retired, Seq("c_id"), "left_anti") // a retired entry point dies
+    val retired = retiredSet(spark, root)
+    val seeds = VersionedTable.readUniform(spark, seedRoot(root))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      .filterNot(retired) // a retired entry point dies
     lastProbeBucketCounts = Nil
     val nodeHave = presentBuckets(spark, nodeRoot(root), nv)
-    val fetchRecs: DataFrame => DataFrame = ids => {
-      // ONE driver job resolves the pass's candidate ids AND their
-      // buckets together (bounded by queries × beam × graphK — the
-      // documented driver-state bound); the fetch frame is then a pure
-      // dir-pruned scan + literal id filter, so the fetch's checkpoint
-      // job never re-evaluates the candidate subtree (the broadcast
-      // join it replaces re-ran the ids' distinct shuffle per fetch)
-      val (idList, allBuckets) = collectIdBuckets(ids)
-      val buckets = allBuckets.filter(nodeHave)
-      if (buckets.isEmpty)
-        ids.select(col("c_id"))
-          .withColumn("ce", lit(null).cast("array<float>"))
-          .withColumn("nbrs", lit(null).cast("array<bigint>")).limit(0)
+    val fetchRecs: Seq[Long] => DataFrame = idList => {
+      // buckets resolve driver-side from the pass's candidate ids
+      // (bounded by queries × beam × graphK — the documented
+      // driver-state bound); the fetch frame is a pure dir-pruned
+      // scan + literal id filter, evaluated inside the walk's single
+      // fused per-pass job
+      val buckets = collectIdBuckets(idList).filter(nodeHave)
+      if (buckets.isEmpty) emptyRecsDf(spark)
       else VersionedTable.readPartitions(spark, nodeRoot(root), buckets,
-          version = Some(nv))
+          version = Some(nv), mergeSchema = false)
         .withColumnRenamed("vec_id", "c_id")
         // keep only the WANTED ids: a bucket holds unrelated nodes
         // whose adjacency must not leak into the walk's bounded state
         .filter(col("c_id").isin(idList: _*))
         .select(col("c_id"), col("embedding").as("ce"), col("nbrs"))
     }
+    (retired, seeds, fetchRecs)
+  }
+
+  def probe(spark: SparkSession, root: String, embeddings: DataFrame,
+            maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+            hops: Int = 3): DataFrame = {
+    val (retired, seeds, fetchRecs) = probeSetup(spark, root)
     Similarity.graphWalkRecordsTopK(embeddings, maxQueryId, k, beam, hops,
       seeds, fetchRecs,
       // retired candidates are filtered BEFORE the fetch (the graveyard
       // read path): never scored, never expanded; [[compact]] purges
-      candFilter = cands =>
-        cands.join(broadcast(retired), Seq("c_id"), "left_anti"))
+      keepId = id => !retired.contains(id))
+  }
+
+  /** s28's filtered probe — the SAME walk as [[probe]] (same index,
+    * same seeds, same visited census: ineligible nodes keep carrying
+    * connectivity, filtered-DiskANN's rule) with the label predicate
+    * applied at the final rank only, through the rank tail the inline
+    * arm shares ([[Similarity.labelFilteredRank]]) so the two arms
+    * cannot rank differently. */
+  def probeFiltered(spark: SparkSession, root: String, embeddings: DataFrame,
+                    maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
+                    hops: Int = 3): DataFrame = {
+    val (retired, seeds, fetchRecs) = probeSetup(spark, root)
+    val visited = Similarity.graphWalkRecordsVisitedDf(embeddings, maxQueryId,
+      beam, hops, seeds, fetchRecs, keepId = id => !retired.contains(id))
+    Similarity.labelFilteredRank(embeddings, maxQueryId, visited, k)
+  }
+
+  /** s28's managed lifecycle: the filtered probe over the SAME cached
+    * per-corpus index as [[probeAuto]] (same cache key — the plain
+    * build stores exactly the s25 walk's edges and seeds; the inline
+    * arm rebuilt the kNN graph + k-center seeds on EVERY invocation,
+    * which at bench scale was most of the row's cost and at 100 TB is
+    * the difference between a point lookup and a corpus shuffle per
+    * query batch). Results are pinned equal to the inline
+    * [[Similarity.graphFilteredTopK]] by spec and to the DuckDB oracle
+    * by the driver's gate. */
+  def probeFilteredAuto(embeddings: DataFrame, maxQueryId: Long = 8,
+                        k: Int = 3, beam: Int = 4, hops: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    def buildTemp(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-graphidx").toString
+      build(spark, s"$dir/ix", embeddings)
+      dir
+    }
+    val (dir, ephemeral) =
+      if (!Caching.bareScan(embeddings)) (buildTemp(), true)
+      else {
+        val stamp = Caching.stamp(embeddings)
+        if (stamp.isEmpty) (buildTemp(), true)
+        else (cache.getOrElseUpdate((spark, stamp))(buildTemp()), false)
+      }
+    val res = probeFiltered(spark, s"$dir/ix", embeddings, maxQueryId, k,
+      beam, hops)
+    if (ephemeral) {
+      val out = res.localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      out
+    } else res
   }
 
   // ---- s30: persisted hierarchy (HNSW's layered serving shape) -------
@@ -337,7 +406,6 @@ object GraphIndex {
                 maxQueryId: Long = 8, k: Int = 3, beam: Int = 4,
                 hops: Int = 3, upperBeam: Int = 1,
                 upperHops: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
     val hv = VersionedTable.currentVersion(spark, hnodeRoot(root)).getOrElse(
@@ -346,39 +414,34 @@ object GraphIndex {
     val (maxLevel, htopIds) = readHierMeta(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"graph index at $root has no hierarchy meta — buildHier it"))
-    val retired = retiredDf(spark, root).localCheckpoint()
-    val graveyard: DataFrame => DataFrame = cands =>
-      cands.join(broadcast(retired), Seq("c_id"), "left_anti")
+    val retired = retiredSet(spark, root)
+    val keepId: Long => Boolean = id => !retired.contains(id)
     lastProbeBucketCounts = Nil
     val nodeHave = presentBuckets(spark, nodeRoot(root), nv)
     val hnodeHave = presentBuckets(spark, hnodeRoot(root), hv)
-    def emptyRecs(ids: DataFrame) = ids.select(col("c_id"))
-      .withColumn("ce", lit(null).cast("array<float>"))
-      .withColumn("nbrs", lit(null).cast("array<bigint>")).limit(0)
     // an upper pass fetches the SAME candidate-id buckets from both
-    // tables — ONE driver job resolves ids + buckets together
-    // ([[collectIdBuckets]]), one lazily-unioned frame (the two scans
-    // run inside the walk's single per-pass checkpoint job): vector
-    // fragments from the node records with adjacency NULLED (the
-    // level-0 nbrs must not leak into an upper level's expansion) +
-    // adjacency fragments from the hierarchy table. Each table reads
-    // only the buckets it actually has dirs for (a sparse upper level
-    // legitimately has rows in few buckets).
-    def fetchUpper(l: Int): DataFrame => DataFrame = ids => {
-      val (idList, bs) = collectIdBuckets(ids)
+    // tables — buckets resolve driver-side ([[collectIdBuckets]]), one
+    // lazily-unioned frame (the two scans run inside the walk's single
+    // fused per-pass job): vector fragments from the node records with
+    // adjacency NULLED (the level-0 nbrs must not leak into an upper
+    // level's expansion) + adjacency fragments from the hierarchy
+    // table. Each table reads only the buckets it actually has dirs
+    // for (a sparse upper level legitimately has rows in few buckets).
+    def fetchUpper(l: Int): Seq[Long] => DataFrame = idList => {
+      val bs = collectIdBuckets(idList)
       val nbs = bs.filter(nodeHave); val hbs = bs.filter(hnodeHave)
-      if (idList.isEmpty || (nbs.isEmpty && hbs.isEmpty)) emptyRecs(ids)
+      if (idList.isEmpty || (nbs.isEmpty && hbs.isEmpty)) emptyRecsDf(spark)
       else {
         val vecs = if (nbs.isEmpty) None else Some(
           VersionedTable.readPartitions(spark, nodeRoot(root), nbs,
-              version = Some(nv))
+              version = Some(nv), mergeSchema = false)
             .withColumnRenamed("vec_id", "c_id")
             .filter(col("c_id").isin(idList: _*))
             .select(col("c_id"), col("embedding").as("ce"),
               lit(null).cast("array<bigint>").as("nbrs")))
         val adj = if (hbs.isEmpty) None else Some(
           VersionedTable.readPartitions(spark, hnodeRoot(root), hbs,
-              version = Some(hv))
+              version = Some(hv), mergeSchema = false)
             .filter(col("lvl") === l)
             .withColumnRenamed("vec_id", "c_id")
             .filter(col("c_id").isin(idList: _*))
@@ -387,39 +450,41 @@ object GraphIndex {
         (vecs.toSeq ++ adj.toSeq).reduce(_.unionByName(_))
       }
     }
-    def fetchL0(ids: DataFrame): DataFrame = {
-      val (idList, bs) = collectIdBuckets(ids)
-      val nbs = bs.filter(nodeHave)
-      if (nbs.isEmpty) emptyRecs(ids)
+    val fetchL0: Seq[Long] => DataFrame = idList => {
+      val nbs = collectIdBuckets(idList).filter(nodeHave)
+      if (nbs.isEmpty) emptyRecsDf(spark)
       else VersionedTable.readPartitions(spark, nodeRoot(root), nbs,
-          version = Some(nv))
+          version = Some(nv), mergeSchema = false)
         .withColumnRenamed("vec_id", "c_id")
         .filter(col("c_id").isin(idList: _*))
         .select(col("c_id"), col("embedding").as("ce"), col("nbrs"))
     }
-    val htop = htopIds.foldLeft(
-        spark.range(0).select(col("id").as("c_id")))((df, id) =>
-        df.unionByName(spark.range(id, id + 1).select(col("id").as("c_id"))))
-      .join(retired, Seq("c_id"), "left_anti") // a retired entry dies
-    var entry: DataFrame = embeddings.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"))
-      .crossJoin(broadcast(htop))
-      .filter(col("c_id") =!= col("q_id"))
-    val wBest = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
     // one query-frame materialization shared by all maxLevel+1 walks
     val queriesPre = Similarity.walkQueries(embeddings, maxQueryId)
-    val visited = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val qIds = Similarity.walkQueryIds(queriesPre)
+    val htop = htopIds.filterNot(retired) // a retired entry dies
+    var entry: Seq[(Long, Long)] =
+      for (q <- qIds; c <- htop if c != q) yield (q, c)
+    val visited = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
     for (l <- maxLevel to 1 by -1) {
-      val vis = Similarity.beamWalkRecordsFrom(embeddings, maxQueryId, entry,
-        fetchUpper(l), upperBeam, upperHops, graveyard, queriesPre)
-      visited += vis
-      entry = vis.withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1).select(col("q_id"), col("c_id"))
+      val vis = Similarity.beamWalkRecordsRows(entry, fetchUpper(l),
+        upperBeam, upperHops, queriesPre, keepId)
+      visited ++= vis
+      // the level's per-query best (cos desc, lowest-id tie-break —
+      // the same ordering the walk's frontier uses) seeds the level
+      // below; driver-side over the bounded visited rows
+      entry = vis.groupBy(_._1).toSeq.flatMap { case (_, vs) =>
+        vs.sortWith { (x, y) =>
+          val c = java.lang.Double.compare(
+            if (y._3 == 0.0) 0.0 else y._3, if (x._3 == 0.0) 0.0 else x._3)
+          if (c != 0) c < 0 else x._2 < y._2
+        }.take(1)
+      }.map(v => (v._1, v._2))
     }
-    visited += Similarity.beamWalkRecordsFrom(embeddings, maxQueryId, entry,
-      fetchL0, beam, hops, graveyard, queriesPre)
-    Similarity.rankWalkTopK(visited.reduce(_.unionByName(_)).distinct(), k)
+    visited ++= Similarity.beamWalkRecordsRows(entry, fetchL0,
+      beam, hops, queriesPre, keepId)
+    Similarity.rankWalkTopK(
+      Similarity.walkRowsDf(spark, visited.toSeq.distinct), k)
   }
 
   /** s30's managed lifecycle: [[buildHier]] once per corpus, then
@@ -475,62 +540,55 @@ object GraphIndex {
               hops: Int = 3): DataFrame = {
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
-    require(VersionedTable.read(spark, nodeRoot(root)).columns.contains("codes"),
+    require(VersionedTable.columnsOf(spark, nodeRoot(root)).contains("codes"),
       s"probePq requires an index built with withCodes=true at $root")
-    val retired = retiredDf(spark, root).localCheckpoint()
-    val seeds = VersionedTable.read(spark, seedRoot(root))
-      .select(col("vec_id").as("c_id"))
-      .join(retired, Seq("c_id"), "left_anti")
+    val retired = retiredSet(spark, root)
+    val seeds = VersionedTable.readUniform(spark, seedRoot(root))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      .filterNot(retired)
     lastProbeBucketCounts = Nil
     lastNavReadSchema = ""
     val nodeHave = presentBuckets(spark, nodeRoot(root), nv)
     val cbIds = Similarity.PqCodebookIds
-    import spark.implicits._
-    // the codebook's bucket dirs via the SAME bucket expression the
-    // table was written with (a 16-row job, not counted as a pass —
-    // it's probe setup, not walk IO)
-    val cbBuckets = cbIds.toDF("c_id")
-      .select(bucketCol(col("c_id")).as("b")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // the codebook's bucket dirs via the SAME bucket function the
+    // table was written with — pure driver computation, no job
+    val cbBuckets = cbIds.map(bucketOfId).distinct.sorted
     val cb = VersionedTable.readPartitions(spark, nodeRoot(root), cbBuckets,
-        version = Some(nv))
+        version = Some(nv), mergeSchema = false)
       .filter(col("vec_id").isin(cbIds: _*))
       .select(col("vec_id"), col("embedding"))
     val queries = embeddings.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id"), col("embedding"))
     val dts = Similarity.pqDistTablesAgainst(cb, queries).localCheckpoint()
-    val fetchNav: DataFrame => DataFrame = ids => {
-      val (idList, allBs) = collectIdBuckets(ids)
-      val bs = allBs.filter(nodeHave)
+    val fetchNav: Seq[Long] => DataFrame = idList => {
+      val bs = collectIdBuckets(idList).filter(nodeHave)
       if (bs.isEmpty)
-        ids.select(col("c_id"))
-          .withColumn("nbrs", lit(null).cast("array<bigint>"))
-          .withColumn("codes", lit(null).cast("array<int>")).limit(0)
+        spark.range(0).select(col("id").as("c_id"),
+          lit(null).cast("array<bigint>").as("nbrs"),
+          lit(null).cast("array<int>").as("codes"))
       else {
         val slice = VersionedTable.readPartitions(spark, nodeRoot(root), bs,
-            version = Some(nv))
+            version = Some(nv), mergeSchema = false)
           .select(col("vec_id").as("c_id"), col("nbrs"), col("codes"))
         if (lastNavReadSchema.isEmpty)
           lastNavReadSchema = slice.queryExecution.executedPlan.toString
         slice.filter(col("c_id").isin(idList: _*))
       }
     }
-    val fetchExact: DataFrame => DataFrame = ids => {
-      val (idList, allBs) = collectIdBuckets(ids)
-      val bs = allBs.filter(nodeHave)
+    val fetchExact: Seq[Long] => DataFrame = idList => {
+      val bs = collectIdBuckets(idList).filter(nodeHave)
       if (bs.isEmpty)
-        ids.select(col("c_id"))
-          .withColumn("ce", lit(null).cast("array<float>")).limit(0)
+        spark.range(0).select(col("id").as("c_id"),
+          lit(null).cast("array<float>").as("ce"))
       else VersionedTable.readPartitions(spark, nodeRoot(root), bs,
-          version = Some(nv))
+          version = Some(nv), mergeSchema = false)
         .filter(col("embedding").isNotNull)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
         .filter(col("c_id").isin(idList: _*))
     }
     Similarity.graphPqWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
       fetchNav, dts, fetchExact,
-      candFilter = cands =>
-        cands.join(broadcast(retired), Seq("c_id"), "left_anti"))
+      keepId = id => !retired.contains(id))
   }
 
   /** DELETE (retire) vectors — the graveyard pattern real graph
@@ -568,10 +626,14 @@ object GraphIndex {
     * are unchanged by construction (the probe already filtered what
     * compact purges, and the walk merges fragments at read). */
   def compact(spark: SparkSession, root: String): Unit = {
-    val retired = retiredDf(spark, root).localCheckpoint()
+    // compact is maintenance, not the probe path: the tombstone set is
+    // tiny (class contract), so a local frame serves the purge joins
+    val retiredIds = retiredSet(spark, root)
+    import spark.implicits._
+    val retired = retiredIds.toSeq.sorted.toDF("c_id")
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
-    if (!retired.isEmpty) {
+    if (retiredIds.nonEmpty) {
       val live = VersionedTable.read(spark, nodeRoot(root))
         .join(retired.select(col("c_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .localCheckpoint()
@@ -656,9 +718,11 @@ object GraphIndex {
       .withColumn("nbrs", coalesce(col("nbrs"), array().cast("array<bigint>")))
     // a codes-bearing index ([[build]] withCodes) encodes arrivals
     // against the SAME fixed codebook ids — stable rows of the same
-    // corpus table, so stored and fresh codes agree by construction
+    // corpus table, so stored and fresh codes agree by construction.
+    // One dir's footer decides (every dir shares the build schema —
+    // columnsOf), not a mergeSchema read of the whole node table.
     val hasCodes =
-      VersionedTable.read(spark, nodeRoot(root)).columns.contains("codes")
+      VersionedTable.columnsOf(spark, nodeRoot(root)).contains("codes")
     val own = if (hasCodes)
         bare.join(Similarity.pqCodesAgainst(corpus, newVecs),
           Seq("vec_id"), "left")
@@ -677,8 +741,11 @@ object GraphIndex {
     val revFrag = if (hasCodes)
         revBare.withColumn("codes", lit(null).cast("array<int>"))
       else revBare
+    // no checkpoint: the staged write is the frame's ONLY consumer and
+    // appendPartitioned stages in one job (everything upstream that is
+    // shared — fwd — is already checkpointed above)
     val records = own.unionByName(revFrag)
-      .withColumn("bucket", bucketCol(col("vec_id"))).localCheckpoint()
+      .withColumn("bucket", bucketCol(col("vec_id")))
     val nv = VersionedTable.currentVersion(spark, nodeRoot(root)).getOrElse(
       throw new IllegalStateException(s"no graph index built at $root"))
     // hierarchy maintenance (see scaladoc): one bounded kNN probe +

@@ -267,7 +267,8 @@ object LexIndex {
     if (qBuckets.isEmpty) return emptyScored
     val stats =
       try VersionedTable.readPartitions(spark, statsRoot(root), qBuckets,
-                                        version = Some(man.statsV))
+                                        version = Some(man.statsV),
+                                        mergeSchema = false)
             .select(col("term"), col("df"))
       catch { case _: java.io.FileNotFoundException => return emptyScored }
     val wBudget = Window.partitionBy(col("q_id"))
@@ -287,7 +288,8 @@ object LexIndex {
     if (buckets.isEmpty) return emptyScored
     val postings =
       try VersionedTable.readPartitions(spark, postRoot(root), buckets,
-                                        version = Some(man.postingsV))
+                                        version = Some(man.postingsV),
+                                        mergeSchema = false)
       catch { case _: java.io.FileNotFoundException => return emptyScored }
     val avgdl = lit(totTok).cast("double") / lit(nDl).cast("double")
     // dl rides each posting row — no doclens read in the query path;
@@ -341,7 +343,8 @@ object LexIndex {
     if (pBuckets.isEmpty) return empty
     val slice =
       try VersionedTable.readPartitions(spark, postRoot(root), pBuckets,
-                                        version = Some(man.postingsV))
+                                        version = Some(man.postingsV),
+                                        mergeSchema = false)
       catch { case _: java.io.FileNotFoundException => return empty }
     val a = slice.select(col("term"), col("doc_id"), col("positions").as("pa"))
       .join(qp.select(col("q_id"), col("t1").as("term")), Seq("term"))
@@ -419,7 +422,7 @@ object LexIndex {
     if (buckets.isEmpty) return
     val slice =
       try VersionedTable.readPartitions(spark, postRoot(root), buckets,
-                                        version = Some(pv))
+                                        version = Some(pv), mergeSchema = false)
       catch { case _: java.io.FileNotFoundException => return }
     val presentDocs = slice
       .join(vtf.select(col("doc_id")).distinct(), Seq("doc_id"))
@@ -449,7 +452,8 @@ object LexIndex {
     val sv = man.statsV
     val newSv = if (decBuckets.isEmpty) sv else {
       val oldSlice = VersionedTable.readPartitions(
-        spark, statsRoot(root), decBuckets, version = Some(sv))
+        spark, statsRoot(root), decBuckets, version = Some(sv),
+        mergeSchema = false)
         .select(col("term"), col("df"))
       val newStats = oldSlice.join(dec, Seq("term"), "left")
         .select(col("term"),
@@ -468,7 +472,8 @@ object LexIndex {
     val dBuckets = presentDocs.select(docBucketCol.as("b")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val dslice = VersionedTable.readPartitions(spark, dlRoot(root), dBuckets,
-                                               version = Some(dv))
+                                               version = Some(dv),
+                                               mergeSchema = false)
     val victimLens = dslice.join(presentDocs, Seq("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
     val dRewrite = dslice.join(presentDocs, Seq("doc_id"), "left_anti")
@@ -516,7 +521,10 @@ object LexIndex {
     }
     ingests += 1
     val manTxn = txn.fold(man.txn) { case (a, b) => man.txn + (a -> b) }
-    val ntf = TextOps.tfFrame(newDocs)
+    // ONE tokenize pass: ntf feeds the postings join, the doclen agg,
+    // the df increments and the scalar agg below — un-checkpointed it
+    // re-tokenized the batch four times per micro-batch
+    val ntf = TextOps.tfFrame(newDocs).localCheckpoint()
     if (ntf.isEmpty) { // an all-tokenless batch still counts as docs
       writeManifest(spark, root,
         man.copy(nDocs = man.nDocs + newDocs.count(), txn = manTxn))
@@ -545,7 +553,8 @@ object LexIndex {
     val sv = man.statsV
     val newSv = if (hitBuckets.isEmpty) sv else {
       val oldSlice = VersionedTable.readPartitions(
-        spark, statsRoot(root), hitBuckets, version = Some(sv))
+        spark, statsRoot(root), hitBuckets, version = Some(sv),
+        mergeSchema = false)
         .select(col("term"), col("df"))
       val merged = oldSlice.join(inc, Seq("term"), "full_outer")
         .select(col("term"),

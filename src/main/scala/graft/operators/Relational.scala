@@ -1121,7 +1121,14 @@ object Relational {
   def kmvSetOps(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = 2147483647L
-    val h = events
+    // ONE corpus-scale distinct pass: the exact arm's (type, user)
+    // distinct is computed first and the hash sketch derives from it
+    // (distinct(type, h(user)) over distinct(type, user) is the same
+    // set — h is a pure function of user_id), where the round-13
+    // shape shuffled the full events scan twice
+    val ut = events.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val h = ut
       .select(col("event_type"),
         ((col("user_id") * lit(1103515245L) + lit(12345L)) % P).as("h"))
       .distinct()
@@ -1152,9 +1159,7 @@ object Relational {
       .join(sk.select(col("event_type").as("type_b"), col("h")),
             Seq("type_b", "h"))
       .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("matches"))
-    // exact arms (ground truth): per-type distincts + pairwise overlap
-    val ut = events.select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint()
+    // exact arms (ground truth) reuse the SAME checkpointed distinct
     val nd = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
     val interExact = ut.select(col("event_type").as("type_a"), col("user_id"))
       .join(ut.select(col("event_type").as("type_b"), col("user_id")),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search + embedding dedup over the embeddings table
@@ -1553,25 +1553,30 @@ object Similarity {
   def knnPagerank(embeddings: DataFrame, k: Int = 3, nProbe: Int = 2,
                   iters: Int = 5): DataFrame = {
     val Mass = 1000000000000L
-    val edges = knnJoin(embeddings, k, nProbe)
+    val rawEdges = knnJoin(embeddings, k, nProbe)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint()
-    // materialized once beside edges: without the checkpoint every
-    // round's join tree re-derives the degree agg from the edge scan
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // out-degree DENORMALIZED onto each edge before the one checkpoint:
+    // the round-13 shape joined a separate outdeg frame back in every
+    // iteration — one whole join per round for a value that is a pure
+    // function of the (immutable) edge set
+    val edges = rawEdges
+      .withColumn("odeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
     val nodes = embeddings.select(col("vec_id"))
     val s0 = nodes.agg(count(lit(1)).as("n"))
       .select(expr(s"$Mass div n").as("s0"))
-    var pr = nodes.crossJoin(broadcast(s0)).select(col("vec_id"), col("s0").as("pr"))
-      .localCheckpoint()
+    // the per-iteration base (every node × the teleport share) is
+    // iteration-invariant — materialize it once, not once per round
+    val base = nodes.crossJoin(broadcast(s0))
+      .select(col("vec_id"), col("s0")).localCheckpoint()
+    var pr = base.select(col("vec_id"), col("s0").as("pr"))
     for (_ <- 1 to iters) {
       val sums = edges
-        .join(outdeg, Seq("src"))
         .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst"), expr("pr div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      pr = nodes.crossJoin(broadcast(s0))
+      pr = base
         .join(sums.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
                 (expr("(15 * s0) div 100") +
@@ -1812,19 +1817,16 @@ object Similarity {
     * of a frontier node is the same edge set, and scoring is the same
     * cosine on the same vectors — [[GraftSpec]] pins the two arms
     * equal on the real corpus. */
-  private[graft] def beamWalkRecords(embeddings: DataFrame, maxQueryId: Long,
-                                     seedIds: DataFrame,
-                                     fetchRecs: DataFrame => DataFrame,
-                                     beam: Int, hops: Int,
-                                     candFilter: DataFrame => DataFrame =
-                                       identity): DataFrame = {
-    val entry = embeddings.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"))
-      .crossJoin(broadcast(seedIds.select(col("c_id"))))
-      .filter(col("c_id") =!= col("q_id"))
-    beamWalkRecordsFrom(embeddings, maxQueryId, entry, fetchRecs, beam, hops,
-      candFilter)
-  }
+  /** The query ids a walk serves, collected once from the checkpointed
+    * query frame (bounded by the query batch — the same driver-state
+    * class as the per-pass candidate-id collects). */
+  private[graft] def walkQueryIds(queries: DataFrame): Seq[Long] =
+    queries.select(col("q_id")).collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Seed entry pairs, driver-side: every query × every seed, minus
+    * self-pairs — [[beamWalkRecords]]' entry shape. */
+  private def seedEntry(qIds: Seq[Long], seedIds: Seq[Long]): Seq[(Long, Long)] =
+    for (q <- qIds; c <- seedIds if c != q) yield (q, c)
 
   /** [[beamWalkRecords]] with the entry candidate PAIRS given
     * explicitly — [[GraphIndex.probeHier]]'s kernel (each level's
@@ -1842,15 +1844,21 @@ object Similarity {
       .localCheckpoint()
   }
 
-  private[graft] def beamWalkRecordsFrom(embeddings: DataFrame,
-                                         maxQueryId: Long, entry: DataFrame,
-                                         fetchRecs: DataFrame => DataFrame,
+  /** The cosine record walk as DRIVER ROWS — [[recordsWalkLoopRows]]
+    * with the s01 cosine scorer over `queriesPre` (the materialized
+    * (q_id, qe, qn) frame from [[walkQueries]]). Scoring stays a Spark
+    * job over the fetched records (the parity-pinned vec_dot/vec_norm
+    * kernels — never reimplemented driver-side); only the walk's
+    * BOOKKEEPING (visited/expanded/frontier/adjacency, all bounded by
+    * queries × (seeds + hops·beam·graphK), the documented driver-state
+    * bound) lives on the driver. */
+  private[graft] def beamWalkRecordsRows(entry: Seq[(Long, Long)],
+                                         fetchRecs: Seq[Long] => DataFrame,
                                          beam: Int, hops: Int,
-                                         candFilter: DataFrame => DataFrame =
-                                           identity,
-                                         queriesPre: DataFrame = null): DataFrame = {
+                                         queriesPre: DataFrame,
+                                         keepId: Long => Boolean = _ => true)
+      : Seq[(Long, Long, Double)] = {
     import graft.functions.GraftFunctions._
-    val queries = Option(queriesPre).getOrElse(walkQueries(embeddings, maxQueryId))
     // one bounded fetch (records of the pass's candidate ids) feeds
     // both halves; dropDuplicates guards the one-vector-per-id
     // contract against a double-committed fragment
@@ -1859,72 +1867,113 @@ object Similarity {
         .dropDuplicates("c_id")
         .withColumn("cn", vec_norm(col("ce")))
         .join(broadcast(pairs), Seq("c_id"))
-        .join(broadcast(queries), Seq("q_id"))
+        .join(broadcast(queriesPre), Seq("q_id"))
         .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .select(col("q_id"), col("c_id"), col("cos"))
-    recordsWalkLoop(entry.select(col("q_id"), col("c_id")), fetchRecs, score,
-      "cos", asc = false, beam, hops, candFilter)
+    recordsWalkLoopRows(queriesPre.sparkSession, entry, fetchRecs, score,
+      "cos", asc = false, beam, hops, keepId)
   }
 
-  /** The shared node-record walk loop: `entry` is the seed candidate
-    * pairs `(q_id, c_id)`, `fetchRecs` fetches record fragments for a
-    * pass's distinct candidate ids, `score` turns (pairs, fragments)
-    * into `(q_id, c_id, <sCol>)`, and the frontier is the top-beam
-    * UNEXPANDED visited by `sCol` (`asc` false = similarity, true =
-    * distance; lowest-id tie-break either way). Every frame is bounded
-    * by queries × (seeds + hops·beam·graphK) — never the corpus. */
-  private def recordsWalkLoop(entry: DataFrame,
-                              fetchRecs: DataFrame => DataFrame,
-                              score: (DataFrame, DataFrame) => DataFrame,
-                              sCol: String, asc: Boolean,
-                              beam: Int, hops: Int,
-                              candFilter: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def adjOf(recs: DataFrame): DataFrame =
-      recs.select(col("c_id").as("src"), explode(col("nbrs")).as("dst"))
-        .distinct()
-    val wBeam = Window.partitionBy(col("q_id"))
-      .orderBy(if (asc) col(sCol).asc else col(sCol).desc, col("c_id"))
-    // Checkpoint discipline (the s30 latency lever — every checkpoint
-    // is a Spark job, and a probe is a sequential chain of them):
-    // materialize the frames with MULTIPLE shuffle-bearing consumers
-    // (entry pairs, each pass's fetched records, the fresh candidate
-    // pairs, the visited union); leave frontier / expanded / the
-    // adjacency union as derivations over those checkpoints (windows
-    // and unions of exploded checkpointed fragments — measured
-    // cheaper re-evaluated than materialized; dropping the FRESH
-    // checkpoint instead was measured 45% SLOWER at sf0.1: its
-    // distinct+anti-join subtree re-ran in both the fetch's id
-    // collect and the visited job).
-    val entryC = entry.localCheckpoint()
-    val recs0 = fetchRecs(entryC.select(col("c_id")).distinct())
-      .localCheckpoint()
-    var visited = score(entryC, recs0).localCheckpoint()
-    // adjacency of everything fetched so far — bounded by fetched
-    // candidates × graphK, and every future frontier node is already
-    // in it (frontier ⊆ visited ⊆ fetched)
-    var adjSeen = adjOf(recs0)
-    var expanded = visited.select(col("q_id"), col("c_id")).limit(0)
-    (1 to hops).foreach { hop =>
-      val frontier = visited
-        .join(expanded, Seq("q_id", "c_id"), "left_anti") // expand ONCE
-        .withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= beam).select(col("q_id"), col("c_id"))
-      val fresh = candFilter(
-          frontier.join(adjSeen, frontier("c_id") === adjSeen("src"))
-            .select(frontier("q_id"), adjSeen("dst").as("c_id"))
-            .filter(col("c_id") =!= col("q_id")).distinct()
-            .join(visited.select(col("q_id"), col("c_id")),
-              Seq("q_id", "c_id"), "left_anti")) // score each node ONCE
-        .localCheckpoint()
-      val recsH = fetchRecs(fresh.select(col("c_id")).distinct())
-        .localCheckpoint()
-      expanded = expanded.unionByName(frontier)
-      visited = visited.unionByName(score(fresh, recsH)).localCheckpoint()
-      if (hop < hops) // the last hop's adjacency has no consumer
-        adjSeen = adjSeen.unionByName(adjOf(recsH))
+  /** Spark-parity score ordering for the driver-side frontier pick:
+    * Spark's sort normalizes -0.0 to 0.0 and places NaN greatest
+    * (ascending) — `Double.compare` after the -0.0 fold replicates
+    * both, and the c_id tie-break resolves everything else, so the
+    * driver frontier is bit-identical to the row_number window it
+    * replaces (and to the DuckDB oracle's). */
+  private def cmpScore(a: Double, b: Double): Int = {
+    val na = if (a == 0.0) 0.0 else a
+    val nb = if (b == 0.0) 0.0 else b
+    java.lang.Double.compare(na, nb)
+  }
+
+  /** The shared node-record walk loop, DRIVER-STATE form: one fused
+    * Spark job per pass (the round-13 loop checkpointed fresh/records/
+    * visited frames separately — 4 sequential job launches per hop,
+    * which WAS the probe's latency at bench scale; every one of those
+    * frames is bounded by queries × (seeds + hops·beam·graphK), the
+    * bound this file has always documented as legal driver state, so
+    * the bookkeeping moves to the driver and each pass pays exactly
+    * one job: fetch the pass's records dir-pruned, score the pass's
+    * pairs through the caller's Spark-side scorer, and collect the
+    * scored pairs + the records' adjacency lists together (a tagged
+    * union over the same bounded fetch frame).
+    *
+    * `entry` is the seed candidate pairs; `fetchRecs` takes the pass's
+    * distinct candidate ids and returns their record-fragment FRAME
+    * (the dir-pruned scan — still distributed, never collected raw);
+    * `score` turns (pairs-frame, fragments) into `(q_id, c_id,
+    * <sCol>)` with Spark expressions (float parity stays in the
+    * engine); the frontier is the top-beam UNEXPANDED visited by
+    * `sCol` (`asc` false = similarity, true = distance; lowest-id
+    * tie-break either way — [[cmpScore]] pins the double ordering to
+    * Spark's). `keepId` is the graveyard filter (candidates dropped
+    * BEFORE the fetch, exactly the old anti-join point). */
+  private def recordsWalkLoopRows(spark: SparkSession,
+                                  entry: Seq[(Long, Long)],
+                                  fetchRecs: Seq[Long] => DataFrame,
+                                  score: (DataFrame, DataFrame) => DataFrame,
+                                  sCol: String, asc: Boolean,
+                                  beam: Int, hops: Int,
+                                  keepId: Long => Boolean)
+      : Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    val visited = scala.collection.mutable.LinkedHashMap[(Long, Long), Double]()
+    val adjSeen = scala.collection.mutable.HashMap[Long, scala.collection.mutable.TreeSet[Long]]()
+    val expanded = scala.collection.mutable.HashSet[(Long, Long)]()
+    // one fused job per pass: scored pairs (tag 0) + adjacency (tag 1)
+    // collected together off the SAME bounded fetch
+    def pass(pairs: Seq[(Long, Long)]): Unit = {
+      val ids = pairs.map(_._2).distinct.sorted
+      val recs = fetchRecs(ids) // called even when empty: the fetch
+      if (ids.isEmpty) return   // closure records the pass's (zero) IO
+      val pairsDf = pairs.toDF("q_id", "c_id")
+      val fused = score(pairsDf, recs)
+        .select(lit(0).as("tag"), col("q_id"), col("c_id"),
+          col(sCol).cast("double").as("s"),
+          lit(null).cast("array<bigint>").as("nbrs"))
+        .unionByName(recs
+          .select(lit(1).as("tag"), lit(-1L).as("q_id"), col("c_id"),
+            lit(null).cast("double").as("s"), col("nbrs")))
+      fused.collect().foreach { r =>
+        if (r.getInt(0) == 0) visited((r.getLong(1), r.getLong(2))) = r.getDouble(3)
+        else if (!r.isNullAt(4)) {
+          val set = adjSeen.getOrElseUpdate(r.getLong(2),
+            scala.collection.mutable.TreeSet.empty[Long])
+          set ++= r.getSeq[Long](4)
+        }
+      }
     }
-    visited
+    pass(entry.distinct)
+    (1 to hops).foreach { _ =>
+      // frontier: per query, the top-beam UNEXPANDED visited (expand
+      // each node once — without the tracking the walk stalls)
+      val frontier = visited.toSeq
+        .filterNot { case (p, _) => expanded.contains(p) }
+        .groupBy(_._1._1).toSeq.flatMap { case (_, vs) =>
+          vs.sortWith { (x, y) =>
+            val c = cmpScore(x._2, y._2)
+            val cc = if (asc) c else -c
+            if (cc != 0) cc < 0 else x._1._2 < y._1._2
+          }.take(beam)
+        }.map(_._1)
+      val fresh = frontier
+        .flatMap { case (q, c) =>
+          adjSeen.get(c).iterator.flatMap(_.iterator)
+            .filter(_ != q).map(d => (q, d)) }
+        .distinct
+        .filterNot(visited.contains) // score each node ONCE
+        .filter(p => keepId(p._2))   // the graveyard drop, pre-fetch
+      expanded ++= frontier
+      pass(fresh)
+    }
+    visited.toSeq.map { case ((q, c), s) => (q, c, s) }
+  }
+
+  /** Driver rows → the walk's visited FRAME `(q_id, c_id, cos)`. */
+  private[graft] def walkRowsDf(spark: SparkSession,
+                                rows: Seq[(Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("q_id", "c_id", "cos")
   }
 
   /** s25: graph-ANN top-k — the [[beamWalk]] over the s20 kNN graph,
@@ -1959,17 +2008,58 @@ object Similarity {
     rankWalkTopK(
       beamWalk(embeddings, maxQueryId, seedIds, expand, beam, hops), k)
 
-  /** [[beamWalkRecords]] + the same ranking — [[GraphIndex.probe]]'s
-    * arm, guaranteed to rank identically to the inline arm. */
+  /** The records walk + the same ranking — [[GraphIndex.probe]]'s
+    * arm, guaranteed to rank identically to the inline arm (same
+    * edges, same Spark-side scores, same tie-breaks). `seedIds` and
+    * the graveyard predicate are driver values (both bounded — seed
+    * count and tombstone set, the same state the old frame arm
+    * broadcast anyway). */
   private[graft] def graphWalkRecordsTopK(embeddings: DataFrame,
                                           maxQueryId: Long, k: Int, beam: Int,
-                                          hops: Int, seedIds: DataFrame,
-                                          fetchRecs: DataFrame => DataFrame,
-                                          candFilter: DataFrame => DataFrame =
-                                            identity): DataFrame =
-    rankWalkTopK(
-      beamWalkRecords(embeddings, maxQueryId, seedIds, fetchRecs, beam, hops,
-        candFilter), k)
+                                          hops: Int, seedIds: Seq[Long],
+                                          fetchRecs: Seq[Long] => DataFrame,
+                                          keepId: Long => Boolean = _ => true)
+      : DataFrame =
+    rankWalkTopK(graphWalkRecordsVisitedDf(embeddings, maxQueryId, beam, hops,
+      seedIds, fetchRecs, keepId), k)
+
+  /** The records walk's VISITED frame `(q_id, c_id, cos)` — the shape
+    * [[graphWalkRecordsTopK]] ranks plain and the filtered arm (s28)
+    * ranks under its label predicate. */
+  private[graft] def graphWalkRecordsVisitedDf(
+      embeddings: DataFrame, maxQueryId: Long, beam: Int, hops: Int,
+      seedIds: Seq[Long], fetchRecs: Seq[Long] => DataFrame,
+      keepId: Long => Boolean = _ => true): DataFrame = {
+    val queries = walkQueries(embeddings, maxQueryId)
+    val entry = seedEntry(walkQueryIds(queries), seedIds)
+    val rows = beamWalkRecordsRows(entry, fetchRecs, beam, hops, queries, keepId)
+    walkRowsDf(embeddings.sparkSession, rows)
+  }
+
+  /** s28's rank tail, shared by the inline and indexed arms so they
+    * cannot rank differently: restrict the VISITED set to candidates
+    * carrying the query's label (the predicate lands post-walk — the
+    * filtered-DiskANN rule; ineligible nodes carried connectivity
+    * during the walk) and take the k best eligible. */
+  private[graft] def labelFilteredRank(embeddings: DataFrame,
+                                       maxQueryId: Long, visited: DataFrame,
+                                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val ql = labels.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    labels.select(col("vec_id").as("c_id"), col("label").as("clabel"))
+      .join(broadcast(visited), Seq("c_id")) // bounded: queries × visited
+      .join(broadcast(ql), Seq("q_id"))
+      .filter(col("clabel") === col("qlabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        Rounding.roundN(col("cos"), 4).as("cos"), col("clabel").as("label"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   private[graft] def rankWalkTopK(visited: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2008,20 +2098,7 @@ object Similarity {
       fr => fr.join(edges, fr("c_id") === edges("src"))
         .select(fr("q_id"), edges("dst").as("c_id")),
       beam, hops)
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val ql = labels.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    labels.select(col("vec_id").as("c_id"), col("label").as("clabel"))
-      .join(broadcast(visited), Seq("c_id")) // bounded: queries × visited
-      .join(broadcast(ql), Seq("q_id"))
-      .filter(col("clabel") === col("qlabel"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"),
-        Rounding.roundN(col("cos"), 4).as("cos"), col("clabel").as("label"))
-      .orderBy(col("q_id"), col("rank"))
+    labelFilteredRank(embeddings, maxQueryId, visited, k)
   }
 
   /** DuckDB replay of s28: the s25 walk verbatim, label-filtered at
@@ -2250,13 +2327,16 @@ object Similarity {
     * full vectors (`fetchVecs`: one dir-pruned point fetch in the
     * indexed arm, a broadcast-pruned corpus pass inline). */
   private[graft] def rerankExactTopK(queries: DataFrame,
-                                     fetchVecs: DataFrame => DataFrame,
-                                     visited: DataFrame, k: Int): DataFrame = {
+                                     fetchVecs: Seq[Long] => DataFrame,
+                                     visited: Seq[(Long, Long, Double)],
+                                     k: Int): DataFrame = {
     import graft.functions.GraftFunctions._
-    val scored = fetchVecs(visited.select(col("c_id")).distinct())
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pairsDf = visited.map(v => (v._1, v._2)).distinct.toDF("q_id", "c_id")
+    val scored = fetchVecs(visited.map(_._2).distinct.sorted)
       .withColumn("cn", vec_norm(col("ce")))
-      .join(broadcast(visited.select(col("q_id"), col("c_id")).distinct()),
-        Seq("c_id"))
+      .join(broadcast(pairsDf), Seq("c_id"))
       .join(broadcast(queries), Seq("q_id"))
       .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .select(col("q_id"), col("c_id"), col("cos"))
@@ -2289,12 +2369,13 @@ object Similarity {
       .withColumnRenamed("embedding", "ce")
       .localCheckpoint()
     val seeds = kcenterSeed(embeddings, nSeeds)
-      .select(col("vec_id").as("c_id")).localCheckpoint()
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     val dts = pqDistTables(embeddings, maxQueryId).localCheckpoint()
+    def slice(ids: Seq[Long]): DataFrame =
+      if (ids.isEmpty) nodes.limit(0)
+      else nodes.filter(col("c_id").isin(ids: _*))
     graphPqWalkTopK(embeddings, maxQueryId, k, beam, hops, seeds,
-      ids => nodes.join(broadcast(ids), Seq("c_id")), dts,
-      ids => nodes.join(broadcast(ids), Seq("c_id"))
-        .select(col("c_id"), col("ce")))
+      slice, dts, ids => slice(ids).select(col("c_id"), col("ce")))
   }
 
   /** The ADC walk + exact re-rank shared by the inline arm above and
@@ -2302,21 +2383,16 @@ object Similarity {
     * differently. */
   private[graft] def graphPqWalkTopK(embeddings: DataFrame, maxQueryId: Long,
                                      k: Int, beam: Int, hops: Int,
-                                     seedIds: DataFrame,
-                                     fetchRecs: DataFrame => DataFrame,
+                                     seedIds: Seq[Long],
+                                     fetchRecs: Seq[Long] => DataFrame,
                                      dts: DataFrame,
-                                     fetchVecs: DataFrame => DataFrame,
-                                     candFilter: DataFrame => DataFrame =
-                                       identity): DataFrame = {
-    import graft.functions.GraftFunctions._
-    val queries = embeddings.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .withColumn("qn", vec_norm(col("qe"))).localCheckpoint()
-    val entry = queries.select(col("q_id"))
-      .crossJoin(broadcast(seedIds.select(col("c_id"))))
-      .filter(col("c_id") =!= col("q_id"))
-    val visited = recordsWalkLoop(entry, fetchRecs, scoreAdcRecs(dts), "adc",
-      asc = true, beam, hops, candFilter)
+                                     fetchVecs: Seq[Long] => DataFrame,
+                                     keepId: Long => Boolean = _ => true)
+      : DataFrame = {
+    val queries = walkQueries(embeddings, maxQueryId)
+    val entry = seedEntry(walkQueryIds(queries), seedIds)
+    val visited = recordsWalkLoopRows(embeddings.sparkSession, entry,
+      fetchRecs, scoreAdcRecs(dts), "adc", asc = true, beam, hops, keepId)
     rerankExactTopK(queries, fetchVecs, visited, k)
   }
 

@@ -348,6 +348,20 @@ object VersionedTable {
     spark.read.option("mergeSchema", "true")
       .parquet(entriesOf(spark, root, version).map(e => s"$root/${e.rel}"): _*)
 
+  /** Column names of the current version, resolved from ONE staged
+    * dir's footers (no mergeSchema union across the whole table) —
+    * the cheap layout probe for build-time schema flags (e.g. "is
+    * this graph index codes-bearing?") on tables whose dirs all share
+    * the build's schema by construction. A [[read]] would fan the
+    * footer read across EVERY dir of the version (mergeSchema), which
+    * maintenance paths were paying once per micro-batch. */
+  private[graft] def columnsOf(spark: SparkSession, root: String): Array[String] = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    val first = entriesOf(spark, root, v).head.rel
+    spark.read.parquet(s"$root/$first").columns
+  }
+
   /** The latest committed snapshot. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
@@ -374,9 +388,17 @@ object VersionedTable {
     * the plural [[readPartition]]: all matching dirs go into a single
     * parquet relation (one file index, one scan node) instead of a
     * per-value union. Values with no dirs are simply absent from the
-    * result; throws only when NONE match. */
+    * result; throws only when NONE match.
+    *
+    * `mergeSchema = false` is for callers whose table's dirs all share
+    * one schema BY CONSTRUCTION (the index tables: every build/ingest
+    * generation writes the same columns) — schema inference then reads
+    * ONE footer instead of launching a parallel footer-merge Spark job
+    * per read, which the probe paths were paying once per fetch pass.
+    * Leave it true for tables whose append chain may have evolved. */
   def readPartitions(spark: SparkSession, root: String, partValues: Seq[String],
-                     version: Option[Long] = None): DataFrame = {
+                     version: Option[Long] = None,
+                     mergeSchema: Boolean = true): DataFrame = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $root"))
     val want = partValues.map(enc).toSet
@@ -384,7 +406,18 @@ object VersionedTable {
     if (rels.isEmpty)
       throw new java.io.FileNotFoundException(
         s"no dirs for partitions ${partValues.mkString(",")} at $root@v$v")
-    spark.read.option("mergeSchema", "true").parquet(rels.map(r => s"$root/$r"): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(rels.map(r => s"$root/$r"): _*)
+  }
+
+  /** [[readAsOf]] for tables whose dirs share ONE schema by
+    * construction (index internals) — one-footer inference instead of
+    * the parallel footer-merge job mergeSchema launches per read. */
+  private[graft] def readUniform(spark: SparkSession, root: String,
+                                 version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $root"))
+    spark.read.parquet(entriesOf(spark, root, v).map(e => s"$root/${e.rel}"): _*)
   }
 
   /** Stage `df` and atomically publish it as version `base + 1`.
@@ -627,25 +660,26 @@ object VersionedTable {
                         txn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, root)
     val next = base + 1
-    val src = df.localCheckpoint()
-    requireNoNullPartitions(src, partitionCol)
     val carry = if (base < 0) Nil else entriesOf(spark, root, base)
     require(carry.forall(_.part.isDefined),
       s"appendPartitioned requires a partition-native table; $root@v$base has unscoped dirs")
-    // an EMPTY append is a marker-only commit (carry + meta, nothing
-    // staged) — an idle streaming micro-batch still lands its txn
-    // marker instead of crashing the loop on "no bucket values"
-    if (src.isEmpty) {
-      require(base >= 0,
-        s"cannot create a partitioned table at $root from an empty append")
-      publish(spark, root, next, carry, onConflictCleanup = () => (),
-              meta = Seq(partColMetaLine(partitionCol)) ++ txnLines(txn))
-      return next
+    // ONE staging job: the partitionBy write (null check, value list
+    // and emptiness all come back from the staged dir listing — no
+    // pre-write checkpoint/isEmpty/distinct jobs)
+    stagePartitionsOrEmpty(spark, root, df, partitionCol, next) match {
+      case None =>
+        // an EMPTY append is a marker-only commit (carry + meta,
+        // nothing staged) — an idle streaming micro-batch still lands
+        // its txn marker instead of crashing the loop
+        require(base >= 0,
+          s"cannot create a partitioned table at $root from an empty append")
+        publish(spark, root, next, carry, onConflictCleanup = () => (),
+                meta = Seq(partColMetaLine(partitionCol)) ++ txnLines(txn))
+      case Some((parent, entries)) =>
+        publish(spark, root, next, carry ++ entries,
+                onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+                meta = Seq(partColMetaLine(partitionCol)) ++ txnLines(txn))
     }
-    val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
-    publish(spark, root, next, carry ++ entries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
-            meta = Seq(partColMetaLine(partitionCol)) ++ txnLines(txn))
     next
   }
 
@@ -1006,49 +1040,77 @@ object VersionedTable {
     * cleanup) cannot drift between them. `src` must already be
     * checkpointed and null-partition-checked by the caller. */
   private def stagePartitions(spark: SparkSession, root: String, src: DataFrame,
-                              partitionCol: String, next: Long): (String, Seq[Entry]) = {
+                              partitionCol: String, next: Long): (String, Seq[Entry]) =
+    stagePartitionsOrEmpty(spark, root, src, partitionCol, next).getOrElse(
+      throw new IllegalArgumentException(s"no $partitionCol values to stage"))
+
+  /** Stage `src` one dir per partition value under a fresh parent for
+    * version `next`; None when the batch is EMPTY (the parent is
+    * reclaimed — callers publish a marker-only/carry-only commit).
+    *
+    * ONE Spark job in the fast path: the partitionBy write itself.
+    * Partition values are recovered from the staged DIR LISTING
+    * (driver metadata) instead of a separate distinct() job, the
+    * null check rides the listing (`__HIVE_DEFAULT_PARTITION__` is
+    * where partitionBy routes null/empty values), and emptiness is
+    * "the write staged no dirs" — so the pre-write localCheckpoint +
+    * isEmpty + null-filter + distinct jobs this path used to launch
+    * per commit are gone (the streaming ingest loops pay this path
+    * 1-3x per micro-batch). The partition column is duplicated into a
+    * throwaway __graft_p so the data files keep the real column
+    * (readPartition reads leaf dirs directly — no Hive partition
+    * discovery recovers dir values). The listing fast path is valid
+    * only for ASCII alnum/-/_/. values, where Hive's dir escaping and
+    * our enc() are both the identity (dir name == raw value ==
+    * enc(value)); anything exotic falls back to the per-value staging
+    * wave, recomputing the distinct values from `src`. */
+  private def stagePartitionsOrEmpty(
+      spark: SparkSession, root: String, src: DataFrame,
+      partitionCol: String, next: Long): Option[(String, Seq[Entry])] = {
     import org.apache.spark.sql.functions.col
     enforceConstraints(spark, root, src)
     val f = fs(spark, root)
-    val values = src.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
-    require(values.nonEmpty, s"no $partitionCol values to stage")
-    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
-    // Fast path: ONE partitionBy job + per-dir metadata renames,
-    // instead of one sequential filter+write JOB per value (a
-    // 142-cell VecIndex build was paying 142 job launches; profiled
-    // 26 s -> one wave). The partition column is duplicated into a
-    // throwaway __graft_p so the data files keep the real column
-    // (readPartition reads leaf dirs directly — no Hive partition
-    // discovery recovers dir values). Restricted to ASCII
-    // alnum/-/_/. values where Hive's dir escaping and our enc()
-    // are both the identity, so the emitted suffix == enc(v);
-    // anything exotic takes the per-value path below.
     def dirSafe(v: String): Boolean = v.nonEmpty && v.forall(c =>
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.')
-    val entries =
-      try {
-        if (values.forall(dirSafe)) {
-          src.withColumn("__graft_p", col(partitionCol).cast("string"))
-            .write.mode("errorifexists").partitionBy("__graft_p")
-            .parquet(s"$root/$parent")
-          f.delete(p(s"$root/$parent/_SUCCESS"), false)
-          values.toSeq.map { v =>
-            require(f.rename(p(s"$root/$parent/__graft_p=$v"),
-                             p(s"$root/$parent/p=${enc(v)}")),
-              s"stage rename failed for partition value $v")
-            Entry(s"$parent/p=${enc(v)}", Some(enc(v)))
-          }
-        } else values.toSeq.map { v =>
+    val parent = s"data/${verName(next)}-${java.util.UUID.randomUUID()}"
+    try {
+      src.withColumn("__graft_p", col(partitionCol).cast("string"))
+        .write.mode("errorifexists").partitionBy("__graft_p")
+        .parquet(s"$root/$parent")
+      f.delete(p(s"$root/$parent/_SUCCESS"), false)
+      val names = f.listStatus(p(s"$root/$parent"))
+        .map(_.getPath.getName).filter(_.startsWith("__graft_p="))
+        .map(_.stripPrefix("__graft_p=")).sorted
+      require(!names.contains("__HIVE_DEFAULT_PARTITION__"),
+        s"null $partitionCol values cannot be partition-routed; " +
+        "coalesce them to a sentinel value before the write")
+      if (names.isEmpty) { // empty batch: nothing staged
+        f.delete(p(s"$root/$parent"), true)
+        return None
+      }
+      if (names.forall(dirSafe)) {
+        Some((parent, names.toSeq.map { v =>
+          require(f.rename(p(s"$root/$parent/__graft_p=$v"),
+                           p(s"$root/$parent/p=${enc(v)}")),
+            s"stage rename failed for partition value $v")
+          Entry(s"$parent/p=${enc(v)}", Some(enc(v)))
+        }))
+      } else {
+        // exotic values: the escaped dir name does not round-trip to
+        // the raw value — take the per-value staging wave instead
+        f.delete(p(s"$root/$parent"), true)
+        val values = src.select(col(partitionCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).sorted
+        Some((parent, values.toSeq.map { v =>
           val rel = s"$parent/p=${enc(v)}"
           src.filter(col(partitionCol).cast("string") === v)
             .write.mode("errorifexists").parquet(s"$root/$rel")
           Entry(rel, Some(enc(v)))
-        }
+        }))
       }
-      catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
-    (parent, entries)
+    }
+    catch { case e: Throwable => f.delete(p(s"$root/$parent"), true); throw e }
   }
 
   def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
@@ -1099,23 +1161,23 @@ object VersionedTable {
       base: Long, carried: Seq[(String, Option[String])]): Long = {
     val f = fs(spark, root)
     val next = base + 1
-    val src = df.localCheckpoint() // one computation feeds every slice
-    requireNoNullPartitions(src, partitionCol)
-    if (src.isEmpty) {
-      // a deletion can empty every touched partition — the commit is
-      // then pure carry (the touched dirs simply leave the entry list)
-      require(carried.nonEmpty,
-        s"refusing to publish a dir-less version at $root (empty rewrite, empty carry)")
-      publish(spark, root, next, carried.map { case (rel, pv) => Entry(rel, pv) },
-              onConflictCleanup = () => (),
-              meta = Seq(partColMetaLine(partitionCol)))
-      return next
+    // ONE staging job (see stagePartitionsOrEmpty): the write itself
+    // evaluates df once — no pre-write checkpoint/isEmpty/null jobs
+    stagePartitionsOrEmpty(spark, root, df, partitionCol, next) match {
+      case None =>
+        // a deletion can empty every touched partition — the commit is
+        // then pure carry (the touched dirs simply leave the entry list)
+        require(carried.nonEmpty,
+          s"refusing to publish a dir-less version at $root (empty rewrite, empty carry)")
+        publish(spark, root, next, carried.map { case (rel, pv) => Entry(rel, pv) },
+                onConflictCleanup = () => (),
+                meta = Seq(partColMetaLine(partitionCol)))
+      case Some((parent, entries)) =>
+        publish(spark, root, next,
+                carried.map { case (rel, pv) => Entry(rel, pv) } ++ entries,
+                onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
+                meta = Seq(partColMetaLine(partitionCol)))
     }
-    val (parent, entries) = stagePartitions(spark, root, src, partitionCol, next)
-    publish(spark, root, next,
-            carried.map { case (rel, pv) => Entry(rel, pv) } ++ entries,
-            onConflictCleanup = () => f.delete(p(s"$root/$parent"), true),
-            meta = Seq(partColMetaLine(partitionCol)))
     next
   }
 

