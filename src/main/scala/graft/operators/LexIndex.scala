@@ -84,22 +84,28 @@ object LexIndex {
 
   private def bucketCol = pmod(hash(col("term")), lit(NumBuckets)).cast("string")
 
-  /** Positional payload for the postings rows: per (doc, term), the
-    * sorted 1-based RAW split positions (the same `split(lower(text))`
-    * stream [[TextOps.tfFrame]] counts — empty tokens occupy a raw
-    * position but never emit a posting, so adjacency means "adjacent
-    * in the raw token stream", a fixed cross-engine contract). This is
-    * the standard positional-index payload: it rides the posting row
-    * at build time and is READ only by [[probePhrase]]'s two-term
-    * candidate join — the BM25 scoring path projects it away, so
-    * score probes never shuffle position arrays. */
-  private def positionsFrame(documents: DataFrame): DataFrame =
+  /** ONE tokenize pass producing tf AND the positional payload
+    * together: per (doc, term), the term frequency (exactly
+    * [[TextOps.tfFrame]]'s count — same split, same empty-token
+    * filter) plus the sorted 1-based RAW split positions (empty tokens
+    * occupy a raw position but never emit a posting, so adjacency
+    * means "adjacent in the raw token stream", a fixed cross-engine
+    * contract). Build/ingest used to run tfFrame AND a separate
+    * positions pass — two full explode+shuffle passes over the same
+    * text for columns of the same posting row; fused, the batch is
+    * tokenized and shuffled ONCE (guide §2.4: two operations keyed the
+    * same way share one exchange). The positions payload is READ only
+    * by [[probePhrase]]'s two-term candidate join — the BM25 scoring
+    * path projects it away, so score probes never shuffle position
+    * arrays. */
+  private def tfPosFrame(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
-      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+      .agg(count(lit(1)).as("tf"),
+           sort_array(collect_list(col("p0") + 1)).as("positions"))
 
   /** doclens partition key: doc-id bucket, so [[delete]] rewrites only
     * the victims' home buckets — never the whole doclen table. */
@@ -172,8 +178,10 @@ object LexIndex {
     * doclens committed alongside, scalars to the meta sidecar. */
   def build(spark: SparkSession, root: String, documents: DataFrame): Unit = {
     indexBuilds += 1
-    val tf = TextOps.tfFrame(documents)
-    val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // one fused tokenize pass (tf + positions together); dls, the
+    // postings join and the df aggregate are all views over it
+    val tfp = tfPosFrame(documents).localCheckpoint()
+    val dls = tfp.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint()
     // dl DENORMALIZED into every posting row (the forward-index trick
     // real engines use): the probe's length norm reads it off the
@@ -181,27 +189,46 @@ object LexIndex {
     // dl is a per-doc immutable fact (a doc's text never changes in
     // place — delete+reingest is the update path), so there is no
     // update anomaly; the cost is 8 bytes per posting.
-    val pv0 = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(-1L)
-    val pv = VersionedTable.commitPartitioned(spark, postRoot(root),
-      tf.join(dls, Seq("doc_id"))
-        .join(positionsFrame(documents), Seq("doc_id", "term"))
-        .withColumn("bucket", bucketCol), "bucket", pv0)
+    // the three table commits are independent (visibility is the
+    // manifest flip below) — run them concurrently, like [[ingest]]
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val postingsF = scala.concurrent.Future {
+      val pv0 = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(-1L)
+      VersionedTable.commitPartitioned(spark, postRoot(root),
+        tfp.join(dls, Seq("doc_id"))
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+                  col("positions"))
+          .withColumn("bucket", bucketCol), "bucket", pv0)
+    }
     // stats partition-native on the SAME term bucket: a probe
     // dir-prunes the df lookup to its query terms' buckets instead of
     // scanning the vocab table
-    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val sv0 = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(-1L)
-    val sv = VersionedTable.commitPartitioned(spark, statsRoot(root),
-      dfr.withColumn("bucket", bucketCol), "bucket", sv0)
-    val dv0 = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(-1L)
-    val dv = VersionedTable.commitPartitioned(spark, dlRoot(root),
-      dls.withColumn("dbucket", docBucketCol), "dbucket", dv0)
-    val agg = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    val statsF = scala.concurrent.Future {
+      val dfr = tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val sv0 = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(-1L)
+      VersionedTable.commitPartitioned(spark, statsRoot(root),
+        dfr.withColumn("bucket", bucketCol), "bucket", sv0)
+    }
+    val doclensF = scala.concurrent.Future {
+      val dv0 = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(-1L)
+      VersionedTable.commitPartitioned(spark, dlRoot(root),
+        dls.withColumn("dbucket", docBucketCol), "dbucket", dv0)
+    }
+    val scalarsF = scala.concurrent.Future {
+      (dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head,
+       documents.count())
+    }
+    import scala.concurrent.duration.Duration
+    val pv = scala.concurrent.Await.result(postingsF, Duration.Inf)
+    val sv = scala.concurrent.Await.result(statsF, Duration.Inf)
+    val dv = scala.concurrent.Await.result(doclensF, Duration.Inf)
+    val (agg, nDocs) = scala.concurrent.Await.result(scalarsF, Duration.Inf)
     // manifest flips LAST: until this rename, probes keep reading the
     // previous pinned snapshot (or nothing, on a first build); a txn
     // marker from a prior index generation dies with the rebuild
     writeManifest(spark, root, Manifest(pv, sv, dv,
-      documents.count(), agg.getAs[Long]("n"), agg.getAs[Long]("t"),
+      nDocs, agg.getAs[Long]("n"), agg.getAs[Long]("t"),
       Map.empty))
   }
 
@@ -521,61 +548,98 @@ object LexIndex {
     }
     ingests += 1
     val manTxn = txn.fold(man.txn) { case (a, b) => man.txn + (a -> b) }
-    // ONE tokenize pass: ntf feeds the postings join, the doclen agg,
-    // the df increments and the scalar agg below — un-checkpointed it
-    // re-tokenized the batch four times per micro-batch
-    val ntf = TextOps.tfFrame(newDocs).localCheckpoint()
-    if (ntf.isEmpty) { // an all-tokenless batch still counts as docs
+    // ONE map-side length pass serves the doclen rows, the manifest's
+    // scalar deltas AND the batch doc count: dl per doc is a pure
+    // array expression over the same split (size of the non-empty
+    // tokens == sum(tf), the tokenize contract), so the old shape's
+    // separate ndl groupBy+checkpoint, isEmpty probe, scalar agg and
+    // newDocs.count() jobs collapse into one cheap scan + one tiny agg
+    val toksNe = org.apache.spark.sql.functions.filter(
+      split(lower(col("text")), " "), x => length(x) > 0)
+    val perDoc = newDocs.select(col("doc_id"),
+      size(toksNe).cast("long").as("dl")).localCheckpoint()
+    val sc = perDoc.agg(count(lit(1)).as("docs"),
+      count(when(col("dl") > 0, 1)).as("n"),
+      sum(when(col("dl") > 0, col("dl"))).as("t")).head
+    val batchDocs = sc.getAs[Long]("docs")
+    if (sc.getAs[Long]("n") == 0L) { // an all-tokenless batch still counts as docs
       writeManifest(spark, root,
-        man.copy(nDocs = man.nDocs + newDocs.count(), txn = manTxn))
+        man.copy(nDocs = man.nDocs + batchDocs, txn = manTxn))
       return
     }
-    val ndl = ntf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint()
+    val ndl = perDoc.filter(col("dl") > 0)
+    // ONE fused tokenize pass (tf + positions together — tfPosFrame):
+    // it feeds the postings join and the df increments; un-fused, the
+    // old shape tokenized and shuffled the batch twice per micro-batch
+    val ntfp = tfPosFrame(newDocs).localCheckpoint()
+    val pv = man.postingsV
+    if (pv < 0) throw new IllegalStateException(s"no lexical index built at $root")
+    // The three tables' commits are INDEPENDENT writes: visibility is
+    // the manifest flip below (a crash before it leaves only orphan
+    // versions the next mutation supersedes — class doc), so their
+    // relative commit order carries no semantics. Run them as three
+    // CONCURRENT driver threads (guide §2.6: overlap independent
+    // jobs) — the three staged-write jobs back-fill each other's task
+    // tails instead of running strictly in sequence; the wall cost of
+    // an ingest drops from the SUM of three commit latencies to ~the
+    // max. Inputs (ntfp, ndl) are checkpointed, so no subtree is
+    // computed twice across threads.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     // postings append: new bucket dirs + the MANIFEST-pinned entry
     // list carried byte-for-byte (never the raw head's — a crashed
     // prior attempt's orphan dirs must not resurrect here)
-    val pv = man.postingsV
-    if (pv < 0) throw new IllegalStateException(s"no lexical index built at $root")
-    val pCarried = VersionedTable.entryPairsOf(spark, postRoot(root), pv)
-    val pHead = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(pv)
-    val newPv = VersionedTable.commitPartitionedCarrying(spark, postRoot(root),
-      ntf.join(ndl, Seq("doc_id"))
-        .join(positionsFrame(newDocs), Seq("doc_id", "term"))
-        .withColumn("bucket", bucketCol),
-      "bucket", pHead, pCarried)
+    val postingsF = scala.concurrent.Future {
+      val pCarried = VersionedTable.entryPairsOf(spark, postRoot(root), pv)
+      val pHead = VersionedTable.currentVersion(spark, postRoot(root)).getOrElse(pv)
+      VersionedTable.commitPartitionedCarrying(spark, postRoot(root),
+        ntfp.join(ndl, Seq("doc_id"))
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+                  col("positions"))
+          .withColumn("bucket", bucketCol),
+        "bucket", pHead, pCarried)
+    }
     // df merge, partition-SCOPED: only buckets holding a batch term
     // are rewritten; the rest of the vocab carries byte-for-byte
-    val inc = ntf.groupBy(col("term")).agg(count(lit(1)).as("dfi"))
-      .localCheckpoint()
-    val hitBuckets = inc.select(bucketCol.as("b")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val sv = man.statsV
-    val newSv = if (hitBuckets.isEmpty) sv else {
-      val oldSlice = VersionedTable.readPartitions(
-        spark, statsRoot(root), hitBuckets, version = Some(sv),
-        mergeSchema = false)
-        .select(col("term"), col("df"))
-      val merged = oldSlice.join(inc, Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df"), lit(0L)) + coalesce(col("dfi"), lit(0L))).as("df"))
-        .withColumn("bucket", bucketCol)
-      val hitEnc = hitBuckets.map(VersionedTable.encodePartition).toSet
-      val carried = VersionedTable.entryPairsOf(spark, statsRoot(root), sv)
-        .filterNot { case (_, p) => p.exists(hitEnc.contains) }
-      val sHead = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(sv)
-      VersionedTable.commitPartitionedCarrying(
-        spark, statsRoot(root), merged, "bucket", sHead, carried)
+    val statsF = scala.concurrent.Future {
+      val inc = ntfp.groupBy(col("term")).agg(count(lit(1)).as("dfi"))
+        .localCheckpoint()
+      val hitBuckets = inc.select(bucketCol.as("b")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val sv = man.statsV
+      if (hitBuckets.isEmpty) sv else {
+        val oldSlice = VersionedTable.readPartitions(
+          spark, statsRoot(root), hitBuckets, version = Some(sv),
+          mergeSchema = false)
+          .select(col("term"), col("df"))
+        val merged = oldSlice.join(inc, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("dfi"), lit(0L))).as("df"))
+          .withColumn("bucket", bucketCol)
+        val hitEnc = hitBuckets.map(VersionedTable.encodePartition).toSet
+        val carried = VersionedTable.entryPairsOf(spark, statsRoot(root), sv)
+          .filterNot { case (_, p) => p.exists(hitEnc.contains) }
+        val sHead = VersionedTable.currentVersion(spark, statsRoot(root)).getOrElse(sv)
+        VersionedTable.commitPartitionedCarrying(
+          spark, statsRoot(root), merged, "bucket", sHead, carried)
+      }
     }
-    val dv = man.doclensV
-    val dCarried = VersionedTable.entryPairsOf(spark, dlRoot(root), dv)
-    val dHead = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(dv)
-    val newDv = VersionedTable.commitPartitionedCarrying(spark, dlRoot(root),
-      ndl.withColumn("dbucket", docBucketCol), "dbucket", dHead, dCarried)
-    val agg = ndl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    val doclensF = scala.concurrent.Future {
+      val dv = man.doclensV
+      val dCarried = VersionedTable.entryPairsOf(spark, dlRoot(root), dv)
+      val dHead = VersionedTable.currentVersion(spark, dlRoot(root)).getOrElse(dv)
+      VersionedTable.commitPartitionedCarrying(spark, dlRoot(root),
+        ndl.withColumn("dbucket", docBucketCol), "dbucket", dHead, dCarried)
+    }
+    import scala.concurrent.duration.Duration
+    val newPv = scala.concurrent.Await.result(postingsF, Duration.Inf)
+    val newSv = scala.concurrent.Await.result(statsF, Duration.Inf)
+    val newDv = scala.concurrent.Await.result(doclensF, Duration.Inf)
+    // manifest flips LAST, after all three commits have landed —
+    // scalars came from the one perDoc agg above, no extra jobs here
     writeManifest(spark, root, Manifest(newPv, newSv, newDv,
-      man.nDocs + newDocs.count(),
-      man.nDoclens + agg.getAs[Long]("n"),
-      man.totalTokens + agg.getAs[Long]("t"), manTxn))
+      man.nDocs + batchDocs,
+      man.nDoclens + sc.getAs[Long]("n"),
+      man.totalTokens + sc.getAs[Long]("t"), manTxn))
   }
 }

@@ -1559,17 +1559,23 @@ object Similarity {
     // the round-13 shape joined a separate outdeg frame back in every
     // iteration — one whole join per round for a value that is a pure
     // function of the (immutable) edge set
+    // every checkpoint in the loop is LAZY: plans stay flat (each
+    // round reads the previous round's LogicalRDD, never a growing
+    // join tree) but materialization happens inside the NEXT consumer
+    // instead of a dedicated job per round — the 5-round recursion +
+    // rank runs as ONE job chain, not 7 sequential job launches whose
+    // scheduling latency dominated the row at bench scale
     val edges = rawEdges
       .withColumn("odeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = embeddings.select(col("vec_id"))
     val s0 = nodes.agg(count(lit(1)).as("n"))
       .select(expr(s"$Mass div n").as("s0"))
     // the per-iteration base (every node × the teleport share) is
     // iteration-invariant — materialize it once, not once per round
     val base = nodes.crossJoin(broadcast(s0))
-      .select(col("vec_id"), col("s0")).localCheckpoint()
+      .select(col("vec_id"), col("s0")).localCheckpoint(eager = false)
     var pr = base.select(col("vec_id"), col("s0").as("pr"))
     for (_ <- 1 to iters) {
       val sums = edges
@@ -1581,7 +1587,7 @@ object Similarity {
         .select(col("vec_id"),
                 (expr("(15 * s0) div 100") +
                  expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     // global centrality rank WITHOUT a single-partition sort: the
     // pr frame is corpus-sized, so the rank rides q47's
@@ -1859,19 +1865,19 @@ object Similarity {
                                          keepId: Long => Boolean = _ => true)
       : Seq[(Long, Long, Double)] = {
     import graft.functions.GraftFunctions._
-    // one bounded fetch (records of the pass's candidate ids) feeds
-    // both halves; dropDuplicates guards the one-vector-per-id
-    // contract against a double-committed fragment
-    def score(pairs: DataFrame, recs: DataFrame): DataFrame =
-      recs.filter(col("ce").isNotNull).select(col("c_id"), col("ce"))
-        .dropDuplicates("c_id")
-        .withColumn("cn", vec_norm(col("ce")))
-        .join(broadcast(pairs), Seq("c_id"))
-        .join(broadcast(queriesPre), Seq("q_id"))
-        .withColumn("cos", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .select(col("q_id"), col("c_id"), col("cos"))
+    // scorer over the loop's ONE (recs ⨝ pairs) frame: the s01 cosine
+    // expression, null for vector-less (reverse-edge) fragments whose
+    // adjacency still rides the same row — the same vec_dot/vec_norm
+    // kernels and divide order as ever, so scores stay bit-identical
+    def score(joined: DataFrame): DataFrame =
+      joined.join(broadcast(queriesPre), Seq("q_id"))
+        .select(col("q_id"), col("c_id"),
+          when(col("ce").isNotNull,
+            vec_dot(col("qe"), col("ce")) /
+              (col("qn") * vec_norm(col("ce")))).as("s"),
+          col("nbrs"))
     recordsWalkLoopRows(queriesPre.sparkSession, entry, fetchRecs, score,
-      "cos", asc = false, beam, hops, keepId)
+      asc = false, beam, hops, keepId)
   }
 
   /** Spark-parity score ordering for the driver-side frontier pick:
@@ -1901,18 +1907,25 @@ object Similarity {
     * `entry` is the seed candidate pairs; `fetchRecs` takes the pass's
     * distinct candidate ids and returns their record-fragment FRAME
     * (the dir-pruned scan — still distributed, never collected raw);
-    * `score` turns (pairs-frame, fragments) into `(q_id, c_id,
-    * <sCol>)` with Spark expressions (float parity stays in the
-    * engine); the frontier is the top-beam UNEXPANDED visited by
-    * `sCol` (`asc` false = similarity, true = distance; lowest-id
-    * tie-break either way — [[cmpScore]] pins the double ordering to
-    * Spark's). `keepId` is the graveyard filter (candidates dropped
-    * BEFORE the fetch, exactly the old anti-join point). */
+    * `score` takes the loop's ONE (fragments ⨝ pairs) frame and emits
+    * `(q_id, c_id, s, nbrs)` with Spark expressions (float parity
+    * stays in the engine) — `s` NULL on rows whose fragment carries no
+    * value payload (reverse-edge fragments), whose adjacency the SAME
+    * row still delivers. One broadcast join over one scan replaces
+    * the earlier shape's dropDuplicates exchange + second scan +
+    * union (the fragment dedup moves to the visited map, which keyed
+    * (q_id, c_id) anyway — duplicate fragments carry identical
+    * payloads by the txn-marker contract, exactly what dropDuplicates
+    * assumed). The frontier is the top-beam UNEXPANDED visited by `s`
+    * (`asc` false = similarity, true = distance; lowest-id tie-break
+    * either way — [[cmpScore]] pins the double ordering to Spark's).
+    * `keepId` is the graveyard filter (candidates dropped BEFORE the
+    * fetch, exactly the old anti-join point). */
   private def recordsWalkLoopRows(spark: SparkSession,
                                   entry: Seq[(Long, Long)],
                                   fetchRecs: Seq[Long] => DataFrame,
-                                  score: (DataFrame, DataFrame) => DataFrame,
-                                  sCol: String, asc: Boolean,
+                                  score: DataFrame => DataFrame,
+                                  asc: Boolean,
                                   beam: Int, hops: Int,
                                   keepId: Long => Boolean)
       : Seq[(Long, Long, Double)] = {
@@ -1920,26 +1933,20 @@ object Similarity {
     val visited = scala.collection.mutable.LinkedHashMap[(Long, Long), Double]()
     val adjSeen = scala.collection.mutable.HashMap[Long, scala.collection.mutable.TreeSet[Long]]()
     val expanded = scala.collection.mutable.HashSet[(Long, Long)]()
-    // one fused job per pass: scored pairs (tag 0) + adjacency (tag 1)
-    // collected together off the SAME bounded fetch
+    // one fused job per pass: scores + adjacency collected together
+    // off ONE broadcast join over the SAME bounded fetch
     def pass(pairs: Seq[(Long, Long)]): Unit = {
       val ids = pairs.map(_._2).distinct.sorted
       val recs = fetchRecs(ids) // called even when empty: the fetch
       if (ids.isEmpty) return   // closure records the pass's (zero) IO
       val pairsDf = pairs.toDF("q_id", "c_id")
-      val fused = score(pairsDf, recs)
-        .select(lit(0).as("tag"), col("q_id"), col("c_id"),
-          col(sCol).cast("double").as("s"),
-          lit(null).cast("array<bigint>").as("nbrs"))
-        .unionByName(recs
-          .select(lit(1).as("tag"), lit(-1L).as("q_id"), col("c_id"),
-            lit(null).cast("double").as("s"), col("nbrs")))
+      val fused = score(recs.join(broadcast(pairsDf), Seq("c_id")))
       fused.collect().foreach { r =>
-        if (r.getInt(0) == 0) visited((r.getLong(1), r.getLong(2))) = r.getDouble(3)
-        else if (!r.isNullAt(4)) {
-          val set = adjSeen.getOrElseUpdate(r.getLong(2),
+        if (!r.isNullAt(2)) visited((r.getLong(0), r.getLong(1))) = r.getDouble(2)
+        if (!r.isNullAt(3)) {
+          val set = adjSeen.getOrElseUpdate(r.getLong(1),
             scala.collection.mutable.TreeSet.empty[Long])
-          set ++= r.getSeq[Long](4)
+          set ++= r.getSeq[Long](3)
         }
       }
     }
@@ -2309,17 +2316,17 @@ object Similarity {
     s"aggregate(sequence(0, ${PqSubspaces - 1}), CAST(0 AS DOUBLE), " +
     s"(acc, j) -> acc + element_at(dt, j * $PqK + element_at(codes, j + 1) + 1))")
 
-  /** The ADC record scorer for [[recordsWalkLoop]]: codes come from
-    * the fetched fragments (the vector-bearing fragment carries them),
+  /** The ADC record scorer for the walk loop's ONE (fragments ⨝
+    * pairs) frame: codes come from the fetched fragments (the
+    * vector-bearing fragment carries them — NULL `s` on code-less
+    * reverse fragments, whose adjacency the same row delivers),
     * distance tables broadcast from the query side. */
   private[graft] def scoreAdcRecs(dts: DataFrame)(
-      pairs: DataFrame, recs: DataFrame): DataFrame =
-    recs.filter(col("codes").isNotNull).select(col("c_id"), col("codes"))
-      .dropDuplicates("c_id")
-      .join(broadcast(pairs), Seq("c_id"))
-      .join(broadcast(dts), Seq("q_id"))
-      .withColumn("adc", adcRecExpr)
-      .select(col("q_id"), col("c_id"), col("adc"))
+      joined: DataFrame): DataFrame =
+    joined.join(broadcast(dts), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        when(col("codes").isNotNull, adcRecExpr).as("s"),
+        col("nbrs"))
 
   /** Exact-cosine re-rank of a walk's visited set — DiskANN's final
     * step: the ADC-guided walk only DECIDES what to visit; the
@@ -2392,7 +2399,7 @@ object Similarity {
     val queries = walkQueries(embeddings, maxQueryId)
     val entry = seedEntry(walkQueryIds(queries), seedIds)
     val visited = recordsWalkLoopRows(embeddings.sparkSession, entry,
-      fetchRecs, scoreAdcRecs(dts), "adc", asc = true, beam, hops, keepId)
+      fetchRecs, scoreAdcRecs(dts), asc = true, beam, hops, keepId)
     rerankExactTopK(queries, fetchVecs, visited, k)
   }
 
