@@ -809,12 +809,20 @@ object GraphIndex {
         }
       }
     }
+    // the churn-meta count is independent of the commit — overlap it
+    // with the node append's staging job (guide §2.6) instead of
+    // paying a separate sequential job after the commit lands
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val batchCountF = scala.concurrent.Future { newVecs.count() }
     // the node append carries the batch's OWN marker and runs LAST —
     // the whole batch's commit point (see the ordering comment above)
     VersionedTable.appendPartitioned(spark, nodeRoot(root), records, "bucket", nv,
       txn = txn)
+    val batchCount = scala.concurrent.Await.result(
+      batchCountF, scala.concurrent.duration.Duration.Inf)
     readMeta(spark, root).foreach { case (b, i, r) =>
-      writeMeta(spark, root, b, i + newVecs.count(), r) }
+      writeMeta(spark, root, b, i + batchCount, r) }
     ()
   }
 

@@ -149,11 +149,36 @@ object ReferenceE2E {
 
     // ---- records table lifecycle: v0 = arrivals; merge corrections;
     // tombstone delete pass (q36's whenMatchedDelete half)
+    // ---- metadata shape (q18): latest event per user + event count
+    def metaOf(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n_events",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("latest_event_id"),
+          col("ts").as("latest_ts"), col("status").as("latest_status"),
+          col("value_cents").as("latest_cents"), col("n_events"))
+    }
     val v0 = VersionedTable.commit(spark, recsRoot,
       clean.filter(col("prio") === 0).select(recCols.map(col): _*), -1L)
-    val prevAgg = MaterializedAgg.fullAgg(
-      VersionedTable.readAsOf(spark, recsRoot, v0), "status", "value_cents")
-      .localCheckpoint() // the serving view, seeded at v0
+    // the serving-view seed and the metadata seed both read the PINNED
+    // v0 snapshot (readAsOf — immutable dirs), so they are independent
+    // of the records merge below: overlap them with it (guide §2.6,
+    // overlap independent jobs) instead of running four sequential
+    // stages. Awaited before first use; same frames, same commits.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val prevAggF = scala.concurrent.Future {
+      MaterializedAgg.fullAgg(
+        VersionedTable.readAsOf(spark, recsRoot, v0), "status", "value_cents")
+        .localCheckpoint() // the serving view, seeded at v0
+    }
+    val metaSeedF = scala.concurrent.Future {
+      VersionedTable.commit(spark, metaRoot,
+        metaOf(VersionedTable.readAsOf(spark, recsRoot, v0)), -1L)
+    }
     val v1 = VersionedTable.merge(spark, recsRoot,
       clean.filter(col("prio") === 1 && !col("deleted"))
         .select(recCols.map(col): _*),
@@ -169,24 +194,16 @@ object ReferenceE2E {
     // the reference's write→invalidate→refresh cycle over real commits
     val feed = VersionedTable.changeFeed(spark, recsRoot, v0, v2,
       keys = Seq("event_id"))
+    val prevAgg = scala.concurrent.Await.result(
+      prevAggF, scala.concurrent.duration.Duration.Inf)
     val serving = MaterializedAgg.applyChangeFeed(
       prevAgg, feed, "status", "value_cents")
 
-    // ---- metadata upsert (q18): seed at v0, merge post-state,
-    // drop users the delete pass emptied (the metadata cleaner)
-    def metaOf(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n_events",
-          count(lit(1)).over(Window.partitionBy(col("user_id"))))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id").as("latest_event_id"),
-          col("ts").as("latest_ts"), col("status").as("latest_status"),
-          col("value_cents").as("latest_cents"), col("n_events"))
-    }
-    VersionedTable.commit(spark, metaRoot,
-      metaOf(VersionedTable.readAsOf(spark, recsRoot, v0)), -1L)
+    // ---- metadata upsert (q18): seed at v0 (committed concurrently
+    // above), merge post-state, drop users the delete pass emptied
+    // (the metadata cleaner)
+    scala.concurrent.Await.result(
+      metaSeedF, scala.concurrent.duration.Duration.Inf)
     VersionedTable.merge(spark, metaRoot, metaOf(finalRecs),
       keys = Seq("user_id"))
     val mv = VersionedTable.currentVersion(spark, metaRoot).get

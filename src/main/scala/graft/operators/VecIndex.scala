@@ -194,10 +194,18 @@ object VecIndex {
     val cents = VersionedTable.readUniform(spark, centsRoot(root))
     val vv = VersionedTable.currentVersion(spark, vecsRoot(root)).getOrElse(
       throw new IllegalStateException(s"no index built at $root"))
+    // the churn-meta count is independent of the commit — overlap it
+    // with the append's staging job (guide §2.6) instead of paying a
+    // separate sequential job after the commit lands
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val batchCountF = scala.concurrent.Future { batch.count() }
     VersionedTable.appendPartitioned(
       spark, vecsRoot(root), assign(batch, cents), "cell", vv)
+    val batchCount = scala.concurrent.Await.result(
+      batchCountF, scala.concurrent.duration.Duration.Inf)
     val (built, appended, deleted) = readMeta(spark, root).getOrElse((0L, 0L, 0L))
-    writeMeta(spark, root, built, appended + batch.count(), deleted)
+    writeMeta(spark, root, built, appended + batchCount, deleted)
   }
 
   /** DELETE vectors from the index (FAISS `remove_ids`, the lifecycle

@@ -691,7 +691,11 @@ object StreamOps {
       .writeStream
       .option("checkpointLocation", s"$work/ck")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // checkpointed: kept feeds the ingest probe AND the landed
+        // join below — un-checkpointed, the battery subtree re-ran
+        // once per consumer (3x per micro-batch)
         val kept = batch.join(TextOps.batteryKeep(batch), "doc_id")
+          .localCheckpoint()
         val (admitted, _) = BandIndex.ingest(spark, idx,
           kept.select("doc_id", "text"))
         val landed = kept
@@ -1233,8 +1237,12 @@ object StreamOps {
     VersionedTable.appendRebaseTxn(spark, eventsRoot, batch, appId, batchId)
     val monitor = graft.operators.Relational.cusumMonitor(
       VersionedTable.read(spark, eventsRoot), trainDays)
+    // checkpointed: the emptiness gate AND the merge both consume this
+    // frame — un-checkpointed, the whole monitor subtree ran twice per
+    // micro-batch
     val alerts = monitor.filter(col("alert"))
       .select(col("event_type"), col("day"), col("n"), col("cusum"))
+      .localCheckpoint()
     if (!alerts.isEmpty) {
       VersionedTable.merge(spark, alertsRoot, alerts,
         keys = Seq("event_type", "day"))
