@@ -137,8 +137,17 @@ object GramIndex {
           VersionedTable.lastTxnBatch(spark, root, app).exists(_ >= b) })
       return
     val v = VersionedTable.currentVersion(spark, root).getOrElse(-1L)
+    // the churn-meta count is independent of the commit — overlap it
+    // with the append's staging job (guide §2.6, the GraphIndex/
+    // VecIndex ingest discipline)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val batchDocsF = scala.concurrent.Future {
+      docs.select(col("doc_id")).distinct().count()
+    }
     VersionedTable.append(spark, root, postings(docs, n), v, txn = txn)
-    val batchDocs = docs.select(col("doc_id")).distinct().count()
+    val batchDocs = scala.concurrent.Await.result(
+      batchDocsF, scala.concurrent.duration.Duration.Inf)
     readMeta(spark, root).foreach { case (built, appended, retired) =>
       writeMeta(spark, root, built, appended + batchDocs, retired)
     }

@@ -281,13 +281,21 @@ object VecIndex {
   def ingestDedup(spark: SparkSession, root: String, batch: DataFrame,
                   maxCos: Double = 0.999, nProbe: Int = 2): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
-    val hits = probe(spark, root, batch, k = 1, nProbe = nProbe)
+    // ONE materialization serves both outputs: the k=1 probe's hit row
+    // (at most one per batch vector) rides a left join onto the batch,
+    // so `admitted` and the near-dup pairs are filters over the SAME
+    // checkpointed frame — one job where the old shape paid two
+    // sequential checkpoints (hits, then the anti-join). Both frames
+    // still materialize BEFORE the append: rejections stay judged
+    // against the index state at batch start.
+    val hitRows = probe(spark, root, batch, k = 1, nProbe = nProbe)
       .filter(col("cos") >= maxCos)
-      .select(col("q_id"), col("neighbor_id"), col("cos"))
-      .localCheckpoint()
-    val admitted = batch
-      .join(hits.select(col("q_id").as("vec_id")), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .select(col("q_id").as("vec_id"), col("neighbor_id"), col("cos"))
+    val combined = batch.join(hitRows, Seq("vec_id"), "left").localCheckpoint()
+    val admitted = combined.filter(col("neighbor_id").isNull)
+      .select(batch.columns.map(col): _*)
+    val hits = combined.filter(col("neighbor_id").isNotNull)
+      .select(col("vec_id").as("q_id"), col("neighbor_id"), col("cos"))
     if (!admitted.isEmpty) ingest(spark, root, admitted)
     (admitted, hits)
   }
